@@ -1,0 +1,64 @@
+"""Projection and grouping operators -- P1, P2, and LWW dedup (SURVEY.md §2).
+
+P1 projects each cell to the 3-field proto shape {name, value, writeTime}
+(reference: service/ColumnMapper.java:9-21). P2 folds a partition's
+surviving cells into Row{key, repeated Column} preserving cell-name order
+(reference: service/SSTableReader.java:87-109).
+
+The LWW (last-write-wins) dedup is the extension op the reference lacks:
+it never reconciles duplicate keys across SSTables (Runner.java:59
+processes files independently), so the same (key, name) can appear in many
+files. `lww_dedup` keeps the cell with the highest writeTime -- Cassandra's
+own reconciliation rule -- via max_by, a single hash aggregation.
+
+Scale notes: group_rows shuffles on (sstable_id, key); at 100 TB that is
+one shuffle keyed by partition key, the same data movement any
+wide-row reconstruction needs. A native SSTable source would emit cells of
+a partition adjacently, letting the grouping happen shuffle-free inside
+the source (SURVEY §2 P2); over generic parquet the shuffle is required.
+AQE handles skewed partition keys (skew-join/partition splitting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def project_cells(cells: DataFrame) -> DataFrame:
+    """P1: prune to the proto Column shape plus routing keys."""
+    return cells.select("sstable_id", "key", "name", "value", "writeTime")
+
+
+def group_rows(cells: DataFrame) -> DataFrame:
+    """P2: partition -> Row{key, columns sorted by name}.
+
+    sort_array on struct(name, ...) sorts by the first field, matching the
+    reference's comparator (on-disk cell-name order,
+    SSTableIdentityIteratorPatched.java:72).
+    """
+    return (
+        cells.groupBy("sstable_id", "key")
+        .agg(F.sort_array(F.collect_list(F.struct("name", "value", "writeTime")))
+             .alias("columns"))
+    )
+
+
+def lww_dedup(cells: DataFrame) -> DataFrame:
+    """Extension: last-write-wins reconciliation across SSTables.
+
+    For each (key, name) keep the single cell with max writeTime
+    (ties broken by sstable_id to stay deterministic). One hash
+    aggregation -- map-side partial aggregation keeps the shuffle small.
+    """
+    winner = F.max_by(
+        F.struct("value", "writeTime", "sstable_id"),
+        F.struct("writeTime", "sstable_id"),
+    )
+    return (
+        cells.groupBy("key", "name")
+        .agg(winner.alias("w"))
+        .select("key", "name", F.col("w.value").alias("value"),
+                F.col("w.writeTime").alias("writeTime"),
+                F.col("w.sstable_id").alias("sstable_id"))
+    )

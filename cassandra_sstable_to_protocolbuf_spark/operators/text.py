@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: tokenization
+stats, quality scoring, language ID (n-gram/stopword heuristic), document
+fingerprinting, shingling.
+
+All expressions are built-in pyspark.sql.functions (JVM-side, inside
+whole-stage codegen) -- no Python UDFs in any hot path. At 100 TB each of
+these is a narrow per-row map over the parquet scan: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+# language -> marker words for the stopword-hit language heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "la", "les", "et"),
+    "es": ("el", "los", "las", "y"),
+}
+# deterministic priority order for argmax ties
+LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def marker_hits(toks: Column, markers: tuple) -> Column:
+    """Count of tokens that are in the marker list (JVM-side lambda)."""
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+def alpha_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+
+
+def normalized(text: Column) -> Column:
+    """Whitespace-normalized lowercase form for fingerprinting."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax over per-language marker hits, ties broken by LANG_PRIORITY,
+    zero hits everywhere -> 'und'."""
+    hits = {lang: marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    expr = F.lit("und")
+    # build the CASE chain in reverse priority so earlier langs win ties
+    for lang in reversed(LANG_PRIORITY):
+        cond = hits[lang] > 0
+        for other in LANG_PRIORITY:
+            if LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            elif other != lang:
+                cond = cond & (hits[lang] >= hits[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (default trigrams)."""
+    def make(i: Column) -> Column:
+        parts = [F.get(toks, i + k) for k in range(n)]
+        return F.concat_ws(" ", *parts)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(F.sequence(F.lit(0), F.size(toks) - n), make)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char statistics."""
+    t = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("text_len"),
+        alpha_chars(F.col(text_col)).alias("n_alpha"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: stopword ratio, mean token length,
+    repetition ratio; boolean keep-flag."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_stop = marker_hits(t, EN_STOPWORDS)
+    n_dist = F.size(F.array_distinct(t))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    rep_ratio = n_dist.cast("double") / n_tok.cast("double")
+    mean_tok_len = alpha_chars(F.col(text_col)).cast("double") / n_tok.cast("double")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        rep_ratio.alias("distinct_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+        ((n_tok >= 20) & (stop_ratio < 0.5) & (rep_ratio > 0.1)).alias("keep"),
+    )

@@ -1,0 +1,106 @@
+"""The engine's query catalog: every implemented operator surfaced as a
+named query, with a DuckDB oracle where the semantics are SQL-expressible
+(driver correctness gate) and rows-only otherwise.
+
+Keys map to SURVEY.md §2 operators:
+  sst_*       -- the reference's own pipeline surface (S/F/P/M ops)
+  tpch_* etc. -- relational operator coverage (§2.1 categories)
+  docs_*      -- text analysis + dedup extension ops
+  emb_*       -- similarity-search extension ops
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_sstable_to_protocolbuf_spark.plans import cells_queries as C
+from cassandra_sstable_to_protocolbuf_spark.plans import relational as R
+from cassandra_sstable_to_protocolbuf_spark.plans import textops as TX
+from cassandra_sstable_to_protocolbuf_spark.plans import vectorops as V
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, None => rows-only check
+    doc: str
+
+
+CATALOG: dict[str, QueryDef] = {
+    # --- reference pipeline surface (SURVEY §2 S1-S7, F1-F2, P1-P2, M1) ---
+    "sst_cells_scan": QueryDef(C.sst_cells_scan, C.SST_CELLS_SCAN_SQL,
+                               "S1-S7: full scan of the wide-row cell model"),
+    "sst_live_filter": QueryDef(C.sst_live_filter, C.SST_LIVE_FILTER_SQL,
+                                "F1+F2+P1: tombstone/TTL/counter filters + projection"),
+    "sst_row_group": QueryDef(C.sst_row_group, C.SST_ROW_GROUP_SQL,
+                              "P2: group cells into per-partition rows"),
+    "sst_lww_dedup": QueryDef(C.sst_lww_dedup, C.SST_LWW_DEDUP_SQL,
+                              "extension: last-write-wins across sstables"),
+    "sst_file_metrics": QueryDef(C.sst_file_metrics, C.SST_FILE_METRICS_SQL,
+                                 "M1: per-file job metrics"),
+    # --- relational coverage (SURVEY §2.1) --------------------------------
+    "tpch_q1_pricing": QueryDef(R.q1_pricing_summary, R.Q1_SQL,
+                                "hash aggregate w/ decimal arithmetic"),
+    "tpch_q3_top_orders": QueryDef(R.q3_top_orders, R.Q3_SQL,
+                                   "3-way broadcast join + agg + top-N"),
+    "tpch_q5_supplier_volume": QueryDef(R.q5_supplier_volume, R.Q5_SQL,
+                                        "5-way join, broadcast dims"),
+    "tpch_q6_revenue": QueryDef(R.q6_revenue, R.Q6_SQL,
+                                "filter+agg, full scan pushdown"),
+    "window_top_customers": QueryDef(R.top_customers_per_nation, R.TOP_CUSTOMERS_SQL,
+                                     "row_number window top-k per group"),
+    "window_running_total": QueryDef(R.customer_running_total, R.RUNNING_TOTAL_SQL,
+                                     "running sum + lag window"),
+    "rollup_sales": QueryDef(R.rollup_sales, R.ROLLUP_SQL, "ROLLUP grouping sets"),
+    "setop_intersect": QueryDef(R.setop_active_rich_customers, R.SETOP_INTERSECT_SQL,
+                                "INTERSECT set op"),
+    "setop_except": QueryDef(R.setop_customers_without_orders, R.SETOP_EXCEPT_SQL,
+                             "EXCEPT ALL set op"),
+    "semi_join_big_spenders": QueryDef(R.semi_join_big_spenders, R.SEMI_JOIN_SQL,
+                                       "left-semi join / EXISTS"),
+    "anti_join_unsold_parts": QueryDef(R.anti_join_never_ordered_parts, R.ANTI_JOIN_SQL,
+                                       "left-anti join / NOT EXISTS"),
+    "scalar_functions": QueryDef(R.scalar_functions_part, R.SCALAR_FUNCS_SQL,
+                                 "string/math/conditional scalar library"),
+    "date_functions": QueryDef(R.date_functions_orders, R.DATE_FUNCS_SQL,
+                               "date part extraction + agg"),
+    "events_hourly": QueryDef(R.events_hourly, R.EVENTS_HOURLY_SQL,
+                              "time-bucketed agg (batch form of streaming op)"),
+    # --- text analysis + dedup (north-star extensions) --------------------
+    "docs_text_stats": QueryDef(TX.docs_text_stats, TX.DOCS_TEXT_STATS_SQL,
+                                "token/char statistics"),
+    "docs_quality": QueryDef(TX.docs_quality, TX.DOCS_QUALITY_SQL,
+                             "quality scoring + keep flag"),
+    "docs_langid": QueryDef(TX.docs_langid, TX.DOCS_LANGID_SQL,
+                            "stopword-marker language ID"),
+    "docs_fingerprint": QueryDef(TX.docs_fingerprint, TX.DOCS_FINGERPRINT_SQL,
+                                 "content fingerprint + shard"),
+    "docs_exact_dedup": QueryDef(TX.docs_exact_dedup, TX.DOCS_EXACT_DEDUP_SQL,
+                                 "exact dedup on fingerprint"),
+    "docs_ngram_jaccard": QueryDef(TX.docs_ngram_jaccard, TX.DOCS_NGRAM_JACCARD_SQL,
+                                   "exact near-dup pairs (shingle inverted index)"),
+    "docs_simhash_pairs": QueryDef(TX.docs_simhash_pairs, TX.DOCS_SIMHASH_SQL,
+                                   "SimHash near-dup pairs (banded equi-join)"),
+    "docs_minhash_lsh": QueryDef(TX.docs_minhash_lsh, None,
+                                 "MinHashLSH candidate pairs (probabilistic)"),
+    # --- similarity search -------------------------------------------------
+    "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
+                                "exact brute-force cosine top-k"),
+    "emb_centroid_per_label": QueryDef(V.emb_centroid_per_label, V.EMB_CENTROID_SQL,
+                                       "per-label vector aggregation"),
+    "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, None,
+                            "random-hyperplane LSH approximate top-k"),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in CATALOG.items() if qd.oracle is not None}

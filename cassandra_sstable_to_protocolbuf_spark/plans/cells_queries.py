@@ -1,0 +1,148 @@
+"""Query plans over the wide-row cell model -- the reference's actual
+pipeline surface (SURVEY.md §2: S-scan, F1/F2 filters, P1/P2 projections)
+plus the LWW-dedup extension, each with a DuckDB oracle.
+
+The Spark side composes sources/cells.py + operators/{tombstones,
+projection}.py; the oracle side composes plans/cells_sql.py. ttl_expired
+is rendered as 'T'/'F'/'NA' in outputs so no NULL ever reaches the hash
+comparison (engines disagree on NULL canonicalization in pandas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.operators.projection import project_cells
+from cassandra_sstable_to_protocolbuf_spark.operators.tombstones import filter_live
+from cassandra_sstable_to_protocolbuf_spark.plans.cells_sql import cells_cte
+from cassandra_sstable_to_protocolbuf_spark.sources.cells import encode_lineitem_cells
+
+_TTL_STR = ("CASE WHEN ttl_expired THEN 'T' WHEN NOT ttl_expired THEN 'F' "
+            "ELSE 'NA' END")
+
+
+def _ttl_str_col() -> F.Column:
+    return (F.when(F.col("ttl_expired"), "T")
+            .when(~F.col("ttl_expired"), "F")
+            .otherwise("NA").alias("ttl_expired"))
+
+
+def sst_cells_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S7 analog: full scan of the encoded cell table (no filters)."""
+    cells = encode_lineitem_cells(spark, sf_dir)
+    return cells.select(
+        "sstable_id", "key", "name", "value", "writeTime", "cell_kind",
+        _ttl_str_col(), "partition_deletion_live",
+    )
+
+
+SST_CELLS_SCAN_SQL = f"""
+{cells_cte()}
+SELECT sstable_id, key, name, value, writeTime, cell_kind,
+       {_TTL_STR} AS ttl_expired, partition_deletion_live
+FROM cells
+"""
+
+
+def sst_live_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: drop dead partitions and non-LIVE cells (incl. the
+    drop-unexpired-TTL quirk), then P1-project to the proto shape."""
+    cells = encode_lineitem_cells(spark, sf_dir)
+    return project_cells(filter_live(cells))
+
+
+SST_LIVE_FILTER_SQL = f"""
+{cells_cte()}
+SELECT sstable_id, key, name, value, writeTime
+FROM cells
+WHERE partition_deletion_live AND cell_kind = 'LIVE'
+"""
+
+
+def sst_row_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: fold surviving cells into per-partition rows. Output is a
+    hash-friendly summary of the nested Row (cell count, name-ordered
+    concatenation, writeTime span) -- semantically the proto Row."""
+    cells = project_cells(filter_live(encode_lineitem_cells(spark, sf_dir)))
+    return (
+        cells.groupBy("sstable_id", "key")
+        .agg(
+            F.count(F.lit(1)).alias("n_columns"),
+            F.array_join(F.sort_array(F.collect_list("name")), ",").alias("column_names"),
+            F.min("writeTime").alias("min_write_time"),
+            F.max("writeTime").alias("max_write_time"),
+        )
+    )
+
+
+SST_ROW_GROUP_SQL = f"""
+{cells_cte()}
+SELECT sstable_id, key,
+       COUNT(*) AS n_columns,
+       STRING_AGG(name, ',' ORDER BY name) AS column_names,
+       MIN(writeTime) AS min_write_time,
+       MAX(writeTime) AS max_write_time
+FROM cells
+WHERE partition_deletion_live AND cell_kind = 'LIVE'
+GROUP BY sstable_id, key
+"""
+
+
+def sst_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: last-write-wins reconciliation across SSTable files.
+
+    The reference emits duplicate Rows for keys present in multiple
+    SSTables (no cross-file merge -- Runner.java:59); this reconciles with
+    Cassandra's own rule: highest writeTime wins. Fully deterministic
+    ordering (writeTime, sstable_id, value) because the synthetic lineitem
+    carries duplicate (orderkey, linenumber) pairs.
+    """
+    cells = filter_live(encode_lineitem_cells(spark, sf_dir))
+    w = Window.partitionBy("key", "name").orderBy(
+        F.desc("writeTime"), F.desc("sstable_id"), F.desc("value"))
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "name", "value", "writeTime", "sstable_id")
+    )
+
+
+SST_LWW_DEDUP_SQL = f"""
+{cells_cte()}
+SELECT key, name, value, writeTime, sstable_id
+FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+) t WHERE rn = 1
+"""
+
+
+def sst_file_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 analog: per-sstable job metrics (rows, cells, bytes written)."""
+    cells = encode_lineitem_cells(spark, sf_dir)
+    live = F.when((F.col("partition_deletion_live")) & (F.col("cell_kind") == "LIVE"), 1).otherwise(0)
+    return (
+        cells.groupBy("sstable_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(live).alias("n_live_cells"),
+            F.count_distinct("key").alias("n_partitions"),
+            F.sum(F.length("value") + F.length("name") + F.length("key")).alias("payload_bytes"),
+        )
+    )
+
+
+SST_FILE_METRICS_SQL = f"""
+{cells_cte()}
+SELECT sstable_id,
+       COUNT(*) AS n_cells,
+       CAST(SUM(CASE WHEN partition_deletion_live AND cell_kind = 'LIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_live_cells,
+       COUNT(DISTINCT key) AS n_partitions,
+       CAST(SUM(LENGTH(value) + LENGTH(name) + LENGTH(key)) AS BIGINT) AS payload_bytes
+FROM cells
+GROUP BY sstable_id
+"""

@@ -1,0 +1,408 @@
+"""Relational query plans: joins, aggregations, windows, sorts, set ops,
+scalar functions -- the query surface the reference lacks entirely
+(SURVEY.md §2.1) built Spark-first, each with a DuckDB oracle.
+
+Cross-engine hash-parity rules used throughout:
+* Money math in DECIMAL (exact in both engines), cast to DOUBLE only at
+  the very end. Chained products keep total precision <= 38.
+* Averages/ratios = one double division over exact inputs (deterministic
+  IEEE) -- never AVG() whose internal summation order varies.
+* Dates rendered as strings; no raw timestamps in outputs.
+* Every ORDER BY under a LIMIT carries a unique tiebreaker.
+
+Scale notes (100 TB): all joins below either broadcast the small build
+side (region/nation/customer/supplier/part are dimension-sized) or
+shuffle on the natural join key; aggregations are partial-agg friendly
+(no distinct-heavy shapes); AQE handles skew. Filters are plain column
+predicates => pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+DEC = "decimal(12,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- Q1: pricing summary (hash aggregate, decimal arithmetic) -----------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax))
+            .cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3: shipping-priority style top-N (3-way join + agg + sorted limit) --
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    revenue = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                 "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style: local supplier volume (5-way join, broadcast dims) --------
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- Q6: revenue forecast (pure filter + agg; full pushdown) -------------
+
+def q6_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- Window functions ----------------------------------------------------
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "rnk", "c_custkey", "c_acctbal")
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_nationkey, rnk, c_custkey, c_acctbal
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) t WHERE rnk <= 3
+"""
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order-value total per customer (window sum + lag)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast(DEC)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double").alias("running_total"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_orderkey"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+# --- Rollup / grouping sets ---------------------------------------------
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "n_rows", "sum_qty",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- Set operations ------------------------------------------------------
+
+def setop_active_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: high-balance customers who have placed orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    active = orders.select(F.col("o_custkey").alias("custkey"))
+    return rich.intersect(active)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+"""
+
+
+def setop_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (doubles as anti-join): customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (cust.select(F.col("c_custkey").alias("custkey"))
+            .exceptAll(orders.select(F.col("o_custkey").alias("custkey")).distinct()))
+
+
+SETOP_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer
+EXCEPT ALL
+SELECT DISTINCT o_custkey AS custkey FROM orders
+"""
+
+
+# --- Semi / anti joins ---------------------------------------------------
+
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one order over 200k."""
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_nationkey"))
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+def anti_join_never_ordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: parts never appearing in any lineitem."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+            .select("p_partkey", "p_name", "p_brand"))
+
+
+ANTI_JOIN_SQL = """
+SELECT p_partkey, p_name, p_brand FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+# --- Scalar function library --------------------------------------------
+
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / math / conditional scalar functions over part."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        (F.col("p_size") % 7).alias("size_mod7"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+        F.when(F.col("p_size") < 10, "small")
+        .when(F.col("p_size") < 30, "medium")
+        .otherwise("large").alias("size_class"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+    )
+
+
+SCALAR_FUNCS_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       LENGTH(p_name) AS name_len,
+       p_brand || ':' || p_type AS brand_type,
+       p_size % 7 AS size_mod7,
+       ABS(p_retailprice - 1000.0) AS price_dist,
+       CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+FROM part
+"""
+
+
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library over orders (grouped so output is small)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.month("o_orderdate").alias("o_month"),
+            F.dayofmonth("o_orderdate").alias("o_day"),
+            F.col("o_totalprice").cast(DEC).alias("price"),
+        )
+        .groupBy("o_year", "o_quarter", "o_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.min("o_day").alias("first_day"),
+             F.max("o_day").alias("last_day"),
+             F.sum("price").cast("double").alias("total_price"))
+    )
+
+
+DATE_FUNCS_SQL = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       EXTRACT(quarter FROM o_orderdate) AS o_quarter,
+       EXTRACT(month FROM o_orderdate) AS o_month,
+       COUNT(*) AS n_orders,
+       MIN(EXTRACT(day FROM o_orderdate)) AS first_day,
+       MAX(EXTRACT(day FROM o_orderdate)) AS last_day,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+# --- Events: time-bucketed aggregation (batch form of the streaming op) --
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is a nanosecond parquet timestamp; Spark reads it as long
+    # under this (runtime-settable) flag, then we convert ns -> us with
+    # integer division (ns epoch values exceed double's 53-bit mantissa).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+             F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""

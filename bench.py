@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion through the noop sink (full physical
+plan runs, nothing is collected to the driver), which is the honest way to
+time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference pipeline surface
+    "sst_cells_scan",
+    "sst_live_filter",
+    "sst_row_group",
+    "sst_lww_dedup",
+    # relational coverage
+    "tpch_q1_pricing",
+    "tpch_q3_top_orders",
+    "tpch_q5_supplier_volume",
+    "tpch_q6_revenue",
+    "window_running_total",
+    "events_hourly",
+    # training-data extensions
+    "docs_exact_dedup",
+    "docs_ngram_jaccard",
+    "docs_simhash_pairs",
+    "emb_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+    from cassandra_sstable_to_protocolbuf_spark.session import get_spark
+
+    spark = get_spark("cassandra-sstable-to-protocolbuf-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest dataset so per-query timings
+    # measure the plan, not first-call JIT.
+    CATALOG["tpch_q6_revenue"].fn(spark, "/root/testdata/sf0.001").write \
+        .format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,12 +43,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, distinct per document."""
-    return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    shingles(tokens(F.col(text_col)), n).alias("sh"))
-        .select("doc_id", F.explode("sh").alias("shingle"))
-    )
+    """(id, shingle) pairs, distinct per document.
+
+    Tokenization is materialized in its own projection before shingling:
+    higher-order functions are interpreted (no codegen subexpression
+    elimination), so inlining tokens(text) into every get() inside the
+    shingle lambda would re-split the text O(doc_len) times per row.
+    """
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+    tune_for_hof_explode(docs.sparkSession)
+    toks = docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("t"))
+    return (toks.select("doc_id", shingles(F.col("t"), n).alias("sh"))
+            .select("doc_id", F.explode("sh").alias("shingle")))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
@@ -143,8 +150,11 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document over distinct tokens."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+    tune_for_hof_explode(docs.sparkSession)
     tok = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")))
+                       F.array_distinct(tokens(F.col(text_col))).alias("dt"))
+           .select("doc_id", F.explode("dt").alias("tok")))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     tok = tok.select("doc_id", h.alias("h"))
     votes = [

@@ -82,33 +82,43 @@ def shingles(toks: Column, n: int = 3) -> Column:
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document token/char statistics."""
-    t = tokens(F.col(text_col))
-    return docs.select(
+    """Per-document token/char statistics.
+
+    Tokens materialize in their own projection first: referencing the
+    tokens expression from several output columns would re-run the regex
+    split per reference (no subexpression elimination in interpreted
+    higher-order functions).
+    """
+    base = docs.select("doc_id", F.col(text_col).alias("_text"),
+                       tokens(F.col(text_col)).alias("t"))
+    return base.select(
         "doc_id",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
-        F.length(text_col).alias("text_len"),
-        alpha_chars(F.col(text_col)).alias("n_alpha"),
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
+        F.length("_text").alias("text_len"),
+        alpha_chars(F.col("_text")).alias("n_alpha"),
     )
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: stopword ratio, mean token length,
     repetition ratio; boolean keep-flag."""
-    t = tokens(F.col(text_col))
-    n_tok = F.size(t)
-    n_stop = marker_hits(t, EN_STOPWORDS)
-    n_dist = F.size(F.array_distinct(t))
-    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
-    rep_ratio = n_dist.cast("double") / n_tok.cast("double")
-    mean_tok_len = alpha_chars(F.col(text_col)).cast("double") / n_tok.cast("double")
-    return docs.select(
+    base = docs.select("doc_id", F.col(text_col).alias("_text"),
+                       tokens(F.col(text_col)).alias("t"))
+    counted = base.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        n_stop.alias("n_stopwords"),
+        F.size("t").alias("n_tokens"),
+        marker_hits(F.col("t"), EN_STOPWORDS).alias("n_stopwords"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        alpha_chars(F.col("_text")).alias("n_alpha"),
+    )
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    rep_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double")
+    return counted.select(
+        "doc_id", "n_tokens", "n_stopwords",
         stop_ratio.alias("stopword_ratio"),
         rep_ratio.alias("distinct_ratio"),
-        mean_tok_len.alias("mean_token_len"),
-        ((n_tok >= 20) & (stop_ratio < 0.5) & (rep_ratio > 0.1)).alias("keep"),
+        (F.col("n_alpha").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("mean_token_len"),
+        ((F.col("n_tokens") >= 20) & (stop_ratio < 0.5) & (rep_ratio > 0.1)).alias("keep"),
     )

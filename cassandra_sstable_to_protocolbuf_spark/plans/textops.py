@@ -76,12 +76,28 @@ FROM s
 
 def docs_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    hits = {lang: T.marker_hits(toks, m).alias(f"hits_{lang}")
-            for lang, m in T.LANG_MARKERS.items()}
-    return docs.select(
-        "doc_id", *hits.values(), T.lang_id(toks).alias("lang_pred"),
+    # materialize tokens, then hit counts, then the argmax CASE -- three
+    # projections so each expensive expression evaluates once per row
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    counted = base.select(
+        "doc_id",
+        *[T.marker_hits(F.col("t"), m).alias(f"hits_{lang}")
+          for lang, m in T.LANG_MARKERS.items()],
     )
+    prio = T.LANG_PRIORITY
+    expr = F.lit("und")
+    for lang in reversed(prio):
+        cond = F.col(f"hits_{lang}") > 0
+        for other in prio:
+            if other == lang:
+                continue
+            op_strict = prio.index(other) < prio.index(lang)
+            c = (F.col(f"hits_{lang}") > F.col(f"hits_{other}") if op_strict
+                 else F.col(f"hits_{lang}") >= F.col(f"hits_{other}"))
+            cond = cond & c
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return counted.select("doc_id", "hits_en", "hits_de", "hits_fr", "hits_es",
+                          expr.alias("lang_pred"))
 
 
 def _duck_langid_sql() -> str:

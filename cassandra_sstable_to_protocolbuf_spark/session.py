@@ -37,6 +37,23 @@ def get_spark(app_name: str = "cassandra-sstable-to-protocolbuf-spark",
     return builder.getOrCreate()
 
 
+# InferFiltersFromGenerate synthesizes a pre-explode Filter that inlines
+# the generator expression; with higher-order functions (interpreted, no
+# subexpression elimination) that re-evaluates the whole tokenize+shingle
+# chain up to 3x per row -- a measured 25x slowdown on the shingling path.
+# explode() already skips empty/null arrays, so the rule only costs here.
+_EXCLUDED_RULES = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def tune_for_hof_explode(spark: SparkSession) -> None:
+    """Call before plans that explode arrays built by lambda functions.
+
+    Safe to call on any session (runtime-settable conf); needed because the
+    driver runs catalog queries on its own vanilla SparkSession.
+    """
+    spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

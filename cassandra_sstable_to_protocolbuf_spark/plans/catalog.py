@@ -43,6 +43,8 @@ CATALOG: dict[str, QueryDef] = {
                               "extension: last-write-wins across sstables"),
     "sst_file_metrics": QueryDef(C.sst_file_metrics, C.SST_FILE_METRICS_SQL,
                                  "M1: per-file job metrics"),
+    "sst_pb_roundtrip": QueryDef(C.sst_pb_roundtrip, C.SST_PB_ROUNDTRIP_SQL,
+                                 "K1+K2: protobuf+zstd sink/source round-trip"),
     # --- relational coverage (SURVEY §2.1) --------------------------------
     "tpch_q1_pricing": QueryDef(R.q1_pricing_summary, R.Q1_SQL,
                                 "hash aggregate w/ decimal arithmetic"),

@@ -63,15 +63,27 @@ WHERE partition_deletion_live AND cell_kind = 'LIVE'
 def sst_row_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2: fold surviving cells into per-partition rows. Output is a
     hash-friendly summary of the nested Row (cell count, name-ordered
-    concatenation, writeTime span) -- semantically the proto Row."""
-    cells = project_cells(filter_live(encode_lineitem_cells(spark, sf_dir)))
+    concatenation, writeTime span) -- semantically the proto Row.
+
+    Reference quirk preserved: live partitions whose cells ALL got
+    filtered still emit a (empty) Row -- the reference emits the key
+    unconditionally once the partition tombstone check passes
+    (service/SSTableReader.java:87-109). Empty rows surface with
+    n_columns=0, column_names='', write-time span -1.
+    """
+    cells = encode_lineitem_cells(spark, sf_dir).filter(
+        F.col("partition_deletion_live"))
+    live = F.col("cell_kind") == "LIVE"
     return (
         cells.groupBy("sstable_id", "key")
         .agg(
-            F.count(F.lit(1)).alias("n_columns"),
-            F.array_join(F.sort_array(F.collect_list("name")), ",").alias("column_names"),
-            F.min("writeTime").alias("min_write_time"),
-            F.max("writeTime").alias("max_write_time"),
+            F.sum(F.when(live, 1).otherwise(0)).alias("n_columns"),
+            F.array_join(F.sort_array(F.collect_list(F.when(live, F.col("name")))), ",")
+            .alias("column_names"),
+            F.coalesce(F.min(F.when(live, F.col("writeTime"))), F.lit(-1))
+            .alias("min_write_time"),
+            F.coalesce(F.max(F.when(live, F.col("writeTime"))), F.lit(-1))
+            .alias("max_write_time"),
         )
     )
 
@@ -79,12 +91,12 @@ def sst_row_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 SST_ROW_GROUP_SQL = f"""
 {cells_cte()}
 SELECT sstable_id, key,
-       COUNT(*) AS n_columns,
-       STRING_AGG(name, ',' ORDER BY name) AS column_names,
-       MIN(writeTime) AS min_write_time,
-       MAX(writeTime) AS max_write_time
+       CAST(SUM(CASE WHEN cell_kind = 'LIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_columns,
+       COALESCE(STRING_AGG(CASE WHEN cell_kind = 'LIVE' THEN name END, ',' ORDER BY name), '') AS column_names,
+       COALESCE(MIN(CASE WHEN cell_kind = 'LIVE' THEN writeTime END), -1) AS min_write_time,
+       COALESCE(MAX(CASE WHEN cell_kind = 'LIVE' THEN writeTime END), -1) AS max_write_time
 FROM cells
-WHERE partition_deletion_live AND cell_kind = 'LIVE'
+WHERE partition_deletion_live
 GROUP BY sstable_id, key
 """
 
@@ -134,6 +146,40 @@ def sst_file_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("value") + F.length("name") + F.length("key")).alias("payload_bytes"),
         )
     )
+
+
+def sst_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K2 and inverse: encode cells -> live Rows -> delimited-protobuf
+    + zstd files (one per sstable) -> read back via the sstable_pb Python
+    DataSource -> per-file row/cell counts.
+
+    The oracle computes the same counts straight from the logical cell
+    table, so a hash match certifies the entire binary sink/source path.
+    """
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        nested_rows_from_cells, read_rows_pb, write_rows_pb)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = tempfile.mkdtemp(prefix="sstpb_roundtrip_")
+    write_rows_pb(nested_rows_from_cells(cells), out).collect()
+    back = read_rows_pb(spark, out)
+    return (back.groupBy("sstable_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.size("columns")).alias("n_cells")))
+
+
+SST_PB_ROUNDTRIP_SQL = f"""
+{cells_cte()}
+SELECT sstable_id,
+       COUNT(DISTINCT key) AS n_rows,
+       CAST(SUM(CASE WHEN cell_kind = 'LIVE' THEN 1 ELSE 0 END) AS BIGINT) AS n_cells
+FROM cells
+WHERE partition_deletion_live
+GROUP BY sstable_id
+"""
 
 
 SST_FILE_METRICS_SQL = f"""

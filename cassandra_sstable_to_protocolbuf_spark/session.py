@@ -54,6 +54,42 @@ def tune_for_hof_explode(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Plans that run Python on executors (applyInPandas closures, the
+    sstable_pb Python DataSource) reference this package by name;
+    cloudpickle serializes such functions by module reference, so workers
+    must be able to import it. The driver may run from any cwd with any
+    PYTHONPATH -- a content-hashed zip + addPyFile is the same mechanism
+    as spark-submit --py-files on a real cluster. Idempotent per session.
+    """
+    if id(spark) in _SHIPPED_SESSIONS:
+        return
+    import hashlib
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    sources = sorted(p for p in pkg_dir.rglob("*.py"))
+    digest = hashlib.md5(
+        b"".join(p.read_bytes() for p in sources)).hexdigest()[:12]
+    zip_path = os.path.join(tempfile.gettempdir(),
+                            f"cassandra_sstable_to_protocolbuf_spark-{digest}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in sources:
+                zf.write(p, arcname=str(p.relative_to(pkg_dir.parent)))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(id(spark))
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

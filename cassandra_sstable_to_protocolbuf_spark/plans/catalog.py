@@ -73,6 +73,10 @@ CATALOG: dict[str, QueryDef] = {
                                "date part extraction + agg"),
     "events_hourly": QueryDef(R.events_hourly, R.EVENTS_HOURLY_SQL,
                               "time-bucketed agg (batch form of streaming op)"),
+    "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
+                                       "HLL approx distinct (sketch-specific)"),
+    "mm_image_features": QueryDef(R.mm_image_features, None,
+                                  "binary media column -> Arrow-batch features"),
     # --- text analysis + dedup (north-star extensions) --------------------
     "docs_text_stats": QueryDef(TX.docs_text_stats, TX.DOCS_TEXT_STATS_SQL,
                                 "token/char statistics"),

@@ -397,6 +397,26 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type (rows-only check:
+    sketch internals are implementation-specific). The exact counterpart
+    `n_users` in events_hourly carries the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                 F.count_distinct("user_id").alias("exact_users")))
+
+
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline: binary payload column -> mapInPandas feature
+    extraction (rows-only: array outputs + stubbed codec)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_payloads, extract_features)
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_payloads(docs))
+
+
 EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

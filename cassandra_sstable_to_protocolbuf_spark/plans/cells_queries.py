@@ -182,6 +182,52 @@ GROUP BY sstable_id
 """
 
 
+def sst_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-S7 on real bytes: encode cells -> write genuine binary SSTable
+    component files (Data+Index, ka layout) -> re-read them through the
+    sstable_cassandra Python DataSource -> full flat cell table.
+
+    The oracle recomputes the same cells logically in DuckDB, so a hash
+    match certifies the binary writer+parser round-trip cell-for-cell
+    (with the format's lossy corners: DELETED cell values become empty,
+    ttl_expired reconstructs from localExpirationTime).
+    """
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        LIVE_LOCAL_DELETION, read_native_cells, write_cells_as_sstables)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = tempfile.mkdtemp(prefix="sstnative_roundtrip_")
+    write_cells_as_sstables(cells, out).collect()
+    back = read_native_cells(spark, out)
+    ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
+               .when(F.col("local_expiration") == 0, "T")
+               .when(F.col("local_expiration") == LIVE_LOCAL_DELETION - 1, "F")
+               .otherwise("NA"))
+    return (back.filter(F.col("cell_kind") != "PARTITION")
+            .select(
+                F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1).alias("sstable_id"),
+                F.decode("key", "UTF-8").alias("key"),
+                F.decode("name", "UTF-8").alias("name"),
+                F.decode("value", "UTF-8").alias("value"),
+                "writeTime", "cell_kind",
+                ttl_str.alias("ttl_expired"),
+                "partition_deletion_live"))
+
+
+SST_NATIVE_ROUNDTRIP_SQL = f"""
+{cells_cte()}
+SELECT sstable_id, key, name,
+       CASE WHEN cell_kind = 'DELETED' THEN '' ELSE value END AS value,
+       writeTime, cell_kind,
+       {_TTL_STR} AS ttl_expired,
+       partition_deletion_live
+FROM cells
+"""
+
+
 SST_FILE_METRICS_SQL = f"""
 {cells_cte()}
 SELECT sstable_id,

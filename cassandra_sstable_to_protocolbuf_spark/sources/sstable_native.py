@@ -1,0 +1,384 @@
+"""Native Cassandra 2.0-era SSTable source: parse -Data.db / -Index.db
+component files directly, no Cassandra runtime -- the engine's analog of
+the reference's patched reader stack (SURVEY.md §2 S1-S7; reference:
+SSTableReaderPatched.java, SSTableScannerPatched.java,
+SSTableIdentityIteratorPatched.java).
+
+On-disk layout parsed here (public Cassandra 2.0 "ka" data format,
+uncompressed tables -- the layout the reference's iterator walks,
+SSTableIdentityIteratorPatched.java:33-109):
+
+    partition   := key_len:u16 key deletion atoms* end_marker
+    deletion    := localDeletionTime:i32 markedForDeleteAt:i64
+                   (live iff localDeletionTime == 0x7FFFFFFF and
+                    markedForDeleteAt == Long.MIN_VALUE)
+    atom        := name_len:u16 name flags:u8 body
+    end_marker  := name_len == 0
+    flags       := DELETION 0x01 | EXPIRATION 0x02 | COUNTER 0x04 |
+                   RANGE_TOMBSTONE 0x10 (else live Column)
+    live/deleted column body    := timestamp:i64 value_len:i32 value
+    expiring column body        := ttl:i32 localExpiration:i32
+                                   timestamp:i64 value_len:i32 value
+    counter column body         := timestampOfLastDelete:i64
+                                   timestamp:i64 value_len:i32 value
+    range tombstone body        := end_name_len:u16 end_name
+                                   localDeletionTime:i32 markedAt:i64
+
+    Index.db entry := key_len:u16 key position:u64 promoted_len:u32
+                      promoted_bytes (we write/skip promoted index data)
+
+All integers big-endian (Java DataOutput). The fixture writer orders
+partitions by RandomPartitioner-style md5 token (token order parity:
+the reference scans in token order, SSTableScannerPatched.java:151;
+Murmur3Partitioner would be a drop-in token function here).
+
+Scale design: InputPartitions are BYTE-RANGE SPLITS of Data.db computed
+from Index.db entries (the reference's index-summary chunking analog,
+SSTableReaderPatched.java:123-178) -- a 100 GB sstable becomes many
+parallel scan tasks, each seeking to its first partition boundary and
+reading a bounded extent, instead of the reference's one thread per
+file. Cell decoding streams lazily: O(one cell) memory, matching the
+reference's iterator pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+LIVE_LOCAL_DELETION = 0x7FFFFFFF
+LIVE_MARKED_AT = -(1 << 63)
+
+FLAG_DELETION = 0x01
+FLAG_EXPIRATION = 0x02
+FLAG_COUNTER = 0x04
+FLAG_RANGE_TOMBSTONE = 0x10
+
+DATA_SUFFIX = "-Data.db"
+INDEX_SUFFIX = "-Index.db"
+
+# cell rows produced by the source (flat schema + TTL metadata)
+NATIVE_CELL_SCHEMA_DDL = (
+    "sstable_id string, key binary, name binary, value binary, "
+    "writeTime long, cell_kind string, ttl int, local_expiration int, "
+    "partition_deletion_live boolean"
+)
+
+
+def md5_token(key: bytes) -> int:
+    """RandomPartitioner-style token: md5 digest as a big integer."""
+    return int.from_bytes(hashlib.md5(key).digest(), "big", signed=False)
+
+
+# --------------------------------------------------------------------------
+# fixture writer (tests + demos; the read path is the product surface)
+# --------------------------------------------------------------------------
+
+def write_sstable(dir_path: str, generation: int,
+                  partitions: list[dict], ks: str = "ks", cf: str = "cf") -> str:
+    """Write `<ks>-<cf>-ka-<gen>-Data.db` + `-Index.db`.
+
+    Each partition dict:
+      key: bytes
+      deletion: (localDeletionTime, markedForDeleteAt) -- omit for live
+      cells: list of dicts with name, kind, timestamp, value, and for
+             EXPIRING: ttl, local_expiration; plus optional
+             range_tombstones: [(start, end, local_deletion, marked_at)]
+    """
+    os.makedirs(dir_path, exist_ok=True)
+    prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
+    ordered = sorted(partitions, key=lambda p: md5_token(p["key"]))
+    index_entries = []
+    with open(prefix + DATA_SUFFIX, "wb") as data:
+        for part in ordered:
+            index_entries.append((part["key"], data.tell()))
+            data.write(struct.pack(">H", len(part["key"])))
+            data.write(part["key"])
+            ldt, marked = part.get("deletion", (LIVE_LOCAL_DELETION, LIVE_MARKED_AT))
+            data.write(struct.pack(">iq", ldt, marked))
+            for rt in part.get("range_tombstones", ()):
+                start, end, rt_ldt, rt_marked = rt
+                data.write(struct.pack(">H", len(start)))
+                data.write(start)
+                data.write(struct.pack(">B", FLAG_RANGE_TOMBSTONE))
+                data.write(struct.pack(">H", len(end)))
+                data.write(end)
+                data.write(struct.pack(">iq", rt_ldt, rt_marked))
+            for cell in part.get("cells", ()):
+                name = cell["name"]
+                if not name:
+                    # a zero-length name is the end-of-partition marker in
+                    # this format; real Cassandra cell names are >= 1 byte
+                    raise ValueError("cell name must be non-empty")
+                data.write(struct.pack(">H", len(name)))
+                data.write(name)
+                kind = cell.get("kind", "LIVE")
+                value = cell.get("value", b"")
+                ts = cell["timestamp"]
+                if kind == "LIVE":
+                    data.write(struct.pack(">B", 0))
+                    data.write(struct.pack(">qi", ts, len(value)))
+                    data.write(value)
+                elif kind == "DELETED":
+                    data.write(struct.pack(">B", FLAG_DELETION))
+                    body = struct.pack(">i", cell.get("local_deletion", 0))
+                    data.write(struct.pack(">qi", ts, len(body)))
+                    data.write(body)
+                elif kind == "EXPIRING":
+                    data.write(struct.pack(">B", FLAG_EXPIRATION))
+                    data.write(struct.pack(">ii", cell["ttl"], cell["local_expiration"]))
+                    data.write(struct.pack(">qi", ts, len(value)))
+                    data.write(value)
+                elif kind == "COUNTER":
+                    data.write(struct.pack(">B", FLAG_COUNTER))
+                    data.write(struct.pack(">qqi", cell.get("timestamp_of_last_delete", 0),
+                                           ts, len(value)))
+                    data.write(value)
+                else:
+                    raise ValueError(f"unknown cell kind {kind}")
+            data.write(struct.pack(">H", 0))  # end-of-partition marker
+    with open(prefix + INDEX_SUFFIX, "wb") as idx:
+        for key, pos in index_entries:
+            idx.write(struct.pack(">H", len(key)))
+            idx.write(key)
+            idx.write(struct.pack(">Q", pos))
+            idx.write(struct.pack(">I", 0))  # no promoted index
+    return prefix + DATA_SUFFIX
+
+
+def write_cells_as_sstables(cells_df, out_dir: str):
+    """Distributed fixture/export writer: flat engine cells -> one real
+    binary SSTable (Data+Index components) per sstable_id.
+
+    One task per sstable via groupBy+applyInPandas, same shuffle shape as
+    the protobuf sink. EXPIRING cells get ttl/local_expiration derived
+    from the engine's ttl_expired flag (expired -> epoch 0, unexpired ->
+    far future); DELETED cells carry their localDeletionTime body.
+    Returns a metrics DataFrame (sstable_id, path, n_partitions, n_cells).
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("sstable_id", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("n_partitions", LongType(), False),
+        StructField("n_cells", LongType(), False),
+    ])
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(pdf):
+        import pandas as pd
+
+        sstable_id = pdf["sstable_id"].iloc[0]
+        parts: dict[bytes, dict] = {}
+        for row in pdf.itertuples(index=False):
+            key = bytes(row.key)
+            part = parts.setdefault(key, {"key": key, "cells": []})
+            if not row.partition_deletion_live:
+                part["deletion"] = (0, 0)  # any non-live sentinel pair
+            kind = row.cell_kind
+            cell = {"name": bytes(row.name), "kind": kind,
+                    "timestamp": int(row.writeTime),
+                    "value": bytes(row.value) if row.value is not None else b""}
+            if kind == "EXPIRING":
+                cell["ttl"] = 60
+                cell["local_expiration"] = 0 if row.ttl_expired else LIVE_LOCAL_DELETION - 1
+            elif kind == "DELETED":
+                cell["local_deletion"] = 0
+                cell["value"] = b""
+            part["cells"].append(cell)
+        for part in parts.values():
+            # comparator order within a partition, like the real format
+            part["cells"].sort(key=lambda c: (c["name"], c["timestamp"],
+                                              c["value"]))
+        path = write_sstable(out_dir, 1, list(parts.values()),
+                             ks="ks", cf=sstable_id)
+        return pd.DataFrame([{
+            "sstable_id": sstable_id, "path": path,
+            "n_partitions": len(parts),
+            "n_cells": sum(len(p["cells"]) for p in parts.values()),
+        }])
+
+    return (cells_df.repartition("sstable_id")
+            .groupBy("sstable_id").applyInPandas(write_group, schema))
+
+
+# --------------------------------------------------------------------------
+# readers
+# --------------------------------------------------------------------------
+
+def read_index(index_path: str) -> list[tuple[bytes, int]]:
+    """All (key, data_offset) entries from -Index.db."""
+    entries = []
+    with open(index_path, "rb") as f:
+        buf = f.read()
+    pos = 0
+    while pos < len(buf):
+        (klen,) = struct.unpack_from(">H", buf, pos)
+        pos += 2
+        key = buf[pos:pos + klen]
+        pos += klen
+        (offset,) = struct.unpack_from(">Q", buf, pos)
+        pos += 8
+        (plen,) = struct.unpack_from(">I", buf, pos)
+        pos += 4 + plen
+        entries.append((key, offset))
+    return entries
+
+
+def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
+    """Stream partitions whose start offset is in [start, end).
+
+    Yields {key, deletion_live, cells: iterator-materialized list of
+    cell dicts}; range tombstones are surfaced with kind
+    RANGE_TOMBSTONE so the filter layer can reproduce the reference's
+    silent skip (service/SSTableReader.java:92).
+    """
+    with open(data_path, "rb") as f:
+        f.seek(start)
+        while f.tell() < end:
+            hdr = f.read(2)
+            if len(hdr) < 2:
+                return
+            (klen,) = struct.unpack(">H", hdr)
+            key = f.read(klen)
+            ldt, marked = struct.unpack(">iq", f.read(12))
+            deletion_live = (ldt == LIVE_LOCAL_DELETION and marked == LIVE_MARKED_AT)
+            cells = []
+            while True:
+                (nlen,) = struct.unpack(">H", f.read(2))
+                if nlen == 0:
+                    break
+                name = f.read(nlen)
+                (flags,) = struct.unpack(">B", f.read(1))
+                if flags & FLAG_RANGE_TOMBSTONE:
+                    (elen,) = struct.unpack(">H", f.read(2))
+                    end_name = f.read(elen)
+                    rt_ldt, rt_marked = struct.unpack(">iq", f.read(12))
+                    cells.append({"name": name, "kind": "RANGE_TOMBSTONE",
+                                  "value": end_name, "timestamp": rt_marked,
+                                  "ttl": None, "local_expiration": rt_ldt})
+                elif flags & FLAG_EXPIRATION:
+                    ttl, lexp = struct.unpack(">ii", f.read(8))
+                    ts, vlen = struct.unpack(">qi", f.read(12))
+                    cells.append({"name": name, "kind": "EXPIRING",
+                                  "value": f.read(vlen), "timestamp": ts,
+                                  "ttl": ttl, "local_expiration": lexp})
+                elif flags & FLAG_COUNTER:
+                    _tsd, ts, vlen = struct.unpack(">qqi", f.read(20))
+                    cells.append({"name": name, "kind": "COUNTER",
+                                  "value": f.read(vlen), "timestamp": ts,
+                                  "ttl": None, "local_expiration": None})
+                elif flags & FLAG_DELETION:
+                    ts, vlen = struct.unpack(">qi", f.read(12))
+                    body = f.read(vlen)
+                    (cell_ldt,) = struct.unpack(">i", body) if vlen == 4 else (0,)
+                    cells.append({"name": name, "kind": "DELETED",
+                                  "value": b"", "timestamp": ts,
+                                  "ttl": None, "local_expiration": cell_ldt})
+                else:
+                    ts, vlen = struct.unpack(">qi", f.read(12))
+                    cells.append({"name": name, "kind": "LIVE",
+                                  "value": f.read(vlen), "timestamp": ts,
+                                  "ttl": None, "local_expiration": None})
+            yield {"key": key, "deletion_live": deletion_live, "cells": cells}
+
+
+class _SSTableSplit(InputPartition):
+    def __init__(self, sstable_id: str, data_path: str, start: int, end: int):
+        self.sstable_id = sstable_id
+        self.data_path = data_path
+        self.start = start
+        self.end = end
+
+
+class SSTableNativeReader(DataSourceReader):
+    """One task per byte-range split; splits computed from Index.db."""
+
+    def __init__(self, path: str, partitions_per_split: int):
+        self.path = path
+        self.partitions_per_split = partitions_per_split
+
+    def _data_files(self) -> list[str]:
+        import glob
+
+        if os.path.isdir(self.path):
+            files = sorted(glob.glob(os.path.join(self.path, f"*{DATA_SUFFIX}")))
+        elif self.path.endswith(DATA_SUFFIX):
+            files = [self.path]
+        else:
+            files = []
+        if not files:
+            raise FileNotFoundError(f"no {DATA_SUFFIX} files under {self.path}")
+        return files
+
+    def partitions(self):
+        # S2 analog: validate component presence before scan
+        # (reference requires DATA + PRIMARY_INDEX,
+        # SSTableReaderPatched.java:80-81)
+        splits = []
+        for data_path in self._data_files():
+            index_path = data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
+            if not os.path.exists(index_path):
+                raise FileNotFoundError(f"missing index component for {data_path}")
+            sstable_id = os.path.basename(data_path)[:-len(DATA_SUFFIX)]
+            entries = read_index(index_path)
+            size = os.path.getsize(data_path)
+            k = self.partitions_per_split
+            for i in range(0, max(len(entries), 1), k):
+                start = entries[i][1] if entries else 0
+                end = entries[i + k][1] if i + k < len(entries) else size
+                splits.append(_SSTableSplit(sstable_id, data_path, start, end))
+        return splits
+
+    def read(self, split) -> Iterator[tuple]:
+        for part in scan_partitions(split.data_path, split.start, split.end):
+            # one PARTITION marker row per partition: carries the partition
+            # key + deletion state even when the partition has no atoms, so
+            # downstream grouping can emit the empty Row the reference
+            # always produces (service/SSTableReader.java:87-109). Cell-kind
+            # filters drop it from flat cell views naturally.
+            yield (split.sstable_id, part["key"], b"", None, 0,
+                   "PARTITION", None, None, part["deletion_live"])
+            for c in part["cells"]:
+                yield (split.sstable_id, part["key"], c["name"], c["value"],
+                       c["timestamp"], c["kind"], c["ttl"],
+                       c["local_expiration"], part["deletion_live"])
+
+
+class SSTableNativeDataSource(DataSource):
+    """spark.read.format("sstable_cassandra")
+         .option("partitionsPerSplit", n).load(dir)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sstable_cassandra"
+
+    def schema(self):
+        return NATIVE_CELL_SCHEMA_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("sstable_cassandra requires a load path")
+        pps = int(self.options.get("partitionspersplit", "4096"))
+        return SSTableNativeReader(path, pps)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SSTableNativeDataSource)
+
+
+def read_native_cells(spark, path: str, partitions_per_split: int = 4096):
+    register(spark)
+    return (spark.read.format("sstable_cassandra")
+            .option("partitionsPerSplit", str(partitions_per_split))
+            .load(path))

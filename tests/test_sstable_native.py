@@ -1,0 +1,132 @@
+"""Native SSTable binary source: ka-layout round-trip, tombstone/TTL/
+counter/range-tombstone semantics, byte-range splits, token order, and
+the full binary-sstable -> protobuf+zstd reference pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+
+
+@pytest.fixture(scope="module")
+def fixture_sstables(tmp_path_factory):
+    """Two sstables with every atom kind + duplicate keys across files."""
+    d = str(tmp_path_factory.mktemp("native_sst"))
+    parts1 = [
+        {"key": b"alpha", "cells": [
+            {"name": b"c1", "kind": "LIVE", "timestamp": 100, "value": b"v1"},
+            {"name": b"c2", "kind": "DELETED", "timestamp": 101, "local_deletion": 50},
+            {"name": b"c3", "kind": "EXPIRING", "timestamp": 102, "value": b"v3",
+             "ttl": 60, "local_expiration": 1000},
+            {"name": b"c4", "kind": "COUNTER", "timestamp": 103, "value": b"\x00" * 8},
+        ]},
+        {"key": b"beta",
+         "deletion": (500, 99),  # partition tombstone -> not live
+         "cells": [{"name": b"c1", "kind": "LIVE", "timestamp": 104, "value": b"zombie"}]},
+        {"key": b"gamma",
+         "range_tombstones": [(b"a", b"m", 600, 105)],
+         "cells": [{"name": b"g1", "kind": "LIVE", "timestamp": 106, "value": b"kept"}]},
+        {"key": b"empty-part", "cells": []},
+    ]
+    parts2 = [
+        {"key": b"alpha", "cells": [
+            {"name": b"c1", "kind": "LIVE", "timestamp": 200, "value": b"v1-newer"},
+        ]},
+        {"key": b"delta", "cells": [
+            {"name": b"d1", "kind": "LIVE", "timestamp": 107, "value": b""},
+        ]},
+    ]
+    N.write_sstable(d, 1, parts1)
+    N.write_sstable(d, 2, parts2)
+    return d
+
+
+def test_scan_partitions_pure(fixture_sstables):
+    import glob
+    import os
+
+    data = sorted(glob.glob(os.path.join(fixture_sstables, "*-1-Data.db")))[0]
+    parts = list(N.scan_partitions(data, 0, os.path.getsize(data)))
+    assert len(parts) == 4
+    by_key = {p["key"]: p for p in parts}
+    assert by_key[b"beta"]["deletion_live"] is False
+    assert by_key[b"alpha"]["deletion_live"] is True
+    kinds = [c["kind"] for c in by_key[b"alpha"]["cells"]]
+    assert kinds == ["LIVE", "DELETED", "EXPIRING", "COUNTER"]
+    # range tombstone surfaces as its own atom, before the live cell
+    gamma = [c["kind"] for c in by_key[b"gamma"]["cells"]]
+    assert gamma == ["RANGE_TOMBSTONE", "LIVE"]
+    # token order: file order equals md5-token order of keys
+    keys = [p["key"] for p in parts]
+    assert keys == sorted(keys, key=N.md5_token)
+
+
+def test_spark_read_all_kinds(spark, fixture_sstables):
+    df = N.read_native_cells(spark, fixture_sstables)
+    rows = df.collect()
+    assert {r.cell_kind for r in rows} == {
+        "LIVE", "DELETED", "EXPIRING", "COUNTER", "RANGE_TOMBSTONE", "PARTITION"}
+    markers = [r for r in rows if r.cell_kind == "PARTITION"]
+    assert len(markers) == 6  # one per partition across both sstables
+    dead = [r for r in rows if not r.partition_deletion_live]
+    assert {bytes(r.key) for r in dead} == {b"beta"}
+    exp = [r for r in rows if r.cell_kind == "EXPIRING"][0]
+    assert exp.ttl == 60 and exp.local_expiration == 1000
+    # duplicate key across generations both surface (no cross-file merge,
+    # matching the reference)
+    alphas = [r for r in rows if bytes(r.key) == b"alpha" and bytes(r.name) == b"c1"]
+    assert sorted(r.writeTime for r in alphas) == [100, 200]
+
+
+def test_split_parallelism_equals_whole(spark, fixture_sstables):
+    whole = N.read_native_cells(spark, fixture_sstables, partitions_per_split=4096)
+    split = N.read_native_cells(spark, fixture_sstables, partitions_per_split=1)
+    assert split.rdd.getNumPartitions() > whole.rdd.getNumPartitions()
+    assert whole.exceptAll(split).count() == 0
+    assert split.exceptAll(whole).count() == 0
+
+
+def test_missing_index_component_fails(spark, tmp_path):
+    import os
+
+    d = str(tmp_path / "broken")
+    N.write_sstable(d, 9, [{"key": b"k", "cells": [
+        {"name": b"n", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}])
+    os.remove(os.path.join(d, "ks-cf-ka-9-Index.db"))
+    with pytest.raises(Exception, match="missing index component|FileNotFound"):
+        N.read_native_cells(spark, d).collect()
+
+
+def test_empty_cell_name_rejected(tmp_path):
+    with pytest.raises(ValueError, match="non-empty"):
+        N.write_sstable(str(tmp_path), 1, [{"key": b"k", "cells": [
+            {"name": b"", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}])
+
+
+def test_full_reference_pipeline_from_binary(spark, fixture_sstables, tmp_path):
+    """Binary SSTable -> filters (F1/F2, incl. range-tombstone skip and
+    drop-unexpired-TTL quirk) -> Row grouping -> protobuf+zstd -> decode:
+    the reference's entire job, end to end, from real component files."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        nested_rows_from_cells, read_rows_pb, write_rows_pb)
+
+    cells = N.read_native_cells(spark, fixture_sstables).select(
+        "sstable_id", "key", "name", "value", "writeTime", "cell_kind",
+        F.lit(None).cast("boolean").alias("ttl_expired"),
+        "partition_deletion_live",
+    )
+    out = str(tmp_path / "native_pb")
+    write_rows_pb(nested_rows_from_cells(cells), out).collect()
+    back = read_rows_pb(spark, out)
+    rows = {(r.sstable_id, bytes(r.key)):
+            [(bytes(c.name), bytes(c.value), c.writeTime) for c in r.columns]
+            for r in back.collect()}
+    # dead partition gone; live partitions present incl. empty-columns ones
+    assert ("ks-cf-ka-1", b"beta") not in rows
+    assert rows[("ks-cf-ka-1", b"alpha")] == [(b"c1", b"v1", 100)]  # only the LIVE cell
+    assert rows[("ks-cf-ka-1", b"gamma")] == [(b"g1", b"kept", 106)]  # RT skipped, cell kept
+    assert rows[("ks-cf-ka-1", b"empty-part")] == []  # empty Row still emitted
+    assert rows[("ks-cf-ka-2", b"alpha")] == [(b"c1", b"v1-newer", 200)]  # no merge
+    assert rows[("ks-cf-ka-2", b"delta")] == [(b"d1", b"", 107)]  # empty value

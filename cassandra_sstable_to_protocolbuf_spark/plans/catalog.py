@@ -77,6 +77,14 @@ CATALOG: dict[str, QueryDef] = {
                               "time-bucketed agg (batch form of streaming op)"),
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
                                        "HLL approx distinct (sketch-specific)"),
+    "events_sessionize": QueryDef(R.events_sessionize_batch, R.EVENTS_SESSIONIZE_SQL,
+                                  "gap-based sessionization (gaps-and-islands)"),
+    "outer_join_order_counts": QueryDef(R.outer_join_order_counts, R.OUTER_JOIN_SQL,
+                                        "left outer join + count-of-counts"),
+    "correlated_subquery_avg": QueryDef(R.correlated_subquery_avg, R.CORRELATED_SUBQ_SQL,
+                                        "correlated scalar subquery (decorrelated)"),
+    "distinct_agg": QueryDef(R.distinct_agg_suppliers, R.DISTINCT_AGG_SQL,
+                             "multi-column grouped distinct aggregation"),
     "mm_image_features": QueryDef(R.mm_image_features, None,
                                   "binary media column -> Arrow-batch features"),
     # --- text analysis + dedup (north-star extensions) --------------------

@@ -377,6 +377,141 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- Outer join + grouped count (TPC-H Q13 shape) ------------------------
+
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution: orders per customer including zero-order
+    customers (left outer join), then count-of-counts."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+OUTER_JOIN_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# --- Correlated scalar subquery (TPC-H Q17 shape) ------------------------
+
+def correlated_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitems whose quantity is below 20% of their part's average
+    quantity -- decorrelated into an aggregate + join (the plan Catalyst
+    produces for the correlated form, stated explicitly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(F.avg(F.col("l_quantity").cast(DEC).cast("double")).alias("avg_qty")))
+    return (
+        li.join(broadcast(per_part), li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_price"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+CORRELATED_SUBQ_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_quantity < 0.2 * (
+  SELECT AVG(CAST(CAST(l2.l_quantity AS DECIMAL(12,2)) AS DOUBLE))
+  FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+)
+"""
+
+
+# --- Grouped distinct aggregation ---------------------------------------
+
+def distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-heavy aggregation: per returnflag, distinct suppliers /
+    parts / orders touched."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count_distinct("l_suppkey").alias("n_suppliers"),
+                 F.count_distinct("l_partkey").alias("n_parts"),
+                 F.count_distinct("l_orderkey").alias("n_orders"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Sessionization in batch (gaps-and-islands) --------------------------
+
+def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user, batch form: lag + cumulative
+    session counter (gaps and islands). The streaming twin uses
+    session_window (streaming/pipeline.py); this one is oracle-checkable.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # integer microseconds on both engines: DuckDB's epoch() is a
+    # fractional double and its ns timestamps would tie-break ordering
+    # differently than Spark's us-truncated ones
+    ev = ev.withColumn("ts_us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    with_gap = ev.select(
+        "user_id", "event_id", "ts_us",
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w) > 1_800_000_000)
+        .cast("int").alias("new_sess"),
+    ).fillna({"new_sess": 1})
+    with_sess = with_gap.withColumn(
+        "session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_sess.groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH e0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+e AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us, 1) OVER
+              (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+              THEN 1
+              WHEN LAG(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL
+              THEN 1
+              ELSE 0 END AS new_sess
+  FROM e0
+),
+s AS (
+  SELECT user_id, event_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_no
+  FROM e
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM s
+GROUP BY user_id, session_no
+"""
+
+
 # --- Events: time-bucketed aggregation (batch form of the streaming op) --
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,17 +122,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
     Token hash = first 15 hex chars of md5 (60 bits, stays in signed-64
     range in both Spark and DuckDB). SimHash bit b is set when the
-    majority of tokens have bit b set. Band join: 4 bands x 15 bits;
-    hamming <= 3 implies one band matches exactly (pigeonhole).
+    majority of tokens have bit b set. Band join with max_hamming+1
+    bands: by pigeonhole, <= max_hamming flips leave at least one band
+    untouched, so candidate generation is an equi-join and the result is
+    EXACT for any max_hamming < 60 (band count adapts automatically).
     """
     sh = simhash(docs, text_col, id_col)
+    n_bands = max_hamming + 1
+    if n_bands > SIMHASH_BITS:
+        raise ValueError("max_hamming must be < SIMHASH_BITS")
+    base = SIMHASH_BITS // n_bands
+    extra = SIMHASH_BITS % n_bands  # first `extra` bands get one more bit
     bands = []
-    for b in range(SIMHASH_BANDS):
+    offset = 0
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
         bands.append(sh.select(
             "doc_id", "simhash", F.lit(b).alias("band"),
-            F.shiftright("simhash", b * BAND_WIDTH)
-            .bitwiseAND(F.lit((1 << BAND_WIDTH) - 1)).alias("band_val"),
+            F.shiftright("simhash", offset)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
         ))
+        offset += width
     banded = bands[0]
     for extra in bands[1:]:
         banded = banded.unionAll(extra)

@@ -79,18 +79,32 @@ def rp_lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
 
 def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "qid", n_planes: int = 8) -> DataFrame:
-    """Approximate cosine top-k: score only bucket-mates of each query."""
+                query_id_col: str = "qid", n_planes: int = 4,
+                n_tables: int = 6) -> DataFrame:
+    """Approximate cosine top-k: score only bucket-mates of each query.
+
+    OR-construction over `n_tables` independent hash tables (union of
+    bucket joins, deduped): one table leaves some queries with empty or
+    tiny buckets; multiple tables make a candidate-free query
+    exponentially unlikely while keeping probe cost ~n_tables *
+    corpus/2^n_planes per query.
+    """
     dim = 64
-    c = rp_lsh_signatures(corpus, vec_col, id_col, n_planes, dim=dim)
-    q = (rp_lsh_signatures(queries, vec_col, query_id_col, n_planes, dim=dim)
-         .select(F.col("id").alias("qid"), F.col("v").alias("qv"), F.col("sig").alias("qsig")))
+    cands = None
+    for t in range(n_tables):
+        c = rp_lsh_signatures(corpus, vec_col, id_col, n_planes,
+                              seed=42 + t, dim=dim)
+        q = (rp_lsh_signatures(queries, vec_col, query_id_col, n_planes,
+                               seed=42 + t, dim=dim)
+             .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
+                     F.col("sig").alias("qsig")))
+        hit = (broadcast(q).join(c, F.col("sig") == F.col("qsig"))
+               .filter(F.col("id") != F.col("qid"))
+               .select("qid", "qv", F.col("id").alias("nid"), F.col("v").alias("v")))
+        cands = hit if cands is None else cands.unionAll(hit)
+    cands = cands.dropDuplicates(["qid", "nid"])
     cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    scored = (
-        broadcast(q).join(c, F.col("sig") == F.col("qsig"))
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", F.col("id").alias("nid"), cos.alias("cosine"))
-    )
+    scored = cands.select("qid", "nid", cos.alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

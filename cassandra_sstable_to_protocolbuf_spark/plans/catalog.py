@@ -67,6 +67,10 @@ CATALOG: dict[str, QueryDef] = {
                              "EXCEPT ALL set op"),
     "semi_join_big_spenders": QueryDef(R.semi_join_big_spenders, R.SEMI_JOIN_SQL,
                                        "left-semi join / EXISTS"),
+    "order_priority_count": QueryDef(R.order_priority_count, R.ORDER_PRIORITY_SQL,
+                                     "Q4 shape: date-range EXISTS count"),
+    "returned_item_top": QueryDef(R.returned_item_top_customers, R.RETURNED_ITEM_SQL,
+                                  "Q10 shape: return-revenue top-20"),
     "anti_join_unsold_parts": QueryDef(R.anti_join_never_ordered_parts, R.ANTI_JOIN_SQL,
                                        "left-anti join / NOT EXISTS"),
     "scalar_functions": QueryDef(R.scalar_functions_part, R.SCALAR_FUNCS_SQL,

@@ -377,6 +377,67 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- Q4 shape: EXISTS semi-join with date-range count --------------------
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in a quarter having at least one late lineitem, counted per
+    priority (semi-join so multi-match orders count once)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-07-01"))
+        & (F.col("o_orderdate") < F.lit("1994-10-01")))
+    late = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1994-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q10 shape: returned-item ranking (join + agg + top-N) ---------------
+
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer, top 20."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    return (
+        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 # --- Outer join + grouped count (TPC-H Q13 shape) ------------------------
 
 def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,8 +50,9 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     elimination), so inlining tokens(text) into every get() inside the
     shingle lambda would re-split the text O(doc_len) times per row.
     """
-    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode, widen
     tune_for_hof_explode(docs.sparkSession)
+    docs = widen(docs)
     toks = docs.select(F.col(id_col).alias("doc_id"),
                        tokens(F.col(text_col)).alias("t"))
     return (toks.select("doc_id", shingles(F.col("t"), n).alias("sh"))
@@ -144,8 +145,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         ))
         offset += width
     banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionAll(extra)
+    for more in bands[1:]:
+        banded = banded.unionAll(more)
     a = banded.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"),
                       "band", "band_val")
     b_ = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
@@ -160,8 +161,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document over distinct tokens."""
-    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode, widen
     tune_for_hof_explode(docs.sparkSession)
+    docs = widen(docs)
     tok = (docs.select(F.col(id_col).alias("doc_id"),
                        F.array_distinct(tokens(F.col(text_col))).alias("dt"))
            .select("doc_id", F.explode("dt").alias("tok")))

@@ -95,7 +95,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 })
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(batches, FEATURE_SCHEMA)
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    return widen(media).mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every: int = 64) -> DataFrame:

@@ -43,7 +43,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 query_id_col: str = "qid") -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (self excluded), rank-ordered with id tiebreak."""
-    c = corpus.select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    c = widen(corpus).select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
     q = queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv"))
     cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
     scored = (

@@ -90,6 +90,24 @@ def ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(id(spark))
 
 
+def widen(df, min_partitions: int | None = None):
+    """Repartition a narrow input only when it under-parallelizes.
+
+    Parquet cannot split below row-group granularity, so a single-row-
+    group file scans as ONE task and every narrow transform downstream
+    (explode, string formatting) runs serially until the first shuffle.
+    When input partitions < cores, a cheap shuffle of the narrow base
+    rows buys full-width execution; at real scale (inputs with thousands
+    of splits) this is a no-op, so plans keep their shuffle-free shape.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -93,10 +93,12 @@ def encode_lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow transform: explode is per-row, no shuffle; at 100 TB this scan
     parallelizes per parquet split with no data movement.
     """
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    li = widen(spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag", "l_shipdate",
-    )
+    ))
     primary = _cells_for(li, replica=False)
     replica = _cells_for(li.filter(F.col("l_orderkey") % 5 == 0), replica=True)
     return primary.unionAll(replica)

@@ -57,6 +57,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
+        # first run pays Catalyst analysis + whole-stage codegen compile;
+        # report the steady-state (second) execution
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

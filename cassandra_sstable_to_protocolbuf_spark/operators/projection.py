@@ -9,7 +9,8 @@ The LWW (last-write-wins) dedup is the extension op the reference lacks:
 it never reconciles duplicate keys across SSTables (Runner.java:59
 processes files independently), so the same (key, name) can appear in many
 files. `lww_dedup` keeps the cell with the highest writeTime -- Cassandra's
-own reconciliation rule -- via max_by, a single hash aggregation.
+own reconciliation rule -- via a lexicographic struct max, a single hash
+aggregation (no sort; partial agg ships one candidate per group per task).
 
 Scale notes: group_rows shuffles on (sstable_id, key); at 100 TB that is
 one shuffle keyed by partition key, the same data movement any
@@ -51,10 +52,7 @@ def lww_dedup(cells: DataFrame) -> DataFrame:
     (ties broken by sstable_id to stay deterministic). One hash
     aggregation -- map-side partial aggregation keeps the shuffle small.
     """
-    winner = F.max_by(
-        F.struct("value", "writeTime", "sstable_id"),
-        F.struct("writeTime", "sstable_id"),
-    )
+    winner = F.max(F.struct("writeTime", "sstable_id", "value"))
     return (
         cells.groupBy("key", "name")
         .agg(winner.alias("w"))

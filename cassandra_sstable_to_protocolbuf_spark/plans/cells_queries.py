@@ -10,7 +10,7 @@ comparison (engines disagree on NULL canonicalization in pandas).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.operators.projection import project_cells
@@ -111,12 +111,16 @@ def sst_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries duplicate (orderkey, linenumber) pairs.
     """
     cells = filter_live(encode_lineitem_cells(spark, sf_dir))
-    w = Window.partitionBy("key", "name").orderBy(
-        F.desc("writeTime"), F.desc("sstable_id"), F.desc("value"))
+    # lexicographic max over (writeTime, sstable_id, value) == the
+    # row_number()-desc winner, but as a HASH aggregation: map-side
+    # partial agg ships one candidate struct per group per task and no
+    # sort happens -- much cheaper than a window at 100 TB.
+    winner = F.max(F.struct("writeTime", "sstable_id", "value")).alias("w")
     return (
-        cells.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("key", "name", "value", "writeTime", "sstable_id")
+        cells.groupBy("key", "name").agg(winner)
+        .select("key", "name", F.col("w.value").alias("value"),
+                F.col("w.writeTime").alias("writeTime"),
+                F.col("w.sstable_id").alias("sstable_id"))
     )
 
 

@@ -79,6 +79,42 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value total, emitted on every update, state
+    evicted by event-time timeout past the watermark.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (per-key custom accumulators, ML feature
+    state, decayed counters); state is a tiny tuple per user so 100 TB/
+    day with millions of users stays bounded.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+        yield pd.DataFrame([{"user_id": key[0], "n_events": n, "total_value": total}])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          mode: str = "append"):
     """Drive a streaming DataFrame into an in-memory sink (tests/demos).

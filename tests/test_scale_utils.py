@@ -1,0 +1,100 @@
+"""Scale utilities: salted skew join correctness, bucketed co-located
+joins (exchange-free), and explain-plan assertions that the headline
+plans keep their pushdown/broadcast shape."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from cassandra_sstable_to_protocolbuf_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")).collect()[0]
+    salted = salted_join(li, orders, "l_orderkey", salt_factor=8).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")).collect()[0]
+    assert plain.n == salted.n and plain.s == salted.s
+
+
+def test_top_heavy_keys_diagnostic(spark):
+    from cassandra_sstable_to_protocolbuf_spark.operators.skew import top_heavy_keys
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    hot = top_heavy_keys(li, "l_orderkey", threshold_rows=5).collect()
+    assert all(r.n_rows > 5 for r in hot)
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Pre-bucketing both sides on the join key removes the shuffle --
+    the co-location strategy for repeated big-big joins at scale."""
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_totalprice")
+    # spark.sql.warehouse.dir is static config -- tables land in the
+    # default ./spark-warehouse (gitignored); drop them when done, and
+    # clear leftover dirs the in-memory catalog no longer knows about
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_b", "orders_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("li_b"))
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("orders_b"))
+    # force the big-big join strategy (at real scale neither side
+    # broadcasts; locally the tables are tiny so broadcast would win)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = _explain(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert n == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+@pytest.mark.parametrize("name,must_contain,must_not_contain", [
+    ("tpch_q3_top_orders", ["BroadcastHashJoin", "PushedFilters: [IsNotNull(l_shipdate)"], []),
+    ("tpch_q6_revenue", ["PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)"], ["SortMergeJoin"]),
+    ("tpch_q5_supplier_volume", ["BroadcastHashJoin"], []),
+])
+def test_headline_plan_shapes(spark, name, must_contain, must_not_contain):
+    """Regression guard: the plans we tuned stay pushdown'd + broadcast."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+
+    plan = _explain(CATALOG[name].fn(spark, SF_SMOKE))
+    for s in must_contain:
+        assert s in plan, f"{name}: expected {s!r} in plan"
+    for s in must_not_contain:
+        assert s not in plan, f"{name}: unexpected {s!r} in plan"

@@ -83,6 +83,28 @@ def test_stream_dedup_drops_replayed_chunk(spark, event_files, tmp_path):
     assert n == n_src  # replayed chunk fully deduplicated
 
 
+def test_stateful_running_stats_matches_batch(spark, event_files):
+    """applyInPandasWithState: after draining all chunks, each user's
+    latest emitted running count must equal the batch count."""
+    from cassandra_sstable_to_protocolbuf_spark.streaming.pipeline import (
+        user_running_stats)
+
+    q = run_stream_to_memory(
+        user_running_stats(read_event_stream(spark, event_files,
+                                             max_files_per_trigger=1)),
+        "stateful_stream", mode="update")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM stateful_stream GROUP BY user_id"
+    ).collect()
+    batch = {r.user_id: r.n for r in _batch_events(spark, event_files)
+             .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert len(got) == len(batch)
+    for r in got:
+        assert batch[r.user_id] == r.n, r.user_id
+
+
 def test_sessionize_runs_and_bounds(spark, event_files):
     q = run_stream_to_memory(
         sessionize(read_event_stream(spark, event_files)), "sess_stream")

@@ -1,0 +1,104 @@
+"""CLI driver -- the reference's user surface, distributed.
+
+    python -m cassandra_sstable_to_protocolbuf_spark convert <input> <output_dir>
+
+Mirrors the reference's contract (reference: Runner.java:39-103):
+* <input> is a directory (recursively discovers `*-Data.db`) or a single
+  Data.db file; bad arg count / missing path exit non-zero with usage
+  (Runner.java:42-53).
+* Each SSTable's live rows are written as `<name>-Data.db.proto.zst`
+  (varint-delimited protobuf Rows, zstd stream) into <output_dir>
+  (Runner.java:71, 147-156).
+* Per-file metrics print on completion: rows, cells, source/target
+  bytes, bytes saved, seconds (Runner.java:88-96).
+
+Unlike the reference's single-threaded loop, conversion is one Spark job:
+file-parallel scan tasks, one writer task per output file.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
+         "convert <sstable_dir_or_data_file> <output_dir>")
+
+
+def _die(msg: str, code: int = 2) -> "None":
+    print(msg, file=sys.stderr)
+    sys.exit(code)
+
+
+def convert(input_path: str, output_dir: str) -> int:
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        nested_rows_from_cells, write_rows_pb)
+
+    spark = get_spark("sstable-to-protobuf-convert")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+
+    cells = read_native_cells(spark, input_path, live_only=True).select(
+        "sstable_id", "key", "name", "value", "writeTime", "cell_kind",
+        F.lit(None).cast("boolean").alias("ttl_expired"),
+        "partition_deletion_live",
+    )
+    rows = nested_rows_from_cells(cells)
+    metrics = write_rows_pb(rows, output_dir).collect()
+
+    # parity: the reference opens an output stream per input file even
+    # when every partition is dead (Runner.java:75-82) -- emit empty
+    # .proto.zst files for inputs that produced no live rows
+    import glob
+
+    import pyarrow as pa
+
+    produced = {m.sstable_id for m in metrics}
+    total_saved = 0
+    if os.path.isdir(input_path):
+        inputs = sorted(glob.glob(os.path.join(input_path, "*-Data.db")))
+    else:
+        inputs = [input_path]
+    for data_path in inputs:
+        sstable_id = os.path.basename(data_path)[:-len("-Data.db")]
+        if sstable_id not in produced:
+            empty = os.path.join(output_dir, f"{sstable_id}-Data.db.proto.zst")
+            with pa.output_stream(empty, compression=None) as raw, \
+                    pa.CompressedOutputStream(raw, "zstd"):
+                pass
+            src = os.path.getsize(data_path)
+            total_saved += src - os.path.getsize(empty)
+            print(f"{sstable_id}: rows=0 cells=0 source={src}B "
+                  f"target={os.path.getsize(empty)}B "
+                  f"saved={src - os.path.getsize(empty)}B seconds=0.000")
+
+    for m in sorted(metrics, key=lambda m: m.sstable_id):
+        src = os.path.getsize(os.path.join(
+            input_path, f"{m.sstable_id}-Data.db")) if os.path.isdir(input_path) \
+            else os.path.getsize(input_path)
+        saved = src - m.compressed_bytes
+        total_saved += saved
+        print(f"{m.sstable_id}: rows={m.n_rows} cells={m.n_cells} "
+              f"source={src}B target={m.compressed_bytes}B saved={saved}B "
+              f"seconds={m.seconds}")
+    print(f"converted {len(inputs)} sstable(s), total bytes saved: {total_saved}")
+    return 0
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) != 3 or argv[0] != "convert":
+        _die(USAGE)
+    _, input_path, output_dir = argv
+    if not os.path.exists(input_path):
+        _die(f"input path does not exist: {input_path}")
+    return convert(input_path, output_dir)
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -65,6 +65,44 @@ GROUP BY label
 """
 
 
+def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, all-pairs).
+
+    The brute-force baseline for embedding dedup: every pair above the
+    cosine threshold. Broadcast nested-loop over the smaller side; the
+    LSH-bucketed variant (emb_ann_lsh) is the sublinear scale path.
+    """
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    emb = _emb(spark, sf_dir)
+    e = widen(emb).select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+            .filter(F.col("cosine") >= 0.45))
+
+
+EMB_COSINE_DUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+       / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+          * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+         * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.45
+"""
+
+
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only check: approximate ANN via random-hyperplane LSH
     (bucketed candidates -> no deterministic SQL oracle)."""

@@ -301,11 +301,20 @@ class _SSTableSplit(InputPartition):
 
 
 class SSTableNativeReader(DataSourceReader):
-    """One task per byte-range split; splits computed from Index.db."""
+    """One task per byte-range split; splits computed from Index.db.
 
-    def __init__(self, path: str, partitions_per_split: int):
+    live_only=True pushes the reference's F1/F2 filters INTO the source
+    (manual predicate pushdown, the analog of its early filtering before
+    cell materialization, SSTableIdentityIteratorPatched.java:70): dead
+    partitions are skipped wholesale, non-live cells never surface, and
+    only PARTITION markers + LIVE cells reach Spark.
+    """
+
+    def __init__(self, path: str, partitions_per_split: int,
+                 live_only: bool = False):
         self.path = path
         self.partitions_per_split = partitions_per_split
+        self.live_only = live_only
 
     def _data_files(self) -> list[str]:
         import glob
@@ -341,6 +350,17 @@ class SSTableNativeReader(DataSourceReader):
 
     def read(self, split) -> Iterator[tuple]:
         for part in scan_partitions(split.data_path, split.start, split.end):
+            if self.live_only:
+                if not part["deletion_live"]:
+                    continue
+                yield (split.sstable_id, part["key"], b"", None, 0,
+                       "PARTITION", None, None, True)
+                for c in part["cells"]:
+                    if c["kind"] == "LIVE":
+                        yield (split.sstable_id, part["key"], c["name"],
+                               c["value"], c["timestamp"], "LIVE",
+                               None, None, True)
+                continue
             # one PARTITION marker row per partition: carries the partition
             # key + deletion state even when the partition has no atoms, so
             # downstream grouping can emit the empty Row the reference
@@ -370,15 +390,18 @@ class SSTableNativeDataSource(DataSource):
         if not path:
             raise ValueError("sstable_cassandra requires a load path")
         pps = int(self.options.get("partitionspersplit", "4096"))
-        return SSTableNativeReader(path, pps)
+        live_only = str(self.options.get("liveonly", "false")).lower() == "true"
+        return SSTableNativeReader(path, pps, live_only)
 
 
 def register(spark) -> None:
     spark.dataSource.register(SSTableNativeDataSource)
 
 
-def read_native_cells(spark, path: str, partitions_per_split: int = 4096):
+def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
+                      live_only: bool = False):
     register(spark)
     return (spark.read.format("sstable_cassandra")
             .option("partitionsPerSplit", str(partitions_per_split))
+            .option("liveOnly", "true" if live_only else "false")
             .load(path))

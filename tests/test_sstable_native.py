@@ -88,6 +88,23 @@ def test_split_parallelism_equals_whole(spark, fixture_sstables):
     assert split.exceptAll(whole).count() == 0
 
 
+def test_live_only_pushdown(spark, fixture_sstables):
+    """liveOnly pushes F1/F2 into the source: result equals filtering the
+    full read on the Spark side."""
+    from pyspark.sql import functions as F
+
+    full = N.read_native_cells(spark, fixture_sstables)
+    expected = full.filter(
+        F.col("partition_deletion_live")
+        & F.col("cell_kind").isin("LIVE", "PARTITION")).select(
+        "sstable_id", "key", "name", "value", "writeTime", "cell_kind")
+    pushed = N.read_native_cells(spark, fixture_sstables, live_only=True).select(
+        "sstable_id", "key", "name", "value", "writeTime", "cell_kind")
+    assert pushed.exceptAll(expected).count() == 0
+    assert expected.exceptAll(pushed).count() == 0
+    assert pushed.count() > 0
+
+
 def test_missing_index_component_fails(spark, tmp_path):
     import os
 

@@ -83,6 +83,8 @@ CATALOG: dict[str, QueryDef] = {
                                        "HLL approx distinct (sketch-specific)"),
     "events_sessionize": QueryDef(R.events_sessionize_batch, R.EVENTS_SESSIONIZE_SQL,
                                   "gap-based sessionization (gaps-and-islands)"),
+    "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,
+                                   "backward as-of join (custom operator)"),
     "outer_join_order_counts": QueryDef(R.outer_join_order_counts, R.OUTER_JOIN_SQL,
                                         "left outer join + count-of-counts"),
     "correlated_subquery_avg": QueryDef(R.correlated_subquery_avg, R.CORRELATED_SUBQ_SQL,

@@ -573,6 +573,52 @@ GROUP BY user_id, session_no
 """
 
 
+# --- As-of join: each event matched to the user's latest prior order ----
+
+def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (custom operator, operators/asof.py): for each
+    event, the most recent order of that user at-or-before the event.
+    Oracle uses DuckDB's native ASOF JOIN -- independent implementations
+    must agree exactly."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.asof import as_of_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"))
+    # TZ-free microseconds: o_orderdate is a date-valued NTZ timestamp;
+    # day arithmetic avoids any session-timezone dependence (the driver's
+    # session TZ is not ours to set)
+    order_us = (F.datediff(F.col("o_orderdate").cast("date"),
+                           F.lit("1970-01-01").cast("date")).cast("long")
+                * F.lit(86_400_000_000))
+    orders = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_custkey").alias("user_id"),
+                       order_us.alias("order_us"))
+              .agg(F.max("o_orderkey").alias("last_orderkey")))
+    joined = as_of_join(ev, orders, by="user_id",
+                        left_time="ts_us", right_time="order_us",
+                        value_cols=["last_orderkey"])
+    return joined.select(
+        "event_id", "user_id",
+        F.coalesce("last_orderkey", F.lit(-1)).alias("last_orderkey"))
+
+
+EVENTS_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           * 86400000000 AS order_us,
+         MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT l.event_id, l.user_id,
+       COALESCE(r.last_orderkey, -1) AS last_orderkey
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.order_us
+"""
+
+
 # --- Events: time-bucketed aggregation (batch form of the streaming op) --
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

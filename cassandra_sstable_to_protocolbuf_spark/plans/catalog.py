@@ -85,6 +85,10 @@ CATALOG: dict[str, QueryDef] = {
                                   "gap-based sessionization (gaps-and-islands)"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,
                                    "backward as-of join (custom operator)"),
+    "range_join_price_bands": QueryDef(R.range_join_price_bands, R.RANGE_JOIN_SQL,
+                                       "interval join via broadcast nested loop"),
+    "orders_time_rollup": QueryDef(R.orders_time_rollup, R.TIME_ROLLUP_SQL,
+                                   "multi-granularity time rollup"),
     "outer_join_order_counts": QueryDef(R.outer_join_order_counts, R.OUTER_JOIN_SQL,
                                         "left outer join + count-of-counts"),
     "correlated_subquery_avg": QueryDef(R.correlated_subquery_avg, R.CORRELATED_SUBQ_SQL,

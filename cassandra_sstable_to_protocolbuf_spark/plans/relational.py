@@ -573,6 +573,81 @@ GROUP BY user_id, session_no
 """
 
 
+# --- Range (interval) join: price band classification --------------------
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orders to a small price-band dimension on lo <= price < hi.
+
+    Non-equi join => Spark picks BroadcastNestedLoopJoin; correct
+    strategy when the interval side is dimension-sized (broadcast makes
+    it a per-row binary-searchable probe, no shuffle of the big side).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 50_000.0), ("small", 50_000.0, 150_000.0),
+         ("medium", 150_000.0, 300_000.0), ("large", 300_000.0, 1e12)],
+        "band string, lo double, hi double")
+    return (
+        orders.join(broadcast(bands),
+                    (F.col("o_totalprice") >= F.col("lo"))
+                    & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"))
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('tiny', 0.0, 50000.0), ('small', 50000.0, 150000.0),
+         ('medium', 150000.0, 300000.0), ('large', 300000.0, 1e12)
+)
+SELECT band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+# --- Multi-granularity time rollup (hypertable-rollup shape) --------------
+
+def orders_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape: one pass produces year, year-month,
+    and year-month-day rollups via GROUPING SETS, tagged by level."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    return (
+        orders.rollup("y", "m", "d")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("price").cast("double").alias("total"))
+        .select(
+            F.coalesce("y", F.lit(-1)).alias("y"),
+            F.coalesce("m", F.lit(-1)).alias("m"),
+            F.coalesce("d", F.lit(-1)).alias("d"),
+            "n_orders", "total",
+        )
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT COALESCE(y, -1) AS y, COALESCE(m, -1) AS m, COALESCE(d, -1) AS d,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+         CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+GROUP BY ROLLUP (y, m, d)
+"""
+
+
 # --- As-of join: each event matched to the user's latest prior order ----
 
 def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

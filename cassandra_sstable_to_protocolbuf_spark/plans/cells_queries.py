@@ -188,13 +188,15 @@ GROUP BY sstable_id
 
 def sst_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1-S7 on real bytes: encode cells -> write genuine binary SSTable
-    component files (Data+Index, ka layout) -> re-read them through the
-    sstable_cassandra Python DataSource -> full flat cell table.
+    component files (Data+Index+CompressionInfo, ka layout,
+    lz4-block-compressed) -> re-read them through the sstable_cassandra
+    Python DataSource -> full flat cell table.
 
     The oracle recomputes the same cells logically in DuckDB, so a hash
-    match certifies the binary writer+parser round-trip cell-for-cell
-    (with the format's lossy corners: DELETED cell values become empty,
-    ttl_expired reconstructs from localExpirationTime).
+    match certifies the binary writer+parser round-trip cell-for-cell --
+    including the S6 decompression path and its chunk checksums (with the
+    format's lossy corners: DELETED cell values become empty, ttl_expired
+    reconstructs from localExpirationTime).
     """
     import tempfile
 
@@ -204,7 +206,7 @@ def sst_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
     out = tempfile.mkdtemp(prefix="sstnative_roundtrip_")
-    write_cells_as_sstables(cells, out).collect()
+    write_cells_as_sstables(cells, out, compression="lz4").collect()
     back = read_native_cells(spark, out)
     ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
                .when(F.col("local_expiration") == 0, "T")

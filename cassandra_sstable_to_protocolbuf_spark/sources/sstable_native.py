@@ -60,6 +60,7 @@ FLAG_RANGE_TOMBSTONE = 0x10
 
 DATA_SUFFIX = "-Data.db"
 INDEX_SUFFIX = "-Index.db"
+COMPRESSION_SUFFIX = "-CompressionInfo.db"
 
 # cell rows produced by the source (flat schema + TTL metadata)
 NATIVE_CELL_SCHEMA_DDL = (
@@ -75,12 +76,134 @@ def md5_token(key: bytes) -> int:
 
 
 # --------------------------------------------------------------------------
+# LZ4 block compression (S6) -- Cassandra 2.0 CompressionInfo.db layout:
+#   writeUTF(compressor class name), int option-count, UTF option pairs,
+#   int chunkLength, long dataLength (uncompressed), int chunkCount,
+#   long chunkOffsets[chunkCount].
+# Data.db then holds lz4-raw chunks, each followed by a 4-byte Adler32 of
+# the compressed bytes. Index offsets are in UNCOMPRESSED space.
+# --------------------------------------------------------------------------
+
+class CompressionInfo:
+    def __init__(self, chunk_length: int, data_length: int,
+                 offsets: list[int], compressor: str = "LZ4Compressor"):
+        self.chunk_length = chunk_length
+        self.data_length = data_length
+        self.offsets = offsets
+        self.compressor = compressor
+
+    @classmethod
+    def parse(cls, path: str) -> "CompressionInfo":
+        with open(path, "rb") as f:
+            (nlen,) = struct.unpack(">H", f.read(2))
+            compressor = f.read(nlen).decode()
+            (n_opts,) = struct.unpack(">i", f.read(4))
+            for _ in range(n_opts):
+                (kl,) = struct.unpack(">H", f.read(2))
+                f.read(kl)
+                (vl,) = struct.unpack(">H", f.read(2))
+                f.read(vl)
+            chunk_length, data_length, n_chunks = struct.unpack(">iqi", f.read(16))
+            offsets = list(struct.unpack(f">{n_chunks}q", f.read(8 * n_chunks)))
+        return cls(chunk_length, data_length, offsets, compressor)
+
+    def write(self, path: str) -> None:
+        with open(path, "wb") as f:
+            enc = self.compressor.encode()
+            f.write(struct.pack(">H", len(enc)))
+            f.write(enc)
+            f.write(struct.pack(">i", 0))
+            f.write(struct.pack(">iqi", self.chunk_length, self.data_length,
+                                len(self.offsets)))
+            f.write(struct.pack(f">{len(self.offsets)}q", *self.offsets))
+
+
+class CompressedDataFile:
+    """File-like view of an lz4-block-compressed Data.db in UNCOMPRESSED
+    coordinates: seek/tell/read over logical positions, decompressing one
+    chunk at a time (single-chunk cache -- scans are sequential)."""
+
+    def __init__(self, data_path: str, info: CompressionInfo,
+                 verify_checksums: bool = True):
+        import zlib
+
+        import pyarrow as pa
+
+        self._f = open(data_path, "rb")
+        self._file_size = os.path.getsize(data_path)
+        self._info = info
+        self._codec = pa.Codec("lz4_raw")
+        self._zlib = zlib
+        self._verify = verify_checksums
+        self._pos = 0
+        self._cached_idx = -1
+        self._cached: bytes = b""
+
+    def _chunk(self, idx: int) -> bytes:
+        if idx == self._cached_idx:
+            return self._cached
+        start = self._info.offsets[idx]
+        end = (self._info.offsets[idx + 1]
+               if idx + 1 < len(self._info.offsets) else self._file_size)
+        self._f.seek(start)
+        raw = self._f.read(end - start)
+        comp, checksum = raw[:-4], raw[-4:]
+        if self._verify and self._zlib.adler32(comp) != struct.unpack(">I", checksum)[0]:
+            raise ValueError(f"chunk {idx} checksum mismatch (corrupt sstable)")
+        size = min(self._info.chunk_length,
+                   self._info.data_length - idx * self._info.chunk_length)
+        data = self._codec.decompress(comp, decompressed_size=size)
+        self._cached_idx, self._cached = idx, bytes(data)
+        return self._cached
+
+    def seek(self, pos: int) -> None:
+        self._pos = pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        cl = self._info.chunk_length
+        while n > 0 and self._pos < self._info.data_length:
+            idx, off = divmod(self._pos, cl)
+            piece = self._chunk(idx)[off:off + n]
+            out += piece
+            self._pos += len(piece)
+            n -= len(piece)
+        return bytes(out)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_data_file(data_path: str, verify_checksums: bool = True):
+    """Open Data.db in logical coordinates: transparently decompressing
+    when a CompressionInfo.db component is present (S6). Returns
+    (file_like, logical_size)."""
+    comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
+    if os.path.exists(comp_path):
+        info = CompressionInfo.parse(comp_path)
+        return CompressedDataFile(data_path, info, verify_checksums), info.data_length
+    return open(data_path, "rb"), os.path.getsize(data_path)
+
+
+# --------------------------------------------------------------------------
 # fixture writer (tests + demos; the read path is the product surface)
 # --------------------------------------------------------------------------
 
 def write_sstable(dir_path: str, generation: int,
-                  partitions: list[dict], ks: str = "ks", cf: str = "cf") -> str:
-    """Write `<ks>-<cf>-ka-<gen>-Data.db` + `-Index.db`.
+                  partitions: list[dict], ks: str = "ks", cf: str = "cf",
+                  compression: str | None = None,
+                  chunk_length: int = 65536) -> str:
+    """Write `<ks>-<cf>-ka-<gen>-Data.db` + `-Index.db` (+
+    `-CompressionInfo.db` when compression='lz4').
 
     Each partition dict:
       key: bytes
@@ -89,11 +212,13 @@ def write_sstable(dir_path: str, generation: int,
              EXPIRING: ttl, local_expiration; plus optional
              range_tombstones: [(start, end, local_deletion, marked_at)]
     """
+    import io
+
     os.makedirs(dir_path, exist_ok=True)
     prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
     ordered = sorted(partitions, key=lambda p: md5_token(p["key"]))
     index_entries = []
-    with open(prefix + DATA_SUFFIX, "wb") as data:
+    with io.BytesIO() as data:
         for part in ordered:
             index_entries.append((part["key"], data.tell()))
             data.write(struct.pack(">H", len(part["key"])))
@@ -141,6 +266,27 @@ def write_sstable(dir_path: str, generation: int,
                 else:
                     raise ValueError(f"unknown cell kind {kind}")
             data.write(struct.pack(">H", 0))  # end-of-partition marker
+        payload = data.getvalue()
+    if compression is None:
+        with open(prefix + DATA_SUFFIX, "wb") as out:
+            out.write(payload)
+    elif compression == "lz4":
+        import zlib
+
+        import pyarrow as pa
+
+        codec = pa.Codec("lz4_raw")
+        offsets = []
+        with open(prefix + DATA_SUFFIX, "wb") as out:
+            for i in range(0, max(len(payload), 1), chunk_length):
+                offsets.append(out.tell())
+                comp = bytes(codec.compress(payload[i:i + chunk_length]))
+                out.write(comp)
+                out.write(struct.pack(">I", zlib.adler32(comp)))
+        CompressionInfo(chunk_length, len(payload), offsets).write(
+            prefix + COMPRESSION_SUFFIX)
+    else:
+        raise ValueError(f"unsupported compression {compression}")
     with open(prefix + INDEX_SUFFIX, "wb") as idx:
         for key, pos in index_entries:
             idx.write(struct.pack(">H", len(key)))
@@ -150,7 +296,8 @@ def write_sstable(dir_path: str, generation: int,
     return prefix + DATA_SUFFIX
 
 
-def write_cells_as_sstables(cells_df, out_dir: str):
+def write_cells_as_sstables(cells_df, out_dir: str,
+                            compression: str | None = None):
     """Distributed fixture/export writer: flat engine cells -> one real
     binary SSTable (Data+Index components) per sstable_id.
 
@@ -200,7 +347,7 @@ def write_cells_as_sstables(cells_df, out_dir: str):
             part["cells"].sort(key=lambda c: (c["name"], c["timestamp"],
                                               c["value"]))
         path = write_sstable(out_dir, 1, list(parts.values()),
-                             ks="ks", cf=sstable_id)
+                             ks="ks", cf=sstable_id, compression=compression)
         return pd.DataFrame([{
             "sstable_id": sstable_id, "path": path,
             "n_partitions": len(parts),
@@ -235,14 +382,17 @@ def read_index(index_path: str) -> list[tuple[bytes, int]]:
 
 
 def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
-    """Stream partitions whose start offset is in [start, end).
+    """Stream partitions whose start offset is in [start, end) --
+    offsets in LOGICAL (uncompressed) coordinates; lz4-block-compressed
+    tables (CompressionInfo.db present) decompress transparently (S6).
 
     Yields {key, deletion_live, cells: iterator-materialized list of
     cell dicts}; range tombstones are surfaced with kind
     RANGE_TOMBSTONE so the filter layer can reproduce the reference's
     silent skip (service/SSTableReader.java:92).
     """
-    with open(data_path, "rb") as f:
+    f, _logical_size = open_data_file(data_path)
+    with f:
         f.seek(start)
         while f.tell() < end:
             hdr = f.read(2)
@@ -340,7 +490,12 @@ class SSTableNativeReader(DataSourceReader):
                 raise FileNotFoundError(f"missing index component for {data_path}")
             sstable_id = os.path.basename(data_path)[:-len(DATA_SUFFIX)]
             entries = read_index(index_path)
-            size = os.path.getsize(data_path)
+            # logical (uncompressed) extent -- index offsets live there
+            comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
+            if os.path.exists(comp_path):
+                size = CompressionInfo.parse(comp_path).data_length
+            else:
+                size = os.path.getsize(data_path)
             k = self.partitions_per_split
             for i in range(0, max(len(entries), 1), k):
                 start = entries[i][1] if entries else 0

@@ -31,11 +31,16 @@ HEADLINE = [
     "tpch_q6_revenue",
     "window_running_total",
     "events_hourly",
+    "events_sessionize",
+    "events_asof_orders",
+    "orders_time_rollup",
+    "range_join_price_bands",
     # training-data extensions
     "docs_exact_dedup",
     "docs_ngram_jaccard",
     "docs_simhash_pairs",
     "emb_cosine_topk",
+    "emb_cosine_dup_pairs",
 ]
 
 

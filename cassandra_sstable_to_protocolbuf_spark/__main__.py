@@ -22,7 +22,7 @@ import os
 import sys
 
 USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
-         "convert <sstable_dir_or_data_file> <output_dir>")
+         "convert [--continue-on-error] <sstable_dir_or_data_file> <output_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -30,7 +30,8 @@ def _die(msg: str, code: int = 2) -> "None":
     sys.exit(code)
 
 
-def convert(input_path: str, output_dir: str) -> int:
+def convert(input_path: str, output_dir: str,
+            continue_on_error: bool = False) -> int:
     from pyspark.sql import functions as F
 
     from cassandra_sstable_to_protocolbuf_spark.session import (
@@ -43,6 +44,26 @@ def convert(input_path: str, output_dir: str) -> int:
     spark = get_spark("sstable-to-protobuf-convert")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
+
+    if continue_on_error and os.path.isdir(input_path):
+        # reference parity (Runner.java:84-87): a corrupt file prints its
+        # error and processing continues with the next file. One Spark job
+        # per input file isolates failures; each job still fans out over
+        # that file's index splits.
+        import glob
+
+        failures = 0
+        for data_path in sorted(glob.glob(os.path.join(input_path, "*-Data.db"))):
+            try:
+                convert(data_path, output_dir, continue_on_error=False)
+            except Exception as e:  # noqa: BLE001 -- per-file error channel
+                failures += 1
+                first_line = next(
+                    (ln for ln in str(e).splitlines() if ln.strip()), "")
+                print(f"ERROR converting {os.path.basename(data_path)}: "
+                      f"{type(e).__name__}: {first_line[:200]}",
+                      file=sys.stderr)
+        return 1 if failures else 0
 
     cells = read_native_cells(spark, input_path, live_only=True).select(
         "sstable_id", "key", "name", "value", "writeTime", "cell_kind",
@@ -92,12 +113,16 @@ def convert(input_path: str, output_dir: str) -> int:
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) != 3 or argv[0] != "convert":
+    args = list(argv)
+    continue_on_error = "--continue-on-error" in args
+    if continue_on_error:
+        args.remove("--continue-on-error")
+    if len(args) != 3 or args[0] != "convert":
         _die(USAGE)
-    _, input_path, output_dir = argv
+    _, input_path, output_dir = args
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
-    return convert(input_path, output_dir)
+    return convert(input_path, output_dir, continue_on_error)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,48 @@ def test_stateful_running_stats_matches_batch(spark, event_files):
         assert batch[r.user_id] == r.n, r.user_id
 
 
+def test_stream_cells_to_protobuf_sink(spark, tmp_path):
+    """Unbounded cells -> protobuf+zstd: stream 3 parquet chunks of the
+    cell table through foreachBatch; decoded union of all batch outputs
+    must equal the batch pipeline's row count."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        encode_lineitem_cells, to_binary_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        nested_rows_from_cells, read_rows_pb)
+    from cassandra_sstable_to_protocolbuf_spark.streaming.pipeline import (
+        stream_cells_to_protobuf)
+    from tests.conftest import SF_SMOKE
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, SF_SMOKE))
+    src = str(tmp_path / "cells_src")
+    # one file per chunk + one file per trigger => batch boundaries align
+    # exactly with chunk boundaries (needed for the count check below)
+    cells.withColumn("chunk", F.col("writeTime") % 3).repartition(1).write \
+        .partitionBy("chunk").mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(cells.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = str(tmp_path / "pb_stream_out")
+    q = stream_cells_to_protobuf(stream, out, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    import glob
+    batches = sorted(glob.glob(out + "/batch=*"))
+    assert len(batches) >= 1
+    total = 0
+    for b in batches:
+        total += read_rows_pb(spark, b).count()
+    # streaming grouped per batch; batch pipeline groups globally --
+    # row counts only match if every batch saw whole partitions, so
+    # compare against per-chunk grouping
+    expected = (cells.withColumn("chunk", F.col("writeTime") % 3)
+                .filter(F.col("partition_deletion_live"))
+                .select("chunk", "sstable_id", "key").distinct().count())
+    assert total == expected
+
+
 def test_sessionize_runs_and_bounds(spark, event_files):
     q = run_stream_to_memory(
         sessionize(read_event_stream(spark, event_files)), "sess_stream")

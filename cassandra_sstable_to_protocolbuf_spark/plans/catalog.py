@@ -87,6 +87,12 @@ CATALOG: dict[str, QueryDef] = {
                                    "backward as-of join (custom operator)"),
     "range_join_price_bands": QueryDef(R.range_join_price_bands, R.RANGE_JOIN_SQL,
                                        "interval join via broadcast nested loop"),
+    "events_json_stats": QueryDef(R.events_json_stats, R.EVENTS_JSON_SQL,
+                                  "JSON scalar extraction + aggregation"),
+    "lineitem_percentiles": QueryDef(R.lineitem_percentiles, R.PERCENTILES_SQL,
+                                     "exact interpolated percentiles"),
+    "orders_priority_pivot": QueryDef(R.orders_priority_pivot, R.ORDERS_PIVOT_SQL,
+                                      "pivot via conditional aggregation"),
     "orders_time_rollup": QueryDef(R.orders_time_rollup, R.TIME_ROLLUP_SQL,
                                    "multi-granularity time rollup"),
     "outer_join_order_counts": QueryDef(R.outer_join_order_counts, R.OUTER_JOIN_SQL,

@@ -573,6 +573,79 @@ GROUP BY user_id, session_no
 """
 
 
+# --- JSON scalar functions over events.props ------------------------------
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (props = '{"k": int}') + aggregation per type."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"),
+                 F.count(F.when(F.col("k") > 50, 1)).alias("n_high")))
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       COUNT(*) FILTER (CAST(props->>'$.k' AS BIGINT) > 50) AS n_high
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- Exact percentiles (linear interpolation, both engines) ---------------
+
+def lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.percentile("l_extendedprice", 0.5).alias("p50"),
+                 F.percentile("l_extendedprice", 0.9).alias("p90"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi")))
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       MIN(l_extendedprice) AS lo,
+       MAX(l_extendedprice) AS hi
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --- Pivot (conditional aggregation) --------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order priorities into columns per year (explicit conditional
+    aggregation so the output schema is deterministic in both engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [
+        F.count(F.when(F.col("o_orderpriority") == p, 1)).alias(f"prio_{i + 1}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return (orders.groupBy(F.year("o_orderdate").alias("o_year")).agg(*aggs))
+
+
+ORDERS_PIVOT_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS prio_1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS prio_2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS prio_3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS prio_4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS prio_5
+FROM orders
+GROUP BY 1
+"""
+
+
 # --- Range (interval) join: price band classification --------------------
 
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,18 +75,25 @@ def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
     emb = _emb(spark, sf_dir)
+    # norms are per-row: compute them ONCE in their own projections
+    # (higher-order functions are interpreted; recomputing the norm
+    # inside the pairwise expression would redo 2x64 multiplies per pair
+    # -- measured 33s -> ~6s at sf0.1)
     e = widen(emb).select("vec_id", F.transform(
         "embedding", lambda x: x.cast("double")).alias("v"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    e = e.select(
+        "vec_id", "v",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", (dot / (na * nb)).alias("cosine"))
+            .select("id_a", "id_b",
+                    (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
             .filter(F.col("cosine") >= 0.45))
 
 

@@ -19,9 +19,14 @@ cost when queries are many.
 
 from __future__ import annotations
 
+import random
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _as_double(col: str):
@@ -57,6 +62,151 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "nid", "cosine"))
+
+
+def rademacher_planes(seed: int, n_planes: int, dim: int = 64) -> list[list[float]]:
+    """Deterministic +-1 hyperplanes (Achlioptas-style random projection).
+
+    Sign-LSH needs only the SIGN of v . r, for which Rademacher entries are
+    as good as gaussians (same collision-probability geometry) while being
+    exactly representable as SQL literals -- the DuckDB oracle embeds the
+    identical matrix, so both engines compute bit-identical signatures.
+    """
+    rng = random.Random(seed)
+    return [[rng.choice((1.0, -1.0)) for _ in range(dim)]
+            for _ in range(n_planes)]
+
+
+def lsh_signature_udf(n_tables: int, n_planes: int, seed: int, dim: int = 64):
+    """Arrow-batched signature computer: vec -> array of n_tables packed
+    sign-bit signatures (n_planes bits each).
+
+    The projection is accumulated dimension-by-dimension (a left fold in
+    dim order, vectorized ACROSS rows with numpy), so each double add
+    happens in exactly the order DuckDB's list_sum and Spark's F.aggregate
+    use -- signatures are bit-identical across engines, which is what lets
+    a bucketed (approximate) operator have an exact SQL oracle.
+
+    This is the sanctioned Pandas-UDF escape hatch: 192 plane-dots per row
+    through interpreted higher-order functions would cost ~8k lambda evals
+    per row; one numpy matmul-shaped loop is ~100x cheaper and stays
+    Arrow-batched (no per-row Python).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(rademacher_planes(seed, n_tables * n_planes, dim))
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        acc = np.zeros((m.shape[0], planes.shape[0]))
+        for i in range(dim):  # dim-ordered left fold, rows vectorized
+            acc += m[:, i:i + 1] * planes[:, i]
+        bits = acc > 0
+        packed = np.stack(
+            [bits[:, t * n_planes:(t + 1) * n_planes] @ weights
+             for t in range(n_tables)], axis=1)
+        return pd.Series(list(packed))
+
+    return sigs
+
+
+def lsh_dup_pairs(corpus: DataFrame, threshold: float = 0.45,
+                  n_tables: int = 24, n_planes: int = 8, seed: int = 7,
+                  max_bucket: int = 1000, dim: int = 64,
+                  id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Near-duplicate pairs via RP-LSH bucketing + exact cosine verify.
+
+    The 100 TB-safe formulation of embedding dedup: candidate pairs come
+    from an EQUI-join on (table, signature) -- cost ~ sum of bucket^2, not
+    corpus^2 -- then only candidates pay the exact 64-dim cosine.
+    Completely deterministic given `seed`, so it is oracle-checkable: the
+    result is exactly {pairs sharing >=1 un-capped bucket, cosine >=
+    threshold}. Recall vs the exact all-pairs twin is a measured property
+    (see tests/test_approx_quality.py); precision is 1.0 by construction
+    (the verify step is exact).
+
+    Skew guard: buckets with more than `max_bucket` members are dropped
+    from candidate generation (the degenerate-bucket quadratic blowup --
+    e.g. all-zero embeddings -- the same hot-key cap as the shingle
+    inverted index). Deterministic, mirrored by the oracle.
+    """
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    sig_udf = lsh_signature_udf(n_tables, n_planes, seed, dim)
+    e = widen(corpus).select(F.col(id_col).alias("id"),
+                             F.col(vec_col).alias("emb"))
+    ex = e.select("id", F.posexplode(sig_udf("emb")).alias("t", "sig"))
+    # bounded small: <= n_tables * 2^n_planes distinct buckets => broadcast
+    ok_buckets = (ex.groupBy("t", "sig")
+                  .agg(F.count(F.lit(1)).alias("n_members"))
+                  .filter(F.col("n_members") <= max_bucket)
+                  .select("t", "sig"))
+    member = ex.join(broadcast(ok_buckets), ["t", "sig"])
+    a = member.select("t", "sig", F.col("id").alias("id_a"))
+    b = member.select("t", "sig", F.col("id").alias("id_b"))
+    pairs = (a.join(b, ["t", "sig"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b")
+             .dropDuplicates(["id_a", "id_b"]))
+    v = e.select(F.col("id"), _as_double("emb").alias("v"))
+    v = v.select("id", "v", _norm(F.col("v")).alias("nrm"))
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (pairs.join(va, "id_a").join(vb, "id_b")
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= F.lit(threshold)))
+
+
+def lsh_dup_pairs_oracle_sql(threshold: float = 0.45, n_tables: int = 24,
+                             n_planes: int = 8, seed: int = 7,
+                             max_bucket: int = 1000, dim: int = 64,
+                             table: str = "embeddings") -> str:
+    """DuckDB oracle for lsh_dup_pairs: the identical +-1 plane matrix is
+    embedded as literals; list_sum's left fold matches the UDF's
+    dim-ordered accumulation bit-for-bit, so bucket membership -- not just
+    the verified cosine -- is reproduced exactly."""
+    planes = rademacher_planes(seed, n_tables * n_planes, dim)
+
+    def dot(plane: list[float]) -> str:
+        lits = ",".join("1.0" if w > 0 else "-1.0" for w in plane)
+        return ("list_sum(list_transform(list_zip(v, [" + lits +
+                "]), p -> p[1] * p[2]))")
+
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot(planes[t * n_planes + j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes))
+        selects.append(
+            f"SELECT vec_id, {t} AS t, CAST({bits} AS BIGINT) AS sig FROM e")
+    sigt = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+sigt AS ({sigt}),
+ok AS (SELECT t, sig FROM sigt GROUP BY t, sig HAVING COUNT(*) <= {max_bucket}),
+member AS (SELECT s.vec_id, s.t, s.sig FROM sigt s JOIN ok USING (t, sig)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM member a JOIN member b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM (
+  SELECT id_a, id_b,
+         list_sum(list_transform(list_zip(ea.v, eb.v), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(ea.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(eb.v, x -> x * x)))) AS cosine
+  FROM cand
+  JOIN e ea ON ea.vec_id = cand.id_a
+  JOIN e eb ON eb.vec_id = cand.id_b
+) WHERE cosine >= {threshold}
+"""
 
 
 def rp_lsh_signatures(df: DataFrame, vec_col: str, id_col: str,

@@ -128,7 +128,7 @@ CATALOG: dict[str, QueryDef] = {
     "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, None,
                             "random-hyperplane LSH approximate top-k"),
     "emb_cosine_dup_pairs": QueryDef(V.emb_cosine_dup_pairs, V.EMB_COSINE_DUP_SQL,
-                                     "embedding-cosine near-dup pairs (exact)"),
+                                     "embedding near-dup pairs (LSH-bucketed + exact verify)"),
 }
 
 

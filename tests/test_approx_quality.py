@@ -73,6 +73,55 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert hits / total >= 0.4, f"ANN recall {hits}/{total}"
 
 
+def test_lsh_dup_pairs_subset_of_exact(spark):
+    """The bucketed dup-pairs operator must be a SUBSET of the exact
+    all-pairs result with identical cosines (precision 1.0 -- the verify
+    step is exact; only recall is approximate), and at the fixed seed its
+    recall on this corpus is deterministic."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.vectorops import (
+        emb_cosine_all_pairs, emb_cosine_dup_pairs)
+
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in emb_cosine_all_pairs(spark, SF_SMOKE).collect()}
+    bucketed = {(r.id_a, r.id_b): r.cosine
+                for r in emb_cosine_dup_pairs(spark, SF_SMOKE).collect()}
+    assert set(bucketed) <= set(exact)
+    assert all(bucketed[p] == exact[p] for p in bucketed)  # bit-identical
+    assert len(exact) > 0
+    recall = len(bucketed) / len(exact)
+    # weak-threshold regime (true pairs ~63 deg vs ~90 deg background):
+    # sign-LSH's hard case; the planted test below covers the real regime
+    assert recall >= 0.4, f"recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_lsh_dup_pairs_planted_recall(spark):
+    """In the realistic near-dup regime (cosine >= 0.9) the default config
+    must find essentially every planted duplicate."""
+    import numpy as np
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
+        lsh_dup_pairs)
+
+    rng = np.random.default_rng(123)
+    base = rng.normal(size=(60, 64))
+    # each even id 2i gets a planted near-dup 2i+1 at cosine ~0.95
+    noise = rng.normal(size=(60, 64))
+    dup = base + 0.25 * noise
+    rows = []
+    for i in range(60):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in dup[i]]))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {(r.id_a, r.id_b) for r in
+           lsh_dup_pairs(df, threshold=0.9).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(60)
+               if np.dot(base[i], dup[i])
+               / (np.linalg.norm(base[i]) * np.linalg.norm(dup[i])) >= 0.9}
+    assert len(planted) >= 40
+    found = len(planted & got) / len(planted)
+    assert found >= 0.95, f"planted recall {found:.2f} of {len(planted)}"
+
+
 def test_approx_count_distinct_error_bound(spark):
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
         events_approx_distinct)

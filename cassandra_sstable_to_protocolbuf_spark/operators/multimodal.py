@@ -41,6 +41,7 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType(), False),
     StructField("mean_byte", DoubleType(), False),
     StructField("histogram", ArrayType(DoubleType()), False),
+    StructField("hist_counts", ArrayType(LongType()), False),
 ])
 
 N_HIST_BINS = 16
@@ -90,8 +91,12 @@ def extract_features(media: DataFrame) -> DataFrame:
                 out.append({
                     "doc_id": doc_id,
                     "n_bytes": len(arr),
-                    "mean_byte": float(arr.mean()) if len(arr) else 0.0,
+                    # integer byte sum / count: exact in double, so the
+                    # value is engine-reproducible (no summation-order
+                    # float drift)
+                    "mean_byte": float(int(arr.sum())) / total,
                     "histogram": (hist / total).tolist(),
+                    "hist_counts": [int(c) for c in hist],
                 })
             yield pd.DataFrame(out)
 

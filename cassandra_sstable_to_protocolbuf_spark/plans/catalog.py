@@ -101,7 +101,7 @@ CATALOG: dict[str, QueryDef] = {
                                         "correlated scalar subquery (decorrelated)"),
     "distinct_agg": QueryDef(R.distinct_agg_suppliers, R.DISTINCT_AGG_SQL,
                              "multi-column grouped distinct aggregation"),
-    "mm_image_features": QueryDef(R.mm_image_features, None,
+    "mm_image_features": QueryDef(R.mm_image_features, R.MM_IMAGE_FEATURES_SQL,
                                   "binary media column -> Arrow-batch features"),
     # --- text analysis + dedup (north-star extensions) --------------------
     "docs_text_stats": QueryDef(TX.docs_text_stats, TX.DOCS_TEXT_STATS_SQL,

@@ -800,11 +800,48 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline: binary payload column -> mapInPandas feature
-    extraction (rows-only: array outputs + stubbed codec)."""
+    extraction. Gate-friendly output: the 16-bin histogram is emitted as
+    a CSV string of integer bin counts (arrays crash the driver's pandas
+    canonicalizer) and mean_byte is an exact int-sum/count division, so
+    the fake-codec (utf-8 bytes) path has a true DuckDB oracle."""
     from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
         attach_payloads, extract_features)
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(attach_payloads(docs))
+    feats = extract_features(attach_payloads(docs))
+    return feats.select(
+        "doc_id", "n_bytes", "mean_byte",
+        F.array_join(F.transform("hist_counts",
+                                 lambda c: c.cast("string")), ",")
+        .alias("hist_csv"))
+
+
+# Byte values are recovered in SQL from the hex encoding of the utf-8
+# blob (two hex chars per byte -> strpos arithmetic), so the oracle is
+# exact for ANY payload bytes, not just ASCII text.
+_HIST_CSV = " || ',' || ".join(
+    f"CAST(COUNT(*) FILTER (WHERE v // 16 = {k}) AS VARCHAR)"
+    for k in range(16))
+
+MM_IMAGE_FEATURES_SQL = f"""
+WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+idx AS (SELECT doc_id, b, unnest(range(0, octet_length(b))) AS i FROM d),
+bytes AS (
+  SELECT doc_id,
+         (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+1 AS INT), 1))) * 16
+       + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+2 AS INT), 1))) AS v
+  FROM idx),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bytes,
+         CAST(CAST(SUM(v) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_byte,
+         {_HIST_CSV} AS hist_csv
+  FROM bytes GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(agg.n_bytes, 0) AS n_bytes,
+       COALESCE(agg.mean_byte, 0.0) AS mean_byte,
+       COALESCE(agg.hist_csv, '{",".join(["0"] * 16)}') AS hist_csv
+FROM d LEFT JOIN agg USING (doc_id)
+"""
 
 
 EVENTS_HOURLY_SQL = """

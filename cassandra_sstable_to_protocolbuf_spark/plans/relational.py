@@ -76,8 +76,11 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     ).cast("double")
     return (
-        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # orders/customer are FACT tables (billions of rows at 100 TB):
+        # no broadcast hint -- AQE picks broadcast at small SF and
+        # shuffle-hash/sort-merge at scale
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                  "o_orderpriority")
@@ -116,8 +119,10 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     ).cast("double")
     return (
-        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # facts (lineitem/orders/customer) join unhinted; only the true
+        # dims (supplier/nation/region) carry broadcast hints
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .filter(cust.c_nationkey == supp.s_nationkey)
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -414,8 +419,8 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
     ).cast("double")
     return (
-        li.join(broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(revenue.alias("revenue"))
@@ -474,7 +479,9 @@ def correlated_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = (li.groupBy(F.col("l_partkey").alias("pk"))
                 .agg(F.avg(F.col("l_quantity").cast(DEC).cast("double")).alias("avg_qty")))
     return (
-        li.join(broadcast(per_part), li.l_partkey == per_part.pk)
+        # per_part is part-cardinality (an aggregate of lineitem, NOT a
+        # dim): unhinted so the join can shuffle on l_partkey at scale
+        li.join(per_part, li.l_partkey == per_part.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("total_price"),
              F.count(F.lit(1)).alias("n_items"))

@@ -53,7 +53,8 @@ def convert(input_path: str, output_dir: str,
         import glob
 
         failures = 0
-        for data_path in sorted(glob.glob(os.path.join(input_path, "*-Data.db"))):
+        for data_path in sorted(glob.glob(
+                os.path.join(input_path, "**", "*-Data.db"), recursive=True)):
             try:
                 convert(data_path, output_dir, continue_on_error=False)
             except Exception as e:  # noqa: BLE001 -- per-file error channel

@@ -518,7 +518,12 @@ class SSTableNativeReader(DataSourceReader):
         import glob
 
         if os.path.isdir(self.path):
-            files = sorted(glob.glob(os.path.join(self.path, f"*{DATA_SUFFIX}")))
+            # recursive walk matching the reference's Files.walk discovery
+            # (Runner.java:54-60): real Cassandra data dirs nest sstables
+            # under keyspace/table/ subdirectories
+            files = sorted(glob.glob(
+                os.path.join(self.path, "**", f"*{DATA_SUFFIX}"),
+                recursive=True))
         elif self.path.endswith(DATA_SUFFIX):
             files = [self.path]
         else:

@@ -63,6 +63,27 @@ def test_scan_partitions_pure(fixture_sstables):
     assert keys == sorted(keys, key=N.md5_token)
 
 
+def test_recursive_discovery_nested_dirs(spark, fixture_sstables, tmp_path):
+    """Discovery must walk keyspace/table/ nestings like the reference's
+    Files.walk (Runner.java:54-60), and nested results must equal the
+    flat-directory read of the same sstables."""
+    import shutil
+
+    nested = tmp_path / "ks" / "table"
+    nested.mkdir(parents=True)
+    import glob as g
+    import os
+    for f in g.glob(os.path.join(fixture_sstables, "*.db")):
+        shutil.copy(f, nested / os.path.basename(f))
+    # a top-level decoy dir level with no Data.db of its own
+    flat = N.read_native_cells(spark, fixture_sstables).orderBy(
+        "sstable_id", "key", "name").collect()
+    deep = N.read_native_cells(spark, str(tmp_path)).orderBy(
+        "sstable_id", "key", "name").collect()
+    assert flat == deep
+    assert len(deep) > 0
+
+
 def test_spark_read_all_kinds(spark, fixture_sstables):
     df = N.read_native_cells(spark, fixture_sstables)
     rows = df.collect()

@@ -427,15 +427,64 @@ def read_index(index_path: str) -> list[tuple[bytes, int]]:
     return entries
 
 
+def _read_cell_atoms(f) -> Iterator[dict]:
+    """Lazy per-cell decoder: yields one atom dict at a time until the
+    partition's end-of-row marker (nlen == 0). O(one cell) memory -- a
+    single wide partition (the wide-row model's whole point) never
+    materializes, matching the reference's lazy column iterator
+    (SSTableIdentityIteratorPatched.java computeNext)."""
+    while True:
+        (nlen,) = struct.unpack(">H", f.read(2))
+        if nlen == 0:
+            return
+        name = f.read(nlen)
+        (flags,) = struct.unpack(">B", f.read(1))
+        if flags & FLAG_RANGE_TOMBSTONE:
+            (elen,) = struct.unpack(">H", f.read(2))
+            end_name = f.read(elen)
+            rt_ldt, rt_marked = struct.unpack(">iq", f.read(12))
+            yield {"name": name, "kind": "RANGE_TOMBSTONE",
+                   "value": end_name, "timestamp": rt_marked,
+                   "ttl": None, "local_expiration": rt_ldt}
+        elif flags & FLAG_EXPIRATION:
+            ttl, lexp = struct.unpack(">ii", f.read(8))
+            ts, vlen = struct.unpack(">qi", f.read(12))
+            yield {"name": name, "kind": "EXPIRING",
+                   "value": f.read(vlen), "timestamp": ts,
+                   "ttl": ttl, "local_expiration": lexp}
+        elif flags & FLAG_COUNTER:
+            _tsd, ts, vlen = struct.unpack(">qqi", f.read(20))
+            yield {"name": name, "kind": "COUNTER",
+                   "value": f.read(vlen), "timestamp": ts,
+                   "ttl": None, "local_expiration": None}
+        elif flags & FLAG_DELETION:
+            ts, vlen = struct.unpack(">qi", f.read(12))
+            body = f.read(vlen)
+            (cell_ldt,) = struct.unpack(">i", body) if vlen == 4 else (0,)
+            yield {"name": name, "kind": "DELETED",
+                   "value": b"", "timestamp": ts,
+                   "ttl": None, "local_expiration": cell_ldt}
+        else:
+            ts, vlen = struct.unpack(">qi", f.read(12))
+            yield {"name": name, "kind": "LIVE",
+                   "value": f.read(vlen), "timestamp": ts,
+                   "ttl": None, "local_expiration": None}
+
+
 def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
     """Stream partitions whose start offset is in [start, end) --
     offsets in LOGICAL (uncompressed) coordinates; lz4-block-compressed
     tables (CompressionInfo.db present) decompress transparently (S6).
 
-    Yields {key, deletion_live, cells: iterator-materialized list of
-    cell dicts}; range tombstones are surfaced with kind
-    RANGE_TOMBSTONE so the filter layer can reproduce the reference's
-    silent skip (service/SSTableReader.java:92).
+    Yields {key, deletion_live, cells: LAZY per-cell generator}; range
+    tombstones are surfaced with kind RANGE_TOMBSTONE so the filter layer
+    can reproduce the reference's silent skip
+    (service/SSTableReader.java:92).
+
+    Streaming contract: `cells` reads from the underlying file stream, so
+    consume it before advancing the outer iterator; any unconsumed tail
+    is drained (parsed and discarded) automatically on advance. Use
+    scan_partitions_eager() when partitions are to be held as values.
     """
     f, _logical_size = open_data_file(data_path)
     with f:
@@ -448,44 +497,17 @@ def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
             key = f.read(klen)
             ldt, marked = struct.unpack(">iq", f.read(12))
             deletion_live = (ldt == LIVE_LOCAL_DELETION and marked == LIVE_MARKED_AT)
-            cells = []
-            while True:
-                (nlen,) = struct.unpack(">H", f.read(2))
-                if nlen == 0:
-                    break
-                name = f.read(nlen)
-                (flags,) = struct.unpack(">B", f.read(1))
-                if flags & FLAG_RANGE_TOMBSTONE:
-                    (elen,) = struct.unpack(">H", f.read(2))
-                    end_name = f.read(elen)
-                    rt_ldt, rt_marked = struct.unpack(">iq", f.read(12))
-                    cells.append({"name": name, "kind": "RANGE_TOMBSTONE",
-                                  "value": end_name, "timestamp": rt_marked,
-                                  "ttl": None, "local_expiration": rt_ldt})
-                elif flags & FLAG_EXPIRATION:
-                    ttl, lexp = struct.unpack(">ii", f.read(8))
-                    ts, vlen = struct.unpack(">qi", f.read(12))
-                    cells.append({"name": name, "kind": "EXPIRING",
-                                  "value": f.read(vlen), "timestamp": ts,
-                                  "ttl": ttl, "local_expiration": lexp})
-                elif flags & FLAG_COUNTER:
-                    _tsd, ts, vlen = struct.unpack(">qqi", f.read(20))
-                    cells.append({"name": name, "kind": "COUNTER",
-                                  "value": f.read(vlen), "timestamp": ts,
-                                  "ttl": None, "local_expiration": None})
-                elif flags & FLAG_DELETION:
-                    ts, vlen = struct.unpack(">qi", f.read(12))
-                    body = f.read(vlen)
-                    (cell_ldt,) = struct.unpack(">i", body) if vlen == 4 else (0,)
-                    cells.append({"name": name, "kind": "DELETED",
-                                  "value": b"", "timestamp": ts,
-                                  "ttl": None, "local_expiration": cell_ldt})
-                else:
-                    ts, vlen = struct.unpack(">qi", f.read(12))
-                    cells.append({"name": name, "kind": "LIVE",
-                                  "value": f.read(vlen), "timestamp": ts,
-                                  "ttl": None, "local_expiration": None})
+            cells = _read_cell_atoms(f)
             yield {"key": key, "deletion_live": deletion_live, "cells": cells}
+            for _ in cells:  # drain unconsumed tail to the next partition
+                pass
+
+
+def scan_partitions_eager(data_path: str, start: int, end: int) -> Iterator[dict]:
+    """scan_partitions with cells materialized per partition (testing /
+    small-table convenience; the Spark source uses the lazy form)."""
+    for part in scan_partitions(data_path, start, end):
+        yield {**part, "cells": list(part["cells"])}
 
 
 class _SSTableSplit(InputPartition):
@@ -569,7 +591,9 @@ class SSTableNativeReader(DataSourceReader):
                 splits.append(_SSTableSplit(sstable_id, data_path, start, end))
         return splits
 
-    def read(self, split) -> Iterator[tuple]:
+    ARROW_BATCH_ROWS = 8192
+
+    def _iter_rows(self, split) -> Iterator[tuple]:
         for part in scan_partitions(split.data_path, split.start, split.end):
             if self.live_only:
                 if not part["deletion_live"]:
@@ -593,6 +617,35 @@ class SSTableNativeReader(DataSourceReader):
                 yield (split.sstable_id, part["key"], c["name"], c["value"],
                        c["timestamp"], c["kind"], c["ttl"],
                        c["local_expiration"], part["deletion_live"])
+
+    def read(self, split) -> Iterator:
+        """Yield pyarrow.RecordBatch chunks, not per-row tuples: rows
+        cross the Python->JVM boundary as Arrow columns, amortizing the
+        per-row pickle cost that dominates a TB-scale scan. Composes with
+        the lazy cell iterator: peak memory is one batch, never one
+        partition."""
+        import pyarrow as pa
+
+        arrow_schema = pa.schema([
+            ("sstable_id", pa.string()), ("key", pa.binary()),
+            ("name", pa.binary()), ("value", pa.binary()),
+            ("writeTime", pa.int64()), ("cell_kind", pa.string()),
+            ("ttl", pa.int32()), ("local_expiration", pa.int32()),
+            ("partition_deletion_live", pa.bool_()),
+        ])
+        cols: list[list] = [[] for _ in arrow_schema]
+        for row in self._iter_rows(split):
+            for buf, v in zip(cols, row):
+                buf.append(v)
+            if len(cols[0]) >= self.ARROW_BATCH_ROWS:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, t.type) for c, t in zip(cols, arrow_schema)],
+                    schema=arrow_schema)
+                cols = [[] for _ in arrow_schema]
+        if cols[0]:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, t.type) for c, t in zip(cols, arrow_schema)],
+                schema=arrow_schema)
 
 
 class SSTableNativeDataSource(DataSource):

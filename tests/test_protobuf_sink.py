@@ -97,6 +97,7 @@ def test_read_keys_sorted_within_file(spark, tmp_path):
     write_rows_pb(nested_rows_from_cells(cells), out).collect()
     reader = SSTablePbReader(out)
     part = reader.partitions()[0]
-    keys = [key for _, key, _ in reader.read(part)]
+    keys = [k for batch in reader.read(part)
+            for k in batch.column("key").to_pylist()]
     assert keys == sorted(keys)
     assert len(keys) > 100

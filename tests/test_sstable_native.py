@@ -48,7 +48,7 @@ def test_scan_partitions_pure(fixture_sstables):
     import os
 
     data = sorted(glob.glob(os.path.join(fixture_sstables, "*-1-Data.db")))[0]
-    parts = list(N.scan_partitions(data, 0, os.path.getsize(data)))
+    parts = list(N.scan_partitions_eager(data, 0, os.path.getsize(data)))
     assert len(parts) == 4
     by_key = {p["key"]: p for p in parts}
     assert by_key[b"beta"]["deletion_live"] is False
@@ -61,6 +61,31 @@ def test_scan_partitions_pure(fixture_sstables):
     # token order: file order equals md5-token order of keys
     keys = [p["key"] for p in parts]
     assert keys == sorted(keys, key=N.md5_token)
+
+
+def test_wide_partition_streams_per_cell(tmp_path):
+    """One wide partition must scan in O(one cell) memory: the lazy cell
+    iterator (S7) never materializes the partition. Peak Python
+    allocation while streaming a ~40 MB single-partition sstable stays
+    under a few MB."""
+    import os
+    import tracemalloc
+
+    n_cells, val = 100_000, b"x" * 400  # ~40 MB of cell values
+    parts = [{"key": b"wide", "cells": [
+        {"name": b"c%08d" % i, "kind": "LIVE", "timestamp": i, "value": val}
+        for i in range(n_cells)]}]
+    data = N.write_sstable(str(tmp_path), 1, parts)
+    del parts
+    tracemalloc.start()
+    seen = 0
+    for part in N.scan_partitions(data, 0, os.path.getsize(data)):
+        for _cell in part["cells"]:
+            seen += 1
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert seen == n_cells
+    assert peak < 8 * 1024 * 1024, f"peak {peak} bytes: partition buffered?"
 
 
 def test_recursive_discovery_nested_dirs(spark, fixture_sstables, tmp_path):

@@ -44,7 +44,7 @@ partition = st.fixed_dictionaries(
 def test_native_write_scan_roundtrip(tmp_path_factory, parts):
     d = str(tmp_path_factory.mktemp("prop_sst"))
     data = N.write_sstable(d, 1, parts)
-    scanned = list(N.scan_partitions(data, 0, os.path.getsize(data)))
+    scanned = list(N.scan_partitions_eager(data, 0, os.path.getsize(data)))
     assert len(scanned) == len(parts)
     expected = {p["key"]: p for p in parts}
     for got in scanned:

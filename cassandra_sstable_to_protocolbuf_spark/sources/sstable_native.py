@@ -28,9 +28,12 @@ SSTableIdentityIteratorPatched.java:33-109):
                       promoted_bytes (we write/skip promoted index data)
 
 All integers big-endian (Java DataOutput). The fixture writer orders
-partitions by RandomPartitioner-style md5 token (token order parity:
-the reference scans in token order, SSTableScannerPatched.java:151;
-Murmur3Partitioner would be a drop-in token function here).
+partitions by decorated-key order under the chosen partitioner (token
+order parity: the reference scans in token order,
+SSTableScannerPatched.java:151). Both RandomPartitioner (md5 token) and
+Murmur3Partitioner (Cassandra's hash3_x64_128 with its signed-tail-byte
+quirk, the reference's configured default, cassandra.yaml:91) are
+implemented; Statistics.db records which one wrote the file.
 
 Scale design: InputPartitions are BYTE-RANGE SPLITS of Data.db computed
 from Index.db entries (the reference's index-summary chunking analog,
@@ -76,6 +79,101 @@ NATIVE_CELL_SCHEMA_DDL = (
 def md5_token(key: bytes) -> int:
     """RandomPartitioner-style token: md5 digest as a big integer."""
     return int.from_bytes(hashlib.md5(key).digest(), "big", signed=False)
+
+
+MURMUR3_PARTITIONER = "org.apache.cassandra.dht.Murmur3Partitioner"
+
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def _signed_byte(b: int) -> int:
+    return b - 256 if b >= 128 else b
+
+
+def murmur3_token(key: bytes) -> int:
+    """Murmur3Partitioner token: MurmurHash3 x64 128, seed 0, first half.
+
+    This ports Cassandra's own MurmurHash.hash3_x64_128, which diverges
+    from the canonical C++ implementation in the TAIL: Java sign-EXTENDS
+    tail bytes before shifting (`(long) key.get(i) << shift`), so bytes
+    >= 0x80 contribute different high bits than the unsigned canonical
+    form. Token parity with real Cassandra requires reproducing that
+    quirk. Per Murmur3Partitioner.getToken: empty keys take the MINIMUM
+    token, and Long.MIN_VALUE normalizes to Long.MAX_VALUE
+    (cassandra.yaml:91 makes this the reference's default partitioner;
+    SSTableScannerPatched.java:151 decorates with it).
+    """
+    if not key:
+        return -(1 << 63)  # MINIMUM token
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = 0
+    n_blocks = len(key) // 16
+    for i in range(n_blocks):
+        k1 = int.from_bytes(key[i * 16:i * 16 + 8], "little")
+        k2 = int.from_bytes(key[i * 16 + 8:i * 16 + 16], "little")
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = key[n_blocks * 16:]
+    k1 = k2 = 0
+    # Cassandra's Java tail: signed byte -> long sign extension
+    for i in range(len(tail) - 1, 7, -1):         # bytes 8..14 -> k2
+        k2 ^= (_signed_byte(tail[i]) << ((i - 8) * 8)) & _M64
+    if len(tail) > 8:
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+    for i in range(min(len(tail), 8) - 1, -1, -1):  # bytes 0..7 -> k1
+        k1 ^= (_signed_byte(tail[i]) << (i * 8)) & _M64
+    if len(tail) > 0:
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+    h1 ^= len(key)
+    h2 ^= len(key)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    signed = h1 - (1 << 64) if h1 >= (1 << 63) else h1
+    return (1 << 63) - 1 if signed == -(1 << 63) else signed
+
+
+def token_function(partitioner: str):
+    """Token function for a partitioner class name (S2 plumbing: the
+    Statistics.db VALIDATION component names the partitioner)."""
+    if partitioner == DEFAULT_PARTITIONER:
+        return md5_token
+    if partitioner == MURMUR3_PARTITIONER:
+        return murmur3_token
+    raise ValueError(f"unsupported partitioner: {partitioner}")
 
 
 # --------------------------------------------------------------------------
@@ -261,7 +359,10 @@ def write_sstable(dir_path: str, generation: int,
 
     os.makedirs(dir_path, exist_ok=True)
     prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
-    ordered = sorted(partitions, key=lambda p: md5_token(p["key"]))
+    token = token_function(partitioner)
+    # decorated-key order: (token, key-bytes) like Cassandra's
+    # DecoratedKey.compareTo (token first, key bytes break ties)
+    ordered = sorted(partitions, key=lambda p: (token(p["key"]), p["key"]))
     index_entries = []
     with io.BytesIO() as data:
         for part in ordered:
@@ -578,6 +679,22 @@ class SSTableNativeReader(DataSourceReader):
                         f"partitioner mismatch for {sstable_id}: sstable has "
                         f"{found}, expected {self.expected_partitioner}")
             entries = read_index(index_path)
+            if entries:
+                # validate() analog (SSTableReaderPatched.java:213-216):
+                # the first decorated key must not sort after the last.
+                # The partitioner comes from Statistics.db when present,
+                # else the engine default.
+                stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
+                part_name = (read_statistics(stats_path)["partitioner"]
+                             if os.path.exists(stats_path)
+                             else DEFAULT_PARTITIONER)
+                token = token_function(part_name)
+                first, last = entries[0][0], entries[-1][0]
+                if (token(first), first) > (token(last), last):
+                    raise ValueError(
+                        f"SSTable first key {first!r} > last key {last!r} "
+                        f"in {sstable_id} (corrupt index or wrong "
+                        f"partitioner {part_name})")
             # logical (uncompressed) extent -- index offsets live there
             comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
             if os.path.exists(comp_path):

@@ -63,6 +63,81 @@ def test_scan_partitions_pure(fixture_sstables):
     assert keys == sorted(keys, key=N.md5_token)
 
 
+def test_murmur3_token_matches_guava_canonical(spark):
+    """Where Cassandra's hash3_x64_128 agrees with the canonical
+    murmur3_128 (full 16-byte blocks: any bytes; tails: bytes < 0x80,
+    where Java sign extension is immaterial), our port must match
+    Guava's canonical implementation bit-for-bit."""
+    import random
+
+    hf = spark._jvm.com.google.common.hash.Hashing.murmur3_128(0)
+    rng = random.Random(7)
+    keys = [bytes(rng.randrange(256) for _ in range(16 * rng.randint(1, 4)))
+            for _ in range(50)]
+    keys += [bytes(rng.randrange(128) for _ in range(rng.randint(1, 47)))
+             for _ in range(100)]
+    for key in keys:
+        want = hf.hashBytes(bytearray(key)).asLong()
+        if want == -(1 << 63):
+            want = (1 << 63) - 1  # Murmur3Partitioner normalize
+        assert N.murmur3_token(key) == want, key.hex()
+
+
+def test_murmur3_token_pinned_values():
+    """Self-golden pins: the Cassandra signed-tail quirk (bytes >= 0x80
+    in the tail diverge from canonical murmur3) and the MINIMUM token
+    for empty keys."""
+    assert N.murmur3_token(b"") == -(1 << 63)
+    # canonical murmur3_128 of b'\xff'*3 is 1377468198530594967; the
+    # Cassandra sign-extension variant must differ:
+    assert N.murmur3_token(b"\xff" * 3) == -9154616442117352147
+
+
+def test_write_scan_murmur3_partitioner(spark, tmp_path):
+    """Fixtures written under Murmur3Partitioner order by murmur3 token,
+    carry the partitioner in Statistics.db, and pass/fail the S2
+    partitioner check accordingly."""
+    d = str(tmp_path)
+    parts = [{"key": b"key-%03d" % i, "cells": [
+        {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}
+        for i in range(40)]
+    data = N.write_sstable(d, 1, parts, partitioner=N.MURMUR3_PARTITIONER)
+    import os
+    scanned = [p["key"] for p in
+               N.scan_partitions_eager(data, 0, os.path.getsize(data))]
+    assert scanned == sorted(scanned, key=lambda k: (N.murmur3_token(k), k))
+    assert scanned != sorted(scanned, key=lambda k: (N.md5_token(k), k))
+    reader = N.SSTableNativeReader(d, 4096,
+                                   expected_partitioner=N.MURMUR3_PARTITIONER)
+    assert len(reader.partitions()) >= 1
+    bad = N.SSTableNativeReader(d, 4096,
+                                expected_partitioner=N.DEFAULT_PARTITIONER)
+    with pytest.raises(ValueError, match="partitioner mismatch"):
+        bad.partitions()
+
+
+def test_validate_first_key_after_last_rejected(tmp_path):
+    """validate() analog: a corrupt index whose first decorated key sorts
+    after its last fails at plan time (SSTableReaderPatched.java:213)."""
+    import os
+    import struct
+
+    d = str(tmp_path)
+    parts = [{"key": b"k%d" % i, "cells": [
+        {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}
+        for i in range(4)]
+    data = N.write_sstable(d, 1, parts)
+    index = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    entries = N.read_index(index)
+    with open(index, "wb") as f:  # rewrite reversed -> first > last
+        for key, off in reversed(entries):
+            f.write(struct.pack(">H", len(key)) + key)
+            f.write(struct.pack(">Q", off) + struct.pack(">I", 0))
+    reader = N.SSTableNativeReader(d, 4096)
+    with pytest.raises(ValueError, match="first key"):
+        reader.partitions()
+
+
 def test_wide_partition_streams_per_cell(tmp_path):
     """One wide partition must scan in O(one cell) memory: the lazy cell
     iterator (S7) never materializes the partition. Peak Python

@@ -31,6 +31,14 @@ def salted_join(skewed: DataFrame, other: DataFrame, on: str,
     monotonically_increasing_id is partition-stable within a job, which
     is sufficient for load spreading).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        # right/full outer would emit each unmatched row of the
+        # replicated side once per salt replica -- duplicated output.
+        # Salt the other side instead (swap the arguments).
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of "
+            f"the replicated side would appear salt_factor times")
     salted = skewed.withColumn(
         "_salt", (F.monotonically_increasing_id() % salt_factor).cast("int"))
     replicated = other.withColumn(

@@ -60,25 +60,33 @@ def decode_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def encode_column(name: bytes, value: bytes | None, write_time: int) -> bytes:
+    """Proto3 semantics: default-valued fields (empty bytes, writeTime 0)
+    are OMITTED, matching what the reference's writeDelimitedTo emits --
+    output is byte-identical, not merely decode-compatible."""
     out = bytearray()
-    out.append(_COLUMN_NAME_TAG)
-    out += encode_varint(len(name))
-    out += name
-    v = value if value is not None else b""
-    out.append(_COLUMN_VALUE_TAG)
-    out += encode_varint(len(v))
-    out += v
-    out.append(_COLUMN_WRITETIME_TAG)
-    out += struct.pack("<Q", write_time & 0xFFFFFFFFFFFFFFFF)
+    if name:
+        out.append(_COLUMN_NAME_TAG)
+        out += encode_varint(len(name))
+        out += name
+    if value:
+        out.append(_COLUMN_VALUE_TAG)
+        out += encode_varint(len(value))
+        out += value
+    if write_time != 0:
+        out.append(_COLUMN_WRITETIME_TAG)
+        out += struct.pack("<Q", write_time & 0xFFFFFFFFFFFFFFFF)
     return bytes(out)
 
 
 def encode_row(key: bytes, columns: Iterable[tuple[bytes, bytes | None, int]]) -> bytes:
-    """Row message body (unframed)."""
+    """Row message body (unframed). Proto3: an empty key is omitted;
+    repeated message elements are always emitted (an empty Column still
+    frames as tag + zero length)."""
     out = bytearray()
-    out.append(_ROW_KEY_TAG)
-    out += encode_varint(len(key))
-    out += key
+    if key:
+        out.append(_ROW_KEY_TAG)
+        out += encode_varint(len(key))
+        out += key
     for name, value, wt in columns:
         col = encode_column(name, value, wt)
         out.append(_ROW_COLUMNS_TAG)
@@ -108,7 +116,9 @@ def decode_column(buf: bytes) -> tuple[bytes, bytes, int]:
             value = buf[pos:pos + ln]
             pos += ln
         elif tag == _COLUMN_WRITETIME_TAG:
-            write_time = struct.unpack_from("<Q", buf, pos)[0]
+            # signed: Java writes fixed64 from a long, so a negative
+            # timestamp must round-trip as two's complement, not >= 2^63
+            write_time = struct.unpack_from("<q", buf, pos)[0]
             pos += 8
         else:
             raise ValueError(f"unknown Column tag 0x{tag:02x}")

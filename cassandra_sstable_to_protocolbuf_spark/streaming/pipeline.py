@@ -59,9 +59,13 @@ def hourly_windowed_agg(events: DataFrame, watermark: str = "2 hours") -> DataFr
 
 
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Exactly-once-per-event_id stream: drop duplicate event ids within
-    the watermark horizon (state is evicted past it)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    """Exactly-once-per-event_id stream within the watermark horizon:
+    dropDuplicatesWithinWatermark keys state on event_id ALONE, so a
+    replay with the same id but a different timestamp is still dropped
+    (plain dropDuplicates(['event_id', 'ts']) would retain it), and
+    state is evicted once the id ages past the watermark."""
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["event_id"]))
 
 
 def sessionize(events: DataFrame, gap: str = "30 minutes",

@@ -34,6 +34,26 @@ def test_golden_row_bytes():
     assert framed[0] == len(row)  # single-byte varint length prefix
 
 
+def test_proto3_default_fields_omitted():
+    """Proto3 serializers skip default-valued fields: an all-default
+    Column encodes to ZERO bytes (framed as tag + len 0 inside Row),
+    and an empty Row key is omitted -- byte parity with the
+    reference's writeDelimitedTo output."""
+    assert pw.encode_column(b"", b"", 0) == b""
+    assert pw.encode_column(b"", None, 0) == b""
+    body = pw.encode_row(b"", [(b"", b"", 0)])
+    assert body == bytes.fromhex("1200")  # columns tag + zero length
+    assert pw.decode_row(body) == (b"", [(b"", b"", 0)])
+
+
+def test_negative_writetime_roundtrip():
+    """Java fixed64-as-long: negative timestamps round-trip via two's
+    complement instead of decoding as >= 2^63."""
+    col = pw.encode_column(b"n", b"v", -42)
+    assert pw.decode_column(col) == (b"n", b"v", -42)
+    assert pw.decode_column(pw.encode_column(b"n", b"v", -(2 ** 63)))[2] == -(2 ** 63)
+
+
 def test_row_codec_roundtrip():
     cols = [(b"", b"", 0), (b"name", None, 2 ** 62), (b"\x00\xff", b"x" * 300, 123)]
     body = pw.encode_row(b"\x01\x02", cols)

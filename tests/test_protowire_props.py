@@ -12,7 +12,9 @@ from cassandra_sstable_to_protocolbuf_spark import protowire as pw
 cell = st.tuples(
     st.binary(min_size=0, max_size=64),
     st.binary(min_size=0, max_size=256),
-    st.integers(min_value=0, max_value=2 ** 63 - 1),
+    # full Java long range: negative timestamps must survive the
+    # fixed64 round-trip as two's complement
+    st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
 )
 row = st.tuples(st.binary(min_size=0, max_size=64), st.lists(cell, max_size=8))
 

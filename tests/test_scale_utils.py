@@ -36,6 +36,21 @@ def test_salted_join_matches_plain_join(spark):
     assert plain.n == salted.n and plain.s == salted.s
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Unmatched replicated-side rows would surface once per salt
+    replica, so the operator refuses those join types outright."""
+    import pytest
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select("l_orderkey")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"))
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(li, orders, "l_orderkey", how=how)
+
+
 def test_top_heavy_keys_diagnostic(spark):
     from cassandra_sstable_to_protocolbuf_spark.operators.skew import top_heavy_keys
 

@@ -83,6 +83,49 @@ def md5_token(key: bytes) -> int:
 
 MURMUR3_PARTITIONER = "org.apache.cassandra.dht.Murmur3Partitioner"
 
+# sstable format versions (Descriptor.Version): the reference links
+# cassandra-all 2.0.x whose current version is "jb"; our fixture writer
+# has historically named files "ka" (identical row layout for the
+# components we write). Versions BEFORE "ja" frame each row with a long
+# row-size and an int column count after the partition deletion time
+# (SSTableIdentityIteratorPatched.java:70: hasRowSizeAndColumnCount).
+KNOWN_VERSIONS = ("ic", "ja", "jb", "ka")
+
+
+class Descriptor:
+    """Filename metadata: <keyspace>-<cf>-<version>-<generation>-<Component>.db
+    (the Descriptor.fromFilename analog, service/SSTableReader.java:54)."""
+
+    def __init__(self, ks: str, cf: str, version: str, generation: int):
+        self.ks = ks
+        self.cf = cf
+        self.version = version
+        self.generation = generation
+
+    @property
+    def has_row_size_and_column_count(self) -> bool:
+        return self.version < "ja"
+
+    @classmethod
+    def from_filename(cls, path: str) -> "Descriptor":
+        name = os.path.basename(path)
+        stem = name[:name.rindex(".")] if "." in name else name
+        bits = stem.split("-")
+        if len(bits) < 5:
+            raise ValueError(f"not an sstable component filename: {name}")
+        # rightmost fields are fixed; the keyspace/cf may contain dashes
+        component, gen, version = bits[-1], bits[-2], bits[-3]
+        if version not in KNOWN_VERSIONS:
+            raise ValueError(
+                f"unsupported sstable version {version!r} in {name} "
+                f"(known: {', '.join(KNOWN_VERSIONS)})")
+        if not gen.isdigit():
+            raise ValueError(f"bad generation {gen!r} in {name}")
+        ks = bits[0]
+        cf = "-".join(bits[1:-3])
+        del component
+        return cls(ks, cf, version, int(gen))
+
 _M64 = (1 << 64) - 1
 
 
@@ -528,15 +571,25 @@ def read_index(index_path: str) -> list[tuple[bytes, int]]:
     return entries
 
 
-def _read_cell_atoms(f) -> Iterator[dict]:
+def _read_cell_atoms(f, count: int | None = None) -> Iterator[dict]:
     """Lazy per-cell decoder: yields one atom dict at a time until the
-    partition's end-of-row marker (nlen == 0). O(one cell) memory -- a
-    single wide partition (the wide-row model's whole point) never
-    materializes, matching the reference's lazy column iterator
+    partition's end-of-row marker (nlen == 0), or -- for pre-'ja'
+    versions, which carry an explicit column count instead of a
+    terminator -- until `count` atoms have been read. O(one cell)
+    memory -- a single wide partition (the wide-row model's whole point)
+    never materializes, matching the reference's lazy column iterator
     (SSTableIdentityIteratorPatched.java computeNext)."""
+    remaining = count
     while True:
+        if remaining is not None:
+            if remaining == 0:
+                return
+            remaining -= 1
         (nlen,) = struct.unpack(">H", f.read(2))
         if nlen == 0:
+            if count is not None:
+                raise ValueError(
+                    "zero-length cell name inside a column-counted row")
             return
         name = f.read(nlen)
         (flags,) = struct.unpack(">B", f.read(1))
@@ -587,6 +640,10 @@ def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
     is drained (parsed and discarded) automatically on advance. Use
     scan_partitions_eager() when partitions are to be held as values.
     """
+    try:
+        old_format = Descriptor.from_filename(data_path).has_row_size_and_column_count
+    except ValueError:
+        old_format = False  # unnamed fixture paths: current layout
     f, _logical_size = open_data_file(data_path)
     with f:
         f.seek(start)
@@ -596,9 +653,18 @@ def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
                 return
             (klen,) = struct.unpack(">H", hdr)
             key = f.read(klen)
-            ldt, marked = struct.unpack(">iq", f.read(12))
+            if old_format:
+                # pre-'ja' row framing: long row-size precedes the
+                # deletion time, and an int column count replaces the
+                # zero-short end-of-row marker
+                (_row_size,) = struct.unpack(">q", f.read(8))
+                ldt, marked = struct.unpack(">iq", f.read(12))
+                (column_count,) = struct.unpack(">i", f.read(4))
+                cells = _read_cell_atoms(f, count=column_count)
+            else:
+                ldt, marked = struct.unpack(">iq", f.read(12))
+                cells = _read_cell_atoms(f)
             deletion_live = (ldt == LIVE_LOCAL_DELETION and marked == LIVE_MARKED_AT)
-            cells = _read_cell_atoms(f)
             yield {"key": key, "deletion_live": deletion_live, "cells": cells}
             for _ in cells:  # drain unconsumed tail to the next partition
                 pass

@@ -89,32 +89,128 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     )
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne: a*c+b stays within int64
+MINHASH_BANDS = 21
+MINHASH_ROWS = 3  # 63 hashes; P(candidate | j=0.5) = 1-(1-0.125)^21 ~ 0.94
+
+
+def minhash_params(seed: int, num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for h_j(c) = (a*c + b) mod P --
+    the same literals are embedded in the DuckDB oracle, so minhash
+    signatures (pure int64 arithmetic over md5-derived shingle codes)
+    are identical across engines."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+            for _ in range(num_hashes)]
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_hashes: int = 64, num_features: int = 1 << 18) -> DataFrame:
-    """Approximate near-dup pairs via MinHashLSH, then exact verify.
+                      n_bands: int = MINHASH_BANDS, n_rows: int = MINHASH_ROWS,
+                      seed: int = 42) -> DataFrame:
+    """Approximate near-dup pairs via hand-rolled banded MinHash, then
+    exact-Jaccard verify.
 
-    Candidate generation is approxSimilarityJoin (band-bucketed, linear
-    scale); every surviving pair is re-checked with exact Jaccard so
-    precision is 1.0 (recall is the probabilistic part).
+    Shingle codes are the md5-60-bit trick (same as SimHash) reduced mod
+    a Mersenne prime; each of the n_bands*n_rows permutation hashes is a
+    universal (a*c+b) mod P with seeded literal coefficients. Candidate
+    pairs come from an equi-join on (band, r-row signature) -- linear
+    scale, like Spark ML's approxSimilarityJoin -- but fully
+    deterministic, so the whole operator has an exact DuckDB oracle.
+    Every candidate is re-checked with exact Jaccard: precision is 1.0,
+    recall is the banded s-curve (1-(1-t^r)^b ~ 0.94 at t=0.5).
     """
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
 
-    sh = (docs.select(F.col(id_col).alias("doc_id"),
-                      shingles(tokens(F.col(text_col))).alias("sh"))
-          .filter(F.size("sh") > 0))
-    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feat = tf.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42)
-    model = lsh.fit(feat)
-    pairs = (
-        model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="dist")
-        .select(F.col("datasetA.doc_id").alias("d1"),
-                F.col("datasetB.doc_id").alias("d2"),
-                (1.0 - F.col("dist")).alias("est_jaccard"))
-        .filter(F.col("d1") < F.col("d2"))
-    )
-    return pairs
+    num_hashes = n_bands * n_rows
+    params = minhash_params(seed, num_hashes)
+    base = (widen(docs)
+            .select(F.col(id_col).alias("doc_id"),
+                    shingles(tokens(F.col(text_col))).alias("sh"))
+            .filter(F.size("sh") > 0))
+    # codes materialize in their own projection: every minhash lambda
+    # references them, and interpreted HOFs re-evaluate inlined
+    # expressions per reference
+    coded = base.select(
+        "doc_id", "sh",
+        F.transform("sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15),
+                                           16, 10).cast("long")
+                    % MINHASH_PRIME).alias("codes"))
+    def perm(a: int, b: int):
+        return lambda c: (a * c + b) % MINHASH_PRIME
+
+    mh = [F.array_min(F.transform("codes", perm(a, b))) for (a, b) in params]
+    sig = coded.select("doc_id", "sh", F.array(*mh).alias("mh"))
+    bands = F.array(*[
+        F.concat_ws(",", *[F.col("mh")[t * n_rows + r].cast("string")
+                           for r in range(n_rows)])
+        for t in range(n_bands)])
+    ex = sig.select("doc_id", F.posexplode(bands).alias("band", "bsig"))
+    a_side = ex.select("band", "bsig", F.col("doc_id").alias("d1"))
+    b_side = ex.select("band", "bsig", F.col("doc_id").alias("d2"))
+    cand = (a_side.join(b_side, ["band", "bsig"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2").dropDuplicates(["d1", "d2"]))
+    sh1 = sig.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = sig.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    n_common = F.size(F.array_intersect("sh1", "sh2"))
+    jacc = (n_common.cast("double")
+            / (F.size("sh1") + F.size("sh2") - n_common).cast("double"))
+    return (cand.join(sh1, "d1").join(sh2, "d2")
+            .select("d1", "d2", jacc.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_lsh_oracle_sql(threshold: float = 0.5,
+                           n_bands: int = MINHASH_BANDS,
+                           n_rows: int = MINHASH_ROWS,
+                           seed: int = 42) -> str:
+    """DuckDB oracle for minhash_lsh_pairs: identical shingle codes
+    (md5 60-bit mod P), identical literal (a, b) coefficients, identical
+    banding and exact-Jaccard verify."""
+    params = minhash_params(seed, n_bands * n_rows)
+    P = MINHASH_PRIME
+    mh = ", ".join(
+        f"list_min(list_transform(codes, c -> ({a} * c + {b}) % {P})) AS h{j}"
+        for j, (a, b) in enumerate(params))
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {t} AS band, {sig} AS bsig FROM mh".format(
+            t=t, sig=" || ',' || ".join(
+                f"CAST(h{t * n_rows + r} AS VARCHAR)" for r in range(n_rows)))
+        for t in range(n_bands))
+    return rf"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+sh AS (SELECT doc_id, list_distinct(
+          CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END) AS sh
+       FROM toks),
+coded AS (SELECT doc_id, sh,
+                 list_transform(sh, s ->
+                     CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % {P})
+                 AS codes
+          FROM sh WHERE len(sh) > 0),
+mh AS (SELECT doc_id, sh, {mh} FROM coded),
+bands AS ({band_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+SELECT d1, d2, jaccard FROM (
+  SELECT d1, d2,
+         CAST(len(list_filter(m1.sh, x -> list_contains(m2.sh, x))) AS DOUBLE)
+         / CAST(len(m1.sh) + len(m2.sh)
+                - len(list_filter(m1.sh, x -> list_contains(m2.sh, x)))
+                AS DOUBLE) AS jaccard
+  FROM cand JOIN mh m1 ON m1.doc_id = cand.d1
+            JOIN mh m2 ON m2.doc_id = cand.d2
+) WHERE jaccard >= {threshold}
+"""
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,

@@ -5,11 +5,15 @@
   All arithmetic is a JVM-side left fold (F.aggregate / F.zip_with) in
   double precision -- no Python in the loop, bit-identical to a
   sequential sum.
-* rp_lsh_topk -- random-hyperplane LSH bucketing: only corpus vectors
-  sharing a signature bucket with the query are scored. The 100 TB scale
-  path: candidate generation is an equi-join on the signature, so cost is
-  ~corpus/2^bits per query instead of full corpus. Approximate (a true
-  neighbor can land in another bucket; multiple hash tables raise recall).
+* ann_lsh_topk -- random-hyperplane (sign) LSH bucketing: only corpus
+  vectors sharing a signature bucket with the query are scored. The
+  100 TB scale path: candidate generation is an equi-join on (table,
+  signature), so cost is ~n_tables * corpus/2^bits per query instead of
+  full corpus. Approximate recall (a true neighbor can land in another
+  bucket; multiple hash tables raise it) but DETERMINISTIC at fixed
+  seed, with an exact DuckDB oracle.
+* lsh_dup_pairs -- the same signatures applied to all-pairs dedup:
+  bucket-mate candidate pairs + exact cosine verify.
 
 At cluster scale the brute-force variant is still the right baseline when
 the query set is small (broadcast) -- it is one scan, embarrassingly
@@ -209,55 +213,92 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
-def rp_lsh_signatures(df: DataFrame, vec_col: str, id_col: str,
-                      n_planes: int = 8, seed: int = 42, dim: int = 64) -> DataFrame:
-    """Random-hyperplane signature: bit i = sign(v . r_i).
-
-    Hyperplanes are a deterministic pseudo-random matrix generated from
-    `seed` driver-side (tiny: n_planes x dim) and embedded as a literal
-    array -- broadcast-free and identical on every executor.
-    """
-    import random
-
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-    v = _as_double(vec_col)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = _dot(v, F.array(*[F.lit(x) for x in plane]))
-        sig = sig + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("id"), v.alias("v"), sig.alias("sig"))
-
-
-def rp_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                id_col: str = "vec_id", vec_col: str = "embedding",
-                query_id_col: str = "qid", n_planes: int = 4,
-                n_tables: int = 6) -> DataFrame:
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "qid", n_planes: int = 4,
+                 n_tables: int = 6, seed: int = 42,
+                 dim: int = 64) -> DataFrame:
     """Approximate cosine top-k: score only bucket-mates of each query.
 
-    OR-construction over `n_tables` independent hash tables (union of
-    bucket joins, deduped): one table leaves some queries with empty or
-    tiny buckets; multiple tables make a candidate-free query
-    exponentially unlikely while keeping probe cost ~n_tables *
-    corpus/2^n_planes per query.
-    """
-    dim = 64
-    cands = None
-    for t in range(n_tables):
-        c = rp_lsh_signatures(corpus, vec_col, id_col, n_planes,
-                              seed=42 + t, dim=dim)
-        q = (rp_lsh_signatures(queries, vec_col, query_id_col, n_planes,
-                               seed=42 + t, dim=dim)
-             .select(F.col("id").alias("qid"), F.col("v").alias("qv"),
-                     F.col("sig").alias("qsig")))
-        hit = (broadcast(q).join(c, F.col("sig") == F.col("qsig"))
-               .filter(F.col("id") != F.col("qid"))
-               .select("qid", "qv", F.col("id").alias("nid"), F.col("v").alias("v")))
-        cands = hit if cands is None else cands.unionAll(hit)
-    cands = cands.dropDuplicates(["qid", "nid"])
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
-    scored = cands.select("qid", "nid", cos.alias("cosine"))
+    OR-construction over `n_tables` independent sign-LSH tables (one
+    posexplode + equi-join on (table, signature), deduped): one table
+    leaves some queries with empty or tiny buckets; multiple tables make
+    a candidate-free query exponentially unlikely while keeping probe
+    cost ~n_tables * corpus/2^n_planes per query. Shares the Rademacher
+    signature machinery with lsh_dup_pairs, so the result is fully
+    deterministic and has an exact DuckDB oracle
+    (ann_lsh_topk_oracle_sql)."""
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    sig_udf = lsh_signature_udf(n_tables, n_planes, seed, dim)
+    c = widen(corpus).select(F.col(id_col).alias("nid"),
+                             F.col(vec_col).alias("emb"))
+    q = queries.select(F.col(query_id_col).alias("qid"),
+                       F.col(vec_col).alias("emb"))
+    c_ex = c.select("nid", F.posexplode(sig_udf("emb")).alias("t", "sig"))
+    q_ex = q.select("qid", F.posexplode(sig_udf("emb")).alias("t", "sig"))
+    pairs = (broadcast(q_ex).join(c_ex, ["t", "sig"])
+             .filter(F.col("nid") != F.col("qid"))
+             .select("qid", "nid")
+             .dropDuplicates(["qid", "nid"]))
+    cv = c.select(F.col("nid"), _as_double("emb").alias("v"))
+    cv = cv.select("nid", "v", _norm(F.col("v")).alias("nn"))
+    qv = q.select(F.col("qid"), _as_double("emb").alias("qv"))
+    qv = qv.select("qid", "qv", _norm(F.col("qv")).alias("qn"))
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+    scored = (pairs.join(broadcast(qv), "qid").join(cv, "nid")
+              .select("qid", "nid", cos.alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "rank", "nid", "cosine"))
+
+
+def ann_lsh_topk_oracle_sql(query_pred: str, k: int = 5, n_planes: int = 4,
+                            n_tables: int = 6, seed: int = 42,
+                            dim: int = 64,
+                            table: str = "embeddings") -> str:
+    """DuckDB oracle for ann_lsh_topk: identical literal plane matrix,
+    identical fold order, window top-k over the bucketed candidates.
+    `query_pred` selects the query subset (e.g. 'vec_id % 25 = 0')."""
+    planes = rademacher_planes(seed, n_tables * n_planes, dim)
+
+    def dot(plane: list[float]) -> str:
+        lits = ",".join("1.0" if w > 0 else "-1.0" for w in plane)
+        return ("list_sum(list_transform(list_zip(v, [" + lits +
+                "]), p -> p[1] * p[2]))")
+
+    selects = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {dot(planes[t * n_planes + j])} > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes))
+        selects.append(
+            f"SELECT vec_id, {t} AS t, CAST({bits} AS BIGINT) AS sig FROM e")
+    sigt = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+sigt AS ({sigt}),
+qsig AS (SELECT vec_id AS qid, t, sig FROM sigt WHERE {query_pred}),
+cand AS (
+  SELECT DISTINCT q.qid, s.vec_id AS nid
+  FROM qsig q JOIN sigt s USING (t, sig)
+  WHERE s.vec_id <> q.qid
+),
+scored AS (
+  SELECT qid, nid,
+         list_sum(list_transform(list_zip(eq.v, en.v), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(eq.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(en.v, x -> x * x)))) AS cosine
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.qid
+  JOIN e en ON en.vec_id = cand.nid
+)
+SELECT qid, rank, nid, cosine FROM (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+) t WHERE rank <= {k}
+"""

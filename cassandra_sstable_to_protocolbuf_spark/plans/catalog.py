@@ -118,15 +118,15 @@ CATALOG: dict[str, QueryDef] = {
                                    "exact near-dup pairs (shingle inverted index)"),
     "docs_simhash_pairs": QueryDef(TX.docs_simhash_pairs, TX.DOCS_SIMHASH_SQL,
                                    "SimHash near-dup pairs (banded equi-join)"),
-    "docs_minhash_lsh": QueryDef(TX.docs_minhash_lsh, None,
-                                 "MinHashLSH candidate pairs (probabilistic)"),
+    "docs_minhash_lsh": QueryDef(TX.docs_minhash_lsh, TX.DOCS_MINHASH_SQL,
+                                 "banded MinHash near-dups (bucketed + exact verify)"),
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),
     "emb_centroid_per_label": QueryDef(V.emb_centroid_per_label, V.EMB_CENTROID_SQL,
                                        "per-label vector aggregation"),
-    "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, None,
-                            "random-hyperplane LSH approximate top-k"),
+    "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, V.EMB_ANN_LSH_SQL,
+                            "sign-LSH approximate top-k (bucketed + rescored)"),
     "emb_cosine_dup_pairs": QueryDef(V.emb_cosine_dup_pairs, V.EMB_COSINE_DUP_SQL,
                                      "embedding near-dup pairs (LSH-bucketed + exact verify)"),
 }

@@ -214,5 +214,11 @@ DOCS_SIMHASH_SQL = _duck_simhash_sql()
 
 
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (probabilistic recall -> no SQL oracle)."""
+    """Banded MinHash near-dup candidates + exact-Jaccard verify.
+    Hand-rolled universal hashing with seeded literal coefficients, so
+    the operator is deterministic and fully hash-gated (the oracle
+    reproduces the identical banding)."""
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+DOCS_MINHASH_SQL = D.minhash_lsh_oracle_sql(threshold=0.5)

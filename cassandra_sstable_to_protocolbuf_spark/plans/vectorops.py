@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
-    cosine_topk, lsh_dup_pairs, lsh_dup_pairs_oracle_sql, rp_lsh_topk)
+    ann_lsh_topk, ann_lsh_topk_oracle_sql, cosine_topk, lsh_dup_pairs,
+    lsh_dup_pairs_oracle_sql)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,9 +134,15 @@ WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
 
 
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check: approximate ANN via random-hyperplane LSH
-    (bucketed candidates -> no deterministic SQL oracle)."""
+    """Approximate ANN via sign-LSH bucketing + exact rescoring of
+    bucket-mates. Deterministic at the fixed seed, so it is fully
+    hash-gated: the DuckDB oracle reproduces the identical bucketing
+    from the same literal plane matrix (recall vs the exact top-k is
+    measured separately in tests/test_approx_quality.py)."""
     emb = _emb(spark, sf_dir)
     queries = (emb.filter(F.col("vec_id") % 25 == 0)
                .select(F.col("vec_id").alias("qid"), "embedding"))
-    return rp_lsh_topk(emb, queries, k=5)
+    return ann_lsh_topk(emb, queries, k=5)
+
+
+EMB_ANN_LSH_SQL = ann_lsh_topk_oracle_sql(query_pred="vec_id % 25 = 0", k=5)

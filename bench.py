@@ -39,8 +39,11 @@ HEADLINE = [
     "docs_exact_dedup",
     "docs_ngram_jaccard",
     "docs_simhash_pairs",
+    "docs_minhash_lsh",
     "emb_cosine_topk",
     "emb_cosine_dup_pairs",
+    "emb_ann_lsh",
+    "mm_image_features",
 ]
 
 

@@ -122,39 +122,50 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     Every candidate is re-checked with exact Jaccard: precision is 1.0,
     recall is the banded s-curve (1-(1-t^r)^b ~ 0.94 at t=0.5).
     """
-    from cassandra_sstable_to_protocolbuf_spark.session import widen
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        tune_for_hof_explode, widen)
 
+    # exploding a lambda-built shingle array: InferFiltersFromGenerate
+    # would clone the whole tokenize+shingle chain into a pre-explode
+    # Filter (interpreted, no CSE) -- same trap as doc_shingles
+    tune_for_hof_explode(docs.sparkSession)
     num_hashes = n_bands * n_rows
     params = minhash_params(seed, num_hashes)
-    base = (widen(docs)
-            .select(F.col(id_col).alias("doc_id"),
-                    shingles(tokens(F.col(text_col))).alias("sh"))
-            .filter(F.size("sh") > 0))
-    # codes materialize in their own projection: every minhash lambda
-    # references them, and interpreted HOFs re-evaluate inlined
-    # expressions per reference
-    coded = base.select(
-        "doc_id", "sh",
-        F.transform("sh", lambda s: F.conv(F.substring(F.md5(s), 1, 15),
-                                           16, 10).cast("long")
-                    % MINHASH_PRIME).alias("codes"))
-    def perm(a: int, b: int):
-        return lambda c: (a * c + b) % MINHASH_PRIME
-
-    mh = [F.array_min(F.transform("codes", perm(a, b))) for (a, b) in params]
-    sig = coded.select("doc_id", "sh", F.array(*mh).alias("mh"))
+    # tokens materialize in their own projection first: the shingle
+    # lambda references them O(doc_len) times and interpreted HOFs
+    # re-evaluate inlined expressions per reference
+    toks = widen(docs).select(F.col(id_col).alias("doc_id"),
+                              tokens(F.col(text_col)).alias("t"))
+    # no size(sh) > 0 filter: predicate pushdown would substitute the
+    # shingle lambda into a pre-projection Filter and evaluate it twice;
+    # explode drops empty arrays and shingle-less docs can't be
+    # candidates anyway
+    base = toks.select("doc_id", shingles(F.col("t")).alias("sh"))
+    # explode + codegen'd hash aggregation, NOT 63 interpreted HOF
+    # transforms over the shingle array: each md5 code is computed ONCE
+    # per (doc, shingle) row and all permutation mins run as JVM
+    # aggregates with map-side partial agg (measured 30s -> ~2s at
+    # sf0.1). Also the shape that scales: narrow explode, one shuffle
+    # keyed by doc_id.
+    code = (F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long") % MINHASH_PRIME)
+    coded = (base.select("doc_id", F.explode("sh").alias("shingle"))
+             .select("doc_id", code.alias("c")))
+    mins = coded.groupBy("doc_id").agg(*[
+        F.min((a * F.col("c") + b) % MINHASH_PRIME).alias(f"h{j}")
+        for j, (a, b) in enumerate(params)])
     bands = F.array(*[
-        F.concat_ws(",", *[F.col("mh")[t * n_rows + r].cast("string")
+        F.concat_ws(",", *[F.col(f"h{t * n_rows + r}").cast("string")
                            for r in range(n_rows)])
         for t in range(n_bands)])
-    ex = sig.select("doc_id", F.posexplode(bands).alias("band", "bsig"))
+    ex = mins.select("doc_id", F.posexplode(bands).alias("band", "bsig"))
     a_side = ex.select("band", "bsig", F.col("doc_id").alias("d1"))
     b_side = ex.select("band", "bsig", F.col("doc_id").alias("d2"))
     cand = (a_side.join(b_side, ["band", "bsig"])
             .filter(F.col("d1") < F.col("d2"))
             .select("d1", "d2").dropDuplicates(["d1", "d2"]))
-    sh1 = sig.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    sh2 = sig.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    sh1 = base.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    sh2 = base.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     n_common = F.size(F.array_intersect("sh1", "sh2"))
     jacc = (n_common.cast("double")
             / (F.size("sh1") + F.size("sh2") - n_common).cast("double"))

@@ -241,19 +241,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
         raise ValueError("max_hamming must be < SIMHASH_BITS")
     base = SIMHASH_BITS // n_bands
     extra = SIMHASH_BITS % n_bands  # first `extra` bands get one more bit
-    bands = []
+    # single posexplode of the band-value array, NOT a union of per-band
+    # selects: the union form re-evaluated the whole simhash aggregation
+    # once per band per join side
+    band_vals = []
     offset = 0
     for b in range(n_bands):
         width = base + (1 if b < extra else 0)
-        bands.append(sh.select(
-            "doc_id", "simhash", F.lit(b).alias("band"),
-            F.shiftright("simhash", offset)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
-        ))
+        band_vals.append(F.shiftright("simhash", offset)
+                         .bitwiseAND(F.lit((1 << width) - 1)))
         offset += width
-    banded = bands[0]
-    for more in bands[1:]:
-        banded = banded.unionAll(more)
+    banded = sh.select("doc_id", "simhash",
+                       F.posexplode(F.array(*band_vals)).alias("band", "band_val"))
     a = banded.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"),
                       "band", "band_val")
     b_ = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),

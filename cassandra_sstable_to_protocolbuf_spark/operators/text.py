@@ -34,6 +34,44 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-style pre-tokenization, RE2/Java-portable (no lookaheads): letter
+# runs, single digits (Llama-style digit splitting), punctuation runs.
+# Alternatives are disjoint char classes, so leftmost-first matching is
+# unambiguous across regex engines.
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def subword_pieces(text: Column) -> Column:
+    """Pre-tokenizer pieces per SUBWORD_PATTERN."""
+    return F.regexp_extract_all(text, F.lit(SUBWORD_PATTERN), 0)
+
+
+def token_budget(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-count estimates for training-budget planning:
+    whitespace tokens, BPE-ish pre-tokenizer pieces, and a subword
+    estimate (each letter run contributes ceil(len/4) units -- the ~4
+    chars/token rule of thumb; digits and punctuation count per piece).
+    All integer arithmetic, so the estimate is engine-exact.
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("_text"),
+                       tokens(F.col(text_col)).alias("t"),
+                       subword_pieces(F.col(text_col)).alias("p"))
+    subword_units = F.aggregate(
+        F.transform("p", lambda x: F.floor((F.length(x) + 3) / 4).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return base.select(
+        "doc_id",
+        F.size("t").alias("n_ws_tokens"),
+        F.size("p").alias("n_pieces"),
+        subword_units.alias("n_subword_est"),
+        (F.length("_text").cast("double")
+         / F.greatest(subword_units, F.lit(1)).cast("double"))
+        .alias("chars_per_token"),
+    )
+
+
 def marker_hits(toks: Column, markers: tuple) -> Column:
     """Count of tokens that are in the marker list (JVM-side lambda)."""
     return F.size(F.filter(toks, lambda x: x.isin(*markers)))

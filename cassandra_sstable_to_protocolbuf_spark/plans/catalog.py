@@ -106,6 +106,8 @@ CATALOG: dict[str, QueryDef] = {
     # --- text analysis + dedup (north-star extensions) --------------------
     "docs_text_stats": QueryDef(TX.docs_text_stats, TX.DOCS_TEXT_STATS_SQL,
                                 "token/char statistics"),
+    "docs_token_budget": QueryDef(TX.docs_token_budget, TX.DOCS_TOKEN_BUDGET_SQL,
+                                  "token counting: whitespace + BPE-ish regex"),
     "docs_quality": QueryDef(TX.docs_quality, TX.DOCS_QUALITY_SQL,
                              "quality scoring + keep flag"),
     "docs_langid": QueryDef(TX.docs_langid, TX.DOCS_LANGID_SQL,

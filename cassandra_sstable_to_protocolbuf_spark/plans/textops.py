@@ -50,6 +50,29 @@ FROM t
 """
 
 
+def docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count estimates (whitespace + BPE-ish regex pre-tokenizer +
+    4-chars-per-subword rule) for training-budget planning."""
+    return T.token_budget(_docs(spark, sf_dir))
+
+
+DOCS_TOKEN_BUDGET_SQL = rf"""
+WITH t AS (SELECT doc_id, text, {_DUCK_TOKENS} AS toks,
+                  regexp_extract_all(text, '{T.SUBWORD_PATTERN}') AS p
+           FROM documents),
+agg AS (SELECT doc_id, text,
+               len(toks) AS n_ws_tokens,
+               len(p) AS n_pieces,
+               CAST(list_sum(list_transform(
+                   p, x -> (length(x) + 3) // 4)) AS BIGINT) AS n_subword_est
+        FROM t)
+SELECT doc_id, n_ws_tokens, n_pieces, n_subword_est,
+       CAST(length(text) AS DOUBLE)
+       / CAST(greatest(n_subword_est, 1) AS DOUBLE) AS chars_per_token
+FROM agg
+"""
+
+
 def docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(_docs(spark, sf_dir))
 

@@ -237,7 +237,10 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("emb"))
     c_ex = c.select("nid", F.posexplode(sig_udf("emb")).alias("t", "sig"))
     q_ex = q.select("qid", F.posexplode(sig_udf("emb")).alias("t", "sig"))
-    pairs = (broadcast(q_ex).join(c_ex, ["t", "sig"])
+    # no broadcast hints: the query side here is a corpus fraction, not
+    # a bounded dim -- AQE broadcasts it at small SF and shuffles at
+    # scale (a hardcoded hint would OOM on a large query set)
+    pairs = (q_ex.join(c_ex, ["t", "sig"])
              .filter(F.col("nid") != F.col("qid"))
              .select("qid", "nid")
              .dropDuplicates(["qid", "nid"]))
@@ -246,7 +249,7 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     qv = q.select(F.col("qid"), _as_double("emb").alias("qv"))
     qv = qv.select("qid", "qv", _norm(F.col("qv")).alias("qn"))
     cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
-    scored = (pairs.join(broadcast(qv), "qid").join(cv, "nid")
+    scored = (pairs.join(qv, "qid").join(cv, "nid")
               .select("qid", "nid", cos.alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -257,6 +257,111 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
             .select("qid", "rank", "nid", "cosine"))
 
 
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             nprobe: int = 2, centroid_mod: int = 40, centroid_rem: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "qid") -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    centroid cells, probe only the query's `nprobe` nearest cells.
+
+    Centroids are a deterministic corpus subset (vec_id % centroid_mod
+    == centroid_rem -- K ~ N/centroid_mod plays the sqrt(N)-codebook
+    role; a trained k-means codebook drops in by swapping the centroid
+    DataFrame). Cell assignment is a map-side max_by aggregation over
+    the broadcast centroid set (no N x K shuffle), so the partition
+    phase is one corpus pass; the probe phase touches ~nprobe/K of the
+    corpus per query. Fully deterministic: cosine scores are bit-exact
+    across engines, ties break toward the lower centroid id, so the
+    DuckDB oracle (ivf_topk_oracle_sql) reproduces the cells exactly.
+    """
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    cent = (corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")))
+    cent = cent.select("cid", "cv", _norm(F.col("cv")).alias("cn"))
+    v = widen(corpus).select(F.col(id_col).alias("nid"),
+                             _as_double(vec_col).alias("v"))
+    v = v.select("nid", "v", _norm(F.col("v")).alias("nn"))
+    cos_vc = _dot(F.col("v"), F.col("cv")) / (F.col("nn") * F.col("cn"))
+    # argmax centroid per vector: max_by over (cos, -cid) aggregates
+    # with map-side combine instead of shuffling all N x K pairs
+    assign = (v.crossJoin(broadcast(cent))
+              .select("nid", "cid", cos_vc.alias("cos"))
+              .groupBy("nid")
+              .agg(F.max_by("cid", F.struct(F.col("cos"),
+                                            (-F.col("cid")).alias("neg")))
+                   .alias("cid")))
+    q = queries.select(F.col(query_id_col).alias("qid"),
+                       _as_double(vec_col).alias("qv"))
+    q = q.select("qid", "qv", _norm(F.col("qv")).alias("qn"))
+    cos_qc = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wprobe = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    probes = (q.crossJoin(broadcast(cent))
+              .select("qid", "cid", cos_qc.alias("cos"))
+              .withColumn("r", F.row_number().over(wprobe))
+              .filter(F.col("r") <= nprobe)
+              .select("qid", "cid"))
+    cand = (probes.join(assign, "cid")
+            .filter(F.col("nid") != F.col("qid"))
+            .select("qid", "nid").dropDuplicates(["qid", "nid"]))
+    cos_qn = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+    scored = (cand.join(q, "qid").join(v, "nid")
+              .select("qid", "nid", cos_qn.alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid", "cosine"))
+
+
+def ivf_topk_oracle_sql(query_pred: str, k: int = 5, nprobe: int = 2,
+                        centroid_mod: int = 40, centroid_rem: int = 7,
+                        table: str = "embeddings") -> str:
+    """DuckDB oracle for ivf_topk: identical centroid subset, identical
+    bit-exact cosine cell assignment (window-argmax with the same
+    tiebreak), identical probe and rescoring."""
+    cos = ("list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+           " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+           " * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e
+         WHERE vec_id % {centroid_mod} = {centroid_rem}),
+assign AS (
+  SELECT nid, cid FROM (
+    SELECT e.vec_id AS nid, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos.format(a='e.v', b='cent.cv')} DESC,
+                                       cent.cid ASC) AS r
+    FROM e CROSS JOIN cent
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {cos.format(a='q.v', b='cent.cv')} DESC,
+                                       cent.cid ASC) AS r
+    FROM e q CROSS JOIN cent WHERE {query_pred.replace('vec_id', 'q.vec_id')}
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT probes.qid, assign.nid
+  FROM probes JOIN assign USING (cid)
+  WHERE assign.nid <> probes.qid
+)
+SELECT qid, rank, nid, cosine FROM (
+  SELECT cand.qid, cand.nid,
+         {cos.format(a='eq.v', b='en.v')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY cand.qid
+                            ORDER BY {cos.format(a='eq.v', b='en.v')} DESC,
+                                     cand.nid ASC) AS rank
+  FROM cand
+  JOIN e eq ON eq.vec_id = cand.qid
+  JOIN e en ON en.vec_id = cand.nid
+) t WHERE rank <= {k}
+"""
+
+
 def ann_lsh_topk_oracle_sql(query_pred: str, k: int = 5, n_planes: int = 4,
                             n_tables: int = 6, seed: int = 42,
                             dim: int = 64,

@@ -129,6 +129,8 @@ CATALOG: dict[str, QueryDef] = {
                                        "per-label vector aggregation"),
     "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, V.EMB_ANN_LSH_SQL,
                             "sign-LSH approximate top-k (bucketed + rescored)"),
+    "emb_ivf_topk": QueryDef(V.emb_ivf_topk, V.EMB_IVF_SQL,
+                             "IVF coarse-quantized top-k (nprobe cells rescored)"),
     "emb_cosine_dup_pairs": QueryDef(V.emb_cosine_dup_pairs, V.EMB_COSINE_DUP_SQL,
                                      "embedding near-dup pairs (LSH-bucketed + exact verify)"),
 }

@@ -12,8 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
-    ann_lsh_topk, ann_lsh_topk_oracle_sql, cosine_topk, lsh_dup_pairs,
-    lsh_dup_pairs_oracle_sql)
+    ann_lsh_topk, ann_lsh_topk_oracle_sql, cosine_topk, ivf_topk,
+    ivf_topk_oracle_sql, lsh_dup_pairs, lsh_dup_pairs_oracle_sql)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,3 +146,16 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_ANN_LSH_SQL = ann_lsh_topk_oracle_sql(query_pred="vec_id % 25 = 0", k=5)
+
+
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse-quantized ANN: deterministic centroid cells,
+    nprobe nearest cells rescored exactly. The codebook alternative to
+    the sign-LSH path (emb_ann_lsh); hash-gated like it."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    return ivf_topk(emb, queries, k=5)
+
+
+EMB_IVF_SQL = ivf_topk_oracle_sql(query_pred="vec_id % 25 = 0", k=5)

@@ -68,6 +68,11 @@ def main() -> None:
         # first run pays Catalyst analysis + whole-stage codegen compile;
         # report the steady-state (second) execution
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # collect accumulated broadcast/shuffle garbage OUTSIDE the timed
+        # region: ~20 queries of state in one local JVM otherwise lands a
+        # full-GC pause inside a random later query (observed 3-15x
+        # spikes on individual lines)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

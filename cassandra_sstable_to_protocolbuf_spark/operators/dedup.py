@@ -265,6 +265,53 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the smallest node id in
+    its component. Returns (node, cluster_id).
+
+    This is the step a keep-one-per-cluster dedup policy needs between
+    "near-dup PAIRS" (simhash/minhash output) and "drop all but one doc
+    per GROUP": pairs (a,b),(b,c) must collapse into one {a,b,c} cluster.
+
+    Scale design: each round is one shuffle join keyed by node id; the
+    min label spreads one hop per round, so rounds = component diameter.
+    Near-dup graphs are dense local clusters (diameter 2-4 in practice),
+    not long chains, so the round count stays tiny at 100 TB. For
+    adversarial long-chain graphs the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    halves path lengths per round; not needed for dedup workloads.
+    localCheckpoint() truncates the plan each round so lineage (and
+    Catalyst analysis time) stays O(1) instead of O(rounds).
+    """
+    sym = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+           .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))))
+    labels = (sym.select("node").distinct()
+              .select("node", F.col("node").alias("lbl"))
+              .localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+                   .groupBy("node").agg(F.min("lbl").alias("nbr_lbl")))
+        new_labels = (labels.join(nbr_min, "node", "left")
+                      .select("node",
+                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                              .alias("lbl"))
+                      .localCheckpoint())
+        # convergence probe is an aggregate (a count), not a data collect
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.lbl") != F.col("o.lbl"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        f"component diameter exceeds max_iter — raise max_iter or switch "
+        f"to large-star/small-star")
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """60-bit SimHash per document over distinct tokens."""
     from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode, widen

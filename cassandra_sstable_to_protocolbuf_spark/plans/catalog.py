@@ -20,6 +20,7 @@ from cassandra_sstable_to_protocolbuf_spark.plans import cells_queries as C
 from cassandra_sstable_to_protocolbuf_spark.plans import relational as R
 from cassandra_sstable_to_protocolbuf_spark.plans import textops as TX
 from cassandra_sstable_to_protocolbuf_spark.plans import vectorops as V
+from cassandra_sstable_to_protocolbuf_spark.streaming import pipeline as ST
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -81,6 +82,9 @@ CATALOG: dict[str, QueryDef] = {
                               "time-bucketed agg (batch form of streaming op)"),
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
                                        "HLL approx distinct (sketch-specific)"),
+    "stream_events_hourly": QueryDef(ST.stream_events_hourly,
+                                     ST.STREAM_EVENTS_HOURLY_SQL,
+                                     "hourly agg THROUGH the streaming engine"),
     "events_sessionize": QueryDef(R.events_sessionize_batch, R.EVENTS_SESSIONIZE_SQL,
                                   "gap-based sessionization (gaps-and-islands)"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,
@@ -103,6 +107,8 @@ CATALOG: dict[str, QueryDef] = {
                              "multi-column grouped distinct aggregation"),
     "mm_image_features": QueryDef(R.mm_image_features, R.MM_IMAGE_FEATURES_SQL,
                                   "binary media column -> Arrow-batch features"),
+    "mm_frame_sample": QueryDef(R.mm_frame_sample, R.MM_FRAME_SAMPLE_SQL,
+                                "every-Nth byte-frame sampling (explode, no shuffle)"),
     # --- text analysis + dedup (north-star extensions) --------------------
     "docs_text_stats": QueryDef(TX.docs_text_stats, TX.DOCS_TEXT_STATS_SQL,
                                 "token/char statistics"),
@@ -122,6 +128,8 @@ CATALOG: dict[str, QueryDef] = {
                                    "SimHash near-dup pairs (banded equi-join)"),
     "docs_minhash_lsh": QueryDef(TX.docs_minhash_lsh, TX.DOCS_MINHASH_SQL,
                                  "banded MinHash near-dups (bucketed + exact verify)"),
+    "docs_dup_clusters": QueryDef(TX.docs_dup_clusters, TX.DOCS_DUP_CLUSTERS_SQL,
+                                  "pair list -> connected components -> keep-one clusters"),
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),

@@ -851,6 +851,38 @@ FROM d LEFT JOIN agg USING (doc_id)
 """
 
 
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 'video' frame sampling: keep every 64th byte-frame of
+    each binary payload, one row per sampled frame. The whole plan is a
+    narrow map + explode (no shuffle) — linear at 100 TB. Gate-friendly
+    output: the sampled frame byte as a BIGINT, not a binary column."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_payloads, sample_frames)
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs).filter(F.length("payload") > 0)
+    frames = sample_frames(media, every=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.conv(F.hex("frame"), 16, 10).cast("long").alias("frame_byte"))
+
+
+# Same hex/strpos byte recovery as MM_IMAGE_FEATURES_SQL; frame count per
+# payload is floor((len-1)/64)+1, matching sample_frames' sequence().
+MM_FRAME_SAMPLE_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+nz AS (SELECT doc_id, b FROM d WHERE octet_length(b) > 0),
+f AS (SELECT doc_id, b, unnest(range(0, (octet_length(b) - 1) // 64 + 1)) AS i
+      FROM nz)
+SELECT doc_id,
+       CAST(i * 64 AS BIGINT) AS frame_idx,
+       CAST((strpos('123456789ABCDEF', substr(hex(b), CAST(2*(i*64)+1 AS INT), 1))) * 16
+          + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*(i*64)+2 AS INT), 1)))
+            AS BIGINT) AS frame_byte
+FROM f
+"""
+
+
 EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

@@ -236,6 +236,50 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 DOCS_SIMHASH_SQL = _duck_simhash_sql()
 
 
+def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: SimHash pairs (exact,
+    hamming<=3) -> connected components (min-label propagation) -> every
+    document labeled with its cluster's smallest doc_id, a canonical-keep
+    flag, and the cluster size. This is the groupwise step a real corpus
+    dedup runs between pair mining and the keep-one policy."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_pairs(docs, max_hamming=3)
+    comp = D.connected_components(pairs, "d1", "d2")
+    from pyspark.sql import Window
+    labeled = (docs.join(comp, docs.doc_id == comp.node, "left")
+               .select(docs.doc_id,
+                       F.coalesce("cluster_id", docs.doc_id)
+                       .alias("cluster_id")))
+    return (labeled
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id")))
+
+
+# Transitive closure by recursive min-label walk: reach(n, l) holds when
+# label l is reachable from n; MIN over reach = component min. The UNION
+# (not UNION ALL) makes the fixpoint finite.
+DOCS_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DOCS_SIMHASH_SQL}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM labeled
+"""
+
+
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup candidates + exact-Jaccard verify.
     Hand-rolled universal hashing with seeded literal coefficients, so

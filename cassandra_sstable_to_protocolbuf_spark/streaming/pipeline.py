@@ -143,6 +143,54 @@ def stream_cells_to_protobuf(cells_stream: DataFrame, out_dir: str,
             .start())
 
 
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/gate entry: the hourly event aggregate computed THROUGH the
+    Structured Streaming engine (readStream -> watermark -> windowed agg
+    -> availableNow termination), returned as the bounded result table so
+    the driver can hash it against the batch SQL oracle. Proves the
+    streaming plans produce batch-identical answers, under the gate.
+
+    The memory sink holds only the aggregate (windows x event types, tiny
+    at any corpus size) -- the unbounded-output production path is the
+    foreachBatch/parquet sink (stream_cells_to_protobuf); complete mode +
+    availableNow makes the final table independent of micro-batch split.
+    """
+    import uuid
+
+    # events.ts is a nanosecond parquet timestamp: read as long, integer-
+    # divide to us (ns exceeds double's mantissa; see events_hourly)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # FileStreamSource wants a DIRECTORY; the table is one file inside the
+    # scale-factor dir, so stream the dir with a glob filter on the file
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir)
+          .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    agg = (ev.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                .alias("sum_value"))
+           .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+                   "event_type", "n_events", "sum_value"))
+    name = "stream_events_hourly_" + uuid.uuid4().hex
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          mode: str = "append"):
     """Drive a streaming DataFrame into an in-memory sink (tests/demos).

@@ -148,3 +148,16 @@ def test_approx_count_distinct_error_bound(spark):
     for r in events_approx_distinct(spark, SF_SMOKE).collect():
         err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert err <= 0.05, f"{r.event_type}: {err:.3f}"
+
+
+def test_connected_components_known_graph(spark):
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
+        connected_components)
+
+    # two components: a 4-chain 1-2-3-4 (diameter 3, needs >1 round) and
+    # the pair 10-11; node 4 also linked to 2 (cycle safety)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 2), (10, 11)], "d1: long, d2: long")
+    got = {(r.node, r.cluster_id)
+           for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}

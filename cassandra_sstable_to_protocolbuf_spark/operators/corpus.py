@@ -1,0 +1,96 @@
+"""Corpus-construction operators for training-data pipelines: deterministic
+hash sampling, greedy sequence packing, and token heavy hitters.
+
+The reference (stliu/cassandra-sstable-to-protocolbuf) stops at SSTable ->
+protobuf conversion; these are the selection/packing steps a large-scale
+LLM data pipeline runs downstream of that export, built as narrow
+DataFrame plans so they compose with any source in this repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic LCG-style hash whose arithmetic stays inside int64 in any
+# engine: (key mod P) * A + C mod 2^31.  P < 2^21 keeps the product under
+# 2^52, so the math is exact in BIGINT and even in a double mantissa --
+# any SQL oracle reproduces it bit-for-bit.
+HASH_P, HASH_A, HASH_C, HASH_M = 1_000_003, 1_103_515_245, 12_345, 2_147_483_648
+
+
+def bucket_hash(key: Column, buckets: int = 10_000) -> Column:
+    """Deterministic per-key bucket in [0, buckets).  The sampling decision
+    is a pure function of the key, so re-runs, task retries, and
+    incremental backfills keep/drop the SAME rows -- unlike df.sample()/
+    sampleBy(), whose per-partition-attempt RNG is not retry-stable."""
+    return ((key % HASH_P) * HASH_A + HASH_C) % HASH_M % buckets
+
+
+def hash_sample(df: DataFrame, rates_bp: dict[str, int],
+                stratum_col: str = "lang", key_col: str = "doc_id",
+                default_bp: int = 10_000) -> DataFrame:
+    """Stratified deterministic sampling: keep a row when its key-hash
+    bucket (basis points, 0..10000) falls below its stratum's rate.
+    Down-samples over-represented strata / keeps low-resource ones whole.
+
+    Scale design: a narrow map + filter -- no shuffle, no RNG state, and
+    the predicate is a scan-residual filter, so at 100 TB this is pure
+    read bandwidth.  The emitted `sample_bp` column makes the decision
+    auditable downstream.
+    """
+    rate = F.lit(default_bp)
+    for stratum, bp in sorted(rates_bp.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(rate)
+    return (df.withColumn("sample_bp", bucket_hash(F.col(key_col)))
+            .filter(F.col("sample_bp") < rate))
+
+
+def pack_sequences(df: DataFrame, tokens_col: str, context_len: int = 512,
+                   part_cols: tuple[str, ...] = ("lang",),
+                   order_col: str = "doc_id", shard_size: int = 1024,
+                   max_seqs_per_shard: int = 1_000_000) -> DataFrame:
+    """Greedy contiguous sequence packing: documents in `order_col` order
+    fill fixed `context_len`-token windows; a document belongs to the
+    window where its FIRST token lands (long docs straddle into the next
+    window -- streaming-packer semantics, zero padding waste).
+
+    Adds `shard`, `seq_id` (globally unique window id), `seq_offset`
+    (token offset of the doc inside its window).
+
+    Scale design: the running sum is windowed by (part_cols..., shard)
+    with shard = order_col DIV shard_size, so every window partition holds
+    at most `shard_size` docs -- there is NO global single-partition sort
+    at any corpus size.  Packing restarts at shard boundaries (bounded
+    per-shard waste, the standard distributed-packing tradeoff).
+    seq_id = shard * max_seqs_per_shard + window-index keeps ids unique
+    without any cross-shard coordination.
+    """
+    w = (Window.partitionBy(*part_cols, "shard").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev = (F.sum(tokens_col).over(w) - F.col(tokens_col)).alias("prev")
+    return (df.withColumn("shard", F.expr(f"{order_col} DIV {shard_size}"))
+            .withColumn("_prev", prev)
+            .withColumn("seq_id",
+                        F.col("shard") * max_seqs_per_shard
+                        + F.expr(f"_prev DIV {context_len}"))
+            .withColumn("seq_offset", F.col("_prev") % context_len)
+            .drop("_prev"))
+
+
+def heavy_hitters(df: DataFrame, items: Column, k: int = 20) -> DataFrame:
+    """Top-k items by document frequency (rows containing the item at
+    least once).  Returns (token, doc_freq, rank), rank 1-based, ties
+    broken by token text for a deterministic boundary.
+
+    Scale design: explode(array_distinct(...)) -> hash agg with map-side
+    partial aggregation is the only wide op; orderBy().limit(k) compiles
+    to TakeOrderedAndProject (per-partition top-k, then a k-row merge on
+    the driver-side exchange -- never a full sort).  The rank window runs
+    over the already-limited k rows, so its single partition is k rows.
+    """
+    counts = (df.select(F.explode(F.array_distinct(items)).alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+              .orderBy(F.desc("doc_freq"), F.asc("token")).limit(k))
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))

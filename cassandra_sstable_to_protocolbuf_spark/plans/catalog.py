@@ -57,6 +57,8 @@ CATALOG: dict[str, QueryDef] = {
                                         "5-way join, broadcast dims"),
     "tpch_q6_revenue": QueryDef(R.q6_revenue, R.Q6_SQL,
                                 "filter+agg, full scan pushdown"),
+    "tpch_q18_large_orders": QueryDef(R.q18_large_orders, R.Q18_SQL,
+                                      "Q18 shape: agg-before-join + top-100"),
     "window_top_customers": QueryDef(R.top_customers_per_nation, R.TOP_CUSTOMERS_SQL,
                                      "row_number window top-k per group"),
     "window_running_total": QueryDef(R.customer_running_total, R.RUNNING_TOTAL_SQL,
@@ -130,6 +132,15 @@ CATALOG: dict[str, QueryDef] = {
                                  "banded MinHash near-dups (bucketed + exact verify)"),
     "docs_dup_clusters": QueryDef(TX.docs_dup_clusters, TX.DOCS_DUP_CLUSTERS_SQL,
                                   "pair list -> connected components -> keep-one clusters"),
+    "docs_stratified_sample": QueryDef(TX.docs_stratified_sample,
+                                       TX.DOCS_STRATIFIED_SAMPLE_SQL,
+                                       "deterministic hash-stratified sampling"),
+    "docs_pack_sequences": QueryDef(TX.docs_pack_sequences,
+                                    TX.DOCS_PACK_SEQUENCES_SQL,
+                                    "greedy context-window packing (sharded windows)"),
+    "docs_heavy_hitters": QueryDef(TX.docs_heavy_hitters,
+                                   TX.DOCS_HEAVY_HITTERS_SQL,
+                                   "top-k token doc-frequency (vocab head audit)"),
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),

@@ -892,3 +892,46 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --- Q18-style: large-volume orders (agg-before-join) --------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitems sum past a quantity
+    threshold, joined back to orders+customer. The scale move is
+    aggregating lineitem down to order cardinality BEFORE any join
+    (partial-agg shuffle on l_orderkey), then key-joins where AQE picks
+    the strategy -- orders/customer are fact tables, so no broadcast
+    hints (see the round-1 plan audit)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty_d"))
+           .filter(F.col("sum_qty_d") > 150))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                    "o_totalprice",
+                    F.col("sum_qty_d").cast("double").alias("sum_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(100))
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       CAST(sum_qty_d AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""

@@ -289,3 +289,93 @@ def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOCS_MINHASH_SQL = D.minhash_lsh_oracle_sql(threshold=0.5)
+
+
+# --- corpus construction: sampling / packing / heavy hitters -------------
+
+# Down-sample the over-represented strata, keep low-resource langs whole
+# (basis points of each stratum kept).
+DOCS_SAMPLE_RATES_BP = {"en": 2500, "de": 5000, "fr": 5000, "es": 7500}
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-lang keep rates
+    applied via a pure key-hash (no RNG), so retries and backfills select
+    identical rows. Narrow map+filter -- scan-bandwidth-bound at 100 TB."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import hash_sample
+    docs = _docs(spark, sf_dir)
+    return (hash_sample(docs, DOCS_SAMPLE_RATES_BP)
+            .select("doc_id", "lang", "source", "n_chars", "sample_bp"))
+
+
+def _duck_rate_case() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(DOCS_SAMPLE_RATES_BP.items()))
+    return f"CASE lang {arms} ELSE 10000 END"
+
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars,
+         ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 10000
+           AS sample_bp
+  FROM documents)
+SELECT doc_id, lang, source, n_chars, CAST(sample_bp AS BIGINT) AS sample_bp
+FROM h WHERE sample_bp < {_duck_rate_case()}
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for training batches: docs in doc_id order
+    fill 512-token context windows per (lang, shard); emits the window id
+    and the doc's token offset inside it. Sharded windows (<=1024 docs
+    each) keep the running sum distributed -- no global sort at scale."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import pack_sequences
+    docs = (_docs(spark, sf_dir)
+            .withColumn("n_tokens_est", F.expr("(n_chars + 3) DIV 4")))
+    packed = pack_sequences(docs, "n_tokens_est", context_len=512,
+                            part_cols=("lang",), shard_size=1024)
+    return packed.select("doc_id", "lang", "n_tokens_est", "shard",
+                         "seq_id", "seq_offset")
+
+
+DOCS_PACK_SEQUENCES_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, (n_chars + 3) // 4 AS n_tokens_est,
+         doc_id // 1024 AS shard
+  FROM documents),
+c AS (
+  SELECT *,
+         CAST(SUM(n_tokens_est) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens_est AS BIGINT) AS prev
+  FROM d)
+SELECT doc_id, lang, CAST(n_tokens_est AS BIGINT) AS n_tokens_est,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(shard * 1000000 + prev // 512 AS BIGINT) AS seq_id,
+       CAST(prev % 512 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by document frequency (vocabulary head audit).
+    explode+hash-agg with map-side partials; the top-k compiles to
+    TakeOrderedAndProject, never a full sort."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import heavy_hitters
+    docs = _docs(spark, sf_dir)
+    return heavy_hitters(docs, T.tokens(F.col("text")), k=20)
+
+
+DOCS_HEAVY_HITTERS_SQL = f"""
+WITH t AS (SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS token
+           FROM documents),
+agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        FROM t GROUP BY token),
+top AS (SELECT token, doc_freq FROM agg
+        ORDER BY doc_freq DESC, token LIMIT 20)
+SELECT token, doc_freq,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token) AS BIGINT)
+         AS rank
+FROM top
+"""

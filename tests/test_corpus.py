@@ -1,0 +1,79 @@
+"""Unit semantics for the corpus-construction operators (sampling /
+packing / heavy hitters) on tiny hand-checked inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+    bucket_hash, hash_sample, heavy_hitters, pack_sequences)
+
+
+def test_bucket_hash_deterministic_and_uniform(spark):
+    df = spark.range(0, 2000).select(
+        bucket_hash(F.col("id"), buckets=10).alias("b"))
+    counts = {r.b: r["count"] for r in df.groupBy("b").count().collect()}
+    # every bucket hit, no bucket grossly over-weighted
+    assert set(counts) == set(range(10))
+    assert max(counts.values()) < 2 * min(counts.values())
+    # pure function of the key: re-evaluation is identical
+    again = {r.b: r["count"] for r in
+             spark.range(0, 2000)
+             .select(bucket_hash(F.col("id"), buckets=10).alias("b"))
+             .groupBy("b").count().collect()}
+    assert counts == again
+
+
+def test_hash_sample_rates(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"))
+    kept = hash_sample(df, {"en": 2500}, default_bp=10_000)
+    by_lang = {r.lang: r["count"]
+               for r in kept.groupBy("lang").count().collect()}
+    assert by_lang["zh"] == 2000          # default keeps everything
+    assert 300 < by_lang["en"] < 700      # ~25% of 2000
+
+
+def test_pack_sequences_windows(spark):
+    # 5 docs of 100 tokens in one lang/shard: 512-token windows hold
+    # docs 0-4 at offsets 0,100,200,300,400; doc 5 starts window 1
+    rows = [(i, "en", 100) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, t: long")
+    got = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in pack_sequences(df, "t", context_len=512,
+                                   part_cols=("lang",),
+                                   shard_size=1024).collect()}
+    assert got == {0: (0, 0), 1: (0, 100), 2: (0, 200), 3: (0, 300),
+                   4: (0, 400), 5: (0, 500)}  # doc 5 STARTS in window 0
+    # a doc starting past the boundary lands in the next window
+    rows = [(0, "en", 500), (1, "en", 100)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, t: long")
+    got = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in pack_sequences(df, "t", context_len=512).collect()}
+    assert got[1] == (0, 500)
+    rows = [(0, "en", 600), (1, "en", 100)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, t: long")
+    got = {r.doc_id: (r.seq_id, r.seq_offset)
+           for r in pack_sequences(df, "t", context_len=512).collect()}
+    assert got[1] == (1, 88)  # 600 % 512
+
+
+def test_pack_sequences_shard_isolation(spark):
+    # docs in different shards pack independently with unique seq_ids
+    rows = [(0, "en", 100), (2000, "en", 100)]
+    df = spark.createDataFrame(rows, "doc_id: long, lang: string, t: long")
+    got = {r.doc_id: r.seq_id
+           for r in pack_sequences(df, "t", context_len=512,
+                                   shard_size=1024).collect()}
+    assert got[0] == 0
+    assert got[2000] == 1 * 1_000_000  # shard 1, first window
+
+
+def test_heavy_hitters_doc_frequency_not_term_frequency(spark):
+    rows = [(0, ["a", "a", "a", "b"]), (1, ["b", "c"]), (2, ["b"])]
+    df = spark.createDataFrame(rows, "doc_id: long, toks: array<string>")
+    got = [(r.token, r.doc_freq, r.rank)
+           for r in heavy_hitters(df, F.col("toks"), k=2).collect()]
+    # 'a' appears 3 times but in ONE doc; 'b' is in all three
+    assert got == [("b", 3, 1), ("a", 1, 2)]  # tie a/c broken by text

@@ -89,6 +89,11 @@ CATALOG: dict[str, QueryDef] = {
                                      "hourly agg THROUGH the streaming engine"),
     "events_sessionize": QueryDef(R.events_sessionize_batch, R.EVENTS_SESSIONIZE_SQL,
                                   "gap-based sessionization (gaps-and-islands)"),
+    "stream_events_sessionize": QueryDef(ST.stream_events_sessionize,
+                                         ST.STREAM_EVENTS_SESSIONIZE_SQL,
+                                         "session_window THROUGH the streaming engine"),
+    "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
+                              "ordered view->click->purchase funnel stages"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,
                                    "backward as-of join (custom operator)"),
     "range_join_price_bands": QueryDef(R.range_join_price_bands, R.RANGE_JOIN_SQL,
@@ -144,6 +149,8 @@ CATALOG: dict[str, QueryDef] = {
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),
+    "emb_quantize_int8": QueryDef(V.emb_quantize_int8, V.EMB_QUANTIZE_INT8_SQL,
+                                  "symmetric int8 quantization audit"),
     "emb_centroid_per_label": QueryDef(V.emb_centroid_per_label, V.EMB_CENTROID_SQL,
                                        "per-label vector aggregation"),
     "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, V.EMB_ANN_LSH_SQL,

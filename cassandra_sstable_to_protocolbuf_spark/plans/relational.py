@@ -935,3 +935,67 @@ JOIN customer ON o_custkey = c_custkey
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 100
 """
+
+
+# --- ordered funnel analysis over events ---------------------------------
+
+_FUNNEL_WINDOW_US = 24 * 3_600_000_000  # stage-to-stage conversion window
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: a user reaches stage N
+    only via a strictly-later event within 24 h of their stage-N-1 entry.
+    Returns users-per-stage (stage 0 = active but never viewed).
+
+    Scale design: three user-keyed hash aggs + two key joins -- every
+    stage is one shuffle on user_id and AQE can co-partition the chain;
+    no windows, no per-user sorting. The conditional-min formulation
+    beats collecting per-user event sequences at any scale.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ns -> us integer division: DuckDB truncates the parquet ns timestamps
+    # to us, so ordering comparisons must happen at us on both engines
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
+    c = (ev.join(v, "user_id")
+         .filter((F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1"))
+                 & (F.col("ts_us") <= F.col("t1") + _FUNNEL_WINDOW_US))
+         .groupBy("user_id").agg(F.min("ts_us").alias("t2")))
+    p = (ev.join(c, "user_id")
+         .filter((F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("t2"))
+                 & (F.col("ts_us") <= F.col("t2") + _FUNNEL_WINDOW_US))
+         .groupBy("user_id").agg(F.min("ts_us").alias("t3")))
+    stage = (ev.select("user_id").distinct()
+             .join(v.select("user_id", F.lit(1).alias("s1")), "user_id", "left")
+             .join(c.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+             .join(p.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+             .select("user_id",
+                     (F.coalesce("s1", F.lit(0)) + F.coalesce("s2", F.lit(0))
+                      + F.coalesce("s3", F.lit(0))).alias("stage")))
+    return (stage.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+EVENTS_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+v AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts_us > t1
+        AND ts_us <= t1 + 86400000000 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts_us > t2
+        AND ts_us <= t2 + 86400000000 GROUP BY e.user_id),
+stage AS (
+  SELECT u.user_id,
+         (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+  FROM (SELECT DISTINCT user_id FROM e) u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id)
+SELECT stage, COUNT(*) AS n_users FROM stage GROUP BY stage
+"""

@@ -159,3 +159,52 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_IVF_SQL = ivf_topk_oracle_sql(query_pred="vec_id % 25 = 0", k=5)
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit: per-vector absmax scale, each
+    element mapped to floor(x/scale*127 + 0.5). Emits scalar summaries
+    (sum / min / max / nonzero count of the quantized codes) rather than
+    the code array -- array columns crash the gate's canonicalizer, and
+    the scalars pin the same bytes.
+
+    Scale design: a narrow per-row map (one transform + four folds), no
+    shuffle; float->double casts are exact so both engines agree
+    bit-for-bit. At 100 TB this is scan-bandwidth-bound and pairs with
+    the int8 storage-size estimate a training pipeline needs.
+    """
+    emb = _emb(spark, sf_dir)
+    # own projection per expensive expression: interpreted HOFs re-evaluate
+    # inline subexpressions per use (see session.py perf notes)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    scaled = (base.withColumn("scale", F.array_max(F.transform("v", F.abs)))
+              .filter(F.col("scale") > 0))
+    return (scaled
+            .withColumn("q", F.transform(
+                "v", lambda x: F.floor(x / F.col("scale") * 127 + F.lit(0.5))
+                .cast("long")))
+            .select("vec_id", "scale",
+                    F.aggregate("q", F.lit(0).cast("long"),
+                                lambda a, x: a + x).alias("q_sum"),
+                    F.array_min("q").alias("q_min"),
+                    F.array_max("q").alias("q_max"),
+                    F.size(F.filter("q", lambda x: x != 0)).cast("long")
+                    .alias("n_nonzero")))
+
+
+EMB_QUANTIZE_INT8_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+      FROM e),
+q AS (SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS qs
+      FROM s WHERE scale > 0)
+SELECT vec_id, scale,
+       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+       list_aggregate(qs, 'min') AS q_min,
+       list_aggregate(qs, 'max') AS q_max,
+       CAST(len(list_filter(qs, x -> x <> 0)) AS BIGINT) AS n_nonzero
+FROM q
+"""

@@ -200,3 +200,70 @@ def run_stream_to_memory(stream_df: DataFrame, query_name: str,
     """
     return (stream_df.writeStream.format("memory")
             .queryName(query_name).outputMode(mode).start())
+
+
+def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/gate entry: 30-minute-gap sessions computed THROUGH the
+    streaming engine with session_window (state-merging session windows),
+    availableNow-terminated and returned as the bounded result so the
+    driver hashes it against a batch gaps-and-islands oracle.
+
+    Semantics note: session_window merges an event into a session iff its
+    timestamp is STRICTLY before the session end (prev_ts + gap), so the
+    oracle's new-session condition is `diff >= gap` -- this differs from
+    events_sessionize_batch's `diff > gap` exactly on boundary-equal
+    timestamps (none in microsecond event data, but the oracle must match
+    the engine, not the other batch query).
+
+    Scale design: session state is partitioned by user_id (the grouping
+    key), merged incrementally per micro-batch; complete mode here only
+    because the gate needs the whole table -- production would use
+    append + watermark eviction into a parquet/protobuf sink.
+    """
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir)
+          .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    agg = (ev.groupBy(F.session_window("ts", "30 minutes").alias("win"),
+                      "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min("event_id").alias("first_event"),
+                F.max("event_id").alias("last_event"))
+           .select("user_id",
+                   F.unix_micros("win.start").alias("session_start_us"),
+                   "n_events", "first_event", "last_event"))
+    name = "stream_events_sessionize_" + uuid.uuid4().hex
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_EVENTS_SESSIONIZE_SQL = """
+WITH e0 AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+e AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN LAG(ts_us, 1) OVER w IS NULL THEN 1
+              WHEN ts_us - LAG(ts_us, 1) OVER w >= 1800000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM e0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+s AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_no
+  FROM e
+)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM s
+GROUP BY user_id, session_no
+"""

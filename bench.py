@@ -29,10 +29,12 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "tpch_q5_supplier_volume",
     "tpch_q6_revenue",
+    "tpch_q18_large_orders",
     "window_running_total",
     "events_hourly",
     "events_sessionize",
     "events_asof_orders",
+    "events_funnel",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions
@@ -40,9 +42,15 @@ HEADLINE = [
     "docs_ngram_jaccard",
     "docs_simhash_pairs",
     "docs_minhash_lsh",
+    "docs_dup_clusters",
+    "docs_stratified_sample",
+    "docs_pack_sequences",
+    "docs_heavy_hitters",
     "emb_cosine_topk",
     "emb_cosine_dup_pairs",
     "emb_ann_lsh",
+    "emb_ivf_topk",
+    "emb_quantize_int8",
     "mm_image_features",
 ]
 

@@ -285,25 +285,30 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     localCheckpoint() truncates the plan each round so lineage (and
     Catalyst analysis time) stays O(1) instead of O(rounds).
     """
+    # Materialize the edge list ONCE: without this, every propagation
+    # round's join re-executes the upstream pair mining (simhash banding
+    # + hamming verify), turning an O(rounds) loop into O(rounds x mine).
     sym = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-           .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))))
+           .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+           .localCheckpoint())
     labels = (sym.select("node").distinct()
               .select("node", F.col("node").alias("lbl"))
               .localCheckpoint())
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
                    .groupBy("node").agg(F.min("lbl").alias("nbr_lbl")))
+        # One shuffle join per round; the convergence flag rides along in
+        # the same pass so probing it is a scan of the checkpointed rows,
+        # not another join against the previous generation.
         new_labels = (labels.join(nbr_min, "node", "left")
                       .select("node",
                               F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                              .alias("lbl"))
+                              .alias("lbl"),
+                              (F.coalesce("nbr_lbl", "lbl") < F.col("lbl"))
+                              .alias("chg"))
                       .localCheckpoint())
-        # convergence probe is an aggregate (a count), not a data collect
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.lbl") != F.col("o.lbl"))
-                   .count())
-        labels = new_labels
+        changed = new_labels.where("chg").limit(1).count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(

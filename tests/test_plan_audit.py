@@ -1,0 +1,61 @@
+"""Physical-plan regression audit: every catalog query's executed plan is
+checked for 100 TB red flags. Catching a CartesianProduct or a stray
+broadcast at sf0.001 is how a scale bug is found BEFORE a cluster run.
+
+Checks:
+- no CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only where it is the deliberate design
+  (broadcast interval join, brute-force small-query-set cosine);
+- parquet scans of filtered TPC-H queries actually push their filters
+  (PushedFilters non-empty) -- i.e. Catalyst sees through the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+from tests.conftest import SF_SMOKE
+
+# Queries whose BroadcastNestedLoopJoin is the intended physical design:
+# a bounded broadcast side (interval table / small query set / LSH plane
+# constants), documented in PARITY.md's plan audit.
+BNLJ_ALLOWED = {
+    "range_join_price_bands",   # broadcast interval join
+    "emb_cosine_topk",          # brute-force baseline: broadcast query set
+    "emb_cosine_dup_pairs",     # bounded bucket-stats side
+    "emb_ann_lsh",              # LSH OR-construction candidate union
+    "emb_ivf_topk",             # bounded centroid table
+}
+
+# Streaming entries need a running query; iterative ones (label
+# propagation) materialize mid-plan. Both are audited by their own tests.
+SKIP = {"stream_events_hourly", "stream_events_sessionize",
+        "docs_dup_clusters"}
+
+AUDIT_QUERIES = sorted(set(CATALOG) - SKIP)
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].fn(spark, SF_SMOKE)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+@pytest.mark.parametrize("name", AUDIT_QUERIES)
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an un-whitelisted BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize("name", ["tpch_q3_top_orders", "tpch_q6_revenue",
+                                  "docs_stratified_sample"])
+def test_filters_reach_the_scan(spark, name):
+    plan = _plan(spark, name)
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "PushedFilters: []" not in ln]
+    assert pushed, f"{name}: no filter reached a parquet scan\n{plan}"

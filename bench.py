@@ -46,6 +46,10 @@ HEADLINE = [
     "docs_stratified_sample",
     "docs_pack_sequences",
     "docs_heavy_hitters",
+    "docs_decontaminate",
+    "docs_pii_scan",
+    "docs_repetition_filter",
+    "docs_domain_mix",
     "emb_cosine_topk",
     "emb_cosine_dup_pairs",
     "emb_ann_lsh",

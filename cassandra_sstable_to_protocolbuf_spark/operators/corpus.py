@@ -94,3 +94,66 @@ def heavy_hitters(df: DataFrame, items: Column, k: int = 20) -> DataFrame:
               .orderBy(F.desc("doc_freq"), F.asc("token")).limit(k))
     w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
     return counts.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def contamination(train: DataFrame, bench: DataFrame, n: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    n-token shingle with an evaluation/benchmark document. Returns one
+    row per contaminated training doc: (doc_id, n_shingle_hits,
+    n_bench_docs) -- enough to drop or down-weight it and to audit WHICH
+    benchmark leaked.
+
+    Scale design: the benchmark side is tiny by nature (eval suites are
+    thousands of docs; the corpus is 100 TB), so its distinct shingle set
+    is broadcast -- the training corpus is scanned ONCE with a map-side
+    hash join and never shuffled.  The post-join per-doc agg is keyed by
+    doc_id over hit rows only (a vanishing fraction of the corpus).
+    """
+    from cassandra_sstable_to_protocolbuf_spark.operators.text import shingles, tokens
+
+    def doc_shingles(df: DataFrame, out_id: str) -> DataFrame:
+        toks = df.select(F.col(id_col).alias(out_id),
+                         tokens(F.col(text_col)).alias("t"))
+        return toks.select(out_id, F.explode(shingles(F.col("t"), n)).alias("shingle"))
+
+    bench_sh = doc_shingles(bench, "bench_id")
+    train_sh = doc_shingles(train, "doc_id")
+    hits = train_sh.join(F.broadcast(bench_sh), "shingle")
+    return (hits.groupBy("doc_id")
+            .agg(F.count_distinct("shingle").alias("n_shingle_hits"),
+                 F.count_distinct("bench_id").alias("n_bench_docs")))
+
+
+def domain_mix(df: DataFrame, shares_bp: dict[str, int],
+               stratum_col: str = "source", key_col: str = "doc_id") -> DataFrame:
+    """Resample the corpus toward a target domain mixture: for each
+    stratum with a target share (basis points of the ORIGINAL corpus
+    size), the keep rate is derated so the stratum contributes at most
+    its share -- keep_bp = min(10000, total * share_bp / stratum_count),
+    exact integer arithmetic.  Strata without a target are kept whole
+    (rate 10000); no stratum is ever upsampled.  Row selection is the
+    same retry-stable key hash as hash_sample.
+
+    Scale design: stratum counts are a tiny hash agg (one row per
+    domain); the single-partition window that totals them runs over
+    #domains rows, and the rates re-join the corpus via a broadcast hash
+    join -- the 100 TB side is scanned once and never shuffled.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    total = F.sum("_cnt").over(Window.partitionBy())
+    share = F.lit(None).cast("long")
+    for stratum, bp in sorted(shares_bp.items()):
+        share = F.when(F.col(stratum_col) == stratum, F.lit(bp)).otherwise(share)
+    # integer DIV keeps the rate math exact in both Spark and any SQL
+    # oracle (long / long would go through a double here)
+    rates = (counts.select(stratum_col, F.col("_cnt"),
+                           share.alias("_share"), total.alias("_total"))
+             .selectExpr(
+                 stratum_col,
+                 "CAST(CASE WHEN _share IS NULL THEN 10000 "
+                 "ELSE LEAST(10000, (_total * _share) DIV _cnt) END AS BIGINT)"
+                 " AS keep_bp"))
+    return (df.join(F.broadcast(rates), stratum_col)
+            .withColumn("sample_bp", bucket_hash(F.col(key_col)))
+            .filter(F.col("sample_bp") < F.col("keep_bp")))

@@ -160,3 +160,78 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("mean_token_len"),
         ((F.col("n_tokens") >= 20) & (stop_ratio < 0.5) & (rep_ratio > 0.1)).alias("keep"),
     )
+
+
+# PII patterns portable across Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, ASCII \b boundaries, explicit character classes only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """PII detection + redaction audit: per-document counts of emails,
+    phone numbers, and IPv4 addresses, plus the fingerprint of the
+    redacted text (<EMAIL>/<IP>/<PHONE> placeholders) so downstream
+    stages can verify they consumed the scrubbed corpus.
+
+    Scale design: a narrow per-row map -- three regexp_count and three
+    regexp_replace expressions, all JVM-side inside whole-stage codegen;
+    no shuffle, pure scan bandwidth at 100 TB.  Redaction order matters:
+    emails first (their domains contain dots that the IPv4 pattern must
+    never see), then IPs, then phones.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL)).cast("long")
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4)).cast("long")
+    n_phone = F.regexp_count(t, F.lit(PII_PHONE)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_email.alias("n_email"),
+        n_phone.alias("n_phone"),
+        n_ipv4.alias("n_ipv4"),
+        (n_email + n_phone + n_ipv4 > 0).alias("has_pii"),
+        F.md5(red).alias("redacted_fp"),
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition gate: most-frequent-token count,
+    distinct-token count, and symbol-character count per document, with a
+    keep flag from integer-only cross-multiplied thresholds (top token
+    <= 20% of tokens, distinct >= 30% of tokens, symbols <= 10% of chars)
+    so any SQL engine reproduces the booleans bit-for-bit.
+
+    Scale design: explode -> (doc, token) hash agg -> (doc) hash agg.
+    Both aggregations are keyed by doc_id (+token) with map-side partial
+    combine, so the shuffles stay linear in corpus size and per-key state
+    is one counter -- no per-document collection of token lists.
+    """
+    tok = (docs.select(F.col(id_col).alias("doc_id"),
+                       tokens(F.col(text_col)).alias("t"))
+           .select("doc_id", F.explode("t").alias("tok")))
+    per_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (per_tok.groupBy("doc_id")
+               .agg(F.max("c").alias("top_token_cnt"),
+                    F.sum("c").alias("n_tokens"),
+                    F.count(F.lit(1)).alias("n_distinct_tokens")))
+    chars = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+        .alias("n_symbol_chars"))
+    out = (chars.join(per_doc, "doc_id", "left")
+           .na.fill({"top_token_cnt": 0, "n_tokens": 0,
+                     "n_distinct_tokens": 0}))
+    keep = ((F.col("n_tokens") > 0)
+            & (F.col("top_token_cnt") * 5 <= F.col("n_tokens"))
+            & (F.col("n_distinct_tokens") * 10 >= F.col("n_tokens") * 3)
+            & (F.col("n_symbol_chars") * 10 <= F.col("n_chars")))
+    return out.select("doc_id", "n_tokens", "n_distinct_tokens",
+                      "top_token_cnt", "n_chars", "n_symbol_chars",
+                      keep.alias("keep"))

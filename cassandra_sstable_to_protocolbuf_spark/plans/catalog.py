@@ -146,6 +146,16 @@ CATALOG: dict[str, QueryDef] = {
     "docs_heavy_hitters": QueryDef(TX.docs_heavy_hitters,
                                    TX.DOCS_HEAVY_HITTERS_SQL,
                                    "top-k token doc-frequency (vocab head audit)"),
+    "docs_decontaminate": QueryDef(TX.docs_decontaminate,
+                                   TX.DOCS_DECONTAMINATE_SQL,
+                                   "benchmark decontamination (broadcast shingle join)"),
+    "docs_pii_scan": QueryDef(TX.docs_pii_scan, TX.DOCS_PII_SCAN_SQL,
+                              "PII detect + redaction fingerprint"),
+    "docs_repetition_filter": QueryDef(TX.docs_repetition_filter,
+                                       TX.DOCS_REPETITION_SQL,
+                                       "Gopher/C4 repetition quality gate"),
+    "docs_domain_mix": QueryDef(TX.docs_domain_mix, TX.DOCS_DOMAIN_MIX_SQL,
+                                "data-derived domain-mix resampling"),
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),

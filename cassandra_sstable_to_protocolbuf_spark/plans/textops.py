@@ -379,3 +379,161 @@ SELECT token, doc_freq,
          AS rank
 FROM top
 """
+
+
+# --- corpus hygiene: decontamination / PII / repetition / domain mix -----
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 37th doc stands in for the eval
+    set; training docs sharing any 4-token shingle with it are flagged.
+    The tiny eval shingle set broadcasts; the corpus is scanned once."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import contamination
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return contamination(train, bench, n=4)
+
+
+DOCS_DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+          CASE WHEN len(t) >= 4
+               THEN list_transform(range(1, len(t) - 2),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+               ELSE [] END)) AS shingle
+       FROM toks),
+hits AS (SELECT tr.doc_id, tr.shingle, be.doc_id AS bench_id
+         FROM sh tr JOIN sh be ON tr.shingle = be.shingle
+         WHERE tr.doc_id % 37 <> 0 AND be.doc_id % 37 = 0)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_shingle_hits,
+       CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+FROM hits GROUP BY doc_id
+"""
+
+
+# Deterministic PII injection (both engines build the same corpus): the
+# synthetic documents carry no PII, so emails/phones/IPs are appended to
+# a doc_id-keyed subset -- the operator under test is generic regex
+# scrubbing; only the fixture is synthetic.
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    return _docs(spark, sf_dir).withColumn("text", F.concat(
+        F.col("text"),
+        F.when(d % 7 == 0, F.concat(F.lit(" contact user"), d.cast("string"),
+                                    F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.concat(F.lit(" call 415-555-"),
+                                     F.lpad((d % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.concat(F.lit(" host 10.0."),
+                                     (d % 256).cast("string"), F.lit(".1"))
+               ).otherwise(F.lit("")),
+    ))
+
+
+_DUCK_PII_CORPUS = """
+(SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0
+                THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                ELSE '' END
+        || CASE WHEN doc_id % 13 = 0
+                THEN ' host 10.0.' || (doc_id % 256) || '.1' ELSE '' END AS text
+ FROM documents)
+"""
+
+
+def docs_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts + redacted-text fingerprint over the injected corpus."""
+    return T.pii_scan(_pii_corpus(spark, sf_dir))
+
+
+DOCS_PII_SCAN_SQL = f"""
+WITH c AS {_DUCK_PII_CORPUS},
+r AS (SELECT doc_id,
+             len(regexp_extract_all(text, '{T.PII_EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{T.PII_PHONE}')) AS n_phone,
+             len(regexp_extract_all(text, '{T.PII_IPV4}')) AS n_ipv4,
+             md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{T.PII_IPV4}', '<IP>', 'g'),
+                   '{T.PII_PHONE}', '<PHONE>', 'g')) AS redacted_fp
+      FROM c)
+SELECT doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       n_email + n_phone + n_ipv4 > 0 AS has_pii,
+       redacted_fp
+FROM r
+"""
+
+
+def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition gate with integer-exact thresholds."""
+    return T.repetition_stats(_docs(spark, sf_dir))
+
+
+DOCS_REPETITION_SQL = rf"""
+WITH t AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents),
+pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+pd AS (SELECT doc_id, MAX(c) AS top_token_cnt, SUM(c) AS n_tokens,
+              COUNT(*) AS n_distinct_tokens
+       FROM pt GROUP BY 1),
+ch AS (SELECT doc_id, length(text) AS n_chars,
+              length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                AS n_symbol_chars
+       FROM documents)
+SELECT ch.doc_id,
+       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(top_token_cnt, 0) AS BIGINT) AS top_token_cnt,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_symbol_chars AS BIGINT) AS n_symbol_chars,
+       COALESCE(n_tokens, 0) > 0
+         AND COALESCE(top_token_cnt, 0) * 5 <= COALESCE(n_tokens, 0)
+         AND COALESCE(n_distinct_tokens, 0) * 10 >= COALESCE(n_tokens, 0) * 3
+         AND n_symbol_chars * 10 <= n_chars AS keep
+FROM ch LEFT JOIN pd ON ch.doc_id = pd.doc_id
+"""
+
+
+# target output shares (bp of the original corpus size) per source domain;
+# unlisted domains are kept whole, nothing is upsampled.
+DOCS_MIX_SHARES_BP = {"src0": 200, "src1": 400, "src2": 800}
+
+
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived domain-mix resampling: per-source keep rates computed
+    from the actual source counts (tiny agg, broadcast back), rows chosen
+    by the retry-stable key hash."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import domain_mix
+    docs = _docs(spark, sf_dir)
+    return (domain_mix(docs, DOCS_MIX_SHARES_BP)
+            .select("doc_id", "source", "lang", "keep_bp", "sample_bp"))
+
+
+def _duck_share_case() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}"
+                    for k, v in sorted(DOCS_MIX_SHARES_BP.items()))
+    return f"CASE source {arms} ELSE NULL END"
+
+
+DOCS_DOMAIN_MIX_SQL = f"""
+WITH cnts AS (SELECT source, COUNT(*) AS cnt,
+                     SUM(COUNT(*)) OVER () AS total
+              FROM documents GROUP BY source),
+rates AS (SELECT source,
+                 CAST(CASE WHEN {_duck_share_case()} IS NULL THEN 10000
+                      ELSE LEAST(10000, total * ({_duck_share_case()}) // cnt)
+                      END AS BIGINT) AS keep_bp
+          FROM cnts),
+h AS (SELECT doc_id, d.source, lang, keep_bp,
+             ((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 % 10000
+               AS sample_bp
+      FROM documents d JOIN rates r ON d.source = r.source)
+SELECT doc_id, source, lang, keep_bp, CAST(sample_bp AS BIGINT) AS sample_bp
+FROM h WHERE sample_bp < keep_bp
+"""

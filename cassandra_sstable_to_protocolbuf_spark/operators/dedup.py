@@ -235,7 +235,12 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     untouched, so candidate generation is an equi-join and the result is
     EXACT for any max_hamming < 60 (band count adapts automatically).
     """
-    sh = simhash(docs, text_col, id_col)
+    # cache: both sides of the band self-join read the signatures, and
+    # AQE broadcasts one side, which defeats ReusedExchange -- without
+    # the cache the whole explode+60-aggregate signature stage runs
+    # twice. One signature row per doc, so the cache is tiny even at
+    # corpus scale (n_docs x 16 bytes).
+    sh = simhash(docs, text_col, id_col).cache()
     n_bands = max_hamming + 1
     if n_bands > SIMHASH_BITS:
         raise ValueError("max_hamming must be < SIMHASH_BITS")
@@ -257,12 +262,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                       "band", "band_val")
     b_ = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"),
                        "band", "band_val")
-    cand = (a.join(b_, ["band", "band_val"])
-            .filter(F.col("d1") < F.col("d2"))
-            .select("d1", "d2", "h1", "h2").distinct())
+    # hamming-filter BEFORE the distinct: the xor/bit_count is a cheap
+    # per-row map, so the dedup shuffle carries only surviving pairs
+    # (3 narrow columns) instead of every band collision with both hashes
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return (cand.select("d1", "d2", hamming.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    return (a.join(b_, ["band", "band_val"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",

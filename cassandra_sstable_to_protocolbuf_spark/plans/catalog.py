@@ -92,6 +92,9 @@ CATALOG: dict[str, QueryDef] = {
     "stream_events_sessionize": QueryDef(ST.stream_events_sessionize,
                                          ST.STREAM_EVENTS_SESSIONIZE_SQL,
                                          "session_window THROUGH the streaming engine"),
+    "stream_click_attribution": QueryDef(ST.stream_click_attribution,
+                                         ST.STREAM_CLICK_ATTRIBUTION_SQL,
+                                         "watermarked stream-stream interval join"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

@@ -267,3 +267,76 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events,
 FROM s
 GROUP BY user_id, session_no
 """
+
+
+def interval_join(left: DataFrame, right: DataFrame, on: str,
+                  left_ts: str, right_ts: str, lookback: str,
+                  watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: right-side rows within
+    [left_ts - lookback, left_ts] for the same `on` key. The time-range
+    condition plus the two watermarks bound BOTH sides' join state, so a
+    100 TB/day stream evicts state instead of accumulating it (an
+    unconstrained stream-stream join would be unbounded by definition).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        f"l.{on} = r.{on} AND r.{right_ts} >= l.{left_ts} - INTERVAL {lookback}"
+        f" AND r.{right_ts} <= l.{left_ts}")
+    return l.alias("l").join(r.alias("r"), F.expr(cond))
+
+
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/gate entry: purchase<-click attribution THROUGH the
+    streaming engine -- a stream-stream self-join (purchases to clicks by
+    the same user within the prior 30 minutes), both sides watermarked so
+    join state is evicted, availableNow-terminated and hashed against a
+    batch interval-join oracle.
+
+    Scale design: state is keyed by user_id and bounded to the 30-minute
+    lookback + 1-hour watermark on each side; output is append-mode (a
+    pair is emitted once its watermark passes), which is what an
+    unbounded attribution sink needs.
+    """
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir)
+          .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_event"),
+                         F.col("user_id"), F.col("ts").alias("purchase_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_event"),
+                      F.col("user_id"), F.col("ts").alias("click_ts")))
+    joined = interval_join(purchases, clicks, on="user_id",
+                           left_ts="purchase_ts", right_ts="click_ts",
+                           lookback="30 MINUTES")
+    out = joined.select(
+        F.col("l.purchase_event").alias("purchase_event"),
+        F.col("r.click_event").alias("click_event"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros("l.purchase_ts") - F.unix_micros("r.click_ts"))
+        .alias("gap_us"))
+    name = "stream_click_attribution_" + uuid.uuid4().hex
+    query = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_CLICK_ATTRIBUTION_SQL = """
+SELECT p.event_id AS purchase_event,
+       c.event_id AS click_event,
+       p.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""

@@ -64,6 +64,8 @@ CATALOG: dict[str, QueryDef] = {
     "window_running_total": QueryDef(R.customer_running_total, R.RUNNING_TOTAL_SQL,
                                      "running sum + lag window"),
     "rollup_sales": QueryDef(R.rollup_sales, R.ROLLUP_SQL, "ROLLUP grouping sets"),
+    "grouping_sets_sales": QueryDef(R.grouping_sets_sales, R.GROUPING_SETS_SQL,
+                                    "explicit GROUPING SETS + grouping id"),
     "setop_intersect": QueryDef(R.setop_active_rich_customers, R.SETOP_INTERSECT_SQL,
                                 "INTERSECT set op"),
     "setop_except": QueryDef(R.setop_customers_without_orders, R.SETOP_EXCEPT_SQL,

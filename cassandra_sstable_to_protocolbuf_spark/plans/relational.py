@@ -999,3 +999,38 @@ stage AS (
   LEFT JOIN p ON u.user_id = p.user_id)
 SELECT stage, COUNT(*) AS n_users FROM stage GROUP BY stage
 """
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit grouping id: per-returnflag totals,
+    per-linestatus totals, and the grand total in ONE pass over lineitem
+    (Catalyst expands the sets into a single Expand + hash agg -- one
+    scan, one shuffle, vs three queries unioned).
+
+    GROUPING() disambiguates '(all)' sentinels from real values, matching
+    DuckDB's bit order (left column = high bit).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                        "l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "gid", "n_rows", "sum_qty",
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""

@@ -56,6 +56,7 @@ HEADLINE = [
     "emb_ivf_topk",
     "emb_quantize_int8",
     "mm_image_features",
+    "mm_audio_features",
 ]
 
 

@@ -120,3 +120,56 @@ def sample_frames(media: DataFrame, every: int = 64) -> DataFrame:
             .select("doc_id", F.explode("fs").alias("f"))
             .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),
                     F.col("f.frame").alias("frame")))
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("peak", LongType(), False),
+    StructField("sum_sq", LongType(), False),
+    StructField("n_zero_cross", LongType(), False),
+    StructField("rms", DoubleType(), False),
+])
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Waveform features through the same codec seam, treating each
+    payload byte as an unsigned 8-bit PCM sample centered at 128:
+    sample count, peak amplitude, energy (sum of squares -- exact
+    integer, so engine-reproducible), zero crossings of the 128
+    midline, and RMS (sqrt of an exact integer ratio: IEEE-identical
+    in any engine).
+
+    Same scale shape as extract_features: Arrow-batched mapInPandas,
+    vectorized numpy per batch, no shuffle -- linear at 100 TB. A real
+    deployment swaps _decode_payload for ffmpeg/torchaudio decode; every
+    downstream line is unchanged.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                arr = _decode_payload(mt, bytes(payload)).astype(np.int64) - 128
+                n = len(arr)
+                sum_sq = int((arr * arr).sum())
+                neg = arr < 0
+                out.append({
+                    "doc_id": doc_id,
+                    "n_samples": n,
+                    "peak": int(np.abs(arr).max()) if n else 0,
+                    "sum_sq": sum_sq,
+                    "n_zero_cross": int((neg[1:] != neg[:-1]).sum()) if n > 1 else 0,
+                    "rms": math.sqrt(float(sum_sq) / n) if n else 0.0,
+                })
+            yield pd.DataFrame(out)
+
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    return widen(media).mapInPandas(batches, AUDIO_SCHEMA)

@@ -117,6 +117,8 @@ CATALOG: dict[str, QueryDef] = {
                                         "correlated scalar subquery (decorrelated)"),
     "distinct_agg": QueryDef(R.distinct_agg_suppliers, R.DISTINCT_AGG_SQL,
                              "multi-column grouped distinct aggregation"),
+    "mm_audio_features": QueryDef(R.mm_audio_features, R.MM_AUDIO_FEATURES_SQL,
+                                  "audio waveform features (Arrow codec seam)"),
     "mm_image_features": QueryDef(R.mm_image_features, R.MM_IMAGE_FEATURES_SQL,
                                   "binary media column -> Arrow-batch features"),
     "mm_frame_sample": QueryDef(R.mm_frame_sample, R.MM_FRAME_SAMPLE_SQL,

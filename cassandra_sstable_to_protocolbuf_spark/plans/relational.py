@@ -1034,3 +1034,43 @@ SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
+
+
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 'audio' waveform features via the Arrow mapInPandas
+    codec seam: bytes as unsigned 8-bit PCM samples centered at 128.
+    Integer-exact energy/peak/crossings plus an IEEE-reproducible RMS,
+    so the whole row hashes against a SQL oracle."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_payloads, extract_audio_features)
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs).filter(F.length("payload") > 0)
+    return extract_audio_features(media)
+
+
+# Same hex/strpos byte recovery as MM_IMAGE_FEATURES_SQL; the zero-cross
+# count needs consecutive samples, hence the LAG window per doc.
+MM_AUDIO_FEATURES_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS b FROM documents
+           WHERE octet_length(encode(text)) > 0),
+idx AS (SELECT doc_id, b, unnest(range(0, octet_length(b))) AS i FROM d),
+bytes AS (
+  SELECT doc_id, i,
+         (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+1 AS INT), 1))) * 16
+       + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+2 AS INT), 1))) - 128
+         AS v
+  FROM idx),
+lagged AS (
+  SELECT doc_id, v,
+         LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM bytes)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND (v < 0) <> (pv < 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+       SQRT(CAST(CAST(SUM(v * v) AS BIGINT) AS DOUBLE) / COUNT(*)) AS rms
+FROM lagged
+GROUP BY doc_id
+"""

@@ -283,13 +283,14 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     "near-dup PAIRS" (simhash/minhash output) and "drop all but one doc
     per GROUP": pairs (a,b),(b,c) must collapse into one {a,b,c} cluster.
 
-    Scale design: each round is one shuffle join keyed by node id; the
-    min label spreads one hop per round, so rounds = component diameter.
-    Near-dup graphs are dense local clusters (diameter 2-4 in practice),
-    not long chains, so the round count stays tiny at 100 TB. For
-    adversarial long-chain graphs the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce and Beyond")
-    halves path lengths per round; not needed for dedup workloads.
+    Scale design: each round HOOKS (take the min label over graph
+    neighbors, one shuffle join + hash agg) then JUMPS (pointer-jump to
+    the label's own label, one more shuffle join) -- the jump halves
+    remaining path lengths, so rounds = O(log diameter) instead of
+    O(diameter) (duplicate chains A~B~C~... make real dedup graphs
+    deeper than they look; cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond"). Labels initialize to min(node, neighbors),
+    folding the first hook into the init aggregation.
     localCheckpoint() truncates the plan each round so lineage (and
     Catalyst analysis time) stays O(1) instead of O(rounds).
     """
@@ -299,20 +300,29 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     sym = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
            .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
            .localCheckpoint())
-    labels = (sym.select("node").distinct()
-              .select("node", F.col("node").alias("lbl"))
+    labels = (sym.groupBy("node")
+              .agg(F.least(F.col("node"), F.min("nbr")).alias("lbl"))
               .localCheckpoint())
     for _ in range(max_iter):
+        # HOOK: min label over graph neighbors
         nbr_min = (sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
                    .groupBy("node").agg(F.min("lbl").alias("nbr_lbl")))
-        # One shuffle join per round; the convergence flag rides along in
-        # the same pass so probing it is a scan of the checkpointed rows,
-        # not another join against the previous generation.
-        new_labels = (labels.join(nbr_min, "node", "left")
+        hooked = (labels.join(nbr_min, "node", "left")
+                  .select("node", F.col("lbl").alias("olbl"),
+                          F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                          .alias("lbl")))
+        # JUMP: adopt the label's own label (every label IS a node id,
+        # so the inner self-join keeps all rows); lbl(lbl(x)) <= lbl(x)
+        # by monotonicity, so the jump only ever lowers labels. The
+        # convergence flag compares against the round's starting label
+        # in the same pass, making the probe a scan of the checkpointed
+        # rows, not another join.
+        new_labels = (hooked
+                      .join(labels.select(F.col("node").alias("lbl"),
+                                          F.col("lbl").alias("plbl")), "lbl")
                       .select("node",
-                              F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
-                              .alias("lbl"),
-                              (F.coalesce("nbr_lbl", "lbl") < F.col("lbl"))
+                              F.least("lbl", "plbl").alias("lbl"),
+                              (F.least("lbl", "plbl") < F.col("olbl"))
                               .alias("chg"))
                       .localCheckpoint())
         changed = new_labels.where("chg").limit(1).count()
@@ -320,9 +330,8 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        f"component diameter exceeds max_iter — raise max_iter or switch "
-        f"to large-star/small-star")
+        f"connected_components did not converge in {max_iter} hook+jump "
+        f"rounds (handles diameter up to ~2^{max_iter}); raise max_iter")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -702,6 +702,34 @@ class SSTableNativeReader(DataSourceReader):
         self.partitions_per_split = partitions_per_split
         self.live_only = live_only
         self.expected_partitioner = expected_partitioner
+        # None = full scan; a set = only these partition keys (S5 indexed
+        # seek, populated by pushFilters)
+        self.pushed_keys: set[bytes] | None = None
+
+    def pushFilters(self, filters):
+        """S5 analog: a `key = X` / `key IN (...)` predicate becomes an
+        Index.db seek instead of a full scan -- partitions() emits one
+        byte-range split per matching index entry, so a point lookup
+        reads O(partition) bytes of Data.db no matter the sstable size
+        (the reference's indexed-seek path, SSTableReaderPatched.java's
+        index-directed positioning). Other filters are returned to Spark
+        unhandled; absorbed key filters are re-checked in _iter_rows
+        anyway (multi-key splits coalesce adjacent index entries)."""
+        from pyspark.sql.datasource import EqualTo, In
+
+        keys: set[bytes] | None = None
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("key",) \
+                    and isinstance(f.value, (bytes, bytearray)):
+                vals = {bytes(f.value)}
+            elif isinstance(f, In) and f.attribute == ("key",) \
+                    and all(isinstance(v, (bytes, bytearray)) for v in f.value):
+                vals = {bytes(v) for v in f.value}
+            else:
+                yield f  # not ours: Spark keeps evaluating it
+                continue
+            keys = vals if keys is None else keys & vals
+        self.pushed_keys = keys
 
     def _data_files(self) -> list[str]:
         import glob
@@ -767,6 +795,16 @@ class SSTableNativeReader(DataSourceReader):
                 size = CompressionInfo.parse(comp_path).data_length
             else:
                 size = os.path.getsize(data_path)
+            if self.pushed_keys is not None:
+                # S5 indexed seek: one split per matching index entry;
+                # everything else in the file is never read
+                for i, (key, off) in enumerate(entries):
+                    if key in self.pushed_keys:
+                        end = (entries[i + 1][1] if i + 1 < len(entries)
+                               else size)
+                        splits.append(_SSTableSplit(sstable_id, data_path,
+                                                    off, end))
+                continue
             k = self.partitions_per_split
             for i in range(0, max(len(entries), 1), k):
                 start = entries[i][1] if entries else 0
@@ -777,7 +815,11 @@ class SSTableNativeReader(DataSourceReader):
     ARROW_BATCH_ROWS = 8192
 
     def _iter_rows(self, split) -> Iterator[tuple]:
+        if split is None:  # pushed filters matched nothing: zero splits
+            return
         for part in scan_partitions(split.data_path, split.start, split.end):
+            if self.pushed_keys is not None and part["key"] not in self.pushed_keys:
+                continue
             if self.live_only:
                 if not part["deletion_live"]:
                     continue
@@ -853,6 +895,9 @@ class SSTableNativeDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # runtime-settable; required for pushFilters (S5 indexed seek) and
+    # set here so the driver's vanilla session gets it too
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SSTableNativeDataSource)
 
 

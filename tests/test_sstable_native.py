@@ -331,3 +331,40 @@ def test_full_reference_pipeline_from_binary(spark, fixture_sstables, tmp_path):
     assert rows[("ks-cf-ka-1", b"empty-part")] == []  # empty Row still emitted
     assert rows[("ks-cf-ka-2", b"alpha")] == [(b"c1", b"v1-newer", 200)]  # no merge
     assert rows[("ks-cf-ka-2", b"delta")] == [(b"d1", b"", 107)]  # empty value
+
+
+def test_key_filter_pushdown_indexed_seek(spark, fixture_sstables):
+    """S5: a key-equality predicate becomes an Index.db seek -- the
+    planned splits cover only the matching partitions, and results equal
+    the post-scan filter."""
+    full = (N.read_native_cells(spark, fixture_sstables)
+            .filter(F.col("key") == F.lit(b"alpha"))
+            .orderBy("sstable_id", "cell_kind", "name").collect())
+    # alpha exists in BOTH sstables: marker+4 cells and marker+1 cell
+    assert len(full) == 7
+    assert {r.key for r in full} == {b"alpha"}
+
+    # planner-level check: pushFilters narrows partitions() to one split
+    # per file containing the key
+    reader = N.SSTableNativeReader(fixture_sstables, 4096)
+    from pyspark.sql.datasource import EqualTo
+    leftover = list(reader.pushFilters([EqualTo(("key",), b"alpha")]))
+    assert leftover == []
+    splits = reader.partitions()
+    assert len(splits) == 2  # one indexed seek per sstable
+    rows = [r for s in splits for b in reader.read(s)
+            for r in b.to_pylist()]
+    assert {r["key"] for r in rows} == {b"alpha"}
+
+
+def test_key_in_filter_pushdown(spark, fixture_sstables):
+    got = (N.read_native_cells(spark, fixture_sstables)
+           .filter(F.col("key").isin([b"alpha", b"delta"]))
+           .select("key").distinct().collect())
+    assert {r.key for r in got} == {b"alpha", b"delta"}
+
+
+def test_key_pushdown_no_match_returns_empty(spark, fixture_sstables):
+    got = (N.read_native_cells(spark, fixture_sstables)
+           .filter(F.col("key") == F.lit(b"nonexistent")).collect())
+    assert got == []

@@ -140,7 +140,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     # shingle lambda into a pre-projection Filter and evaluate it twice;
     # explode drops empty arrays and shingle-less docs can't be
     # candidates anyway
-    base = toks.select("doc_id", shingles(F.col("t")).alias("sh"))
+    # cache: the shingle arrays feed the signature explode AND both
+    # sides of the exact-Jaccard verify join -- without it the
+    # tokenize+shingle chain re-runs per consumer. One row per doc;
+    # MEMORY_AND_DISK spills gracefully when a corpus outgrows memory
+    # (at real scale you'd checkpoint this to storage instead).
+    base = toks.select("doc_id", shingles(F.col("t")).alias("sh")).cache()
     # explode + codegen'd hash aggregation, NOT 63 interpreted HOF
     # transforms over the shingle array: each md5 code is computed ONCE
     # per (doc, shingle) row and all permutation mins run as JVM
@@ -158,6 +163,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         F.concat_ws(",", *[F.col(f"h{t * n_rows + r}").cast("string")
                            for r in range(n_rows)])
         for t in range(n_bands)])
+    # cache: both band self-join sides read the signatures (AQE's
+    # broadcast defeats ReusedExchange, same as simhash_pairs)
+    mins = mins.cache()
     ex = mins.select("doc_id", F.posexplode(bands).alias("band", "bsig"))
     a_side = ex.select("band", "bsig", F.col("doc_id").alias("d1"))
     b_side = ex.select("band", "bsig", F.col("doc_id").alias("d2"))

@@ -63,7 +63,13 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, max_shingle_df: int | None = None) -> DataFrame:
     """Exact near-duplicate pairs by n-gram Jaccard >= threshold."""
-    sh = doc_shingles(docs, text_col, id_col, n)
+    # cache the exploded (doc, shingle) rows: they feed the hot-shingle
+    # scan, the per-doc counts, and BOTH inverted-index join sides, and
+    # the tokenize+shingle chain would otherwise re-run for each (the
+    # downstream anti-join stays a narrow broadcast over the cached
+    # rows). MEMORY_AND_DISK spills; at real scale this materializes to
+    # storage instead.
+    sh = doc_shingles(docs, text_col, id_col, n).cache()
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").count()
                .filter(F.col("count") > max_shingle_df).select("shingle"))

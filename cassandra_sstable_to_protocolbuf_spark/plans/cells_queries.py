@@ -244,3 +244,48 @@ SELECT sstable_id,
 FROM cells
 GROUP BY sstable_id
 """
+
+
+def sst_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 under the gate: write genuine binary SSTables, then read back
+    ONE partition by key -- the key-equality predicate reaches the
+    Python DataSource via pushFilters and becomes an Index.db seek
+    (one byte-range split per matching index entry; the rest of every
+    Data.db is never read). Key '1|3' exists at every test scale
+    factor; the oracle recomputes that partition's cells logically."""
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        LIVE_LOCAL_DELETION, read_native_cells, write_cells_as_sstables)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = tempfile.mkdtemp(prefix="sstnative_pointlookup_")
+    write_cells_as_sstables(cells, out, compression="lz4").collect()
+    back = (read_native_cells(spark, out)
+            .filter(F.col("key") == F.lit(b"1|3")))
+    ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
+               .when(F.col("local_expiration") == 0, "T")
+               .when(F.col("local_expiration") == LIVE_LOCAL_DELETION - 1, "F")
+               .otherwise("NA"))
+    return (back.filter(F.col("cell_kind") != "PARTITION")
+            .select(
+                F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1).alias("sstable_id"),
+                F.decode("key", "UTF-8").alias("key"),
+                F.decode("name", "UTF-8").alias("name"),
+                F.decode("value", "UTF-8").alias("value"),
+                "writeTime", "cell_kind",
+                ttl_str.alias("ttl_expired"),
+                "partition_deletion_live"))
+
+
+SST_POINT_LOOKUP_SQL = f"""
+{cells_cte()}
+SELECT sstable_id, key, name,
+       CASE WHEN cell_kind = 'DELETED' THEN '' ELSE value END AS value,
+       writeTime, cell_kind,
+       {_TTL_STR} AS ttl_expired,
+       partition_deletion_live
+FROM cells
+WHERE key = '1|3'
+"""

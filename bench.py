@@ -29,7 +29,10 @@ HEADLINE = [
     "tpch_q3_top_orders",
     "tpch_q5_supplier_volume",
     "tpch_q6_revenue",
+    "tpch_q7_nation_volume",
     "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q22_idle_customers",
     "window_running_total",
     "events_hourly",
     "events_sessionize",

@@ -59,8 +59,14 @@ CATALOG: dict[str, QueryDef] = {
                                         "5-way join, broadcast dims"),
     "tpch_q6_revenue": QueryDef(R.q6_revenue, R.Q6_SQL,
                                 "filter+agg, full scan pushdown"),
+    "tpch_q7_nation_volume": QueryDef(R.q7_nation_volume, R.Q7_SQL,
+                                     "Q7 shape: disjunctive two-nation pair volume"),
     "tpch_q18_large_orders": QueryDef(R.q18_large_orders, R.Q18_SQL,
                                       "Q18 shape: agg-before-join + top-100"),
+    "tpch_q19_disjunctive": QueryDef(R.q19_disjunctive, R.Q19_SQL,
+                                     "Q19 shape: OR-of-conjunctions revenue"),
+    "tpch_q22_idle_customers": QueryDef(R.q22_idle_customers, R.Q22_SQL,
+                                        "Q22 shape: anti join + segment-avg subquery"),
     "window_top_customers": QueryDef(R.top_customers_per_nation, R.TOP_CUSTOMERS_SQL,
                                      "row_number window top-k per group"),
     "window_running_total": QueryDef(R.customer_running_total, R.RUNNING_TOTAL_SQL,

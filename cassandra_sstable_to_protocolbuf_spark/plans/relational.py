@@ -1074,3 +1074,135 @@ SELECT doc_id,
 FROM lagged
 GROUP BY doc_id
 """
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: volume shipped between two specific nations, either
+    direction, by supplier nation / customer nation / ship year. The
+    disjunctive nation-pair predicate lands on two broadcast dims, so
+    the fact join tree stays unhinted and the filter prunes before the
+    aggregate."""
+    nation1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    nation2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    volume = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    pair = (((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation1), supp.s_nationkey == F.col("s_nkey"))
+        .join(broadcast(nation2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(volume.alias("volume"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: revenue under an OR of brand/size/quantity conjunction
+    arms. One equi-join on partkey; the disjunction is a post-join filter
+    Catalyst simplifies -- common subpredicates (like the partkey join
+    itself) stay in the join, and each arm prunes via the broadcast dim."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    ).cast("double")
+    arm1 = ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20))
+    arm2 = ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 35))
+    arm3 = ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 50))
+    return (li.join(broadcast(part), li.l_partkey == part.p_partkey)
+            .filter(arm1 | arm2 | arm3)
+            .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items")))
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-segment-average-balance customers in select
+    segments with no HIGH-VALUE order (> 400k), composing a decorrelated
+    aggregate subquery (tiny agg, broadcast back) with a left-anti join
+    against the filtered orders fact -- the anti-join's build side
+    shrinks at the scan via the pushed totalprice predicate."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400_000)
+    segs = ["BUILDING", "MACHINERY", "HOUSEHOLD"]
+    base = cust.filter(F.col("c_mktsegment").isin(segs)
+                       & (F.col("c_acctbal") > 0))
+    # bal > avg(bal) as bal * n > sum(bal): decimal*bigint cross-multiply
+    # is exact in every engine, where AVG's result type is not (Spark
+    # widens the decimal, DuckDB returns a double)
+    seg_avg = (base.groupBy("c_mktsegment")
+               .agg(F.sum(F.col("c_acctbal").cast(DEC)).alias("seg_sum"),
+                    F.count(F.lit(1)).alias("seg_n")))
+    rich = (base.join(broadcast(seg_avg), "c_mktsegment")
+            .filter(F.col("c_acctbal").cast(DEC) * F.col("seg_n")
+                    > F.col("seg_sum")))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (idle.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                 .alias("total_bal")))
+
+
+Q22_SQL = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD') AND c_acctbal > 0),
+seg AS (SELECT c_mktsegment, SUM(bal) AS seg_sum, COUNT(*) AS seg_n
+        FROM base GROUP BY 1)
+SELECT b.c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(b.bal) AS DOUBLE) AS total_bal
+FROM base b
+JOIN seg s ON b.c_mktsegment = s.c_mktsegment
+WHERE b.bal * s.seg_n > s.seg_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = b.c_custkey AND o.o_totalprice > 400000)
+GROUP BY b.c_mktsegment
+"""

@@ -30,6 +30,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ts_us():
+    """events.ts is a microsecond parquet timestamp read as TIMESTAMP_NTZ;
+    diffing against the NTZ epoch gives timezone-free integer microseconds
+    (exactly DuckDB's epoch_us) without touching the session timezone."""
+    return F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+
+
 # --- Q1: pricing summary (hash aggregate, decimal arithmetic) -----------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,13 +538,9 @@ def events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     session counter (gaps and islands). The streaming twin uses
     session_window (streaming/pipeline.py); this one is oracle-checkable.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    # integer microseconds on both engines: DuckDB's epoch() is a
-    # fractional double and its ns timestamps would tie-break ordering
-    # differently than Spark's us-truncated ones
-    ev = ev.withColumn("ts_us", F.unix_micros("ts"))
+    # integer microseconds on both engines: fractional-seconds doubles
+    # (epoch()) would tie-break ordering differently than exact us longs
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     with_gap = ev.select(
         "user_id", "event_id", "ts_us",
@@ -584,7 +588,6 @@ GROUP BY user_id, session_no
 
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (props = '{"k": int}') + aggregation per type."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (ev.select("event_type", k.alias("k"))
@@ -737,9 +740,8 @@ def events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     must agree exactly."""
     from cassandra_sstable_to_protocolbuf_spark.operators.asof import as_of_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts DIV 1000").alias("ts_us"))
+        "event_id", "user_id", _ts_us().alias("ts_us"))
     # TZ-free microseconds: o_orderdate is a date-valued NTZ timestamp;
     # day arithmetic avoids any session-timezone dependence (the driver's
     # session TZ is not ours to set)
@@ -777,12 +779,9 @@ FROM l ASOF LEFT JOIN r
 # --- Events: time-bucketed aggregation (batch form of the streaming op) --
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is a nanosecond parquet timestamp; Spark reads it as long
-    # under this (runtime-settable) flag, then we convert ns -> us with
-    # integer division (ns epoch values exceed double's 53-bit mantissa).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # ts is TIMESTAMP_NTZ: date_trunc/date_format on NTZ are timezone-free
+    # in both engines, so the rendered hour strings agree byte-for-byte
+    ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -798,7 +797,6 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type (rows-only check:
     sketch internals are implementation-specific). The exact counterpart
     `n_users` in events_hourly carries the oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
@@ -952,11 +950,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     no windows, no per-user sorting. The conditional-min formulation
     beats collecting per-user event sequences at any scale.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # ns -> us integer division: DuckDB truncates the parquet ns timestamps
-    # to us, so ordering comparisons must happen at us on both engines
     ev = (_t(spark, sf_dir, "events")
-          .select("user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")))
+          .select("user_id", "event_type", _ts_us().alias("ts_us")))
     v = (ev.filter(F.col("event_type") == "view")
          .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
     c = (ev.join(v, "user_id")

@@ -31,6 +31,16 @@ EVENT_SCHEMA = StructType([
 ])
 
 
+def _ntz_to_instant(col: str):
+    """TIMESTAMP_NTZ -> TIMESTAMP carrying the same wall-clock as a UTC
+    instant (via integer epoch micros, so no session-timezone shift).
+    Watermarks/event-time ops require TIMESTAMP; re-deriving epoch micros
+    from the result with unix_micros is exact and timezone-free."""
+    us = (f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+          f" {col})")
+    return F.timestamp_micros(F.expr(us))
+
+
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int = 8) -> DataFrame:
     """File-based event stream (json files arriving under `path`)."""
@@ -157,22 +167,24 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    # events.ts is a nanosecond parquet timestamp: read as long, integer-
-    # divide to us (ns exceeds double's mantissa; see events_hourly)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Watermarks demand TIMESTAMP (not the NTZ the parquet reader infers):
+    # re-root the NTZ wall-clock as a UTC instant via integer micros --
+    # epoch-aligned hour windows then agree with a timezone-free
+    # date_trunc, and the output emits epoch micros (never a formatted
+    # string that would depend on the session timezone)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource wants a DIRECTORY; the table is one file inside the
     # scale-factor dir, so stream the dir with a glob filter on the file
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
-          .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+          .withColumn("ts", _ntz_to_instant("ts")))
     agg = (ev.withWatermark("ts", "2 hours")
            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
                 .alias("sum_value"))
-           .select(F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+           .select(F.unix_micros("win.start").alias("hour_us"),
                    "event_type", "n_events", "sum_value"))
     name = "stream_events_hourly_" + uuid.uuid4().hex
     query = (agg.writeStream.format("memory").queryName(name)
@@ -182,7 +194,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_EVENTS_HOURLY_SQL = """
-SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
@@ -222,19 +234,20 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
-          .parquet(sf_dir)
-          .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+          .parquet(sf_dir))
+    win_start_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        " win.start)")
     agg = (ev.groupBy(F.session_window("ts", "30 minutes").alias("win"),
                       "user_id")
            .agg(F.count(F.lit(1)).alias("n_events"),
                 F.min("event_id").alias("first_event"),
                 F.max("event_id").alias("last_event"))
            .select("user_id",
-                   F.unix_micros("win.start").alias("session_start_us"),
+                   win_start_us.alias("session_start_us"),
                    "n_events", "first_event", "last_event"))
     name = "stream_events_sessionize_" + uuid.uuid4().hex
     query = (agg.writeStream.format("memory").queryName(name)
@@ -300,12 +313,11 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
-          .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+          .withColumn("ts", _ntz_to_instant("ts")))
     purchases = (ev.filter(F.col("event_type") == "purchase")
                  .select(F.col("event_id").alias("purchase_event"),
                          F.col("user_id"), F.col("ts").alias("purchase_ts")))
@@ -319,7 +331,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.purchase_event").alias("purchase_event"),
         F.col("r.click_event").alias("click_event"),
         F.col("l.user_id").alias("user_id"),
-        (F.unix_micros("l.purchase_ts") - F.unix_micros("r.click_ts"))
+        F.expr("timestampdiff(MICROSECOND, r.click_ts, l.purchase_ts)")
         .alias("gap_us"))
     name = "stream_click_attribution_" + uuid.uuid4().hex
     query = (out.writeStream.format("memory").queryName(name)

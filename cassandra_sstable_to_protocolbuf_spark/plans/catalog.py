@@ -61,6 +61,16 @@ CATALOG: dict[str, QueryDef] = {
                                 "filter+agg, full scan pushdown"),
     "tpch_q7_nation_volume": QueryDef(R.q7_nation_volume, R.Q7_SQL,
                                      "Q7 shape: disjunctive two-nation pair volume"),
+    "tpch_q8_market_share": QueryDef(R.q8_market_share, R.Q8_SQL,
+                                     "Q8 shape: nation market share per year"),
+    "tpch_q14_promo_revenue": QueryDef(R.q14_promo_revenue, R.Q14_SQL,
+                                       "Q14 shape: promo share of monthly revenue"),
+    "tpch_q15_top_supplier": QueryDef(R.q15_top_supplier, R.Q15_SQL,
+                                      "Q15 shape: argmax supplier via decorrelated view"),
+    "tpch_q17_small_quantity": QueryDef(R.q17_small_quantity_revenue, R.Q17_SQL,
+                                        "Q17 shape: below-avg-quantity revenue"),
+    "tpch_q21_multi_supplier": QueryDef(R.q21_multi_supplier_orders, R.Q21_SQL,
+                                        "Q21 shape: shared-order supplier ranking"),
     "tpch_q18_large_orders": QueryDef(R.q18_large_orders, R.Q18_SQL,
                                       "Q18 shape: agg-before-join + top-100"),
     "tpch_q19_disjunctive": QueryDef(R.q19_disjunctive, R.Q19_SQL,

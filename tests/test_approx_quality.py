@@ -161,3 +161,22 @@ def test_connected_components_known_graph(spark):
     got = {(r.node, r.cluster_id)
            for r in connected_components(edges).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_simhash_components_equal_pair_graph_components(spark):
+    """The identical-signature collapse inside simhash_components must
+    reproduce EXACTLY the components of the full verified pair graph."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
+        connected_components, simhash_components, simhash_pairs)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    full = {(r.node, r.cluster_id)
+            for r in connected_components(
+                simhash_pairs(docs, max_hamming=3)).collect()}
+    collapsed = {(r.node, r.cluster_id)
+                 for r in simhash_components(docs, max_hamming=3).collect()}
+    # simhash_components labels EVERY doc (singletons label themselves);
+    # the pair graph only contains docs with >= 1 edge
+    nodes_in_graph = {n for n, _ in full}
+    assert {(n, c) for n, c in collapsed if n in nodes_in_graph} == full
+    assert all(n == c for n, c in collapsed if n not in nodes_in_graph)

@@ -33,20 +33,6 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.types import ArrayType, LongType
 
 
-def _as_double(col: str):
-    return F.transform(col, lambda x: x.cast("double"))
-
-
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x))
-
-
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "qid") -> DataFrame:
@@ -54,13 +40,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     vectors (self excluded), rank-ordered with id tiebreak."""
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
-    c = widen(corpus).select(F.col(id_col).alias("nid"), _as_double(vec_col).alias("v"))
-    q = queries.select(F.col(query_id_col).alias("qid"), _as_double(vec_col).alias("qv"))
-    cos = _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    c = widen(corpus).select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    cos = cosine_verify_udf()
     scored = (
         broadcast(q).crossJoin(c)
         .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", cos.alias("cosine"))
+        .select("qid", "nid", cos("qv", "v").alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -116,6 +102,35 @@ def lsh_signature_udf(n_tables: int, n_planes: int, seed: int, dim: int = 64):
     return sigs
 
 
+def cosine_verify_udf():
+    """Arrow-batched exact cosine between two vector columns.
+
+    Same sanctioned escape hatch as lsh_signature_udf: the dot/norm
+    accumulators run dimension-by-dimension (vectorized ACROSS rows), so
+    every double add and the final sqrt/divide happen in exactly the
+    order of the interpreted F.aggregate fold and DuckDB's list_sum --
+    bit-identical cosines, ~10x cheaper than 64 interpreted lambda evals
+    per candidate pair.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        dot = np.zeros(a.shape[0])
+        na = np.zeros(a.shape[0])
+        nb = np.zeros(a.shape[0])
+        for i in range(a.shape[1]):  # dim-ordered left folds, rows vectorized
+            dot += a[:, i] * b[:, i]
+            na += a[:, i] * a[:, i]
+            nb += b[:, i] * b[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos
+
+
 def lsh_dup_pairs(corpus: DataFrame, threshold: float = 0.45,
                   n_tables: int = 24, n_planes: int = 8, seed: int = 7,
                   max_bucket: int = 1000, dim: int = 64,
@@ -142,7 +157,12 @@ def lsh_dup_pairs(corpus: DataFrame, threshold: float = 0.45,
     sig_udf = lsh_signature_udf(n_tables, n_planes, seed, dim)
     e = widen(corpus).select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("emb"))
-    ex = e.select("id", F.posexplode(sig_udf("emb")).alias("t", "sig"))
+    # cache: the exploded signatures feed BOTH self-join sides and the
+    # bucket-stats agg, and AQE's broadcast defeats ReusedExchange --
+    # without it the Arrow signature UDF runs three times. n_tables rows
+    # per vector, two longs each: tiny even at corpus scale.
+    ex = (e.select("id", F.posexplode(sig_udf("emb")).alias("t", "sig"))
+          .cache())
     # bounded small: <= n_tables * 2^n_planes distinct buckets => broadcast
     ok_buckets = (ex.groupBy("t", "sig")
                   .agg(F.count(F.lit(1)).alias("n_members"))
@@ -155,15 +175,11 @@ def lsh_dup_pairs(corpus: DataFrame, threshold: float = 0.45,
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b")
              .dropDuplicates(["id_a", "id_b"]))
-    v = e.select(F.col("id"), _as_double("emb").alias("v"))
-    v = v.select("id", "v", _norm(F.col("v")).alias("nrm"))
-    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                  F.col("nrm").alias("na"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                  F.col("nrm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    va = e.select(F.col("id").alias("id_a"), F.col("emb").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("emb").alias("vb"))
+    cos = cosine_verify_udf()
     return (pairs.join(va, "id_a").join(vb, "id_b")
-            .select("id_a", "id_b", cos.alias("cosine"))
+            .select("id_a", "id_b", cos("va", "vb").alias("cosine"))
             .filter(F.col("cosine") >= F.lit(threshold)))
 
 
@@ -244,13 +260,11 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .filter(F.col("nid") != F.col("qid"))
              .select("qid", "nid")
              .dropDuplicates(["qid", "nid"]))
-    cv = c.select(F.col("nid"), _as_double("emb").alias("v"))
-    cv = cv.select("nid", "v", _norm(F.col("v")).alias("nn"))
-    qv = q.select(F.col("qid"), _as_double("emb").alias("qv"))
-    qv = qv.select("qid", "qv", _norm(F.col("qv")).alias("qn"))
-    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
+    cv = c.select(F.col("nid"), F.col("emb").alias("v"))
+    qv = q.select(F.col("qid"), F.col("emb").alias("qv"))
+    cos = cosine_verify_udf()
     scored = (pairs.join(qv, "qid").join(cv, "nid")
-              .select("qid", "nid", cos.alias("cosine")))
+              .select("qid", "nid", cos("qv", "v").alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
@@ -276,37 +290,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
+    cos = cosine_verify_udf()
     cent = (corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
-            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv")))
-    cent = cent.select("cid", "cv", _norm(F.col("cv")).alias("cn"))
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")))
     v = widen(corpus).select(F.col(id_col).alias("nid"),
-                             _as_double(vec_col).alias("v"))
-    v = v.select("nid", "v", _norm(F.col("v")).alias("nn"))
-    cos_vc = _dot(F.col("v"), F.col("cv")) / (F.col("nn") * F.col("cn"))
+                             F.col(vec_col).alias("v"))
     # argmax centroid per vector: max_by over (cos, -cid) aggregates
     # with map-side combine instead of shuffling all N x K pairs
     assign = (v.crossJoin(broadcast(cent))
-              .select("nid", "cid", cos_vc.alias("cos"))
+              .select("nid", "cid", cos("v", "cv").alias("cos"))
               .groupBy("nid")
               .agg(F.max_by("cid", F.struct(F.col("cos"),
                                             (-F.col("cid")).alias("neg")))
                    .alias("cid")))
     q = queries.select(F.col(query_id_col).alias("qid"),
-                       _as_double(vec_col).alias("qv"))
-    q = q.select("qid", "qv", _norm(F.col("qv")).alias("qn"))
-    cos_qc = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+                       F.col(vec_col).alias("qv"))
     wprobe = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     probes = (q.crossJoin(broadcast(cent))
-              .select("qid", "cid", cos_qc.alias("cos"))
+              .select("qid", "cid", cos("qv", "cv").alias("cos"))
               .withColumn("r", F.row_number().over(wprobe))
               .filter(F.col("r") <= nprobe)
               .select("qid", "cid"))
     cand = (probes.join(assign, "cid")
             .filter(F.col("nid") != F.col("qid"))
             .select("qid", "nid").dropDuplicates(["qid", "nid"]))
-    cos_qn = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nn"))
     scored = (cand.join(q, "qid").join(v, "nid")
-              .select("qid", "nid", cos_qn.alias("cosine")))
+              .select("qid", "nid", cos("qv", "v").alias("cosine")))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

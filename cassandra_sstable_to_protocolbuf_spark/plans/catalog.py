@@ -115,6 +115,9 @@ CATALOG: dict[str, QueryDef] = {
     "stream_click_attribution": QueryDef(ST.stream_click_attribution,
                                          ST.STREAM_CLICK_ATTRIBUTION_SQL,
                                          "watermarked stream-stream interval join"),
+    "stream_events_dedup": QueryDef(ST.stream_events_dedup,
+                                    ST.STREAM_EVENTS_DEDUP_SQL,
+                                    "at-least-once replay dedup (id-keyed state)"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

@@ -352,3 +352,45 @@ JOIN events c
  AND c.ts <= p.ts
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
+
+
+def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/gate entry: exactly-once-per-event_id THROUGH the
+    streaming engine. The input is the events file unioned with itself
+    -- a deliberate 2x replay of every event -- deduplicated by
+    dropDuplicatesWithinWatermark on event_id ALONE (state keyed by id,
+    evicted once the id ages past the watermark), availableNow-
+    terminated. The batch oracle is a plain scan of events: each event
+    must come out exactly once, replay dropped.
+
+    Scale design: dedup state is one tiny row per in-horizon event id,
+    partitioned by id; the watermark bounds it, so an unbounded
+    at-least-once source (the usual Kafka contract) dedups with finite
+    state. Append mode is the production sink shape.
+    """
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side() -> DataFrame:
+        # each readStream call is an independent source instance, so the
+        # union really delivers every file row twice
+        return (spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .withColumn("ts", _ntz_to_instant("ts")))
+
+    deduped = stream_dedup(side().unionAll(side()), watermark="1 hour")
+    out = deduped.select("event_id", "user_id", "event_type",
+                         F.unix_micros("ts").alias("ts_us"))
+    name = "stream_events_dedup_" + uuid.uuid4().hex
+    query = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_EVENTS_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+FROM events
+"""

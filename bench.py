@@ -30,8 +30,13 @@ HEADLINE = [
     "tpch_q5_supplier_volume",
     "tpch_q6_revenue",
     "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
+    "tpch_q21_multi_supplier",
     "tpch_q22_idle_customers",
     "window_running_total",
     "events_hourly",

@@ -173,3 +173,54 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
     return widen(media).mapInPandas(batches, AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("in_len", LongType(), False),
+    StructField("out_len", LongType(), False),
+    StructField("resized_sum", LongType(), False),
+    StructField("resized_csv", StringType(), False),
+])
+
+RESIZE_TARGET = 64
+
+
+def resize_payloads(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """'Image resize' shape through the codec seam: nearest-neighbor
+    resample of the decoded byte array to a fixed `target` length
+    (index j of the output reads source index floor(j*n/target) -- the
+    1-D form of NN thumbnail resize; a real deployment swaps in
+    PIL.Image.resize at _decode_payload and keeps every downstream
+    line). Output is gate-friendly: exact sum + CSV of the resized
+    bytes, reproducible byte-for-byte in SQL.
+
+    Same scale shape as the other multimodal ops: Arrow-batched
+    mapInPandas, numpy fancy-indexing per batch, narrow map, no shuffle.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                arr = _decode_payload(mt, bytes(payload))
+                n = len(arr)
+                if n:
+                    idx = (np.arange(target) * n) // target
+                    r = arr[idx].astype(np.int64)
+                    row = {"doc_id": doc_id, "in_len": n, "out_len": target,
+                           "resized_sum": int(r.sum()),
+                           "resized_csv": ",".join(str(int(x)) for x in r)}
+                else:
+                    row = {"doc_id": doc_id, "in_len": 0, "out_len": 0,
+                           "resized_sum": 0, "resized_csv": ""}
+                out.append(row)
+            yield pd.DataFrame(out)
+
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    return widen(media).mapInPandas(batches, RESIZE_SCHEMA)

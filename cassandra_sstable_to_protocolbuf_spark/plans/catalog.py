@@ -120,6 +120,8 @@ CATALOG: dict[str, QueryDef] = {
                                     "at-least-once replay dedup (id-keyed state)"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
+    "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
+                                 "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,
                                    "backward as-of join (custom operator)"),
     "range_join_price_bands": QueryDef(R.range_join_price_bands, R.RANGE_JOIN_SQL,
@@ -144,6 +146,8 @@ CATALOG: dict[str, QueryDef] = {
                                   "binary media column -> Arrow-batch features"),
     "mm_frame_sample": QueryDef(R.mm_frame_sample, R.MM_FRAME_SAMPLE_SQL,
                                 "every-Nth byte-frame sampling (explode, no shuffle)"),
+    "mm_resize": QueryDef(R.mm_resize, R.MM_RESIZE_SQL,
+                          "nearest-neighbor payload resize (Arrow codec seam)"),
     # --- text analysis + dedup (north-star extensions) --------------------
     "docs_text_stats": QueryDef(TX.docs_text_stats, TX.DOCS_TEXT_STATS_SQL,
                                 "token/char statistics"),

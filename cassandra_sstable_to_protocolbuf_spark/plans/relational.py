@@ -1412,3 +1412,76 @@ GROUP BY s_suppkey, s_name
 ORDER BY n_shared_orders DESC, s_suppkey ASC
 LIMIT 10
 """
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted join, gated: events (the skewed fact) joined
+    to per-user order stats (user-cardinality -- NOT broadcastable at
+    scale) through operators.skew.salted_join, then rolled up per event
+    type. Salting must be invisible in the result: the oracle is the
+    plain join. This is the two-big-tables case AQE's sort-merge skew
+    split cannot always fix (operators/skew.py docstring has the cost
+    model)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.skew import salted_join
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type"))
+    per_user = (_t(spark, sf_dir, "orders")
+                .groupBy(F.col("o_custkey").alias("user_id"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum(F.col("o_totalprice").cast(DEC)).alias("spend")))
+    j = salted_join(ev, per_user, on="user_id", salt_factor=8, how="inner")
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("n_orders").alias("sum_user_orders"),
+                 F.sum("spend").cast("double").alias("sum_user_spend")))
+
+
+SKEW_SALTED_JOIN_SQL = """
+WITH per_user AS (
+  SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+  FROM orders GROUP BY 1)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(n_orders) AS BIGINT) AS sum_user_orders,
+       CAST(SUM(spend) AS DOUBLE) AS sum_user_spend
+FROM events JOIN per_user USING (user_id)
+GROUP BY event_type
+"""
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: nearest-neighbor resample of each payload to 64
+    'pixels' through the Arrow codec seam (operators/multimodal.py
+    resize_payloads); the oracle recomputes the identical resample in SQL
+    from the hex-encoded payload bytes."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_payloads, resize_payloads)
+    docs = _t(spark, sf_dir, "documents")
+    return resize_payloads(attach_payloads(docs))
+
+
+MM_RESIZE_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+nz AS (SELECT doc_id, b, octet_length(b) AS n FROM d WHERE octet_length(b) > 0),
+j AS (SELECT doc_id, b, n, unnest(range(0, 64)) AS j FROM nz),
+px AS (
+  SELECT doc_id, j, n,
+         (strpos('123456789ABCDEF', substr(hex(b), CAST(2*((j*n)//64)+1 AS INT), 1))) * 16
+       + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*((j*n)//64)+2 AS INT), 1))) AS v
+  FROM j),
+agg AS (
+  SELECT doc_id,
+         CAST(MIN(n) AS BIGINT) AS in_len,
+         CAST(64 AS BIGINT) AS out_len,
+         CAST(SUM(v) AS BIGINT) AS resized_sum,
+         STRING_AGG(CAST(v AS VARCHAR), ',' ORDER BY j) AS resized_csv
+  FROM px GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(agg.in_len, 0) AS in_len,
+       COALESCE(agg.out_len, 0) AS out_len,
+       COALESCE(agg.resized_sum, 0) AS resized_sum,
+       COALESCE(agg.resized_csv, '') AS resized_csv
+FROM d LEFT JOIN agg USING (doc_id)
+"""

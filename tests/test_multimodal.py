@@ -54,3 +54,17 @@ def test_frame_sampling_shape(spark):
     one = pdf[pdf.doc_id == pdf.doc_id.iloc[0]]
     text = _docs(spark).filter(F.col("doc_id") == int(one.doc_id.iloc[0])).collect()[0].text
     assert bytes(one.frame.iloc[0]) == text.encode()[0:1]
+
+
+def test_resize_nearest_neighbor_exact(spark):
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        RESIZE_TARGET, resize_payloads)
+
+    media = attach_payloads(_docs(spark).limit(5))
+    row = resize_payloads(media).filter(F.col("doc_id") == 0).collect()[0]
+    raw = _docs(spark).filter(F.col("doc_id") == 0).collect()[0].text.encode()
+    expect = [raw[(j * len(raw)) // RESIZE_TARGET] for j in range(RESIZE_TARGET)]
+    assert row.in_len == len(raw)
+    assert row.out_len == RESIZE_TARGET
+    assert row.resized_sum == sum(expect)
+    assert row.resized_csv == ",".join(str(v) for v in expect)

@@ -87,16 +87,20 @@ def main() -> None:
     for name in HEADLINE:
         fn = CATALOG[name].fn
         # first run pays Catalyst analysis + whole-stage codegen compile;
-        # report the steady-state (second) execution
+        # report the steady-state execution
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # collect accumulated broadcast/shuffle garbage OUTSIDE the timed
-        # region: ~20 queries of state in one local JVM otherwise lands a
-        # full-GC pause inside a random later query (observed 3-15x
-        # spikes on individual lines)
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            # collect accumulated broadcast/shuffle garbage OUTSIDE the
+            # timed region: ~40 queries of state in one local JVM
+            # otherwise lands a full-GC pause inside a random later query
+            # (observed 3-15x spikes on individual lines); the min of two
+            # timed runs drops whatever pauses remain
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

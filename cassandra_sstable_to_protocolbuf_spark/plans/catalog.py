@@ -81,6 +81,10 @@ CATALOG: dict[str, QueryDef] = {
                                      "row_number window top-k per group"),
     "window_running_total": QueryDef(R.customer_running_total, R.RUNNING_TOTAL_SQL,
                                      "running sum + lag window"),
+    "window_ranks": QueryDef(R.window_ranks, R.WINDOW_RANKS_SQL,
+                             "rank/dense_rank/percent_rank/cume_dist/ntile"),
+    "window_frames": QueryDef(R.window_frames, R.WINDOW_FRAMES_SQL,
+                              "explicit ROWS + RANGE window frames"),
     "rollup_sales": QueryDef(R.rollup_sales, R.ROLLUP_SQL, "ROLLUP grouping sets"),
     "grouping_sets_sales": QueryDef(R.grouping_sets_sales, R.GROUPING_SETS_SQL,
                                     "explicit GROUPING SETS + grouping id"),

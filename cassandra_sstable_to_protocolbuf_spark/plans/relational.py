@@ -1485,3 +1485,80 @@ SELECT d.doc_id,
        COALESCE(agg.resized_csv, '') AS resized_csv
 FROM d LEFT JOIN agg USING (doc_id)
 """
+
+
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window functions over orders per priority class:
+    rank/dense_rank/percent_rank/cume_dist ordered by price alone (tie
+    groups share a value, so results are deterministic under ties) and
+    ntile/row_number under a total order (price, orderkey) -- ntile
+    assigns by row position, so its ordering MUST be total for
+    cross-engine determinism."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    w_price = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    w_total = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(w_price).alias("rnk"),
+        F.dense_rank().over(w_price).alias("drnk"),
+        F.percent_rank().over(w_price).alias("prnk"),
+        F.cume_dist().over(w_price).alias("cdist"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.row_number().over(w_total).alias("rn"),
+    )
+
+
+WINDOW_RANKS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(RANK() OVER wp AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER wp AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER wp AS prnk,
+       CUME_DIST() OVER wp AS cdist,
+       CAST(NTILE(4) OVER wt AS INT) AS quartile,
+       CAST(ROW_NUMBER() OVER wt AS BIGINT) AS rn
+FROM orders
+WINDOW wp AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+       wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit window frames per customer: a ROWS frame (moving sum of
+    the current + 2 preceding orders under a total order) and a RANGE
+    frame (order count within the preceding 30 days -- peers included by
+    VALUE, so tie order cannot matter). Day arithmetic in integer days
+    keeps both engines exact."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    o = orders.select("o_orderkey", "o_custkey", day.alias("day"),
+                      F.col("o_totalprice").cast(DEC).alias("price"))
+    w_rows = (Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+              .rowsBetween(-2, 0))
+    w_range = (Window.partitionBy("o_custkey").orderBy("day")
+               .rangeBetween(-30, 0))
+    return o.select(
+        "o_orderkey", "o_custkey", "day",
+        F.sum("price").over(w_rows).cast("double").alias("moving_sum_3"),
+        F.count(F.lit(1)).over(w_range).alias("n_last_30d"),
+    )
+
+
+WINDOW_FRAMES_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders)
+SELECT o_orderkey, o_custkey, day,
+       CAST(SUM(price) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS moving_sum_3,
+       CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_last_30d
+FROM o
+"""

@@ -102,6 +102,8 @@ CATALOG: dict[str, QueryDef] = {
                                        "left-anti join / NOT EXISTS"),
     "scalar_functions": QueryDef(R.scalar_functions_part, R.SCALAR_FUNCS_SQL,
                                  "string/math/conditional scalar library"),
+    "array_functions": QueryDef(R.array_functions, R.ARRAY_FUNCTIONS_SQL,
+                                "array construction + higher-order functions"),
     "date_functions": QueryDef(R.date_functions_orders, R.DATE_FUNCS_SQL,
                                "date part extraction + agg"),
     "events_hourly": QueryDef(R.events_hourly, R.EVENTS_HOURLY_SQL,

@@ -1562,3 +1562,48 @@ SELECT o_orderkey, o_custkey, day,
          AS n_last_30d
 FROM o
 """
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions per order: the
+    lineitem quantities collected into a sorted array, then transformed,
+    filtered, and folded lambda-side (Catalyst HOFs vs DuckDB list
+    lambdas). Quantities are exact integers x100, so every derived value
+    is integer-exact cross-engine; sort_array gives a canonical element
+    order before any positional access."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
+    per_order = (li.groupBy("l_orderkey")
+                 .agg(F.sort_array(F.collect_list(qty100)).alias("qtys")))
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_items"),
+        F.element_at("qtys", 1).alias("min_qty100"),
+        F.element_at("qtys", -1).alias("max_qty100"),
+        F.aggregate("qtys", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_qty100"),
+        F.size(F.filter("qtys", lambda x: x > 2500)).alias("n_large"),
+        F.aggregate(F.transform("qtys", lambda x: x * x),
+                    F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("sum_sq_qty100"),
+        F.array_join(F.transform(F.slice("qtys", 1, 3),
+                                 lambda x: x.cast("string")), ",")
+        .alias("head3_csv"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         list_sort(list(CAST(round(l_quantity * 100) AS BIGINT))) AS qtys
+  FROM lineitem GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(len(qtys) AS INT) AS n_items,
+       qtys[1] AS min_qty100,
+       qtys[-1] AS max_qty100,
+       CAST(list_sum(qtys) AS BIGINT) AS sum_qty100,
+       CAST(len(list_filter(qtys, x -> x > 2500)) AS INT) AS n_large,
+       CAST(list_sum(list_transform(qtys, x -> x * x)) AS BIGINT) AS sum_sq_qty100,
+       array_to_string(list_transform(qtys[1:3], x -> CAST(x AS VARCHAR)), ',') AS head3_csv
+FROM per_order
+"""

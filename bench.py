@@ -24,6 +24,7 @@ HEADLINE = [
     "sst_live_filter",
     "sst_row_group",
     "sst_lww_dedup",
+    "sst_native_scan",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q3_top_orders",

@@ -48,6 +48,8 @@ CATALOG: dict[str, QueryDef] = {
                                  "K1+K2: protobuf+zstd sink/source round-trip"),
     "sst_native_roundtrip": QueryDef(C.sst_native_roundtrip, C.SST_NATIVE_ROUNDTRIP_SQL,
                                      "S1-S7: binary SSTable write+parse round-trip"),
+    "sst_native_scan": QueryDef(C.sst_native_scan, C.SST_NATIVE_ROUNDTRIP_SQL,
+                                "S4/S6/S7: scan of pre-built binary SSTables"),
     "sst_point_lookup": QueryDef(C.sst_point_lookup, C.SST_POINT_LOOKUP_SQL,
                                  "S5: pushed key predicate -> Index.db seek"),
     # --- relational coverage (SURVEY §2.1) --------------------------------

@@ -223,6 +223,69 @@ def sst_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "partition_deletion_live"))
 
 
+def _native_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once binary SSTable fixtures for `sf_dir`, content-addressed
+    by the writer/encoder source digests so any code change invalidates
+    the cache. Written to a temp dir then atomically renamed; a
+    concurrent builder losing the rename race just discards its copy."""
+    import hashlib
+    import os
+    import pathlib
+    import shutil
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark.sources import cells as cells_mod
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as sn)
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
+
+    digest = hashlib.md5(
+        pathlib.Path(sn.__file__).read_bytes()
+        + pathlib.Path(cells_mod.__file__).read_bytes()).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), f"sstnative_fix_{tag}_{digest}")
+    if not os.path.isdir(out):
+        from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+            write_cells_as_sstables)
+
+        cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+        tmp = tempfile.mkdtemp(prefix=f"sstnative_build_{tag}_")
+        write_cells_as_sstables(cells, tmp, compression="lz4").collect()
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return out
+
+
+def sst_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S6+S7 steady-state: full scan of PRE-BUILT binary SSTable
+    components through the Python DataSource (Arrow-batched reads, lz4
+    chunk decompression, per-cell streaming). The roundtrip twin
+    (sst_native_roundtrip) rebuilds its fixtures every call to certify
+    the writer; this one caches them content-addressed, so its timing is
+    the scan path alone -- the number to compare against the reference's
+    single-threaded converter throughput."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        LIVE_LOCAL_DELETION, read_native_cells)
+
+    out = _native_fixture_dir(spark, sf_dir)
+    back = read_native_cells(spark, out)
+    ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
+               .when(F.col("local_expiration") == 0, "T")
+               .when(F.col("local_expiration") == LIVE_LOCAL_DELETION - 1, "F")
+               .otherwise("NA"))
+    return (back.filter(F.col("cell_kind") != "PARTITION")
+            .select(
+                F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1).alias("sstable_id"),
+                F.decode("key", "UTF-8").alias("key"),
+                F.decode("name", "UTF-8").alias("name"),
+                F.decode("value", "UTF-8").alias("value"),
+                "writeTime", "cell_kind",
+                ttl_str.alias("ttl_expired"),
+                "partition_deletion_live"))
+
+
 SST_NATIVE_ROUNDTRIP_SQL = f"""
 {cells_cte()}
 SELECT sstable_id, key, name,

@@ -140,6 +140,12 @@ CATALOG: dict[str, QueryDef] = {
                                      "exact interpolated percentiles"),
     "orders_priority_pivot": QueryDef(R.orders_priority_pivot, R.ORDERS_PIVOT_SQL,
                                       "pivot via conditional aggregation"),
+    "orders_pivot_builtin": QueryDef(R.orders_pivot_builtin, R.ORDERS_PIVOT_BUILTIN_SQL,
+                                     "built-in groupBy().pivot() with static values"),
+    "lineitem_unpivot": QueryDef(R.lineitem_unpivot, R.LINEITEM_UNPIVOT_SQL,
+                                 "unpivot/melt measures into rows"),
+    "cube_sales": QueryDef(R.cube_sales, R.CUBE_SALES_SQL,
+                           "CUBE grouping sets + grouping id"),
     "orders_time_rollup": QueryDef(R.orders_time_rollup, R.TIME_ROLLUP_SQL,
                                    "multi-granularity time rollup"),
     "outer_join_order_counts": QueryDef(R.outer_join_order_counts, R.OUTER_JOIN_SQL,

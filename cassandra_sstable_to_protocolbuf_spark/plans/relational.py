@@ -1607,3 +1607,98 @@ SELECT l_orderkey,
        array_to_string(list_transform(qtys[1:3], x -> CAST(x AS VARCHAR)), ',') AS head3_csv
 FROM per_order
 """
+
+
+def orders_pivot_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in relational pivot (groupBy().pivot(values).agg()) as a
+    complement to orders_priority_pivot's conditional-aggregation form.
+    The value list is explicit, so the output schema is static -- the
+    form that survives at scale (an inferred pivot would scan once just
+    to discover column values)."""
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (orders.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+               .pivot("o_orderpriority", _PRIORITIES)
+               .agg(F.count(F.lit(1))))
+    renamed = pivoted.select(
+        "o_year",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"prio_{i + 1}")
+          for i, p in enumerate(_PRIORITIES)])
+    return renamed
+
+
+ORDERS_PIVOT_BUILTIN_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS prio_1,
+       COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS prio_2,
+       COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS prio_3,
+       COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS prio_4,
+       COUNT(*) FILTER (o_orderpriority = '5-LOW') AS prio_5
+FROM orders
+GROUP BY 1
+"""
+
+
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the three lineitem money measures rotated into
+    (measure, value) rows, then aggregated per measure. One narrow
+    Expand node -- no shuffle until the final tiny agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    melted = (li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast(DEC).alias("quantity"),
+        F.col("l_extendedprice").cast(DEC).alias("extendedprice"),
+        F.col("l_discount").cast(DEC).alias("discount"))
+        .unpivot("l_orderkey", ["quantity", "extendedprice", "discount"],
+                 "measure", "val"))
+    return (melted.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("val").cast("double").alias("total"),
+                 F.max("val").cast("double").alias("max_val")))
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH melted AS (
+  SELECT l_orderkey, 'quantity' AS measure,
+         CAST(l_quantity AS DECIMAL(12,2)) AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'extendedprice',
+         CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'discount',
+         CAST(l_discount AS DECIMAL(12,2)) FROM lineitem)
+SELECT measure, COUNT(*) AS n_rows,
+       CAST(SUM(val) AS DOUBLE) AS total,
+       CAST(MAX(val) AS DOUBLE) AS max_val
+FROM melted
+GROUP BY measure
+"""
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    Expand + hash agg pass, completing the rollup/grouping-sets family.
+    GROUPING() disambiguates '(all)' sentinels from real values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+             .alias("sum_price"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "gid", "n_rows", "sum_price",
+        )
+    )
+
+
+CUBE_SALES_SQL = """
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""

@@ -106,6 +106,9 @@ CATALOG: dict[str, QueryDef] = {
                                  "string/math/conditional scalar library"),
     "array_functions": QueryDef(R.array_functions, R.ARRAY_FUNCTIONS_SQL,
                                 "array construction + higher-order functions"),
+    "string_functions_fuzzy": QueryDef(R.string_functions_fuzzy,
+                                       R.STRING_FUNCS_FUZZY_SQL,
+                                       "levenshtein/translate/regexp string library"),
     "date_functions": QueryDef(R.date_functions_orders, R.DATE_FUNCS_SQL,
                                "date part extraction + agg"),
     "events_hourly": QueryDef(R.events_hourly, R.EVENTS_HOURLY_SQL,

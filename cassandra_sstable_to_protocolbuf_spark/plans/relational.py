@@ -1702,3 +1702,34 @@ SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
+
+
+def string_functions_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/string-manipulation scalar coverage beyond scalar_functions:
+    levenshtein distance (the dedup-adjacent primitive), translate,
+    lpad, reverse, ascii, regexp_extract, and split_part -- all
+    JVM-codegen expressions, one narrow pass over customer."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein("c_name", F.lit("Customer#000000042")).alias("lev_anchor"),
+        F.translate("c_name", "#0", "_x").alias("translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.reverse("c_name").alias("reversed"),
+        F.ascii("c_name").alias("first_ascii"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_suffix"),
+    )
+
+
+STRING_FUNCS_FUZZY_SQL = """
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000042') AS INT) AS lev_anchor,
+       translate(c_name, '#0', '_x') AS translated,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       reverse(c_name) AS reversed,
+       CAST(ascii(c_name) AS INT) AS first_ascii,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       split_part(c_name, '#', 2) AS name_suffix
+FROM customer
+"""

@@ -90,6 +90,9 @@ def main() -> None:
         # first run pays Catalyst analysis + whole-stage codegen compile;
         # report the steady-state execution
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # drop caches a query pinned (LSH signatures etc.) so 40+ queries
+        # in one shared JVM don't accumulate executor storage pressure
+        spark.catalog.clearCache()
         runs = []
         for _ in range(2):
             # collect accumulated broadcast/shuffle garbage OUTSIDE the

@@ -312,15 +312,16 @@ def simhash_components(docs: DataFrame, max_hamming: int = 3,
     the representative of its signature group, so the propagated label
     equals the pair-graph label doc for doc.
     """
+    # simhash() canonicalizes the id column to 'doc_id' internally
     sh = simhash(docs, text_col, id_col).cache()
     rep = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
     rep_pairs = _simhash_band_pairs(
         rep.select(F.col("rep_id").alias("doc_id"), "simhash"), max_hamming)
     rep_lbl = connected_components(rep_pairs, "d1", "d2")
-    members = sh.join(rep, "simhash").select(id_col, "rep_id")
+    members = sh.join(rep, "simhash").select("doc_id", "rep_id")
     return (members
             .join(rep_lbl, members.rep_id == rep_lbl.node, "left")
-            .select(F.col(id_col).alias("node"),
+            .select(F.col("doc_id").alias("node"),
                     F.coalesce("cluster_id", "rep_id").alias("cluster_id")))
 
 

@@ -202,12 +202,21 @@ def sst_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        LIVE_LOCAL_DELETION, read_native_cells, write_cells_as_sstables)
+        read_native_cells, write_cells_as_sstables)
 
     cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
     out = tempfile.mkdtemp(prefix="sstnative_roundtrip_")
     write_cells_as_sstables(cells, out, compression="lz4").collect()
-    back = read_native_cells(spark, out)
+    return _project_native_cells(read_native_cells(spark, out))
+
+
+def _project_native_cells(back: DataFrame) -> DataFrame:
+    """Shared projection from the native source's raw cells to the
+    oracle's flat shape (used by both the roundtrip and the cached-scan
+    queries -- one copy, so they cannot desynchronize)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        LIVE_LOCAL_DELETION)
+
     ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
                .when(F.col("local_expiration") == 0, "T")
                .when(F.col("local_expiration") == LIVE_LOCAL_DELETION - 1, "F")
@@ -239,9 +248,16 @@ def _native_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         sstable_native as sn)
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
 
+    # key = writer/encoder sources + the INPUT's identity (path, size,
+    # mtime): the driver regenerates testdata between rounds, and a
+    # code- or data-change must miss the cache rather than serve stale
+    # fixtures against a fresh oracle
+    src = pathlib.Path(sf_dir) / "lineitem.parquet"
+    stat = src.stat()
     digest = hashlib.md5(
         pathlib.Path(sn.__file__).read_bytes()
-        + pathlib.Path(cells_mod.__file__).read_bytes()).hexdigest()[:10]
+        + pathlib.Path(cells_mod.__file__).read_bytes()
+        + f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()).hexdigest()[:10]
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(tempfile.gettempdir(), f"sstnative_fix_{tag}_{digest}")
     if not os.path.isdir(out):
@@ -267,23 +283,10 @@ def sst_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan path alone -- the number to compare against the reference's
     single-threaded converter throughput."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        LIVE_LOCAL_DELETION, read_native_cells)
+        read_native_cells)
 
     out = _native_fixture_dir(spark, sf_dir)
-    back = read_native_cells(spark, out)
-    ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
-               .when(F.col("local_expiration") == 0, "T")
-               .when(F.col("local_expiration") == LIVE_LOCAL_DELETION - 1, "F")
-               .otherwise("NA"))
-    return (back.filter(F.col("cell_kind") != "PARTITION")
-            .select(
-                F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1).alias("sstable_id"),
-                F.decode("key", "UTF-8").alias("key"),
-                F.decode("name", "UTF-8").alias("name"),
-                F.decode("value", "UTF-8").alias("value"),
-                "writeTime", "cell_kind",
-                ttl_str.alias("ttl_expired"),
-                "partition_deletion_live"))
+    return _project_native_cells(read_native_cells(spark, out))
 
 
 SST_NATIVE_ROUNDTRIP_SQL = f"""
@@ -310,36 +313,20 @@ GROUP BY sstable_id
 
 
 def sst_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S5 under the gate: write genuine binary SSTables, then read back
-    ONE partition by key -- the key-equality predicate reaches the
-    Python DataSource via pushFilters and becomes an Index.db seek
-    (one byte-range split per matching index entry; the rest of every
-    Data.db is never read). Key '1|3' exists at every test scale
-    factor; the oracle recomputes that partition's cells logically."""
-    import tempfile
-
-    from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
+    """S5 under the gate: read back ONE partition by key from the
+    (build-once cached) binary SSTables -- the key-equality predicate
+    reaches the Python DataSource via pushFilters and becomes an
+    Index.db seek (one byte-range split per matching index entry; the
+    rest of every Data.db is never read). Key '1|3' exists at every
+    test scale factor; the oracle recomputes that partition's cells
+    logically."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        LIVE_LOCAL_DELETION, read_native_cells, write_cells_as_sstables)
+        read_native_cells)
 
-    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    out = tempfile.mkdtemp(prefix="sstnative_pointlookup_")
-    write_cells_as_sstables(cells, out, compression="lz4").collect()
+    out = _native_fixture_dir(spark, sf_dir)
     back = (read_native_cells(spark, out)
             .filter(F.col("key") == F.lit(b"1|3")))
-    ttl_str = (F.when(F.col("cell_kind") != "EXPIRING", "NA")
-               .when(F.col("local_expiration") == 0, "T")
-               .when(F.col("local_expiration") == LIVE_LOCAL_DELETION - 1, "F")
-               .otherwise("NA"))
-    return (back.filter(F.col("cell_kind") != "PARTITION")
-            .select(
-                F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1).alias("sstable_id"),
-                F.decode("key", "UTF-8").alias("key"),
-                F.decode("name", "UTF-8").alias("name"),
-                F.decode("value", "UTF-8").alias("value"),
-                "writeTime", "cell_kind",
-                ttl_str.alias("ttl_expired"),
-                "partition_deletion_live"))
+    return _project_native_cells(back)
 
 
 SST_POINT_LOOKUP_SQL = f"""

@@ -34,8 +34,8 @@ def _ts_us():
     """events.ts is a microsecond parquet timestamp read as TIMESTAMP_NTZ;
     diffing against the NTZ epoch gives timezone-free integer microseconds
     (exactly DuckDB's epoch_us) without touching the session timezone."""
-    return F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    from cassandra_sstable_to_protocolbuf_spark.session import ntz_epoch_us
+    return F.expr(ntz_epoch_us("ts"))
 
 
 # --- Q1: pricing summary (hash aggregate, decimal arithmetic) -----------
@@ -1309,10 +1309,16 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01")))
+    # the revenue view feeds BOTH the argmax probe and the join; without
+    # materialization each reference re-scans lineitem (ReuseExchange
+    # does not fire across the broadcast boundary -- verified on the
+    # executed plan). One checkpoint of supplier-cardinality rows buys
+    # back a full fact scan.
     rev = (li.groupBy("l_suppkey")
            .agg(F.sum(F.col("l_extendedprice").cast(DEC)
                       * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
-                .alias("total_rev")))
+                .alias("total_rev"))
+           .localCheckpoint())
     mx = rev.agg(F.max("total_rev").alias("max_rev"))
     return (rev.join(broadcast(mx), rev.total_rev == mx.max_rev)
             .join(broadcast(supp), rev.l_suppkey == supp.s_suppkey)
@@ -1382,8 +1388,13 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
+    # the distinct pair set feeds both the per-order count and the final
+    # rollup; materialize it once so the lineitem-orders join is not
+    # executed twice (two narrow longs per row, far smaller than a
+    # second fact scan + join)
     lo = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .select("l_orderkey", "l_suppkey").distinct())
+          .select("l_orderkey", "l_suppkey").distinct()
+          .localCheckpoint())
     per_order = (lo.groupBy("l_orderkey")
                  .agg(F.count(F.lit(1)).alias("n_supps"))
                  .filter(F.col("n_supps") >= 2))

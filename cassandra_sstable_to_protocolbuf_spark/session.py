@@ -54,6 +54,16 @@ def tune_for_hof_explode(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.optimizer.excludedRules", _EXCLUDED_RULES)
 
 
+def ntz_epoch_us(col: str) -> str:
+    """SQL fragment: timezone-free integer epoch microseconds of a
+    TIMESTAMP_NTZ column (exactly DuckDB's epoch_us, no session-timezone
+    dependence). The single source of truth for the NTZ-micros
+    derivation -- the testdata's timestamp physical type has changed
+    between rounds before, and this must be fixed in one place."""
+    return ("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"{col})")
+
+
 _SHIPPED_SESSIONS: set[int] = set()
 
 

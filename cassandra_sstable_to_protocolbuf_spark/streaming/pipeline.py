@@ -36,9 +36,8 @@ def _ntz_to_instant(col: str):
     instant (via integer epoch micros, so no session-timezone shift).
     Watermarks/event-time ops require TIMESTAMP; re-deriving epoch micros
     from the result with unix_micros is exact and timezone-free."""
-    us = (f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-          f" {col})")
-    return F.timestamp_micros(F.expr(us))
+    from cassandra_sstable_to_protocolbuf_spark.session import ntz_epoch_us
+    return F.timestamp_micros(F.expr(ntz_epoch_us(col)))
 
 
 def read_event_stream(spark: SparkSession, path: str,
@@ -238,9 +237,8 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
-    win_start_us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
-        " win.start)")
+    from cassandra_sstable_to_protocolbuf_spark.session import ntz_epoch_us
+    win_start_us = F.expr(ntz_epoch_us("win.start"))
     agg = (ev.groupBy(F.session_window("ts", "30 minutes").alias("win"),
                       "user_id")
            .agg(F.count(F.lit(1)).alias("n_events"),

@@ -60,8 +60,8 @@ def test_resize_nearest_neighbor_exact(spark):
     from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
         RESIZE_TARGET, resize_payloads)
 
-    media = attach_payloads(_docs(spark).limit(5))
-    row = resize_payloads(media).filter(F.col("doc_id") == 0).collect()[0]
+    media = attach_payloads(_docs(spark).filter(F.col("doc_id") == 0))
+    row = resize_payloads(media).collect()[0]
     raw = _docs(spark).filter(F.col("doc_id") == 0).collect()[0].text.encode()
     expect = [raw[(j * len(raw)) // RESIZE_TARGET] for j in range(RESIZE_TARGET)]
     assert row.in_len == len(raw)

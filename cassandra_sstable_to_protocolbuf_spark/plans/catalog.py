@@ -129,6 +129,9 @@ CATALOG: dict[str, QueryDef] = {
     "stream_events_dedup": QueryDef(ST.stream_events_dedup,
                                     ST.STREAM_EVENTS_DEDUP_SQL,
                                     "at-least-once replay dedup (id-keyed state)"),
+    "stream_user_event_counts": QueryDef(ST.stream_user_event_counts,
+                                         ST.STREAM_USER_EVENT_COUNTS_SQL,
+                                         "applyInPandasWithState custom state"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,

@@ -392,3 +392,41 @@ STREAM_EVENTS_DEDUP_SQL = """
 SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
 FROM events
 """
+
+
+def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/gate entry: the applyInPandasWithState custom stateful
+    operator under the correctness gate. Per-user running event counts
+    through user_running_stats; update mode logs one row per user per
+    micro-batch, and the running count is MONOTONE, so max over the
+    update log is the final state and equals a batch GROUP BY no matter
+    how availableNow splits batches. Counts are integers, so the check
+    is exact regardless of accumulation order (the float total_value
+    column is deliberately not part of the gated output).
+
+    Scale design: state is one (count, total) tuple per user, evicted by
+    event-time timeout; update-mode emission is the production shape for
+    a feature-store sink.
+    """
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir)
+          .withColumn("ts", _ntz_to_instant("ts")))
+    stats = user_running_stats(ev, watermark="2 hours")
+    out = stats.select("user_id", "n_events")
+    name = "stream_user_event_counts_" + uuid.uuid4().hex
+    query = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return (spark.table(name).groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events")))
+
+
+STREAM_USER_EVENT_COUNTS_SQL = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+"""

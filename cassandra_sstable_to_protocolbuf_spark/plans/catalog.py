@@ -134,6 +134,9 @@ CATALOG: dict[str, QueryDef] = {
                                          "applyInPandasWithState custom state"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
+    "events_resample_ffill": QueryDef(R.events_resample_ffill,
+                                      R.EVENTS_RESAMPLE_FFILL_SQL,
+                                      "hourly grid resample + forward fill (LOCF)"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,
@@ -206,6 +209,9 @@ CATALOG: dict[str, QueryDef] = {
     "docs_repetition_filter": QueryDef(TX.docs_repetition_filter,
                                        TX.DOCS_REPETITION_SQL,
                                        "Gopher/C4 repetition quality gate"),
+    "docs_trigram_coverage": QueryDef(TX.docs_trigram_coverage,
+                                      TX.DOCS_TRIGRAM_COVERAGE_SQL,
+                                      "char-trigram coverage quality score"),
     "docs_domain_mix": QueryDef(TX.docs_domain_mix, TX.DOCS_DOMAIN_MIX_SQL,
                                 "data-derived domain-mix resampling"),
     # --- similarity search -------------------------------------------------

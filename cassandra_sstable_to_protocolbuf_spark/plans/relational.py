@@ -1744,3 +1744,61 @@ SELECT c_custkey,
        split_part(c_name, '#', 2) AS name_suffix
 FROM customer
 """
+
+
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: resample each user's events onto an
+    hourly grid spanning their observed range and forward-fill the last
+    observed value into empty hours (the hypertable/`LOCF` shape a
+    feature-store backfill needs). Per-bucket "last" takes a total
+    (ts, event_id) tiebreak; the filled value is carried, never
+    recomputed, so the check is exact. The grid explode is a narrow
+    per-user sequence -- no shuffle beyond the two user-keyed aggs.
+
+    The user subset keeps the gate output bounded; the plan shape is
+    subset-independent."""
+    from pyspark.sql import Window
+    hour = 3_600_000_000
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 7 == 0)
+          .select("user_id", "event_id", "value", _ts_us().alias("ts_us")))
+    ev = ev.withColumn("hour_us", (F.col("ts_us") / hour).cast("long") * hour)
+    bucket = (ev.groupBy("user_id", "hour_us")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.max_by("value", F.struct("ts_us", "event_id"))
+                   .alias("v_last")))
+    span = ev.groupBy("user_id").agg(F.min("hour_us").alias("h0"),
+                                     F.max("hour_us").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.lit(hour))).alias("hour_us"))
+    j = grid.join(bucket, ["user_id", "hour_us"], "left")
+    w = (Window.partitionBy("user_id").orderBy("hour_us")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return j.select(
+        "user_id", "hour_us",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("v_last", ignorenulls=True).over(w).alias("v_ffill"))
+
+
+EVENTS_RESAMPLE_FFILL_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us
+  FROM events WHERE user_id % 7 = 0),
+bucket AS (
+  SELECT user_id, hour_us, COUNT(*) AS n_events,
+         (array_agg(value ORDER BY ts_us DESC, event_id DESC))[1] AS v_last
+  FROM e GROUP BY 1, 2),
+span AS (SELECT user_id, MIN(hour_us) AS h0, MAX(hour_us) AS h1 FROM e GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(h0, h1 + 3600000000, 3600000000)) AS hour_us
+         FROM span),
+j AS (SELECT g.user_id, g.hour_us,
+             COALESCE(b.n_events, 0) AS n_events, b.v_last
+      FROM grid g LEFT JOIN bucket b USING (user_id, hour_us))
+SELECT user_id, hour_us, n_events,
+       last_value(v_last IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY hour_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+FROM j
+"""

@@ -539,3 +539,64 @@ h AS (SELECT doc_id, d.source, lang, keep_bp,
 SELECT doc_id, source, lang, keep_bp, CAST(sample_bp AS BIGINT) AS sample_bp
 FROM h WHERE sample_bp < keep_bp
 """
+
+
+def docs_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-LM-proxy quality score (the CCNet-style filter without a
+    trained model): how much of a document's distinct char-trigram set
+    falls inside the corpus's top-500 trigrams. In-domain text scores
+    high; gibberish, wrong-language, and binary-ish docs score low.
+
+    Scale design: the trigram explode is a narrow per-row map; the
+    doc-frequency agg is one linear shuffle; the top-K set is bounded
+    (500 rows) and broadcast back, so the scoring pass never shuffles
+    the corpus again. The coverage ratio is one double division over two
+    exact integers."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
+    docs = _docs(spark, sf_dir)
+    tri_arr = F.when(
+        F.length("text") >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("text") - 2),
+            lambda i: F.substring(F.col("text"), i, F.lit(3)),
+        ))).otherwise(F.array().cast("array<string>"))
+    tri = docs.select("doc_id", F.explode(tri_arr).alias("tri"))
+    top = (tri.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+           .orderBy(F.desc("df"), F.asc("tri")).limit(500)
+           .select("tri", F.lit(1).alias("in_top")))
+    per = (tri.join(F.broadcast(top), "tri", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_tri"),
+                F.count("in_top").alias("n_common")))
+    return (docs.join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+                    F.coalesce("n_common", F.lit(0)).alias("n_common"),
+                    F.when(F.coalesce("n_tri", F.lit(0)) > 0,
+                           F.col("n_common").cast("double")
+                           / F.col("n_tri").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("coverage")))
+
+
+DOCS_TRIGRAM_COVERAGE_SQL = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+  FROM documents WHERE length(text) >= 3),
+tri AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS tri FROM pos),
+df AS (SELECT tri, COUNT(*) AS df FROM tri GROUP BY tri),
+top AS (SELECT tri FROM df ORDER BY df DESC, tri ASC LIMIT 500),
+per AS (
+  SELECT doc_id,
+         COUNT(*) AS n_tri,
+         COUNT(*) FILTER (tri IN (SELECT tri FROM top)) AS n_common
+  FROM tri GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(per.n_tri, 0) AS n_tri,
+       COALESCE(per.n_common, 0) AS n_common,
+       CASE WHEN COALESCE(per.n_tri, 0) > 0
+            THEN CAST(per.n_common AS DOUBLE) / CAST(per.n_tri AS DOUBLE)
+            ELSE 0.0 END AS coverage
+FROM documents d LEFT JOIN per USING (doc_id)
+"""

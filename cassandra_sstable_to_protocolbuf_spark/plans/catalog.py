@@ -212,6 +212,9 @@ CATALOG: dict[str, QueryDef] = {
     "docs_trigram_coverage": QueryDef(TX.docs_trigram_coverage,
                                       TX.DOCS_TRIGRAM_COVERAGE_SQL,
                                       "char-trigram coverage quality score"),
+    "docs_pipeline_yield": QueryDef(TX.docs_pipeline_yield,
+                                    TX.DOCS_PIPELINE_YIELD_SQL,
+                                    "composed lang->quality->rep->dedup yield funnel"),
     "docs_domain_mix": QueryDef(TX.docs_domain_mix, TX.DOCS_DOMAIN_MIX_SQL,
                                 "data-derived domain-mix resampling"),
     # --- similarity search -------------------------------------------------

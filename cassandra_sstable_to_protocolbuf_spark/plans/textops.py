@@ -600,3 +600,64 @@ SELECT d.doc_id,
             ELSE 0.0 END AS coverage
 FROM documents d LEFT JOIN per USING (doc_id)
 """
+
+
+def docs_pipeline_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus pipeline as ONE dataflow: language gate ->
+    quality gate -> repetition gate -> exact-dedup canonical, with the
+    surviving-document count after each stage. This is the yield audit a
+    training-data run reports; every stage reuses the gated operator
+    plans unchanged, so the funnel certifies their composition, not just
+    each stage in isolation.
+
+    Scale design: four doc_id-keyed joins of per-doc flag frames -- AQE
+    co-partitions the chain, aggregation is a single pass of conditional
+    counts (one small row out)."""
+    docs = _docs(spark, sf_dir)
+    lang = docs_langid(spark, sf_dir).select("doc_id", "lang_pred")
+    qual = docs_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep"))
+    rep = docs_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("r_keep"))
+    from pyspark.sql import Window
+    fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    canon = fp.select(
+        "doc_id",
+        (F.min("doc_id").over(Window.partitionBy("fp")) == F.col("doc_id"))
+        .alias("is_canon"))
+    j = (docs.select("doc_id")
+         .join(lang, "doc_id").join(qual, "doc_id")
+         .join(rep, "doc_id").join(canon, "doc_id"))
+    en = F.col("lang_pred") == "en"
+    s2 = en & F.col("q_keep")
+    s3 = s2 & F.col("r_keep")
+    s4 = s3 & F.col("is_canon")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(en, 1)).alias("n_lang"),
+        F.count(F.when(s2, 1)).alias("n_quality"),
+        F.count(F.when(s3, 1)).alias("n_repetition"),
+        F.count(F.when(s4, 1)).alias("n_canonical"))
+
+
+DOCS_PIPELINE_YIELD_SQL = f"""
+WITH lang AS ({DOCS_LANGID_SQL}),
+qual AS ({DOCS_QUALITY_SQL}),
+rep AS ({DOCS_REPETITION_SQL}),
+fp AS (SELECT doc_id, {_DUCK_FP} AS fp FROM documents),
+canon AS (SELECT doc_id,
+                 MIN(doc_id) OVER (PARTITION BY fp) = doc_id AS is_canon
+          FROM fp)
+SELECT COUNT(*) AS n_total,
+       COUNT(*) FILTER (lang.lang_pred = 'en') AS n_lang,
+       COUNT(*) FILTER (lang.lang_pred = 'en' AND qual.keep) AS n_quality,
+       COUNT(*) FILTER (lang.lang_pred = 'en' AND qual.keep AND rep.keep)
+         AS n_repetition,
+       COUNT(*) FILTER (lang.lang_pred = 'en' AND qual.keep AND rep.keep
+                        AND canon.is_canon) AS n_canonical
+FROM documents d
+JOIN lang ON d.doc_id = lang.doc_id
+JOIN qual ON d.doc_id = qual.doc_id
+JOIN rep ON d.doc_id = rep.doc_id
+JOIN canon ON d.doc_id = canon.doc_id
+"""

@@ -1802,3 +1802,74 @@ SELECT user_id, hour_us, n_events,
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
 FROM j
 """
+
+
+def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: orders written to ORC (zlib) and read back, then
+    aggregated per status. Longs/strings/decimals round-trip ORC
+    losslessly, so the oracle is the same aggregate over the original
+    parquet -- any writer/reader defect breaks the hash."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("datestr"))
+    out = tempfile.mkdtemp(prefix="orders_orc_")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price").cast("double").alias("total_price"),
+                 F.min("datestr").alias("first_date"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+ORDERS_ORC_ROUNDTRIP_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def lineitem_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: lineitem projected to CSV-safe columns (integers
+    x100 for money, ISO date strings), written with a header, read back
+    with an explicit schema, and aggregated. Integer-exact end to end --
+    no float-through-text precision loss is possible by construction."""
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price100"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"))
+    out = tempfile.mkdtemp(prefix="lineitem_csv_")
+    li.write.mode("overwrite").option("header", "true").csv(out)
+    back = spark.read.option("header", "true").schema(
+        "l_orderkey long, l_linenumber long, l_returnflag string,"
+        " qty100 long, price100 long, shipdate string").csv(out)
+    return (back.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("qty100").alias("sum_qty100"),
+                 F.sum("price100").alias("sum_price100"),
+                 F.min("shipdate").alias("first_ship"),
+                 F.max("shipdate").alias("last_ship")))
+
+
+LINEITEM_CSV_ROUNDTRIP_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty100,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price100,
+       MIN(strftime(l_shipdate, '%Y-%m-%d')) AS first_ship,
+       MAX(strftime(l_shipdate, '%Y-%m-%d')) AS last_ship
+FROM lineitem
+GROUP BY l_returnflag
+"""

@@ -44,6 +44,8 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_orders",
     "events_funnel",
+    "events_resample_ffill",
+    "skew_salted_join",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions
@@ -58,6 +60,8 @@ HEADLINE = [
     "docs_decontaminate",
     "docs_pii_scan",
     "docs_repetition_filter",
+    "docs_trigram_coverage",
+    "docs_pipeline_yield",
     "docs_domain_mix",
     "emb_cosine_topk",
     "emb_cosine_dup_pairs",
@@ -66,6 +70,7 @@ HEADLINE = [
     "emb_quantize_int8",
     "mm_image_features",
     "mm_audio_features",
+    "mm_resize",
 ]
 
 

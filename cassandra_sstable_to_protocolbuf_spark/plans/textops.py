@@ -562,7 +562,10 @@ def docs_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("text") - 2),
             lambda i: F.substring(F.col("text"), i, F.lit(3)),
         ))).otherwise(F.array().cast("array<string>"))
-    tri = docs.select("doc_id", F.explode(tri_arr).alias("tri"))
+    # the exploded trigram set feeds BOTH the doc-frequency agg and the
+    # scoring join; cache it so the tokenize+explode runs once (same
+    # ReusedExchange-vs-broadcast gap as the LSH signature frames)
+    tri = docs.select("doc_id", F.explode(tri_arr).alias("tri")).cache()
     top = (tri.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
            .orderBy(F.desc("df"), F.asc("tri")).limit(500)
            .select("tri", F.lit(1).alias("in_top")))

@@ -208,3 +208,48 @@ SELECT vec_id, scale,
        CAST(len(list_filter(qs, x -> x <> 0)) AS BIGINT) AS n_nonzero
 FROM q
 """
+
+
+def emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the LSH-bucketed pair list closed
+    into connected components (hook+jump min-label propagation), every
+    vector labeled with its cluster's smallest vec_id, a canonical-keep
+    flag, and the cluster size -- the embedding-side twin of
+    docs_dup_clusters, covering the keep-one-per-cluster policy for
+    semantic dedup."""
+    from pyspark.sql import Window
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
+        connected_components)
+
+    emb = _emb(spark, sf_dir)
+    pairs = lsh_dup_pairs(emb, threshold=0.45)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (emb.select("vec_id").join(comp, emb.vec_id == comp.node, "left")
+               .select(emb.vec_id,
+                       F.coalesce("cluster_id", emb.vec_id).alias("cluster_id")))
+    return (labeled
+            .withColumn("cluster_size",
+                        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")))
+            .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id")))
+
+
+EMB_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({EMB_COSINE_DUP_SQL}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id
+  FROM embeddings v LEFT JOIN comp c ON v.vec_id = c.node)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM labeled
+"""

@@ -127,7 +127,10 @@ class SSTablePbReader(DataSourceReader):
         import glob
 
         if os.path.isdir(self.path):
-            files = sorted(glob.glob(os.path.join(self.path, f"*{FILE_SUFFIX}")))
+            # recursive, like the native source's -Data.db discovery
+            # (Runner.java walks; streaming sinks nest batch=N subdirs)
+            files = sorted(glob.glob(
+                os.path.join(self.path, f"**/*{FILE_SUFFIX}"), recursive=True))
         else:
             files = [self.path]
         if not files:

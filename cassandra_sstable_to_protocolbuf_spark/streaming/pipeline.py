@@ -129,7 +129,8 @@ def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
 
 
 def stream_cells_to_protobuf(cells_stream: DataFrame, out_dir: str,
-                             checkpoint_dir: str):
+                             checkpoint_dir: str,
+                             available_now: bool = False):
     """Streaming form of the reference's whole job: an unbounded stream
     of wide-row cells -> tombstone filters -> Row grouping -> delimited
     protobuf + zstd files, one output directory per micro-batch.
@@ -147,9 +148,11 @@ def stream_cells_to_protobuf(cells_stream: DataFrame, out_dir: str,
         rows = nested_rows_from_cells(batch_df)
         write_rows_pb(rows, os.path.join(out_dir, f"batch={batch_id}")).collect()
 
-    return (cells_stream.writeStream.foreachBatch(write_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .start())
+    writer = (cells_stream.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,3 +433,35 @@ SELECT user_id, COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
 """
+
+
+def stream_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/gate entry: the reference's WHOLE job through the
+    streaming engine -- an unbounded cell stream folded into Rows and
+    sunk as delimited-protobuf+zstd files per micro-batch (foreachBatch
+    reusing the exact batch sink), then read back through the pb
+    DataSource and aggregated. Counts are split-independent (distinct
+    keys / summed cells), so however availableNow slices batches the
+    result equals the batch oracle -- certifying K1+K2 under streaming,
+    exactly-once per-batch directories included."""
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
+        encode_lineitem_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        read_rows_pb)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    src = tempfile.mkdtemp(prefix="stream_pb_src_")
+    cells.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = tempfile.mkdtemp(prefix="stream_pb_out_")
+    ckpt = tempfile.mkdtemp(prefix="stream_pb_ckpt_")
+    query = stream_cells_to_protobuf(stream, out, ckpt, available_now=True)
+    query.awaitTermination()
+    back = read_rows_pb(spark, out)
+    return (back.groupBy("sstable_id")
+            .agg(F.count_distinct("key").alias("n_rows"),
+                 F.sum(F.size("columns")).alias("n_cells")))

@@ -1873,3 +1873,47 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
+
+
+def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every event, the user's EARLIEST order
+    at-or-after the event (lead-time attribution). Reuses the backward
+    as_of_join composition with negated time axes -- greatest(-t_r) <=
+    -t_l is exactly smallest(t_r) >= t_l -- so the single-shuffle
+    union+window plan is identical; the oracle is DuckDB's native ASOF
+    with the <= comparator."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.asof import as_of_join
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", _ts_us().alias("ts_us"))
+          .withColumn("_neg_t", -F.col("ts_us")))
+    order_us = (F.datediff(F.col("o_orderdate").cast("date"),
+                           F.lit("1970-01-01").cast("date")).cast("long")
+                * F.lit(86_400_000_000))
+    orders = (_t(spark, sf_dir, "orders")
+              .groupBy(F.col("o_custkey").alias("user_id"),
+                       order_us.alias("order_us"))
+              .agg(F.min("o_orderkey").alias("next_orderkey"))
+              .withColumn("_neg_t", -F.col("order_us")))
+    joined = as_of_join(ev, orders, by="user_id",
+                        left_time="_neg_t", right_time="_neg_t",
+                        value_cols=["next_orderkey"])
+    return joined.select(
+        "event_id", "user_id",
+        F.coalesce("next_orderkey", F.lit(-1)).alias("next_orderkey"))
+
+
+EVENTS_ASOF_NEXT_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+           * 86400000000 AS order_us,
+         MIN(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY 1, 2
+),
+l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT l.event_id, l.user_id,
+       COALESCE(r.next_orderkey, -1) AS next_orderkey
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us <= r.order_us
+"""

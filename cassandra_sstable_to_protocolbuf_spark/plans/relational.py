@@ -1917,3 +1917,92 @@ SELECT l.event_id, l.user_id,
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts_us <= r.order_us
 """
+
+
+def q9_profit_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit by supplier nation and order year over the full
+    lineitem-orders-part-supplier-nation tree (this schema has no
+    partsupp, so supply cost is proxied by 80% of retail price --
+    the join/aggregation shape is Q9's, which is what matters). Decimal
+    end-to-end, one hash agg after the joins; only true dims carry
+    broadcast hints."""
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("part"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    cost = (F.col("p_retailprice").cast(DEC) * F.lit(0.8).cast("decimal(3,2)")
+            * F.col("l_quantity").cast(DEC))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.sum(cost).cast("double").alias("supply_cost"),
+             (F.sum(rev) - F.sum(cost)).cast("double").alias("profit"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(SUM(cost) AS DOUBLE) AS supply_cost,
+       CAST(SUM(rev) - SUM(cost) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n_name, o_orderdate,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS rev,
+         CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.8 AS DECIMAL(3,2))
+           * CAST(l_quantity AS DECIMAL(12,2)) AS cost
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%part%'
+) t
+GROUP BY 1, 2
+"""
+
+
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics coverage: a derived customer attribute that is NULL
+    for a deterministic subset, joined to its aggregate with null-safe
+    equality (<=> / IS NOT DISTINCT FROM) so the NULL group JOINS to the
+    NULL group instead of vanishing -- the semantics plain = would
+    silently drop."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.nullif((F.col("c_custkey") % 5).cast("long"), F.lit(0))
+        .alias("grp"))
+    # distinct alias for the aggregate side: it derives from `cust`, and
+    # Spark's ambiguous-self-join check (rightly) rejects the raw reuse
+    per_grp = (cust.groupBy("grp")
+               .agg(F.count(F.lit(1)).alias("grp_size"))
+               .select(F.col("grp").alias("agg_grp"), "grp_size"))
+    return (cust.join(per_grp, cust.grp.eqNullSafe(F.col("agg_grp")))
+            .groupBy("agg_grp")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.max("grp_size").alias("grp_size"))
+            .select(F.coalesce(F.col("agg_grp"), F.lit(-1)).alias("grp"),
+                    "n_members", "grp_size"))
+
+
+NULL_SAFE_JOIN_SQL = """
+WITH cust AS (
+  SELECT c_custkey, NULLIF(c_custkey % 5, 0) AS grp FROM customer),
+per_grp AS (SELECT grp, COUNT(*) AS grp_size FROM cust GROUP BY grp)
+SELECT COALESCE(p.grp, -1) AS grp,
+       COUNT(*) AS n_members,
+       MAX(grp_size) AS grp_size
+FROM cust c JOIN per_grp p ON c.grp IS NOT DISTINCT FROM p.grp
+GROUP BY p.grp
+"""

@@ -2006,3 +2006,35 @@ SELECT COALESCE(p.grp, -1) AS grp,
 FROM cust c JOIN per_grp p ON c.grp IS NOT DISTINCT FROM p.grp
 GROUP BY p.grp
 """
+
+
+def orders_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: orders written
+    partitionBy(status), read back with a status predicate -- the scan
+    must touch ONLY the matching partition directory (PartitionFilters
+    in the plan; pinned by tests/test_plan_audit.py). This is the layout
+    decision that turns a 100 TB scan into a 30 TB one before a single
+    row is read."""
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.col("o_totalprice").cast(DEC).alias("price"))
+    out = tempfile.mkdtemp(prefix="orders_part_")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price").cast("double").alias("total_price"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
+ORDERS_PARTITIONED_PRUNING_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+       MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderstatus
+"""

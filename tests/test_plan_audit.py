@@ -59,3 +59,13 @@ def test_filters_reach_the_scan(spark, name):
     pushed = [ln for ln in plan.splitlines()
               if "PushedFilters" in ln and "PushedFilters: []" not in ln]
     assert pushed, f"{name}: no filter reached a parquet scan\n{plan}"
+
+
+def test_partitioned_read_prunes_partitions(spark):
+    """orders_partitioned_pruning's scan must carry a PartitionFilters
+    entry on the status predicate -- i.e. non-matching partition
+    directories are skipped at planning, not filtered row-by-row."""
+    plan = _plan(spark, "orders_partitioned_pruning")
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln and "PartitionFilters: []" not in ln]
+    assert pruned, f"no partition pruning in plan\n{plan}"

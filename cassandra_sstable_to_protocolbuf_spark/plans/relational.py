@@ -2038,3 +2038,66 @@ FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderstatus
 """
+
+
+def smj_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit big-big sort-merge join: the merge hint pins SMJ even
+    where AQE would broadcast at test scale, exercising the strategy two
+    fact tables need at 100 TB (shuffle both sides on the key, sort,
+    stream-merge -- no memory-bound build side). Plan-audited for
+    SortMergeJoin; the oracle checks the joined aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.hint("merge").join(orders, li.l_orderkey == orders.o_orderkey)
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                 .alias("sum_qty")))
+
+
+SMJ_ORDERS_LINEITEM_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
+def file_metadata_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden _metadata columns: per-input-file row counts from the
+    scan's file-name metadata (the lineage/debugging primitive behind
+    one-output-per-input-file jobs like the reference's converter)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(F.col("_metadata.file_name").alias("file_name"))
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+FILE_METADATA_COUNTS_SQL = """
+SELECT 'lineitem.parquet' AS file_name, COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+def synthetic_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated source: spark.range as the input relation (no files at
+    all), modular bucketing + exact integer aggregation. The generator
+    splits across tasks like any scan, so this is also the canonical
+    synthetic-benchmark harness shape."""
+    n = 1_000_000
+    r = spark.range(0, n, 1)
+    return (r.groupBy((F.col("id") % 97).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("id").alias("sum_id"),
+                 F.max("id").alias("max_id")))
+
+
+SYNTHETIC_RANGE_AGG_SQL = """
+SELECT CAST(i % 97 AS BIGINT) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(i) AS BIGINT) AS sum_id,
+       MAX(i) AS max_id
+FROM (SELECT unnest(range(0, 1000000)) AS i)
+GROUP BY 1
+"""

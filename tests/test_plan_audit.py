@@ -69,3 +69,8 @@ def test_partitioned_read_prunes_partitions(spark):
     pruned = [ln for ln in plan.splitlines()
               if "PartitionFilters" in ln and "PartitionFilters: []" not in ln]
     assert pruned, f"no partition pruning in plan\n{plan}"
+
+
+def test_merge_hint_yields_sort_merge_join(spark):
+    plan = _plan(spark, "smj_orders_lineitem")
+    assert "SortMergeJoin" in plan, f"merge hint ignored\n{plan}"

@@ -160,14 +160,16 @@ def sst_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same counts straight from the logical cell
     table, so a hash match certifies the entire binary sink/source path.
     """
-    import tempfile
+    import os
 
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
         nested_rows_from_cells, read_rows_pb, write_rows_pb)
 
     cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    out = tempfile.mkdtemp(prefix="sstpb_roundtrip_")
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    out = scratch_dir("sstpb_roundtrip", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
     write_rows_pb(nested_rows_from_cells(cells), out).collect()
     back = read_rows_pb(spark, out)
     return (back.groupBy("sstable_id")
@@ -198,14 +200,16 @@ def sst_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format's lossy corners: DELETED cell values become empty, ttl_expired
     reconstructs from localExpirationTime).
     """
-    import tempfile
+    import os
 
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells, write_cells_as_sstables)
 
     cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    out = tempfile.mkdtemp(prefix="sstnative_roundtrip_")
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    out = scratch_dir("sstnative_roundtrip",
+                      os.path.basename(sf_dir.rstrip("/")), fresh=True)
     write_cells_as_sstables(cells, out, compression="lz4").collect()
     return _project_native_cells(read_native_cells(spark, out))
 

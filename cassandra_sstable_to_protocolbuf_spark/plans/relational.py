@@ -1809,13 +1809,14 @@ def orders_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated per status. Longs/strings/decimals round-trip ORC
     losslessly, so the oracle is the same aggregate over the original
     parquet -- any writer/reader defect breaks the hash."""
-    import tempfile
+    import os
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.col("o_totalprice").cast(DEC).alias("price"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("datestr"))
-    out = tempfile.mkdtemp(prefix="orders_orc_")
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    out = scratch_dir("orc", os.path.basename(sf_dir.rstrip("/")))
     orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (back.groupBy("o_orderstatus")
@@ -1841,7 +1842,7 @@ def lineitem_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     x100 for money, ISO date strings), written with a header, read back
     with an explicit schema, and aggregated. Integer-exact end to end --
     no float-through-text precision loss is possible by construction."""
-    import tempfile
+    import os
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -1850,7 +1851,8 @@ def lineitem_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price100"),
         F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"))
-    out = tempfile.mkdtemp(prefix="lineitem_csv_")
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    out = scratch_dir("csv", os.path.basename(sf_dir.rstrip("/")))
     li.write.mode("overwrite").option("header", "true").csv(out)
     back = spark.read.option("header", "true").schema(
         "l_orderkey long, l_linenumber long, l_returnflag string,"
@@ -2015,12 +2017,13 @@ def orders_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the plan; pinned by tests/test_plan_audit.py). This is the layout
     decision that turns a 100 TB scan into a 30 TB one before a single
     row is read."""
-    import tempfile
+    import os
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.col("o_totalprice").cast(DEC).alias("price"))
-    out = tempfile.mkdtemp(prefix="orders_part_")
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    out = scratch_dir("part", os.path.basename(sf_dir.rstrip("/")))
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
     return (back.groupBy("o_orderstatus")

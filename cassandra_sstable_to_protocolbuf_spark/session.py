@@ -64,6 +64,23 @@ def ntz_epoch_us(col: str) -> str:
             f"{col})")
 
 
+def scratch_dir(name: str, tag: str, fresh: bool = False) -> str:
+    """Stable per-(name, tag) scratch directory under the system temp
+    root, REUSED across calls (writers run in overwrite mode) so
+    repeated invocations -- the bench times every query at least twice,
+    the plan audit executes them again -- don't accumulate table copies
+    in /tmp. `fresh=True` clears it first, for outputs that must start
+    empty (streaming checkpoints, one-file-per-input sinks)."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"ctps_scratch_{name}_{tag}")
+    if fresh and os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 _SHIPPED_SESSIONS: set[int] = set()
 
 

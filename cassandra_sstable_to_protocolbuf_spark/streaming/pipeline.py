@@ -92,38 +92,52 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def user_running_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def user_running_stats(events: DataFrame, watermark: str = "2 hours",
+                       evict: bool = True) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    running event count + value total, emitted on every update, state
-    evicted by event-time timeout past the watermark.
+    running event count + value total, emitted on every update; with
+    `evict` (the production default) state is dropped by event-time
+    timeout once a user goes quiet past the watermark.
 
     This is the escape hatch for stateful logic the built-in windowed
     aggregations can't express (per-key custom accumulators, ML feature
     state, decayed counters); state is a tiny tuple per user so 100 TB/
-    day with millions of users stays bounded.
+    day with millions of users stays bounded. `evict=False` disables the
+    watermark entirely (NoTimeout): no late rows are ever dropped, which
+    is what a bounded-input replay needs for split-independent totals --
+    at the cost of unbounded state on a truly unbounded stream.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # eviction path: drop the tuple, emit nothing -- re-arming
+            # the timeout here would keep every user's state forever
+            state.remove()
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].fillna(0.0).sum())
         state.update((n, total))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+        if evict:
+            state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
         yield pd.DataFrame([{"user_id": key[0], "n_events": n, "total_value": total}])
 
+    source = events.withWatermark("ts", watermark) if evict else events
     return (
-        events.withWatermark("ts", watermark)
+        source
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
             outputStructType="user_id long, n_events long, total_value double",
             stateStructType="n long, total double",
             outputMode="update",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            timeoutConf=(GroupStateTimeout.EventTimeTimeout if evict
+                         else GroupStateTimeout.NoTimeout),
         )
     )
 
@@ -400,12 +414,15 @@ FROM events
 def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog/gate entry: the applyInPandasWithState custom stateful
     operator under the correctness gate. Per-user running event counts
-    through user_running_stats; update mode logs one row per user per
-    micro-batch, and the running count is MONOTONE, so max over the
-    update log is the final state and equals a batch GROUP BY no matter
-    how availableNow splits batches. Counts are integers, so the check
-    is exact regardless of accumulation order (the float total_value
-    column is deliberately not part of the gated output).
+    through user_running_stats in its evict=False form -- a bounded
+    replay must not watermark-drop late rows or time out state between
+    micro-batches, or multi-batch splits would undercount. Update mode
+    logs one row per user per micro-batch, and the running count is
+    MONOTONE, so max over the update log is the final state and equals a
+    batch GROUP BY no matter how availableNow splits batches. Counts are
+    integers, so the check is exact regardless of accumulation order
+    (the float total_value column is deliberately not part of the gated
+    output).
 
     Scale design: state is one (count, total) tuple per user, evicted by
     event-time timeout; update-mode emission is the production shape for
@@ -418,7 +435,7 @@ def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
           .withColumn("ts", _ntz_to_instant("ts")))
-    stats = user_running_stats(ev, watermark="2 hours")
+    stats = user_running_stats(ev, evict=False)
     out = stats.select("user_id", "n_events")
     name = "stream_user_event_counts_" + uuid.uuid4().hex
     query = (out.writeStream.format("memory").queryName(name)
@@ -444,7 +461,7 @@ def stream_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys / summed cells), so however availableNow slices batches the
     result equals the batch oracle -- certifying K1+K2 under streaming,
     exactly-once per-batch directories included."""
-    import tempfile
+    import os
 
     from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
         encode_lineitem_cells)
@@ -453,12 +470,16 @@ def stream_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_rows_pb)
 
     cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    src = tempfile.mkdtemp(prefix="stream_pb_src_")
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = scratch_dir("streampb_src", tag)
     cells.write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
-    out = tempfile.mkdtemp(prefix="stream_pb_out_")
-    ckpt = tempfile.mkdtemp(prefix="stream_pb_ckpt_")
+    # the sink dir and checkpoint must start EMPTY: a reused checkpoint
+    # would mark the source processed and emit no batches
+    out = scratch_dir("streampb_out", tag, fresh=True)
+    ckpt = scratch_dir("streampb_ckpt", tag, fresh=True)
     query = stream_cells_to_protobuf(stream, out, ckpt, available_now=True)
     query.awaitTermination()
     back = read_rows_pb(spark, out)

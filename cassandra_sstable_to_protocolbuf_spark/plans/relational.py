@@ -2104,3 +2104,79 @@ SELECT CAST(i % 97 AS BIGINT) AS bucket,
 FROM (SELECT unnest(range(0, 1000000)) AS i)
 GROUP BY 1
 """
+
+
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer NULL semantics: orders exploded over their (possibly
+    EMPTY) list of high-value lineitems must keep empty orders as one
+    NULL row -- plain explode would silently drop them (the LEFT JOIN
+    UNNEST distinction). Emitted as per-order counts so empties are
+    visible in the gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    big = (li.filter(F.col("l_quantity") > 45)
+           .groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_list(F.col("l_linenumber").cast("long")))
+                .alias("big_items")))
+    j = (orders.join(big, orders.o_orderkey == big.l_orderkey, "left")
+         .select("o_orderkey",
+                 F.explode_outer("big_items").alias("linenumber")))
+    return (j.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("linenumber").alias("n_items"),
+                 F.coalesce(F.min("linenumber"), F.lit(-1)).alias("first_item")))
+
+
+EXPLODE_OUTER_SQL = """
+WITH big AS (
+  SELECT l_orderkey, list_sort(list(CAST(l_linenumber AS BIGINT))) AS big_items
+  FROM lineitem WHERE l_quantity > 45 GROUP BY l_orderkey),
+j AS (
+  SELECT o.o_orderkey, u.linenumber
+  FROM orders o
+  LEFT JOIN big b ON o.o_orderkey = b.l_orderkey
+  LEFT JOIN LATERAL (SELECT unnest(b.big_items) AS linenumber) u ON TRUE
+  WHERE o.o_orderkey % 50 = 0)
+SELECT o_orderkey,
+       COUNT(*) AS n_rows,
+       COUNT(linenumber) AS n_items,
+       COALESCE(MIN(linenumber), -1) AS first_item
+FROM j
+GROUP BY o_orderkey
+"""
+
+
+def events_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: events projected to JSON-lines (integer micros,
+    no raw timestamps), written and read back with an explicit schema,
+    then aggregated -- schema-on-read over the interchange format half
+    of real ingest pipelines arrive in."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "user_id", "event_type",
+                  _ts_us().alias("ts_us"),
+                  F.get_json_object("props", "$.k").cast("long").alias("k")))
+    out = scratch_dir("jsonl", os.path.basename(sf_dir.rstrip("/")))
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, ts_us long, k long"
+    ).json(out)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("ts_us").alias("first_us"),
+                 F.max("ts_us").alias("last_us")))
+
+
+EVENTS_JSONL_ROUNDTRIP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(epoch_us(ts)) AS first_us,
+       MAX(epoch_us(ts)) AS last_us
+FROM events
+GROUP BY event_type
+"""

@@ -2180,3 +2180,47 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: per-order linenumber->quantity maps built with
+    map_from_entries (entries pre-sorted for a canonical construction),
+    probed with element_at and map_keys. Values are exact integers x100;
+    key lists are sorted before rendering so both engines agree on
+    order."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
+    # the synthetic lineitem carries duplicate (orderkey, linenumber)
+    # pairs by design; map keys must be unique, so sum per line first
+    lines = (li.groupBy("l_orderkey",
+                        F.col("l_linenumber").cast("long").alias("k"))
+             .agg(F.sum(qty100).alias("v")))
+    per = (lines.groupBy("l_orderkey")
+           .agg(F.map_from_entries(F.sort_array(F.collect_list(
+               F.struct("k", "v")))).alias("m")))
+    return per.select(
+        "l_orderkey",
+        F.size("m").alias("n_entries"),
+        F.coalesce(F.element_at("m", F.lit(1).cast("long")), F.lit(-1))
+        .alias("qty_line1"),
+        F.array_join(F.transform(F.sort_array(F.map_keys("m")),
+                                 lambda x: x.cast("string")), ",")
+        .alias("keys_csv"))
+
+
+MAP_FUNCTIONS_SQL = """
+WITH lines AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS k,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2),
+per AS (
+  SELECT l_orderkey,
+         map_from_entries(list_sort(list({'k': k, 'v': v}))) AS m
+  FROM lines GROUP BY l_orderkey)
+SELECT l_orderkey,
+       CAST(cardinality(m) AS INT) AS n_entries,
+       COALESCE(m[1][1], -1) AS qty_line1,
+       array_to_string(list_transform(list_sort(map_keys(m)),
+                                      x -> CAST(x AS VARCHAR)), ',') AS keys_csv
+FROM per
+"""

@@ -2224,3 +2224,47 @@ SELECT l_orderkey,
                                       x -> CAST(x AS VARCHAR)), ',') AS keys_csv
 FROM per
 """
+
+
+def csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive-mode error channel for standard sources (the E1
+    counterpart to the native source's fail-loud contract): a CSV
+    directory containing one deliberately malformed row is read in
+    PERMISSIVE mode with a _corrupt_record column -- bad rows surface as
+    data instead of killing the scan, and the gate pins exactly how many
+    rows landed on each side."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty100"))
+    out = scratch_dir("csv_corrupt", os.path.basename(sf_dir.rstrip("/")))
+    li.write.mode("overwrite").option("header", "false").csv(out)
+    # one malformed member, fixed name => idempotent across calls
+    with open(os.path.join(out, "part-corrupt.csv"), "w") as f:
+        f.write("not-a-number,xyz,1,2,3,extra\n")
+    back = (spark.read
+            .schema("l_orderkey long, l_linenumber long, qty100 long,"
+                    " _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(out)
+            # Spark refuses corrupt-record-only projections over the raw
+            # scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); caching the parsed
+            # rows is the documented pattern
+            .cache())
+    return (back
+            .select(F.when(F.col("_corrupt_record").isNull(), "good")
+                    .otherwise("corrupt").alias("row_class"))
+            .groupBy("row_class")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+CSV_PERMISSIVE_CORRUPT_SQL = """
+SELECT 'good' AS row_class, COUNT(*) AS n_rows FROM lineitem
+UNION ALL
+SELECT 'corrupt', 1
+"""

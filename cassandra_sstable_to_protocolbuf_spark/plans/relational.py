@@ -2268,3 +2268,29 @@ SELECT 'good' AS row_class, COUNT(*) AS n_rows FROM lineitem
 UNION ALL
 SELECT 'corrupt', 1
 """
+
+
+def variant_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4): props parsed once into the
+    binary variant encoding, then typed paths extracted with
+    variant_get -- the schema-on-read shape for ingest columns whose
+    structure drifts. Same aggregate as events_json_stats, so the two
+    extraction engines (variant vs JSON-string functions) certify each
+    other through the shared oracle semantics."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"),
+                 F.count(F.when(F.col("k") > 50, 1)).alias("n_high")))
+
+
+VARIANT_JSON_STATS_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       COUNT(*) FILTER (CAST(props->>'$.k' AS BIGINT) > 50) AS n_high
+FROM events
+GROUP BY event_type
+"""

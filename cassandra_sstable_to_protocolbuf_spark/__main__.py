@@ -45,6 +45,29 @@ def convert(input_path: str, output_dir: str,
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
 
+    import glob
+
+    if os.path.isdir(input_path):
+        # one recursive walk, matching scan discovery (sstable_native.py
+        # `_data_files`) -- a flat glob here missed the reference's own
+        # canonical `ks/table/xxx-Data.db` nesting (Runner.java:54-60
+        # uses Files.walk) and crashed the metrics pass below.
+        inputs = sorted(glob.glob(
+            os.path.join(input_path, "**", "*-Data.db"), recursive=True))
+    else:
+        inputs = [input_path]
+    # metrics and outputs are keyed by sstable_id (basename sans -Data.db,
+    # flat `<id>-Data.db.proto.zst` like the reference's), so two nested
+    # inputs sharing a basename would merge in the sink -- refuse up front.
+    id_to_path: dict[str, str] = {}
+    for data_path in inputs:
+        sid = os.path.basename(data_path)[:-len("-Data.db")]
+        if sid in id_to_path:
+            raise ValueError(
+                f"duplicate sstable basename {sid!r}: {id_to_path[sid]} vs "
+                f"{data_path}; outputs are named by basename and would collide")
+        id_to_path[sid] = data_path
+
     if continue_on_error and os.path.isdir(input_path):
         # reference parity (Runner.java:84-87): a corrupt file prints its
         # error and processing continues with the next file. One Spark job
@@ -77,16 +100,10 @@ def convert(input_path: str, output_dir: str,
     # parity: the reference opens an output stream per input file even
     # when every partition is dead (Runner.java:75-82) -- emit empty
     # .proto.zst files for inputs that produced no live rows
-    import glob
-
     import pyarrow as pa
 
     produced = {m.sstable_id for m in metrics}
     total_saved = 0
-    if os.path.isdir(input_path):
-        inputs = sorted(glob.glob(os.path.join(input_path, "*-Data.db")))
-    else:
-        inputs = [input_path]
     for data_path in inputs:
         sstable_id = os.path.basename(data_path)[:-len("-Data.db")]
         if sstable_id not in produced:
@@ -101,9 +118,7 @@ def convert(input_path: str, output_dir: str,
                   f"saved={src - os.path.getsize(empty)}B seconds=0.000")
 
     for m in sorted(metrics, key=lambda m: m.sstable_id):
-        src = os.path.getsize(os.path.join(
-            input_path, f"{m.sstable_id}-Data.db")) if os.path.isdir(input_path) \
-            else os.path.getsize(input_path)
+        src = os.path.getsize(id_to_path[m.sstable_id])
         saved = src - m.compressed_bytes
         total_saved += saved
         print(f"{m.sstable_id}: rows={m.n_rows} cells={m.n_cells} "

@@ -65,6 +65,12 @@ DATA_SUFFIX = "-Data.db"
 INDEX_SUFFIX = "-Index.db"
 COMPRESSION_SUFFIX = "-CompressionInfo.db"
 STATS_SUFFIX = "-Statistics.db"
+SUMMARY_SUFFIX = "-Summary.db"
+
+# the reference samples every metadata.getIndexInterval()'th index entry
+# into its summary (IndexSummaryBuilder.maybeAddEntry via
+# SSTableReaderPatched.java:163; cassandra.yaml default index_interval=128)
+DEFAULT_INDEX_INTERVAL = 128
 
 DEFAULT_PARTITIONER = "org.apache.cassandra.dht.RandomPartitioner"
 
@@ -477,12 +483,18 @@ def write_sstable(dir_path: str, generation: int,
     else:
         raise ValueError(f"unsupported compression {compression}")
     with open(prefix + INDEX_SUFFIX, "wb") as idx:
-        for key, pos in index_entries:
+        sampled = []
+        for i, (key, pos) in enumerate(index_entries):
+            if i % DEFAULT_INDEX_INTERVAL == 0:
+                sampled.append((key, idx.tell(), pos))
             idx.write(struct.pack(">H", len(key)))
             idx.write(key)
             idx.write(struct.pack(">Q", pos))
             idx.write(struct.pack(">I", 0))  # no promoted index
     write_statistics(prefix + STATS_SUFFIX, partitioner)
+    if index_entries:
+        write_summary(prefix + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
+                      sampled, index_entries[0][0], index_entries[-1][0])
     return prefix + DATA_SUFFIX
 
 
@@ -552,23 +564,115 @@ def write_cells_as_sstables(cells_df, out_dir: str,
 # readers
 # --------------------------------------------------------------------------
 
-def read_index(index_path: str) -> list[tuple[bytes, int]]:
-    """All (key, data_offset) entries from -Index.db."""
-    entries = []
+def iter_index(index_path: str,
+               start_pos: int = 0) -> Iterator[tuple[bytes, int, int]]:
+    """Stream (key, data_offset, index_pos) entries from -Index.db,
+    optionally from a byte position inside it (summary-directed seek).
+
+    O(one entry) memory -- the planning analog of the reference reading
+    the primary index through a RandomAccessReader one entry at a time
+    (SSTableReaderPatched.java:139-168) rather than materializing it.
+    """
     with open(index_path, "rb") as f:
-        buf = f.read()
-    pos = 0
-    while pos < len(buf):
-        (klen,) = struct.unpack_from(">H", buf, pos)
-        pos += 2
-        key = buf[pos:pos + klen]
-        pos += klen
-        (offset,) = struct.unpack_from(">Q", buf, pos)
-        pos += 8
-        (plen,) = struct.unpack_from(">I", buf, pos)
-        pos += 4 + plen
-        entries.append((key, offset))
-    return entries
+        f.seek(start_pos)
+        while True:
+            pos = f.tell()
+            hdr = f.read(2)
+            if len(hdr) < 2:
+                return
+            (klen,) = struct.unpack(">H", hdr)
+            key = f.read(klen)
+            offset, plen = struct.unpack(">QI", f.read(12))
+            f.seek(plen, os.SEEK_CUR)  # skip promoted index blob
+            yield key, offset, pos
+
+
+def read_index(index_path: str) -> list[tuple[bytes, int]]:
+    """All (key, data_offset) entries from -Index.db (eager convenience
+    for tests/small files; planning streams via iter_index)."""
+    return [(key, off) for key, off, _ in iter_index(index_path)]
+
+
+# --------------------------------------------------------------------------
+# -Summary.db component (load-or-rebuild parity with
+# SSTableReaderPatched.java:180-211: load when present and the sampling
+# interval matches, delete-and-rebuild when corrupt or mismatched).
+# Serialization is this engine's own (the reference's IndexSummary
+# format is an off-heap memory image); each sampled entry carries BOTH
+# its Index.db position (the reference's getIndexScanPosition currency)
+# and its Data.db offset so split planning needs no per-boundary index
+# seek:
+#     magic "SGSUM1" | interval:i32 | count:i64
+#     count * (key_len:u16 key index_pos:u64 data_pos:u64)
+#     first_key_len:i32 first_key last_key_len:i32 last_key
+# --------------------------------------------------------------------------
+
+SUMMARY_MAGIC = b"SGSUM1"
+
+
+def write_summary(summary_path: str, interval: int,
+                  entries: list[tuple[bytes, int, int]],
+                  first_key: bytes, last_key: bytes) -> None:
+    """entries: every `interval`-th (key, index_pos, data_pos), starting
+    at entry 0 (IndexSummaryBuilder.maybeAddEntry sampling)."""
+    with open(summary_path, "wb") as f:
+        f.write(SUMMARY_MAGIC)
+        f.write(struct.pack(">iq", interval, len(entries)))
+        for key, index_pos, data_pos in entries:
+            f.write(struct.pack(">H", len(key)))
+            f.write(key)
+            f.write(struct.pack(">QQ", index_pos, data_pos))
+        for k in (first_key, last_key):
+            f.write(struct.pack(">i", len(k)))
+            f.write(k)
+
+
+def read_summary(summary_path: str) -> dict:
+    """Parse -Summary.db; raises ValueError on any corruption."""
+    try:
+        with open(summary_path, "rb") as f:
+            if f.read(len(SUMMARY_MAGIC)) != SUMMARY_MAGIC:
+                raise ValueError("bad summary magic")
+            interval, count = struct.unpack(">iq", f.read(12))
+            if interval <= 0 or count < 0:
+                raise ValueError("bad summary header")
+            entries = []
+            for _ in range(count):
+                (klen,) = struct.unpack(">H", f.read(2))
+                key = f.read(klen)
+                index_pos, data_pos = struct.unpack(">QQ", f.read(16))
+                entries.append((key, index_pos, data_pos))
+            (flen,) = struct.unpack(">i", f.read(4))
+            first = f.read(flen)
+            (llen,) = struct.unpack(">i", f.read(4))
+            last = f.read(llen)
+            if len(first) != flen or len(last) != llen:
+                raise ValueError("truncated summary trailer")
+            return {"interval": interval, "entries": entries,
+                    "first": first, "last": last}
+    except (struct.error, EOFError) as e:
+        raise ValueError(f"corrupt summary: {e}") from e
+
+
+def load_summary(data_path: str) -> dict | None:
+    """loadSummary analog (SSTableReaderPatched.java:180-211): None when
+    the component is absent or the format version predates summaries
+    (version.offHeapSummaries, i.e. pre-2.0 'ic'); a corrupt file is
+    deleted so the caller falls back to rebuilding from the index, the
+    reference's delete-and-rebuild path."""
+    summary_path = data_path[:-len(DATA_SUFFIX)] + SUMMARY_SUFFIX
+    if not os.path.exists(summary_path):
+        return None
+    try:
+        if Descriptor.from_filename(data_path).version < "ja":
+            return None
+    except ValueError:
+        pass  # unnamed fixture paths: current layout, summaries allowed
+    try:
+        return read_summary(summary_path)
+    except ValueError:
+        os.unlink(summary_path)
+        return None
 
 
 def _read_cell_atoms(f, count: int | None = None) -> Iterator[dict]:
@@ -759,10 +863,10 @@ class SSTableNativeReader(DataSourceReader):
             if not os.path.exists(index_path):
                 raise FileNotFoundError(f"missing index component for {data_path}")
             sstable_id = os.path.basename(data_path)[:-len(DATA_SUFFIX)]
+            stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
             if self.expected_partitioner is not None:
                 # S2 partitioner check: the reference hard-exits when the
                 # sstable's partitioner differs from the configured one
-                stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
                 if not os.path.exists(stats_path):
                     raise FileNotFoundError(
                         f"partitioner check requested but no Statistics.db "
@@ -772,45 +876,108 @@ class SSTableNativeReader(DataSourceReader):
                     raise ValueError(
                         f"partitioner mismatch for {sstable_id}: sstable has "
                         f"{found}, expected {self.expected_partitioner}")
-            entries = read_index(index_path)
-            if entries:
-                # validate() analog (SSTableReaderPatched.java:213-216):
-                # the first decorated key must not sort after the last.
-                # The partitioner comes from Statistics.db when present,
-                # else the engine default.
-                stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
-                part_name = (read_statistics(stats_path)["partitioner"]
-                             if os.path.exists(stats_path)
-                             else DEFAULT_PARTITIONER)
-                token = token_function(part_name)
-                first, last = entries[0][0], entries[-1][0]
-                if (token(first), first) > (token(last), last):
-                    raise ValueError(
-                        f"SSTable first key {first!r} > last key {last!r} "
-                        f"in {sstable_id} (corrupt index or wrong "
-                        f"partitioner {part_name})")
+            part_name = (read_statistics(stats_path)["partitioner"]
+                         if os.path.exists(stats_path)
+                         else DEFAULT_PARTITIONER)
+            token = token_function(part_name)
             # logical (uncompressed) extent -- index offsets live there
             comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
             if os.path.exists(comp_path):
                 size = CompressionInfo.parse(comp_path).data_length
             else:
                 size = os.path.getsize(data_path)
-            if self.pushed_keys is not None:
-                # S5 indexed seek: one split per matching index entry;
-                # everything else in the file is never read
-                for i, (key, off) in enumerate(entries):
-                    if key in self.pushed_keys:
-                        end = (entries[i + 1][1] if i + 1 < len(entries)
-                               else size)
-                        splits.append(_SSTableSplit(sstable_id, data_path,
-                                                    off, end))
-                continue
+            summary = load_summary(data_path)
             k = self.partitions_per_split
-            for i in range(0, max(len(entries), 1), k):
-                start = entries[i][1] if entries else 0
-                end = entries[i + k][1] if i + k < len(entries) else size
+
+            if self.pushed_keys is not None:
+                # S5 indexed seek: one split per matching partition;
+                # everything else in the file is never read
+                splits.extend(self._seek_splits(
+                    sstable_id, data_path, index_path, summary, token, size))
+                continue
+
+            # S3: split boundaries every k-th index entry. Planning never
+            # materializes the index: either stride over the sampled
+            # summary (no Index.db IO at all) or stream the index keeping
+            # only every k-th offset -- O(entries/k) driver memory, the
+            # summary-chunking analog of SSTableReaderPatched.java:138-178.
+            if summary is not None and k % summary["interval"] == 0:
+                stride = k // summary["interval"]
+                starts = [data_pos for j, (_key, _ipos, data_pos)
+                          in enumerate(summary["entries"]) if j % stride == 0]
+                first, last = summary["first"], summary["last"]
+            else:
+                starts, first, last = [], None, None
+                for i, (key, off, _ipos) in enumerate(iter_index(index_path)):
+                    if first is None:
+                        first = key
+                    last = key
+                    if i % k == 0:
+                        starts.append(off)
+            if first is not None:
+                # validate() analog (SSTableReaderPatched.java:213-216):
+                # the first decorated key must not sort after the last.
+                if (token(first), first) > (token(last), last):
+                    raise ValueError(
+                        f"SSTable first key {first!r} > last key {last!r} "
+                        f"in {sstable_id} (corrupt index or wrong "
+                        f"partitioner {part_name})")
+            if not starts:
+                splits.append(_SSTableSplit(sstable_id, data_path, 0, size))
+            for j, start in enumerate(starts):
+                end = starts[j + 1] if j + 1 < len(starts) else size
                 splits.append(_SSTableSplit(sstable_id, data_path, start, end))
         return splits
+
+    def _seek_splits(self, sstable_id: str, data_path: str, index_path: str,
+                     summary: dict | None, token, size: int) -> list:
+        """Byte ranges for pushed point-lookup keys.
+
+        With a summary: binary-search the sampled entries, then scan at
+        most `interval` index entries from that position -- the
+        reference's getIndexScanPosition contract ("at most indexInterval
+        keys away", SSTableReaderPatched.java:222-237); O(interval) index
+        bytes per key regardless of sstable size. Without one: a single
+        O(1)-memory streaming pass with one-entry lookahead for the end
+        bound."""
+        assert self.pushed_keys is not None
+        out = []
+        if summary is None:
+            prev = None  # (key, data_off)
+            for key, off, _pos in iter_index(index_path):
+                if prev is not None and prev[0] in self.pushed_keys:
+                    out.append(_SSTableSplit(sstable_id, data_path,
+                                             prev[1], off))
+                prev = (key, off)
+            if prev is not None and prev[0] in self.pushed_keys:
+                out.append(_SSTableSplit(sstable_id, data_path,
+                                         prev[1], size))
+            return out
+
+        import bisect
+
+        decorated = [(token(e[0]), e[0]) for e in summary["entries"]]
+        for key in sorted(self.pushed_keys, key=lambda b: (token(b), b)):
+            dk = (token(key), key)
+            j = bisect.bisect_right(decorated, dk) - 1
+            if j < 0:
+                continue  # sorts before the sstable's first key: absent
+            found_off = None
+            for n, (ikey, off, _pos) in enumerate(
+                    iter_index(index_path, start_pos=summary["entries"][j][1])):
+                if found_off is not None:
+                    out.append(_SSTableSplit(sstable_id, data_path,
+                                             found_off, off))
+                    found_off = None
+                    break
+                if ikey == key:
+                    found_off = off  # keep scanning: next entry = end bound
+                elif (token(ikey), ikey) > dk or n > summary["interval"]:
+                    break
+            if found_off is not None:  # matched the file's final entry
+                out.append(_SSTableSplit(sstable_id, data_path,
+                                         found_off, size))
+        return out
 
     ARROW_BATCH_ROWS = 8192
 

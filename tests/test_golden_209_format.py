@@ -156,6 +156,29 @@ def test_writer_layout_matches_golden_bytes(tmp_path):
         assert f.read() == GOLDEN_JB_INDEX
 
 
+def test_writer_summary_matches_golden_bytes(tmp_path):
+    """-Summary.db layout pin (engine-own serialization, documented in
+    sstable_native.py; the reference's IndexSummary is an off-heap image,
+    so this is stability-pinning, not cross-format parity). Two index
+    entries, interval 128 -> only entry 0 sampled; first/last trailer."""
+    parts = [
+        {"key": KEY_A, "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]},
+        {"key": KEY_B, "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]},
+    ]
+    data = N.write_sstable(str(tmp_path), 3, parts, ks="Keyspace1",
+                           cf="Standard1")
+    golden = (
+        b"SGSUM1" + struct.pack(">iq", 128, 1)
+        + struct.pack(">H", len(KEY_A)) + KEY_A + struct.pack(">QQ", 0, 0)
+        + struct.pack(">i", len(KEY_A)) + KEY_A
+        + struct.pack(">i", len(KEY_B)) + KEY_B
+    )
+    with open(data[:-len(N.DATA_SUFFIX)] + N.SUMMARY_SUFFIX, "rb") as f:
+        assert f.read() == golden
+
+
 def test_golden_ic_row_size_and_column_count(tmp_path):
     """Pre-'ja' framing: long rowSize + int columnCount, no end-of-row
     marker (the 'optional column count' the reference's iterator

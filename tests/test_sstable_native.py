@@ -133,6 +133,10 @@ def test_validate_first_key_after_last_rejected(tmp_path):
         for key, off in reversed(entries):
             f.write(struct.pack(">H", len(key)) + key)
             f.write(struct.pack(">Q", off) + struct.pack(">I", 0))
+    # drop the summary: when one loads, planning trusts its first/last
+    # without touching the index (loadSummary parity) and the corruption
+    # is invisible at plan time -- exactly the reference's behavior
+    os.unlink(data[:-len(N.DATA_SUFFIX)] + N.SUMMARY_SUFFIX)
     reader = N.SSTableNativeReader(d, 4096)
     with pytest.raises(ValueError, match="first key"):
         reader.partitions()

@@ -79,10 +79,12 @@ def emb_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     +-1 plane matrix is embedded in the SQL).
 
     Recall vs the exact twin (`emb_cosine_all_pairs`, pytest-only) is
-    ~0.55 at this corpus's unusually weak 0.45 threshold (the true pairs
-    sit at ~63 deg, barely off the ~90 deg background -- the provably hard
-    regime for any sign-LSH); in the realistic near-dup regime
-    (cosine >= 0.9) the same config exceeds 0.95 recall
+    ~0.86 at this corpus's unusually weak 0.45 threshold (the true pairs
+    sit at ~63 deg, barely off the ~90 deg background -- the provably
+    hard regime for any sign-LSH): multi-probe (one lowest-margin bit
+    flip per table) recovers most hamming-1/2 signature near-misses that
+    held single-probe recall to ~0.55. In the realistic near-dup regime
+    (cosine >= 0.9) the config exceeds 0.95 recall
     (tests/test_approx_quality.py::test_lsh_dup_pairs_planted_recall).
     """
     emb = _emb(spark, sf_dir)

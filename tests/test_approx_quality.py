@@ -109,8 +109,9 @@ def test_lsh_dup_pairs_subset_of_exact(spark):
     assert len(exact) > 0
     recall = len(bucketed) / len(exact)
     # weak-threshold regime (true pairs ~63 deg vs ~90 deg background):
-    # sign-LSH's hard case; the planted test below covers the real regime
-    assert recall >= 0.4, f"recall {recall:.2f} over {len(exact)} pairs"
+    # sign-LSH's hard case. Multi-probe (lowest-margin bit flip per
+    # table) holds >= 0.8 here, up from ~0.55 single-probe.
+    assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} pairs"
 
 
 def test_lsh_dup_pairs_planted_recall(spark):

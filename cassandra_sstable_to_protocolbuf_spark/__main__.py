@@ -22,7 +22,9 @@ import os
 import sys
 
 USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
-         "convert [--continue-on-error] <sstable_dir_or_data_file> <output_dir>")
+         "convert [--continue-on-error] <sstable_dir_or_data_file> <output_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "to-parquet <sstable_dir_or_data_file> <output_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -128,16 +130,43 @@ def convert(input_path: str, output_dir: str,
     return 0
 
 
+def to_parquet(input_path: str, output_dir: str) -> int:
+    """Extension surface: land live+LWW cells as columnar parquet
+    partitioned by origin sstable, so repeat analytics never re-parse
+    sstable bytes (see landed.py's scale rationale)."""
+    from cassandra_sstable_to_protocolbuf_spark.landed import land_to_parquet
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+
+    spark = get_spark("sstable-to-parquet")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    land_to_parquet(spark, input_path, output_dir)
+    from pyspark.sql import functions as F
+
+    landed = spark.read.parquet(output_dir)
+    for r in sorted(landed.groupBy("sstable_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect(),
+                    key=lambda r: r.sstable_id):
+        print(f"{r.sstable_id}: cells={r.n}")
+    print(f"landed {landed.count()} reconciled cells to {output_dir}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     args = list(argv)
     continue_on_error = "--continue-on-error" in args
     if continue_on_error:
         args.remove("--continue-on-error")
-    if len(args) != 3 or args[0] != "convert":
+    if len(args) != 3 or args[0] not in ("convert", "to-parquet"):
         _die(USAGE)
-    _, input_path, output_dir = args
+    cmd, input_path, output_dir = args
+    if cmd == "to-parquet" and continue_on_error:
+        _die(USAGE)
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
+    if cmd == "to-parquet":
+        return to_parquet(input_path, output_dir)
     return convert(input_path, output_dir, continue_on_error)
 
 

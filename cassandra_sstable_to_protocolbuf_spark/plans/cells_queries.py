@@ -343,3 +343,52 @@ SELECT sstable_id, key, name,
 FROM cells
 WHERE key = '1|3'
 """
+
+
+def sst_landed_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `to-parquet` CLI pipeline under the gate: binary SSTables ->
+    live filter -> LWW -> parquet partitioned by origin sstable, read
+    back with a partition predicate. The scan of the landed table must
+    prune to the one matching directory (PartitionFilters, pinned by
+    tests/test_plan_audit.py) -- the layout that makes repeat analytics
+    at 100 TB columnar instead of re-parsing sstable bytes.
+
+    The oracle recomputes the LWW winners logically and filters to the
+    same origin sstable, so a hash match certifies scan + LWW + landed
+    layout end-to-end.
+    """
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import land_to_parquet
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    out = scratch_dir("landed", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    land_to_parquet(spark, fixture, out)
+    back = (spark.read.parquet(out)
+            .filter(F.col("sstable_id") == "ks-sst-r-ka-1"))
+    return back.select(
+        F.decode("key", "UTF-8").alias("key"),
+        F.decode("name", "UTF-8").alias("name"),
+        F.decode("value", "UTF-8").alias("value"),
+        "writeTime",
+        F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+        .alias("sstable_id"))
+
+
+# winner tie-break note: Spark compares the fixture ids 'ks-sst-X-ka-1'
+# where the oracle compares 'sst-X' -- identical prefixes/suffixes, so
+# the order is decided at the same X character in both engines; values
+# are ASCII, so binary max == VARCHAR max.
+SST_LANDED_PARQUET_SQL = f"""
+{cells_cte()}
+SELECT key, name, value, writeTime, sstable_id
+FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+) t WHERE rn = 1 AND sstable_id = 'sst-r'
+"""

@@ -60,3 +60,43 @@ def test_convert_end_to_end(tmp_path):
             pa.CompressedInputStream(raw, "zstd") as zin:
         rows = [pw.decode_row(b) for b in pw.iter_delimited(zin)]
     assert rows == [(b"k1", [(b"a", b"x", 10)])]
+
+
+def test_to_parquet_lands_lww_partitioned(tmp_path):
+    """`to-parquet` lands live, LWW-reconciled cells as parquet
+    partitioned by origin sstable: gen-2's newer write for (k1, a) must
+    win over gen-1's, dead partitions and tombstones must not land, and
+    the output directory must be hive-partitioned by sstable_id."""
+    src = str(tmp_path / "sst_in")
+    N.write_sstable(src, 1, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"old"},
+            {"name": b"b", "kind": "DELETED", "timestamp": 11},
+        ]},
+        {"key": b"k2", "deletion": (1, 2), "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 12, "value": b"dead"}]},
+    ])
+    N.write_sstable(src, 2, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"new"}]},
+        {"key": b"k3", "cells": [
+            {"name": b"d", "kind": "LIVE", "timestamp": 5, "value": b"v3"}]},
+    ])
+    out = str(tmp_path / "landed")
+    r = _run("to-parquet", src, out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "landed 2 reconciled cells" in r.stdout
+    # hive partition dirs by origin sstable of the WINNING cell
+    subdirs = sorted(d for d in os.listdir(out) if d.startswith("sstable_id="))
+    assert subdirs == ["sstable_id=ks-cf-ka-2"]
+
+    import duckdb
+
+    got = duckdb.connect().execute(
+        f"SELECT key, name, value, writeTime, sstable_id "
+        f"FROM read_parquet('{out}/**/*.parquet', hive_partitioning=1) "
+        f"ORDER BY key").fetchall()
+    assert got == [
+        (b"k1", b"a", b"new", 20, "ks-cf-ka-2"),
+        (b"k3", b"d", b"v3", 5, "ks-cf-ka-2"),
+    ]

@@ -61,14 +61,18 @@ def test_filters_reach_the_scan(spark, name):
     assert pushed, f"{name}: no filter reached a parquet scan\n{plan}"
 
 
-def test_partitioned_read_prunes_partitions(spark):
-    """orders_partitioned_pruning's scan must carry a PartitionFilters
-    entry on the status predicate -- i.e. non-matching partition
-    directories are skipped at planning, not filtered row-by-row."""
-    plan = _plan(spark, "orders_partitioned_pruning")
+@pytest.mark.parametrize("name", ["orders_partitioned_pruning",
+                                  "sst_landed_parquet"])
+def test_partitioned_read_prunes_partitions(spark, name):
+    """Partitioned-layout scans must carry a PartitionFilters entry on
+    the partition-column predicate -- i.e. non-matching partition
+    directories are skipped at planning, not filtered row-by-row.
+    Covers both the hive-partitioned orders layout and the to-parquet
+    landed-sstable layout."""
+    plan = _plan(spark, name)
     pruned = [ln for ln in plan.splitlines()
               if "PartitionFilters" in ln and "PartitionFilters: []" not in ln]
-    assert pruned, f"no partition pruning in plan\n{plan}"
+    assert pruned, f"{name}: no partition pruning in plan\n{plan}"
 
 
 def test_merge_hint_yields_sort_merge_join(spark):

@@ -345,6 +345,72 @@ WHERE key = '1|3'
 """
 
 
+def sst_continue_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 under the gate: per-file error isolation over a fixture set
+    whose sst-1 Data.db has a corrupted compressed chunk.
+
+    The reference prints a corrupt file's error and continues with the
+    next file (Runner.java:84-87); the engine's analog (the CLI's
+    --continue-on-error loop) runs one job per input file. This query
+    drives that exact shape -- one bounded job per file, a loud Adler32
+    failure on the corrupted one -- and returns per-file ok/error + live
+    cell counts. The driver-side loop is over FILES (the reference's own
+    error-channel granularity, bounded at 5 here), not rows; each file's
+    count is still a distributed scan.
+
+    The oracle recomputes the live-cell counts logically and pins the
+    corrupted file to ('error', -1), so a hash match certifies both the
+    good-file counts and that corruption is detected, not silently read.
+    """
+    import os
+    import re
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        to_binary_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX, read_native_cells, write_cells_as_sstables)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = scratch_dir("cerr", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    write_cells_as_sstables(cells, out, compression="lz4").collect()
+    bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
+    with open(bad, "r+b") as f:  # flip one mid-file byte: checksum fails
+        f.seek(os.path.getsize(bad) // 2)
+        byte = f.read(1)[0]
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([byte ^ 0xFF]))
+
+    results = []
+    for fname in sorted(f for f in os.listdir(out)
+                        if f.endswith(DATA_SUFFIX)):
+        sid = re.match(r"^ks-(.+)-ka-1", fname).group(1)
+        try:
+            n = (read_native_cells(spark, os.path.join(out, fname),
+                                   live_only=True)
+                 .filter(F.col("cell_kind") == "LIVE").count())
+            results.append((sid, "ok", n))
+        except Exception:  # noqa: BLE001 -- the per-file error channel
+            results.append((sid, "error", -1))
+    return spark.createDataFrame(
+        results, "sstable_id string, status string, n_live_cells long")
+
+
+SST_CONTINUE_ON_ERROR_SQL = f"""
+{cells_cte()}
+SELECT sstable_id,
+       CASE WHEN sstable_id = 'sst-1' THEN 'error' ELSE 'ok' END AS status,
+       CASE WHEN sstable_id = 'sst-1' THEN CAST(-1 AS BIGINT)
+            ELSE CAST(SUM(CASE WHEN partition_deletion_live
+                               AND cell_kind = 'LIVE'
+                          THEN 1 ELSE 0 END) AS BIGINT)
+       END AS n_live_cells
+FROM cells
+GROUP BY sstable_id
+"""
+
+
 def sst_landed_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `to-parquet` CLI pipeline under the gate: binary SSTables ->
     live filter -> LWW -> parquet partitioned by origin sstable, read

@@ -25,6 +25,7 @@ HEADLINE = [
     "sst_row_group",
     "sst_lww_dedup",
     "sst_native_scan",
+    "sst_landed_parquet",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
@@ -90,6 +91,7 @@ def main() -> None:
         .format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
         # first run pays Catalyst analysis + whole-stage codegen compile;
@@ -110,6 +112,11 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
+        # per-query min/max across the timed runs: round-over-round
+        # deltas inside a line's own [min, max] band are shared-JVM noise
+        # (GC/JIT), not plan changes -- the spread makes that separable
+        spread[name] = {"min": round(min(runs), 3),
+                        "max": round(max(runs), 3)}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -117,6 +124,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_spread": spread,
         "sf": sf,
     }))
 

@@ -7,6 +7,17 @@ Keys map to SURVEY.md §2 operators:
   tpch_* etc. -- relational operator coverage (§2.1 categories)
   docs_*      -- text analysis + dedup extension ops
   emb_*       -- similarity-search extension ops
+
+Cache contract: a few queries pin small intermediate frames with
+.cache() (LSH/SimHash signatures, the trigram explode, the PERMISSIVE
+CSV parse) because ReuseExchange does not fire across broadcast
+boundaries and the frames feed multiple consumers. The frames are
+returned lazily, so the operator cannot know when the caller's final
+action has run -- a caller that executes many catalog queries in one
+long-lived session (the bench, the driver's sweep) should
+spark.catalog.clearCache() between queries, as bench.py does; each
+pinned frame is bounded (signatures are a few longs per row), so a
+single query's pin is never the problem, only an unswept accumulation.
 """
 
 from __future__ import annotations

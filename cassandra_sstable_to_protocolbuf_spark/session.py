@@ -65,16 +65,26 @@ def ntz_epoch_us(col: str) -> str:
 
 
 def scratch_dir(name: str, tag: str, fresh: bool = False) -> str:
-    """Stable per-(name, tag) scratch directory under the system temp
-    root, REUSED across calls (writers run in overwrite mode) so
-    repeated invocations -- the bench times every query at least twice,
-    the plan audit executes them again -- don't accumulate table copies
-    in /tmp. `fresh=True` clears it first, for outputs that must start
-    empty (streaming checkpoints, one-file-per-input sinks)."""
+    """Stable per-(name, tag) scratch directory, REUSED across calls
+    (writers run in overwrite mode) so repeated invocations -- the bench
+    times every query at least twice, the plan audit executes them again
+    -- don't accumulate table copies in /tmp. `fresh=True` clears it
+    first, for outputs that must start empty (streaming checkpoints,
+    one-file-per-input sinks).
+
+    All scratch lives under a per-user mode-0700 parent: on a multi-user
+    host the old flat /tmp name was predictable (squattable) and two
+    users' sessions would fight over the same paths. Concurrent sessions
+    of the SAME user at the same (name, tag) still share (that is the
+    reuse contract); isolate with a distinct tag if unwanted."""
+    import getpass
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"ctps_scratch_{name}_{tag}")
+    root = os.path.join(tempfile.gettempdir(),
+                        f"ctps_scratch_{getpass.getuser()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    d = os.path.join(root, f"{name}_{tag}")
     if fresh and os.path.isdir(d):
         shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)

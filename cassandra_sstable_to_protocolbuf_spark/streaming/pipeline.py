@@ -92,12 +92,22 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def _interval_ms(interval: str) -> int:
+    """'N seconds|minutes|hours|days' -> milliseconds (the subset of
+    Spark's interval syntax the streaming entries use)."""
+    n, unit = interval.strip().split()
+    factor = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
+              "day": 86_400_000}[unit.rstrip("s").lower()]
+    return int(n) * factor
+
+
 def user_running_stats(events: DataFrame, watermark: str = "2 hours",
                        evict: bool = True) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running event count + value total, emitted on every update; with
     `evict` (the production default) state is dropped by event-time
-    timeout once a user goes quiet past the watermark.
+    timeout once a user goes quiet for `watermark` past the current
+    watermark.
 
     This is the escape hatch for stateful logic the built-in windowed
     aggregations can't express (per-key custom accumulators, ML feature
@@ -108,6 +118,11 @@ def user_running_stats(events: DataFrame, watermark: str = "2 hours",
     at the cost of unbounded state on a truly unbounded stream.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # derive the eviction horizon from the caller's watermark (a
+    # hardcoded 2 h here once silently kept state long past a caller's
+    # '10 minutes'); parsed once on the driver, closed over by tasks
+    timeout_offset_ms = _interval_ms(watermark)
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -124,7 +139,7 @@ def user_running_stats(events: DataFrame, watermark: str = "2 hours",
         state.update((n, total))
         if evict:
             state.setTimeoutTimestamp(
-                state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+                state.getCurrentWatermarkMs() + timeout_offset_ms)
         yield pd.DataFrame([{"user_id": key[0], "n_events": n, "total_value": total}])
 
     source = events.withWatermark("ts", watermark) if evict else events
@@ -424,9 +439,12 @@ def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the float total_value column is deliberately not part of the gated
     output).
 
-    Scale design: state is one (count, total) tuple per user, evicted by
-    event-time timeout; update-mode emission is the production shape for
-    a feature-store sink.
+    Scale design: state is one (count, total) tuple per user; update-mode
+    emission is the production shape for a feature-store sink. This
+    bounded-replay gate deliberately runs evict=False (NoTimeout), so
+    state here is bounded by the replay's user count, not evicted; on a
+    truly unbounded stream, production callers use evict=True, which
+    arms the watermark-derived event-time timeout.
     """
     import uuid
 

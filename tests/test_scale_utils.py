@@ -113,3 +113,28 @@ def test_headline_plan_shapes(spark, name, must_contain, must_not_contain):
         assert s in plan, f"{name}: expected {s!r} in plan"
     for s in must_not_contain:
         assert s not in plan, f"{name}: unexpected {s!r} in plan"
+
+
+def test_interval_ms_parses_watermark_strings():
+    from cassandra_sstable_to_protocolbuf_spark.streaming.pipeline import (
+        _interval_ms)
+
+    assert _interval_ms("10 minutes") == 600_000
+    assert _interval_ms("2 hours") == 7_200_000
+    assert _interval_ms("1 second") == 1000
+    assert _interval_ms("3 days") == 3 * 86_400_000
+
+
+def test_scratch_dir_isolated_per_user():
+    import os
+    import stat
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    d = scratch_dir("unit", "t0")
+    parent = os.path.dirname(d)
+    assert os.path.basename(parent).endswith(os.environ.get("USER", "")
+                                             or os.path.basename(parent))
+    mode = stat.S_IMODE(os.stat(parent).st_mode)
+    assert mode == 0o700, f"scratch parent mode {oct(mode)}"
+    assert scratch_dir("unit", "t0") == d  # stable across calls

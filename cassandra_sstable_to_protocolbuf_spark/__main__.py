@@ -24,7 +24,9 @@ import sys
 USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "convert [--continue-on-error] <sstable_dir_or_data_file> <output_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "to-parquet <sstable_dir_or_data_file> <output_dir>")
+         "to-parquet <sstable_dir_or_data_file> <output_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "compact <sstable_dir_or_data_file> <output_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -153,20 +155,41 @@ def to_parquet(input_path: str, output_dir: str) -> int:
     return 0
 
 
+def compact_cmd(input_path: str, output_dir: str) -> int:
+    """Merge every input sstable into one LWW-reconciled output sstable
+    (Cassandra's compaction semantics -- the cross-file merge the
+    reference deliberately skips, Runner.java:59)."""
+    from cassandra_sstable_to_protocolbuf_spark.compaction import compact
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+
+    spark = get_spark("sstable-compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    metrics = compact(spark, input_path, output_dir).collect()
+    for m in sorted(metrics, key=lambda m: m.sstable_id):
+        print(f"{m.sstable_id}: partitions={m.n_partitions} "
+              f"cells={m.n_cells} -> {os.path.basename(m.path)}")
+    print(f"compacted into {len(metrics)} sstable(s)")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     args = list(argv)
     continue_on_error = "--continue-on-error" in args
     if continue_on_error:
         args.remove("--continue-on-error")
-    if len(args) != 3 or args[0] not in ("convert", "to-parquet"):
+    if len(args) != 3 or args[0] not in ("convert", "to-parquet", "compact"):
         _die(USAGE)
     cmd, input_path, output_dir = args
-    if cmd == "to-parquet" and continue_on_error:
+    if cmd != "convert" and continue_on_error:
         _die(USAGE)
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
     if cmd == "to-parquet":
         return to_parquet(input_path, output_dir)
+    if cmd == "compact":
+        return compact_cmd(input_path, output_dir)
     return convert(input_path, output_dir, continue_on_error)
 
 

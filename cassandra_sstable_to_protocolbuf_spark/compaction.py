@@ -1,0 +1,71 @@
+"""SSTable compaction: merge many sstables into reconciled output files.
+
+The reference converts each sstable independently and never merges
+duplicate keys across files (Runner.java:59); Cassandra itself resolves
+them at compaction time with last-write-wins. This operator closes that
+loop inside the engine: scan all inputs, LWW-reconcile per (key, cell),
+and write the winners back as genuine binary sstables via the fixture
+writer -- the ecosystem operation that turns N overlapping generations
+into clean token-sharded outputs.
+
+Scale shape: one distributed scan + one hash aggregation (the same
+struct-max plan as sst_lww_dedup: map-side partial agg, no window, no
+sort), then one writer task per output shard. Outputs are sharded BY
+TOKEN RANGE -- the top bits of the RandomPartitioner md5 token -- so
+each output sstable covers a contiguous token interval exactly like
+Cassandra's range-aware compaction, and `n_outputs` bounds the rows any
+single writer task must hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
+
+# hex alphabet in token order: char i covers tokens [i/16, (i+1)/16) of
+# the md5 space, so prefix buckets are contiguous token ranges
+_HEX = "0123456789abcdef"
+
+
+def token_shard(key_col: F.Column, n_outputs: int) -> F.Column:
+    """Shard id (0..n_outputs-1) from the top hex digit of the md5
+    token. n_outputs must divide 16 so shard boundaries sit on hex-digit
+    edges -- which keeps the same computation expressible in one
+    portable SQL CASE for the oracle."""
+    if 16 % n_outputs != 0:
+        raise ValueError(f"n_outputs must divide 16, got {n_outputs}")
+    digit = F.substring(F.md5(key_col), 1, 1)
+    per = 16 // n_outputs
+    shard = F.lit(n_outputs - 1)
+    for s in range(n_outputs - 2, -1, -1):
+        # digit < first hex char of the NEXT shard -> this shard
+        shard = F.when(digit < F.lit(_HEX[(s + 1) * per]), s).otherwise(shard)
+    return shard
+
+
+def compact_cells(cells: DataFrame, n_outputs: int = 1) -> DataFrame:
+    """Live LWW winners re-shaped for the sstable writer, sharded into
+    `n_outputs` token-range outputs named compacted-<shard>."""
+    lww = lww_live_cells(cells)
+    return lww.select(
+        F.concat_ws("-", F.lit("compacted"),
+                    token_shard(F.col("key"), n_outputs)).alias("sstable_id"),
+        "key", "name", "value", "writeTime",
+        F.lit("LIVE").alias("cell_kind"),
+        F.lit(None).cast("boolean").alias("ttl_expired"),
+        F.lit(True).alias("partition_deletion_live"))
+
+
+def compact(spark: SparkSession, input_path: str, out_dir: str,
+            n_outputs: int = 1, compression: str | None = None) -> DataFrame:
+    """Compact every sstable under `input_path` into `n_outputs`
+    token-sharded sstables in `out_dir`. Returns the writer's metrics
+    DataFrame (sstable_id, path, n_partitions, n_cells)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells, write_cells_as_sstables)
+
+    cells = read_native_cells(spark, input_path, live_only=True)
+    merged = compact_cells(cells, n_outputs)
+    return write_cells_as_sstables(merged, out_dir, compression=compression)

@@ -345,6 +345,89 @@ WHERE key = '1|3'
 """
 
 
+def sst_token_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-range sharded scan under the gate: read ONLY the middle
+    half of the md5 token ring ([0x4..., 0xc...)) from the pre-built
+    binary sstables -- Cassandra's parallel-export sharding, where a
+    fleet of readers each owns a contiguous token interval. Planning
+    prunes whole byte-range splits outside the interval via the summary
+    boundaries (tests/test_token_range.py pins the pruning); the oracle
+    recomputes the same membership with DuckDB's md5, so the hash match
+    certifies the shard's exact partition set."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    out = _native_fixture_dir(spark, sf_dir)
+    back = read_native_cells(spark, out, token_range=("40", "c0"))
+    return _project_native_cells(back)
+
+
+SST_TOKEN_RANGE_SQL = f"""
+{cells_cte()}
+SELECT sstable_id, key, name,
+       CASE WHEN cell_kind = 'DELETED' THEN '' ELSE value END AS value,
+       writeTime, cell_kind,
+       {_TTL_STR} AS ttl_expired,
+       partition_deletion_live
+FROM cells
+WHERE md5(key) >= '40' AND md5(key) < 'c0'
+"""
+
+
+def sst_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction under the gate: five overlapping sstables (duplicate
+    keys across generations by fixture design) -> LWW merge -> TWO
+    token-sharded compacted sstables written as real binary components
+    -> re-read through the native source.
+
+    Cassandra's cross-file reconciliation, which the reference
+    deliberately skips (Runner.java:59), done the 100 TB way: one scan,
+    one struct-max hash agg, one writer task per token shard (each
+    output covers a contiguous half of the md5 token space). The oracle
+    recomputes winners + shard assignment logically, so a hash match
+    certifies the merge, the shard split, AND the binary write+parse of
+    the compacted output.
+    """
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.compaction import compact
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    out = scratch_dir("compact", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    compact(spark, fixture, out, n_outputs=2).collect()
+    back = read_native_cells(spark, out)
+    return (back.filter(F.col("cell_kind") != "PARTITION")
+            .select(
+                F.regexp_extract("sstable_id", r"^ks-(compacted-\d+)-ka-1$", 1)
+                .alias("shard"),
+                F.decode("key", "UTF-8").alias("key"),
+                F.decode("name", "UTF-8").alias("name"),
+                F.decode("value", "UTF-8").alias("value"),
+                "writeTime"))
+
+
+# the engine's key bytes are the oracle's utf-8 VARCHAR, so md5 agrees;
+# shard = top hex digit of the md5 token ('0'-'7' -> 0, '8'-'f' -> 1),
+# a contiguous token-range split in both engines
+SST_COMPACT_ROUNDTRIP_SQL = f"""
+{cells_cte()}
+SELECT 'compacted-' || CASE WHEN substring(md5(key), 1, 1) < '8'
+                            THEN '0' ELSE '1' END AS shard,
+       key, name, value, writeTime
+FROM (
+  SELECT key, name, value, writeTime,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+) t WHERE rn = 1
+"""
+
+
 def sst_continue_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 under the gate: per-file error isolation over a fixture set
     whose sst-1 Data.db has a corrupted compressed chunk.

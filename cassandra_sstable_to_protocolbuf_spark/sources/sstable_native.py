@@ -801,14 +801,31 @@ class SSTableNativeReader(DataSourceReader):
 
     def __init__(self, path: str, partitions_per_split: int,
                  live_only: bool = False,
-                 expected_partitioner: str | None = None):
+                 expected_partitioner: str | None = None,
+                 token_range: tuple[str, str] | None = None):
         self.path = path
         self.partitions_per_split = partitions_per_split
         self.live_only = live_only
         self.expected_partitioner = expected_partitioner
+        # [start, end) over the md5 token rendered as lowercase hex --
+        # Cassandra's parallel-export sharding: a fleet of readers each
+        # scans one contiguous token interval. Hex-string compare equals
+        # numeric token compare (fixed alphabet), and prefixes work
+        # ('8' splits the space in half). RandomPartitioner only: the
+        # file order IS md5-token order, which is what lets planning
+        # prune whole splits.
+        self.token_range = token_range
         # None = full scan; a set = only these partition keys (S5 indexed
         # seek, populated by pushFilters)
         self.pushed_keys: set[bytes] | None = None
+
+    @staticmethod
+    def _token_hex(key: bytes) -> str:
+        return hashlib.md5(key).hexdigest()
+
+    def _in_token_range(self, key: bytes) -> bool:
+        lo, hi = self.token_range
+        return lo <= self._token_hex(key) < hi
 
     def pushFilters(self, filters):
         """S5 analog: a `key = X` / `key IN (...)` predicate becomes an
@@ -880,6 +897,11 @@ class SSTableNativeReader(DataSourceReader):
                          if os.path.exists(stats_path)
                          else DEFAULT_PARTITIONER)
             token = token_function(part_name)
+            if self.token_range is not None and part_name != DEFAULT_PARTITIONER:
+                raise ValueError(
+                    f"token-range scan is defined over the md5 token space "
+                    f"(RandomPartitioner); {sstable_id} was written by "
+                    f"{part_name}")
             # logical (uncompressed) extent -- index offsets live there
             comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
             if os.path.exists(comp_path):
@@ -903,7 +925,7 @@ class SSTableNativeReader(DataSourceReader):
             # summary-chunking analog of SSTableReaderPatched.java:138-178.
             if summary is not None and k % summary["interval"] == 0:
                 stride = k // summary["interval"]
-                starts = [data_pos for j, (_key, _ipos, data_pos)
+                starts = [(data_pos, key) for j, (key, _ipos, data_pos)
                           in enumerate(summary["entries"]) if j % stride == 0]
                 first, last = summary["first"], summary["last"]
             else:
@@ -913,7 +935,7 @@ class SSTableNativeReader(DataSourceReader):
                         first = key
                     last = key
                     if i % k == 0:
-                        starts.append(off)
+                        starts.append((off, key))
             if first is not None:
                 # validate() analog (SSTableReaderPatched.java:213-216):
                 # the first decorated key must not sort after the last.
@@ -924,8 +946,21 @@ class SSTableNativeReader(DataSourceReader):
                         f"partitioner {part_name})")
             if not starts:
                 splits.append(_SSTableSplit(sstable_id, data_path, 0, size))
-            for j, start in enumerate(starts):
-                end = starts[j + 1] if j + 1 < len(starts) else size
+            for j, (start, skey) in enumerate(starts):
+                end = starts[j + 1][0] if j + 1 < len(starts) else size
+                if self.token_range is not None:
+                    # split j holds tokens in [tok(skey), tok(next_skey)]
+                    # (file order IS token order): prune whole splits
+                    # outside [lo, hi) -- the summary makes a sharded
+                    # export read only its own token interval's bytes.
+                    # Boundary ties keep the split (residual filter in
+                    # _iter_rows is exact either way).
+                    lo, hi = self.token_range
+                    if self._token_hex(skey) >= hi:
+                        continue
+                    if j + 1 < len(starts) \
+                            and self._token_hex(starts[j + 1][1]) < lo:
+                        continue
                 splits.append(_SSTableSplit(sstable_id, data_path, start, end))
         return splits
 
@@ -986,6 +1021,9 @@ class SSTableNativeReader(DataSourceReader):
             return
         for part in scan_partitions(split.data_path, split.start, split.end):
             if self.pushed_keys is not None and part["key"] not in self.pushed_keys:
+                continue
+            if self.token_range is not None \
+                    and not self._in_token_range(part["key"]):
                 continue
             if self.live_only:
                 if not part["deletion_live"]:
@@ -1058,7 +1096,14 @@ class SSTableNativeDataSource(DataSource):
         pps = int(self.options.get("partitionspersplit", "4096"))
         live_only = str(self.options.get("liveonly", "false")).lower() == "true"
         expected = self.options.get("expectedpartitioner")
-        return SSTableNativeReader(path, pps, live_only, expected)
+        lo = self.options.get("tokenrangestart")
+        hi = self.options.get("tokenrangeend")
+        if (lo is None) != (hi is None):
+            raise ValueError("tokenRangeStart and tokenRangeEnd must be "
+                             "set together")
+        token_range = (lo.lower(), hi.lower()) if lo is not None else None
+        return SSTableNativeReader(path, pps, live_only, expected,
+                                   token_range=token_range)
 
 
 def register(spark) -> None:
@@ -1069,9 +1114,17 @@ def register(spark) -> None:
 
 
 def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
-                      live_only: bool = False):
+                      live_only: bool = False,
+                      token_range: tuple[str, str] | None = None):
+    """token_range: optional [start, end) interval over the md5 token as
+    lowercase hex (prefixes fine: ('40', 'c0') is the middle half of the
+    ring) -- the Cassandra parallel-export sharding surface. Splits
+    wholly outside the interval are pruned at plan time."""
     register(spark)
-    return (spark.read.format("sstable_cassandra")
-            .option("partitionsPerSplit", str(partitions_per_split))
-            .option("liveOnly", "true" if live_only else "false")
-            .load(path))
+    rd = (spark.read.format("sstable_cassandra")
+          .option("partitionsPerSplit", str(partitions_per_split))
+          .option("liveOnly", "true" if live_only else "false"))
+    if token_range is not None:
+        rd = (rd.option("tokenRangeStart", token_range[0])
+              .option("tokenRangeEnd", token_range[1]))
+    return rd.load(path)

@@ -62,6 +62,36 @@ def test_convert_end_to_end(tmp_path):
     assert rows == [(b"k1", [(b"a", b"x", 10)])]
 
 
+def test_compact_merges_generations_lww(tmp_path):
+    """`compact` merges overlapping generations into one reconciled
+    sstable: the newer write wins, tombstoned data is dropped, and the
+    output is a genuine parseable sstable."""
+    src = str(tmp_path / "sst_in")
+    N.write_sstable(src, 1, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"old"},
+            {"name": b"b", "kind": "LIVE", "timestamp": 11, "value": b"keep"},
+        ]},
+        {"key": b"k2", "deletion": (1, 2), "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 12, "value": b"dead"}]},
+    ])
+    N.write_sstable(src, 2, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"new"}]},
+    ])
+    out = str(tmp_path / "compacted")
+    r = _run("compact", src, out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "compacted into 1 sstable(s)" in r.stdout
+    assert "compacted-0: partitions=1 cells=2" in r.stdout
+
+    data = os.path.join(out, "ks-compacted-0-ka-1-Data.db")
+    parts = list(N.scan_partitions_eager(data, 0, os.path.getsize(data)))
+    assert [p["key"] for p in parts] == [b"k1"]
+    got = {(c["name"], c["value"], c["timestamp"]) for c in parts[0]["cells"]}
+    assert got == {(b"a", b"new", 20), (b"b", b"keep", 11)}
+
+
 def test_to_parquet_lands_lww_partitioned(tmp_path):
     """`to-parquet` lands live, LWW-reconciled cells as parquet
     partitioned by origin sstable: gen-2's newer write for (k1, a) must

@@ -1,0 +1,88 @@
+"""Token-range scans over the native source: Cassandra's parallel-export
+sharding (each reader owns a contiguous [start, end) interval of the md5
+token ring). File order is token order, so planning prunes whole splits
+outside the interval; a residual per-partition check keeps boundary
+exactness."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+
+
+def _mk(dir_path, n_parts):
+    parts = [{"key": b"key-%05d" % i, "cells": [
+        {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}
+        for i in range(n_parts)]
+    return N.write_sstable(str(dir_path), 1, parts)
+
+
+def _scan_keys(reader):
+    keys = []
+    for split in reader.partitions():
+        for row in reader._iter_rows(split):
+            if row[5] == "PARTITION":
+                keys.append(row[1])
+    return keys
+
+
+def test_shards_partition_the_ring_exactly(tmp_path):
+    """Three contiguous shards are disjoint and union to the full scan
+    ('g' sorts after every hex digest: the +inf sentinel)."""
+    _mk(tmp_path, 500)
+    whole = set(_scan_keys(N.SSTableNativeReader(str(tmp_path), 64)))
+    assert len(whole) == 500
+    shard_keys = []
+    for lo, hi in (("", "40"), ("40", "c0"), ("c0", "g")):
+        r = N.SSTableNativeReader(str(tmp_path), 64, token_range=(lo, hi))
+        shard_keys.append(set(_scan_keys(r)))
+    assert set().union(*shard_keys) == whole
+    assert sum(len(s) for s in shard_keys) == len(whole)  # disjoint
+    for keys, (lo, hi) in zip(shard_keys, (("", "40"), ("40", "c0"), ("c0", "g"))):
+        for k in keys:
+            assert lo <= hashlib.md5(k).hexdigest() < hi
+
+
+def test_narrow_range_prunes_splits_at_plan_time(tmp_path):
+    """A 1/16th-ring shard must plan far fewer splits than the full
+    scan (summary-boundary pruning), while returning exactly the keys
+    whose token lands in the interval."""
+    _mk(tmp_path, 2000)
+    full = N.SSTableNativeReader(str(tmp_path), 128)
+    n_full = len(full.partitions())
+    assert n_full >= 15
+    shard = N.SSTableNativeReader(str(tmp_path), 128,
+                                  token_range=("0", "1"))
+    n_shard = len(shard.partitions())
+    assert n_shard < n_full / 2, (n_shard, n_full)
+    keys = _scan_keys(shard)
+    expect = [b"key-%05d" % i for i in range(2000)
+              if "0" <= hashlib.md5(b"key-%05d" % i).hexdigest() < "1"]
+    assert sorted(keys) == sorted(expect)
+    assert len(expect) > 50  # ~1/16 of 2000
+
+
+def test_token_range_rejected_for_murmur3_files(tmp_path):
+    parts = [{"key": b"k%d" % i, "cells": [
+        {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}
+        for i in range(10)]
+    N.write_sstable(str(tmp_path), 1, parts,
+                    partitioner=N.MURMUR3_PARTITIONER)
+    r = N.SSTableNativeReader(str(tmp_path), 64, token_range=("", "g"))
+    with pytest.raises(ValueError, match="md5 token space"):
+        r.partitions()
+
+
+def test_token_range_through_spark_source(spark, tmp_path):
+    data = _mk(tmp_path, 200)
+    d = os.path.dirname(data)
+    whole = N.read_native_cells(spark, d).count()
+    halves = [
+        N.read_native_cells(spark, d, token_range=(lo, hi)).count()
+        for lo, hi in (("", "8"), ("8", "g"))]
+    assert sum(halves) == whole
+    assert all(h > 0 for h in halves)

@@ -2294,3 +2294,262 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --- TPC-H completion: Q2/Q11/Q12/Q16/Q20 shapes ------------------------
+# The driver schema has no partsupp table, so (part, supplier) supply
+# facts are derived from lineitem -- the join/subquery shapes are the
+# TPC-H ones, which is what matters (same approach as q9_profit_proxy).
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for each qualifying part, the EUROPE supplier(s) with the
+    minimum supply cost (correlated-MIN subquery, decorrelated into a
+    per-part min aggregate joined back). Supply cost is the min observed
+    unit price per (part, supplier) from lineitem -- MIN over doubles is
+    order-independent, so the double equality join against the per-part
+    min is exact in both engines.
+
+    Scale: lineitem shuffles once on (partkey, suppkey); everything
+    after operates on the supplier-pair cardinality. Part and the
+    region-filtered supplier side are dimension-sized => broadcast."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (_t(spark, sf_dir, "nation")
+              .join(broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20))
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (li.groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                 .alias("supply_cost")))
+    eu = (cost.join(broadcast(part), cost.l_partkey == part.p_partkey)
+          .join(broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+          .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+                  "supply_cost")
+          # feeds BOTH the per-part min and the equality join back; one
+          # checkpoint of pair-cardinality rows avoids a second lineitem
+          # aggregation (same reasoning as q15_top_supplier).
+          .localCheckpoint())
+    mc = eu.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost"))
+    return (eu.join(mc, (eu.p_partkey == mc.mc_partkey)
+                    & (eu.supply_cost == mc.min_cost))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                    "supply_cost")
+            .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+                     F.asc("p_partkey"))
+            .limit(100))
+
+
+Q2_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2),
+eu AS (
+  SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+         c.supply_cost
+  FROM cost c
+  JOIN part p     ON c.l_partkey = p.p_partkey
+  JOIN supplier s ON c.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+    AND p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20),
+mc AS (SELECT p_partkey AS mc_partkey, MIN(supply_cost) AS min_cost
+       FROM eu GROUP BY 1)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.p_name, e.supply_cost
+FROM eu e JOIN mc ON e.p_partkey = mc.mc_partkey
+               AND e.supply_cost = mc.min_cost
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey
+LIMIT 100
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts whose ASIA-supplied value exceeds a fixed
+    fraction (1/500) of the total -- a grouped aggregate HAVING'd
+    against a global scalar subquery. The threshold compare is done as
+    value * 500 > total on exact decimals (integer-scaled
+    cross-multiply), never via a double fraction.
+
+    Scale: one shuffle of the supplier-filtered fact on partkey; the
+    global total is a one-row agg of the per-part frame broadcast back.
+    The per-part frame feeds both sides => checkpointed once."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = (_t(spark, sf_dir, "nation")
+              .join(broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    per_part = (li.join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+                .groupBy("l_partkey")
+                .agg(F.sum(val).alias("part_value"))
+                .localCheckpoint())
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (per_part.join(broadcast(total),
+                          F.col("part_value") * F.lit(500)
+                          > F.col("total_value"))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    F.col("part_value").cast("double").alias("part_value")))
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+           AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+  GROUP BY 1)
+SELECT l_partkey AS p_partkey,
+       CAST(part_value AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value * 500 > (SELECT SUM(part_value) FROM per_part)
+"""
+
+
+def q12_ship_class_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: per ship class (return-flag standing in for the absent
+    l_shipmode), how many critical- vs normal-priority orders shipped in
+    1996 -- the big-big lineitem/orders join followed by a two-bucket
+    conditional aggregate folded into one pass.
+
+    Scale: both sides shuffle on orderkey (no broadcast -- orders is a
+    fact); the CASE buckets ride the same hash agg, so one join + one
+    agg shuffle total."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    orders = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("ship_class"))
+            .agg(F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count")))
+
+
+Q12_SQL = """
+SELECT l_returnflag AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct supplier count per part descriptor, excluding
+    one brand and excluding 'complaint' suppliers (negative balance
+    standing in for the comment scan) via an anti join -- distinct
+    pair derivation + broadcast anti join + grouped COUNT(DISTINCT).
+
+    Scale: the pair-distinct shuffles lineitem once on the pair key and
+    everything downstream is pair-cardinality; the exclusion list and
+    part dim broadcast."""
+    pairs = (_t(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (pairs.join(broadcast(part), pairs.l_partkey == part.p_partkey)
+            .join(broadcast(bad), pairs.l_suppkey == bad.s_suppkey,
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: EUROPE suppliers of 'small%' parts whose all-time
+    shipped quantity exceeds twice their 1996 quantity (the
+    availqty > 1/2 * yearly-demand predicate re-expressed over
+    lineitem-derived supply) -- the nested IN-subquery chain
+    decorrelated into agg -> filter -> distinct -> semi join.
+
+    Scale: one conditional aggregate over the part-filtered fact (both
+    year buckets in the same pass), then supplier-cardinality work;
+    quantity sums are decimal so the 2x compare is exact in both
+    engines."""
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").startswith("small"))
+            .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    in96 = ((F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01")))
+    pair = (li.join(broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(qty).alias("qty_all"),
+                 F.sum(F.when(in96, qty).otherwise(F.lit(0).cast(DEC)))
+                 .alias("qty_96")))
+    excess = (pair.filter((F.col("qty_96") > 0)
+                          & (F.col("qty_all") > F.col("qty_96") * 2))
+              .select("l_suppkey").distinct())
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (_t(spark, sf_dir, "nation")
+              .join(broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey")))
+    return (supp.join(excess, supp.s_suppkey == excess.l_suppkey,
+                      "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
+
+
+Q20_SQL = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_all,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                  THEN CAST(l_quantity AS DECIMAL(12,2))
+                  ELSE CAST(0 AS DECIMAL(12,2)) END) AS qty_96
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY 1, 2)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM pair
+                    WHERE qty_96 > 0 AND qty_all > qty_96 * 2)
+"""

@@ -28,16 +28,21 @@ HEADLINE = [
     "sst_landed_parquet",
     # relational coverage
     "tpch_q1_pricing",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_top_orders",
     "tpch_q5_supplier_volume",
     "tpch_q6_revenue",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
+    "tpch_q11_important_parts",
+    "tpch_q12_ship_priority",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers",
     "tpch_q21_multi_supplier",
     "tpch_q22_idle_customers",
     "window_running_total",

@@ -2310,8 +2310,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, so the double equality join against the per-part
     min is exact in both engines.
 
-    Scale: lineitem shuffles once on (partkey, suppkey); everything
-    after operates on the supplier-pair cardinality. Part and the
+    Scale: the broadcast part-filter sits BELOW the pair aggregation, so
+    only qualifying parts' lineitems shuffle (the filter keeps a few
+    percent of parts -- pushing it under the agg is the difference
+    between shuffling 100 TB and shuffling 3 TB). Everything after
+    operates on the supplier-pair cardinality; part and the
     region-filtered supplier side are dimension-sized => broadcast."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = (_t(spark, sf_dir, "nation")
@@ -2322,24 +2325,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(broadcast(nation),
                   F.col("s_nationkey") == F.col("n_nationkey"))
             .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-    part = _t(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20))
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_type") == "STANDARD")
+                    & F.col("p_size").between(10, 20))
+            .select("p_partkey", "p_name"))
     li = _t(spark, sf_dir, "lineitem")
-    cost = (li.groupBy("l_partkey", "l_suppkey")
+    cost = (li.join(broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_partkey", "p_name", "l_suppkey")
             .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                  .alias("supply_cost")))
-    eu = (cost.join(broadcast(part), cost.l_partkey == part.p_partkey)
-          .join(broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+    eu = (cost.join(broadcast(supp), cost.l_suppkey == supp.s_suppkey)
           .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
-                  "supply_cost")
-          # feeds BOTH the per-part min and the equality join back; one
-          # checkpoint of pair-cardinality rows avoids a second lineitem
-          # aggregation (same reasoning as q15_top_supplier).
-          .localCheckpoint())
-    mc = eu.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
-        F.min("supply_cost").alias("min_cost"))
-    return (eu.join(mc, (eu.p_partkey == mc.mc_partkey)
-                    & (eu.supply_cost == mc.min_cost))
+                  "supply_cost"))
+    # decorrelated MIN as a window over the pair-cardinality frame: one
+    # small shuffle on partkey, no second reference to eu (a self-join
+    # would recompute the lineitem aggregation or force a checkpoint)
+    mc = F.min("supply_cost").over(Window.partitionBy("p_partkey"))
+    return (eu.withColumn("min_cost", mc)
+            .filter(F.col("supply_cost") == F.col("min_cost"))
             .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
                     "supply_cost")
             .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),

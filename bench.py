@@ -52,6 +52,7 @@ HEADLINE = [
     "events_funnel",
     "events_resample_ffill",
     "skew_salted_join",
+    "bucketed_join_revenue",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions

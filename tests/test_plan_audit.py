@@ -78,3 +78,21 @@ def test_partitioned_read_prunes_partitions(spark, name):
 def test_merge_hint_yields_sort_merge_join(spark):
     plan = _plan(spark, "smj_orders_lineitem")
     assert "SortMergeJoin" in plan, f"merge hint ignored\n{plan}"
+
+
+def test_bucketed_join_has_no_exchange_below_join(spark):
+    """The bucketed orders/lineitem join must read bucket-aligned files:
+    SortMergeJoin present, and the ONLY Exchange in the plan is the one
+    above the join for the final aggregation -- a shuffle below the
+    join would mean the bucket layout was not picked up."""
+    import re
+    plan = _plan(spark, "bucketed_join_revenue")
+    assert "SortMergeJoin" in plan, f"bucketed join not SMJ\n{plan}"
+    joins = plan.count("SortMergeJoin")
+    # count plan NODES (the "(n) Exchange" detail headers), not tree-view
+    # echoes of the same operator
+    exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert joins >= 1 and exchanges <= 1, (
+        f"bucketed join plans {exchanges} exchanges (expected <=1, the "
+        f"post-join agg)\n{plan}")
+    assert "Bucketed: true" in plan, f"scan did not use buckets\n{plan}"

@@ -26,6 +26,7 @@ HEADLINE = [
     "sst_lww_dedup",
     "sst_native_scan",
     "sst_landed_parquet",
+    "sst_incremental_merge",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

@@ -52,3 +52,78 @@ def land_to_parquet(spark: SparkSession, input_path: str, out_dir: str,
                               live_only=True)
     (lww_live_cells(cells)
      .write.mode("overwrite").partitionBy("sstable_id").parquet(out_dir))
+
+
+# --- incremental copy-on-write merge ------------------------------------
+
+N_SHARDS = 16
+
+
+def key_shard(col):
+    """Deterministic key shard for the incremental-merge layout. The
+    shard count is a layout constant: at 100 TB you pick it once (e.g.
+    4096) so a delta batch touches a bounded, localizable set of
+    directories."""
+    return F.pmod(F.xxhash64(col), F.lit(N_SHARDS))
+
+
+def land_by_shard(cells: DataFrame, out_dir: str) -> None:
+    """Land live LWW-reconciled cells partitioned by key shard -- the
+    layout `merge_delta_lww` merges into. Shard-partitioning (vs the
+    origin-sstable partitioning of `land_to_parquet`) is what makes an
+    incremental upsert local: all versions of a key live in exactly one
+    directory."""
+    (lww_live_cells(cells)
+     .withColumn("shard", key_shard(F.col("key")))
+     .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
+
+
+def merge_delta_lww(spark: SparkSession, landed_dir: str,
+                    delta_cells: DataFrame) -> list[int]:
+    """Copy-on-write LWW upsert of a delta cell batch into a sharded
+    landed table. Returns the list of rewritten shards.
+
+    Scale shape: the delta's shard set is computed first (bounded by the
+    shard count, a driver-safe collect), the base table is read with a
+    partition filter over exactly those shards (directory pruning -- the
+    untouched 99% of a 100 TB table is never opened), and the merged
+    winners are written to a staging directory then swapped in per
+    shard. The staging+swap is the commit protocol seam: a table format
+    (Iceberg/Delta) would replace the swap with a manifest commit, but
+    the dataflow -- read affected shards, re-reconcile, write new files,
+    atomically repoint -- is the same.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    delta = (lww_live_cells(delta_cells)
+             .withColumn("shard", key_shard(F.col("key"))))
+    shards = sorted(r["shard"] for r in
+                    delta.select("shard").distinct().collect())
+    if not shards:
+        return []
+    base = (spark.read.parquet(landed_dir)
+            .filter(F.col("shard").isin([int(s) for s in shards])))
+    winner = F.max(F.struct("writeTime", "sstable_id", "value")).alias("w")
+    merged = (base.unionByName(delta)
+              .groupBy("key", "name", "shard").agg(winner)
+              .select("key", "name", F.col("w.value").alias("value"),
+                      F.col("w.writeTime").alias("writeTime"),
+                      F.col("w.sstable_id").alias("sstable_id"), "shard"))
+    staging = tempfile.mkdtemp(prefix="ctps_merge_staging_")
+    try:
+        merged.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        for s in shards:
+            src = os.path.join(staging, f"shard={s}")
+            dst = os.path.join(landed_dir, f"shard={s}")
+            if not os.path.isdir(src):
+                continue  # shard emptied (all cells superseded elsewhere)
+            tomb = dst + ".old"
+            if os.path.isdir(dst):
+                os.rename(dst, tomb)
+            os.rename(src, dst)
+            shutil.rmtree(tomb, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return [int(s) for s in shards]

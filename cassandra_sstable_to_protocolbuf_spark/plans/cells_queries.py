@@ -562,3 +562,78 @@ FROM (
   WHERE partition_deletion_live AND cell_kind = 'LIVE'
 ) t WHERE rn = 1 AND sstable_id = 'sst-r'
 """
+
+
+def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: the primary sstables land ONCE as a
+    shard-partitioned LWW table; each arriving replica sstable then
+    merges copy-on-write (landed.merge_delta_lww) -- only shard
+    directories containing delta keys are read and rewritten, which is
+    what keeps a daily upsert into a 100 TB landed table proportional
+    to the delta, not the table.
+
+    The base build is content-addressed (built once per code+fixture
+    digest); the DELTA MERGE RUNS ON EVERY CALL -- LWW reconciliation
+    is idempotent, so re-merging the same sstable is a no-op in
+    content, and the gate therefore certifies the merge path itself:
+    the oracle recomputes last-write-wins from scratch over ALL
+    sstables, and the incrementally-merged table must be
+    indistinguishable. Shard-locality (untouched directories are never
+    opened or rewritten) is pinned by tests/test_incremental_merge.py.
+    """
+    import hashlib
+    import os
+    import pathlib
+    import shutil
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark import landed as landed_mod
+    from cassandra_sstable_to_protocolbuf_spark.landed import (
+        land_by_shard, merge_delta_lww)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    digest = hashlib.md5(
+        pathlib.Path(landed_mod.__file__).read_bytes()
+        + fixture.encode()).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base_dir = os.path.join(tempfile.gettempdir(),
+                            f"ctps_incr_{tag}_{digest}")
+    if not os.path.isdir(base_dir):
+        primary = (read_native_cells(spark, fixture, live_only=True)
+                   .filter(~F.col("sstable_id").contains("sst-r")))
+        tmp = tempfile.mkdtemp(prefix=f"ctps_incr_build_{tag}_")
+        land_by_shard(primary, tmp)
+        try:
+            os.rename(tmp, base_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    delta = read_native_cells(
+        spark, os.path.join(fixture, "ks-sst-r-ka-1-Data.db"),
+        live_only=True)
+    merge_delta_lww(spark, base_dir, delta)
+    back = spark.read.parquet(base_dir)
+    return back.select(
+        F.decode("key", "UTF-8").alias("key"),
+        F.decode("name", "UTF-8").alias("name"),
+        F.decode("value", "UTF-8").alias("value"),
+        "writeTime",
+        F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+        .alias("sstable_id"))
+
+
+# same winner tie-break note as SST_LANDED_PARQUET_SQL: the engine
+# compares 'ks-sst-X-ka-1' ids where the oracle compares 'sst-X' --
+# identical prefixes/suffixes, so both decide at the same character.
+SST_INCREMENTAL_MERGE_SQL = f"""
+{cells_cte()}
+SELECT key, name, value, writeTime, sstable_id
+FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+) t WHERE rn = 1
+"""

@@ -69,6 +69,7 @@ HEADLINE = [
     "docs_pii_scan",
     "docs_repetition_filter",
     "docs_trigram_coverage",
+    "docs_bigram_lm",
     "docs_pipeline_yield",
     "docs_domain_mix",
     "emb_cosine_topk",

@@ -235,3 +235,19 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     return out.select("doc_id", "n_tokens", "n_distinct_tokens",
                       "top_token_cnt", "n_chars", "n_symbol_chars",
                       keep.alias("keep"))
+
+
+def bigram_pairs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs per document; documents with
+    fewer than two tokens contribute no rows. A narrow per-row map +
+    explode -- no shuffle; the zip of the two shifted slices stays
+    inside codegen."""
+    t = tokens(F.col(text_col))
+    base = (docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+            .filter(F.size("t") >= 2))
+    z = F.zip_with(F.slice("t", 1, F.size("t") - 1),
+                   F.slice("t", 2, F.size("t") - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    return (base.select("doc_id", F.explode(z).alias("z"))
+            .select("doc_id", "z.w1", "z.w2"))

@@ -664,3 +664,60 @@ JOIN qual ON d.doc_id = qual.doc_id
 JOIN rep ON d.doc_id = rep.doc_id
 JOIN canon ON d.doc_id = canon.doc_id
 """
+
+
+def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model familiarity score: the
+    bigram table IS the model (c(w1,w2) and its context total c(w1)),
+    and each document is scored by how much corpus mass its own bigrams
+    carry -- the train-on-corpus / score-each-doc shape of a
+    CCNet/KenLM quality filter, kept engine-exact by avoiding floating
+    logs: per-doc sums are exact BIGINTs and the familiarity ratio is
+    ONE double division at the end (a perplexity proxy: rare/garbled
+    text has low mass, templated text high).
+
+    Scale design: counts are vocabulary-bounded aggregates; the corpus
+    is scanned twice (once to build counts, once to score) and shuffles
+    on token keys only; the cached pair frame keeps the tokenize+explode
+    single-run at catalog scale (drop the cache and it is a second
+    columnar scan -- the 100 TB posture). keep = familiarity >= 0.05,
+    compared integer-side (sum*20 vs sum) so the gate never compares
+    doubles."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
+    docs = _docs(spark, sf_dir)
+    # feeds BOTH the count-building agg and the scoring join
+    pairs = T.bigram_pairs(docs).cache()
+    bigc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # context totals derive from the bigram table (vocab-sized input),
+    # not from a third corpus scan
+    unic = bigc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (pairs.join(bigc, ["w1", "w2"]).join(unic, ["w1"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum("c12").alias("sum_big"),
+                 F.sum("c1").alias("sum_ctx"))
+            .select("doc_id", "n_bigrams", "sum_big", "sum_ctx",
+                    (F.col("sum_big").cast("double")
+                     / F.col("sum_ctx").cast("double")).alias("familiarity"),
+                    (F.col("sum_big") * 20 >= F.col("sum_ctx")).alias("keep")))
+
+
+DOCS_BIGRAM_LM_SQL = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+tt AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+p0 AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+       FROM tt),
+pairs AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM p0),
+bigc AS (SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2),
+unic AS (SELECT w1, SUM(c12) AS c1 FROM bigc GROUP BY 1)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(c12) AS BIGINT) AS sum_big,
+       CAST(SUM(c1) AS BIGINT) AS sum_ctx,
+       CAST(SUM(c12) AS DOUBLE) / CAST(SUM(c1) AS DOUBLE) AS familiarity,
+       SUM(c12) * 20 >= SUM(c1) AS keep
+FROM pairs JOIN bigc USING (w1, w2) JOIN unic USING (w1)
+GROUP BY doc_id
+"""

@@ -564,23 +564,11 @@ FROM (
 """
 
 
-def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ingest: the primary sstables land ONCE as a
-    shard-partitioned LWW table; each arriving replica sstable then
-    merges copy-on-write (landed.merge_delta_lww) -- only shard
-    directories containing delta keys are read and rewritten, which is
-    what keeps a daily upsert into a 100 TB landed table proportional
-    to the delta, not the table.
-
-    The base build is content-addressed (built once per code+fixture
-    digest); the DELTA MERGE RUNS ON EVERY CALL -- LWW reconciliation
-    is idempotent, so re-merging the same sstable is a no-op in
-    content, and the gate therefore certifies the merge path itself:
-    the oracle recomputes last-write-wins from scratch over ALL
-    sstables, and the incrementally-merged table must be
-    indistinguishable. Shard-locality (untouched directories are never
-    opened or rewritten) is pinned by tests/test_incremental_merge.py.
-    """
+def incremental_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """PRISTINE primary-only sharded landed table (no replica sstable),
+    built once per code+fixture digest and never mutated -- merge
+    consumers copy it to a working directory first, so the batch and
+    streaming merge gates stay independent."""
     import hashlib
     import os
     import pathlib
@@ -588,8 +576,7 @@ def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from cassandra_sstable_to_protocolbuf_spark import landed as landed_mod
-    from cassandra_sstable_to_protocolbuf_spark.landed import (
-        land_by_shard, merge_delta_lww)
+    from cassandra_sstable_to_protocolbuf_spark.landed import land_by_shard
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells)
 
@@ -609,11 +596,24 @@ def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(tmp, base_dir)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
-    delta = read_native_cells(
+    return base_dir
+
+
+def replica_delta_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replica sstable's live cells -- the arriving delta batch."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    return read_native_cells(
         spark, os.path.join(fixture, "ks-sst-r-ka-1-Data.db"),
         live_only=True)
-    merge_delta_lww(spark, base_dir, delta)
-    back = spark.read.parquet(base_dir)
+
+
+def project_landed(back: DataFrame) -> DataFrame:
+    """Decode a landed/merged table to the oracle's string shape."""
     return back.select(
         F.decode("key", "UTF-8").alias("key"),
         F.decode("name", "UTF-8").alias("name"),
@@ -621,6 +621,38 @@ def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "writeTime",
         F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
         .alias("sstable_id"))
+
+
+def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: the primary sstables land ONCE as a
+    shard-partitioned LWW table; an arriving replica sstable then
+    merges copy-on-write (landed.merge_delta_lww) -- only shard
+    directories containing delta keys are read and rewritten, which is
+    what keeps a daily upsert into a 100 TB landed table proportional
+    to the delta, not the table.
+
+    The pristine base is content-addressed (built once per code+fixture
+    digest) and copied to a working directory, so THE MERGE RUNS ON
+    EVERY CALL and the gate certifies the merge path itself: the oracle
+    recomputes last-write-wins from scratch over ALL sstables, and the
+    incrementally merged table must be indistinguishable.
+    Shard-locality (untouched directories are never opened or
+    rewritten) is pinned by tests/test_incremental_merge.py.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    base = incremental_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = scratch_dir("incr_merge_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(base, work)
+    merge_delta_lww(spark, work, replica_delta_cells(spark, sf_dir))
+    return project_landed(spark.read.parquet(work))
 
 
 # same winner tie-break note as SST_LANDED_PARQUET_SQL: the engine

@@ -504,3 +504,48 @@ def stream_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (back.groupBy("sstable_id")
             .agg(F.count_distinct("key").alias("n_rows"),
                  F.sum(F.size("columns")).alias("n_cells")))
+
+
+def stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest composed with the copy-on-write landed layout:
+    replica cells arrive as a STREAM (availableNow over a multi-file
+    parquet spool, one file per micro-batch) and each micro-batch
+    merges into the sharded landed table via
+    foreachBatch(merge_delta_lww). LWW reconciliation is commutative,
+    associative, and idempotent, so HOWEVER the stream slices the
+    delta -- and under at-least-once foreachBatch replay -- the final
+    table equals the batch oracle's from-scratch recompute over all
+    sstables; that is exactly the property that makes this merge safe
+    as a streaming sink at 100 TB (each batch rewrites only the shard
+    directories its keys touch).
+    """
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
+        incremental_base_dir, project_landed, replica_delta_cells)
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    # spool the delta as 4 files -> 4 micro-batches under availableNow
+    spool = scratch_dir("incr_stream_spool", tag, fresh=True)
+    (replica_delta_cells(spark, sf_dir)
+     .repartition(4).write.mode("overwrite").parquet(spool))
+
+    import shutil
+    base = incremental_base_dir(spark, sf_dir)
+    work = scratch_dir("incr_stream_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(base, work)
+
+    schema = spark.read.parquet(spool).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(spool))
+    ckpt = scratch_dir("incr_stream_ckpt", tag, fresh=True)
+    query = (stream.writeStream
+             .foreachBatch(lambda batch, _id: merge_delta_lww(spark, work, batch))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    return project_landed(spark.read.parquet(work))

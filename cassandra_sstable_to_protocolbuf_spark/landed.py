@@ -93,10 +93,6 @@ def merge_delta_lww(spark: SparkSession, landed_dir: str,
     the dataflow -- read affected shards, re-reconcile, write new files,
     atomically repoint -- is the same.
     """
-    import os
-    import shutil
-    import tempfile
-
     delta = (lww_live_cells(delta_cells)
              .withColumn("shard", key_shard(F.col("key"))))
     shards = sorted(r["shard"] for r in
@@ -111,19 +107,58 @@ def merge_delta_lww(spark: SparkSession, landed_dir: str,
               .select("key", "name", F.col("w.value").alias("value"),
                       F.col("w.writeTime").alias("writeTime"),
                       F.col("w.sstable_id").alias("sstable_id"), "shard"))
+    _rewrite_shards(spark, landed_dir, merged, shards)
+    return [int(s) for s in shards]
+
+
+def _rewrite_shards(spark: SparkSession, landed_dir: str,
+                    rewritten: DataFrame, shards: list[int]) -> None:
+    """Write `rewritten` (carrying a `shard` column restricted to
+    `shards`) to staging, then swap each affected shard directory in
+    place. A shard absent from staging (all of its rows removed) is
+    dropped from the table -- required for delete propagation."""
+    import os
+    import shutil
+    import tempfile
+
     staging = tempfile.mkdtemp(prefix="ctps_merge_staging_")
     try:
-        merged.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        rewritten.write.mode("overwrite").partitionBy("shard").parquet(staging)
         for s in shards:
             src = os.path.join(staging, f"shard={s}")
             dst = os.path.join(landed_dir, f"shard={s}")
-            if not os.path.isdir(src):
-                continue  # shard emptied (all cells superseded elsewhere)
             tomb = dst + ".old"
             if os.path.isdir(dst):
                 os.rename(dst, tomb)
-            os.rename(src, dst)
+            if os.path.isdir(src):
+                os.rename(src, dst)
             shutil.rmtree(tomb, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def delete_keys_lww(spark: SparkSession, landed_dir: str,
+                    keys: DataFrame) -> list[int]:
+    """Copy-on-write deletion of a key set from a sharded landed table
+    (the right-to-be-forgotten pass of a training-data pipeline).
+    Returns the list of rewritten shards.
+
+    Same scale shape as `merge_delta_lww`: the key set's shard list
+    bounds which directories are read and rewritten; unaffected shards
+    are never opened. The anti join broadcasts nothing by hint -- the
+    key side is typically small but unbounded, so AQE decides."""
+    import os
+    import shutil
+    import tempfile
+
+    keyed = (keys.select(F.col("key"))
+             .withColumn("shard", key_shard(F.col("key"))))
+    shards = sorted(r["shard"] for r in
+                    keyed.select("shard").distinct().collect())
+    if not shards:
+        return []
+    base = (spark.read.parquet(landed_dir)
+            .filter(F.col("shard").isin([int(s) for s in shards])))
+    kept = base.join(keyed.select("key").distinct(), ["key"], "left_anti")
+    _rewrite_shards(spark, landed_dir, kept, shards)
     return [int(s) for s in shards]

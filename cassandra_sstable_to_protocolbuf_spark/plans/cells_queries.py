@@ -669,3 +669,46 @@ FROM (
   WHERE partition_deletion_live AND cell_kind = 'LIVE'
 ) t WHERE rn = 1
 """
+
+
+def sst_shard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten over the landed layout: every cell of the
+    partitions keyed by l_orderkey % 7 == 0 is deleted copy-on-write
+    (landed.delete_keys_lww) -- the key set's shards bound which
+    directories are read and rewritten, so a deletion request against a
+    100 TB table costs the affected shards, not a full rewrite. The
+    oracle recomputes the primary-only LWW from scratch and applies the
+    same key predicate; the deleted table must match exactly."""
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import delete_keys_lww
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    base = incremental_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = scratch_dir("shard_delete_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(base, work)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keys = (li.filter(F.col("l_orderkey") % 7 == 0)
+            .select(F.encode(F.concat_ws("|", "l_orderkey", "l_linenumber"),
+                             "UTF-8").alias("key"))
+            .distinct())
+    delete_keys_lww(spark, work, keys)
+    return project_landed(spark.read.parquet(work))
+
+
+SST_SHARD_DELETE_SQL = f"""
+{cells_cte()}
+SELECT key, name, value, writeTime, sstable_id
+FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+    AND sstable_id <> 'sst-r'
+) t
+WHERE rn = 1 AND CAST(split_part(key, '|', 1) AS BIGINT) % 7 <> 0
+"""

@@ -97,3 +97,40 @@ def test_merge_is_idempotent(spark, base_rows, tmp_path):
     second = sorted((r["key"], r["value"], r["writeTime"], r["sstable_id"])
                     for r in spark.read.parquet(landed).collect())
     assert first == second
+
+
+def test_delete_rewrites_only_key_shards_and_drops_empty(spark, base_rows,
+                                                         tmp_path):
+    from cassandra_sstable_to_protocolbuf_spark.landed import delete_keys_lww
+
+    landed = str(tmp_path / "landed")
+    land_by_shard(_cells(spark, base_rows), landed)
+    before = _snapshot(landed)
+
+    # delete every key of one shard plus one key of another -> the
+    # fully-emptied shard directory must disappear, the partially
+    # emptied one must be rewritten, all others untouched
+    back = spark.read.parquet(landed).select(
+        "shard", F.col("key").cast("string").alias("k")).collect()
+    by_shard = {}
+    for r in back:
+        by_shard.setdefault(r["shard"], []).append(r["k"])
+    full_shard = min(by_shard)
+    other_shard = max(by_shard)
+    assert full_shard != other_shard
+    victims = by_shard[full_shard] + [by_shard[other_shard][0]]
+    keys = spark.createDataFrame([(k.encode(),) for k in victims],
+                                 "key binary")
+    touched = delete_keys_lww(spark, landed, keys)
+    assert sorted(touched) == sorted({full_shard, other_shard})
+
+    after = _snapshot(landed)
+    assert f"shard={full_shard}" not in after, "emptied shard not dropped"
+    assert after[f"shard={other_shard}"] != before[f"shard={other_shard}"]
+    for d in before:
+        if d not in (f"shard={full_shard}", f"shard={other_shard}"):
+            assert after[d] == before[d], f"untouched {d} was rewritten"
+
+    kept = {r["key"].decode()
+            for r in spark.read.parquet(landed).select("key").collect()}
+    assert kept == {f"k{i}" for i in range(40)} - set(victims)

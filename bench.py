@@ -52,6 +52,7 @@ HEADLINE = [
     "events_asof_orders",
     "events_funnel",
     "events_resample_ffill",
+    "events_scd2",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_time_rollup",

@@ -2626,3 +2626,58 @@ SELECT o_orderpriority,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """
+
+
+# --- temporal versioning: SCD type-2 build ------------------------------
+
+def events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: each
+    run of consecutive equal event_type values per user becomes one
+    versioned row with [valid_from, valid_to) micros and an is_current
+    flag -- the change-data-capture -> temporal-table op of a warehouse
+    ingest, via lag-change flag -> running version sum -> per-version
+    agg -> lead for the closing bound.
+
+    Scale: every window partitions by user_id (the natural CDC key), so
+    one shuffle on user_id serves all three window passes and the
+    grouped agg; no global sort anywhere. Validity bounds are integer
+    microseconds (engine-exact)."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_type", "event_id",
+                  _ts_us().alias("ts_us")))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w)
+    ver = (ev.withColumn(
+        "chg", (prev.isNull() | (prev != F.col("event_type"))).cast("long"))
+        .withColumn("version", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    grp = (ver.groupBy("user_id", "version", "event_type")
+           .agg(F.min("ts_us").alias("valid_from"),
+                F.count(F.lit(1)).alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("valid_from").over(w2)
+    return (grp.select("user_id", "version", "event_type", "valid_from",
+                       F.coalesce(nxt, F.lit(-1)).alias("valid_to"),
+                       "n_events", nxt.isNull().alias("is_current")))
+
+
+EVENTS_SCD2_SQL = """
+WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+           FROM events),
+m AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+v AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS version
+      FROM m),
+g AS (SELECT user_id, version, event_type,
+             MIN(ts_us) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM v GROUP BY 1, 2, 3)
+SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
+       COALESCE(LEAD(valid_from) OVER w2, -1) AS valid_to,
+       n_events,
+       LEAD(valid_from) OVER w2 IS NULL AS is_current
+FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
+"""

@@ -2681,3 +2681,24 @@ SELECT user_id, CAST(version AS BIGINT) AS version, event_type, valid_from,
        LEAD(valid_from) OVER w2 IS NULL AS is_current
 FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
+
+
+def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (Greenwald-Khanna) next to its exact
+    counterpart per return flag (rows-only check: sketch internals are
+    implementation-specific; the error bound is pinned in
+    tests/test_approx_quality.py). At 100 TB the sketch is the only
+    option -- exact percentiles need a full sort per group where the
+    sketch merges bounded summaries map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.percentile_approx("l_extendedprice",
+                                    [0.5, 0.9, 0.99], 10_000)
+                .alias("approx_p"),
+                F.percentile("l_extendedprice", F.lit([0.5, 0.9, 0.99]))
+                .alias("exact_p")))
+    cols = ["l_returnflag"]
+    for i, q in enumerate(("p50", "p90", "p99")):
+        cols.append(F.col("approx_p")[i].alias(f"{q}_approx"))
+        cols.append(F.col("exact_p")[i].alias(f"{q}_exact"))
+    return agg.select(*cols)

@@ -181,3 +181,16 @@ def test_simhash_components_equal_pair_graph_components(spark):
     nodes_in_graph = {n for n, _ in full}
     assert {(n, c) for n, c in collapsed if n in nodes_in_graph} == full
     assert all(n == c for n, c in collapsed if n not in nodes_in_graph)
+
+
+def test_percentile_approx_error_bound(spark):
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        lineitem_approx_percentiles)
+
+    for r in lineitem_approx_percentiles(spark, SF_SMOKE).collect():
+        for q in ("p50", "p90", "p99"):
+            approx, exact = r[f"{q}_approx"], r[f"{q}_exact"]
+            # GK with accuracy 10k: rank error <= n/10k; translate to a
+            # loose 2% relative value bound on this distribution
+            assert abs(approx - exact) <= max(0.02 * abs(exact), 1e-9), (
+                f"{r['l_returnflag']} {q}: approx={approx} exact={exact}")

@@ -2702,3 +2702,42 @@ def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.col("approx_p")[i].alias(f"{q}_approx"))
         cols.append(F.col("exact_p")[i].alias(f"{q}_exact"))
     return agg.select(*cols)
+
+
+def sql_api_national_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string interface end-to-end: facts registered as temp
+    views, the query authored as ANSI SQL with a CTE and run through
+    spark.sql -- certifying that the engine's surface is not just the
+    DataFrame DSL (the plan Catalyst builds from this text is the same
+    one the DSL twin would produce; the DuckDB oracle is the IDENTICAL
+    string modulo the decimal casts both engines apply)."""
+    for t in ("customer", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(f"ctps_sql_{t}")
+    return spark.sql("""
+        WITH cust_rev AS (
+          SELECT c.c_nationkey, SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                   AS nation_rev,
+                 COUNT(*) AS n_orders
+          FROM ctps_sql_orders o
+          JOIN ctps_sql_customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_orderstatus <> 'F'
+          GROUP BY c.c_nationkey)
+        SELECT n.n_name, CAST(r.nation_rev AS DOUBLE) AS nation_rev,
+               r.n_orders
+        FROM cust_rev r JOIN ctps_sql_nation n
+          ON r.c_nationkey = n.n_nationkey
+    """)
+
+
+SQL_API_NATIONAL_REVENUE_SQL = """
+WITH cust_rev AS (
+  SELECT c.c_nationkey, SUM(CAST(o.o_totalprice AS DECIMAL(12,2)))
+           AS nation_rev,
+         COUNT(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE o.o_orderstatus <> 'F'
+  GROUP BY c.c_nationkey)
+SELECT n.n_name, CAST(r.nation_rev AS DOUBLE) AS nation_rev, r.n_orders
+FROM cust_rev r JOIN nation n ON r.c_nationkey = n.n_nationkey
+"""

@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     "emb_cosine_dup_pairs",     # bounded bucket-stats side
     "emb_ann_lsh",              # LSH OR-construction candidate union
     "emb_ivf_topk",             # bounded centroid table
+    "tpch_q11_important_parts",  # ONE-ROW global-total broadcast, non-equi
+                                 # HAVING compare (decorrelated scalar subq)
 }
 
 # Streaming entries need a running query; iterative ones (label

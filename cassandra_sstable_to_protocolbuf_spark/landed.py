@@ -93,8 +93,14 @@ def merge_delta_lww(spark: SparkSession, landed_dir: str,
     the dataflow -- read affected shards, re-reconcile, write new files,
     atomically repoint -- is the same.
     """
+    # the reconciled delta feeds BOTH the shard-list collect and the
+    # merge union; without materialization the delta source (a Python
+    # sstable parse in the ingest case) runs twice. A delta batch is
+    # bounded by definition -- that is the premise of incremental
+    # merge -- so one checkpoint of it is always safe.
     delta = (lww_live_cells(delta_cells)
-             .withColumn("shard", key_shard(F.col("key"))))
+             .withColumn("shard", key_shard(F.col("key")))
+             .localCheckpoint())
     shards = sorted(r["shard"] for r in
                     delta.select("shard").distinct().collect())
     if not shards:

@@ -55,6 +55,7 @@ HEADLINE = [
     "events_scd2",
     "skew_salted_join",
     "bucketed_join_revenue",
+    "orders_dpp_join",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions

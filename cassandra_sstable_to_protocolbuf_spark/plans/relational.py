@@ -2741,3 +2741,55 @@ WITH cust_rev AS (
 SELECT n.n_name, CAST(r.nation_rev AS DOUBLE) AS nation_rev, r.n_orders
 FROM cust_rev r JOIN nation n ON r.c_nationkey = n.n_nationkey
 """
+
+
+def orders_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact lands partitioned by order
+    year; the year dim is filtered on a NON-join attribute (relative
+    year volume -- full years survive, partial ones drop), so the
+    partition filter CANNOT be derived statically and Catalyst must
+    inject a runtime dynamicpruning subquery into the fact scan
+    (pinned by tests/test_plan_audit.py). At 100 TB this is the
+    mechanism that turns "join fact to a filtered dim" into "read only
+    the partitions the dim survived with", decided at run time.
+
+    The one-row max compare on the dim is a bounded BNLJ by design
+    (same decorrelated-scalar shape as Q11)."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.year("o_orderdate").cast("long").alias("o_year"))
+    out = scratch_dir("part_year", os.path.basename(sf_dir.rstrip("/")))
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (orders.groupBy("o_year").agg(F.count(F.lit(1)).alias("n_year"))
+           .localCheckpoint())  # feeds both the max probe and the join
+    # the threshold is ONE scalar off a year-cardinality aggregate -- a
+    # bounded driver collect by construction. It must land as a literal
+    # Filter on the dim (not a join) because the DPP rule only injects
+    # the runtime subquery when it sees a selective Filter on the
+    # pruning side.
+    mx_val = dim.agg(F.max("n_year")).collect()[0][0]
+    keep = dim.filter(F.col("n_year") * 2 > F.lit(mx_val)).select("o_year")
+    return (fact.join(broadcast(keep), "o_year")
+            .groupBy("o_year")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("price").cast("double").alias("revenue")))
+
+
+ORDERS_DPP_JOIN_SQL = """
+WITH y AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                  o_totalprice
+           FROM orders),
+d AS (SELECT o_year, COUNT(*) AS n_year FROM y GROUP BY 1),
+k AS (SELECT o_year FROM d WHERE n_year * 2 > (SELECT MAX(n_year) FROM d))
+SELECT y.o_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM y JOIN k USING (o_year)
+GROUP BY 1
+"""

@@ -99,3 +99,12 @@ def test_bucketed_join_has_no_exchange_below_join(spark):
         f"bucketed join plans {exchanges} exchanges (expected <=1, the "
         f"post-join agg)\n{plan}")
     assert "Bucketed: true" in plan, f"scan did not use buckets\n{plan}"
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark):
+    """The year-partitioned fact join must carry a dynamicpruning
+    subquery in its PartitionFilters -- i.e. Catalyst prunes fact
+    partitions from the filtered dim at RUN time, not row-by-row."""
+    plan = _plan(spark, "orders_dpp_join")
+    assert "dynamicpruning" in plan.lower(), (
+        f"no runtime partition pruning in plan\n{plan}")

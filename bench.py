@@ -56,6 +56,7 @@ HEADLINE = [
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",
+    "lineitem_bloom_join",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions

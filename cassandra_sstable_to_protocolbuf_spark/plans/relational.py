@@ -2793,3 +2793,84 @@ SELECT y.o_year,
 FROM y JOIN k USING (o_year)
 GROUP BY 1
 """
+
+
+def _bloom_thresholds(spark: SparkSession):
+    """Context manager scoping the runtime-filter injection thresholds.
+    The production defaults are sized for cluster-scale inputs (the
+    application side must be a multi-GB scan); lowering them for the
+    duration of THIS query's execution exercises the same plan a big
+    cluster produces, without leaking plan changes into the rest of the
+    session's queries."""
+    from contextlib import contextmanager
+
+    thresholds = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # a broadcastable-by-size creation side makes the rule skip
+        # (the whole build side ships anyway); disable auto-broadcast so
+        # the join is the big-big shuffle regime the bloom filter exists
+        # for -- at 100 TB both sides really are over the threshold
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+    @contextmanager
+    def scope():
+        saved = {}
+        for k, v in thresholds.items():
+            try:
+                saved[k] = spark.conf.get(k)
+            except Exception:
+                saved[k] = None
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    return scope()
+
+
+def _bloom_join_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 450_000))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (li.hint("merge")
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+def lineitem_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: the selective order
+    filter (top-price tail) builds a bloom filter at run time that is
+    pushed into the lineitem side of the shuffle join, discarding
+    non-matching fact rows BEFORE the exchange -- at 100 TB this is the
+    difference between shuffling the whole fact and shuffling the ~1%
+    that can possibly join. `might_contain` in the optimized plan is
+    pinned by tests/test_plan_audit.py.
+
+    Runtime-filter injection happens at optimization time, so the query
+    EXECUTES (checkpoint of the group-cardinality result) inside the
+    threshold scope; the returned frame is that materialized result --
+    the session's other queries never see the lowered thresholds."""
+    with _bloom_thresholds(spark):
+        return _bloom_join_df(spark, sf_dir).localCheckpoint()
+
+
+LINEITEM_BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 450000
+GROUP BY 1
+"""

@@ -549,3 +549,40 @@ def stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              .start())
     query.awaitTermination()
     return project_landed(spark.read.parquet(work))
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join THROUGH the streaming engine: each
+    micro-batch of the event stream equi-joins the static customer dim
+    (Spark re-plans the static side per batch -- the canonical pattern
+    for enriching a 100 TB/day stream with slowly-changing reference
+    data), then feeds a running aggregate per market segment. Inner
+    equi-join + aggregation are split-independent, so the availableNow
+    result table hash-matches the batch SQL oracle."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey)
+    agg = (joined.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                .alias("sum_value")))
+    name = "stream_static_enrich_" + uuid.uuid4().hex
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return spark.table(name)
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+"""

@@ -34,7 +34,7 @@ BNLJ_ALLOWED = {
 # propagation) materialize mid-plan. Both are audited by their own tests.
 SKIP = {"stream_events_hourly", "stream_events_sessionize",
         "stream_click_attribution", "stream_incremental_merge",
-        "docs_dup_clusters"}
+        "stream_static_enrich", "docs_dup_clusters"}
 
 AUDIT_QUERIES = sorted(set(CATALOG) - SKIP)
 
@@ -108,3 +108,16 @@ def test_dpp_join_prunes_partitions_at_runtime(spark):
     plan = _plan(spark, "orders_dpp_join")
     assert "dynamicpruning" in plan.lower(), (
         f"no runtime partition pruning in plan\n{plan}")
+
+
+def test_bloom_filter_injected_in_join(spark):
+    """Inside the threshold scope, the selective orders filter must
+    inject a runtime bloom filter (might_contain) into the lineitem
+    side of the shuffle join -- the semi-join reduction that keeps
+    non-joinable fact rows out of the exchange."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _bloom_join_df, _bloom_thresholds)
+    with _bloom_thresholds(spark):
+        df = _bloom_join_df(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "might_contain" in plan, f"no runtime bloom filter\n{plan}"

@@ -57,6 +57,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "orders_dpp_join",
     "lineitem_bloom_join",
+    "events_sorted_layout",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions

@@ -2874,3 +2874,57 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_totalprice > 450000
 GROUP BY 1
 """
+
+
+def _sorted_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events landed ONCE per (session-visible) scratch tag as a
+    time-sorted layout: repartitionByRange on the event time gives
+    globally range-partitioned files (file i's times all precede file
+    i+1's), and sortWithinPartitions makes every parquet row group's
+    min/max tight -- the 1-D "z-order" a time-series table wants."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    out = scratch_dir("sorted_events", os.path.basename(sf_dir.rstrip("/")))
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type", "user_id", "value",
+                  _ts_us().alias("ts_us")))
+    (ev.repartitionByRange(8, F.col("ts_us"))
+     .sortWithinPartitions("ts_us")
+     .write.mode("overwrite").parquet(out))
+    return out
+
+
+def events_sorted_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan locality from a time-sorted layout: the events table lands
+    range-partitioned + sorted on event time, so a time-slice predicate
+    touches only the file(s) whose range intersects the window and,
+    within them, only the row groups whose min/max admit it (parquet
+    stats skipping -- file-level disjointness is pinned by
+    tests/test_sorted_layout.py). The February slice aggregate is
+    oracle-gated; at 100 TB this layout turns a month query over years
+    of events into a read of that month's files."""
+    out = _sorted_events_dir(spark, sf_dir)
+    lo, hi = 1706745600000000, 1709251200000000  # [2024-02-01, 2024-03-01) UTC us
+    back = (spark.read.parquet(out)
+            .filter((F.col("ts_us") >= lo) & (F.col("ts_us") < hi)))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"),
+                 F.min("ts_us").alias("first_us"),
+                 F.max("ts_us").alias("last_us")))
+
+
+EVENTS_SORTED_LAYOUT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(epoch_us(ts)) AS first_us,
+       MAX(epoch_us(ts)) AS last_us
+FROM events
+WHERE epoch_us(ts) >= 1706745600000000
+  AND epoch_us(ts) <  1709251200000000
+GROUP BY 1
+"""

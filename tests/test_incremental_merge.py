@@ -134,3 +134,50 @@ def test_delete_rewrites_only_key_shards_and_drops_empty(spark, base_rows,
     kept = {r["key"].decode()
             for r in spark.read.parquet(landed).select("key").collect()}
     assert kept == {f"k{i}" for i in range(40)} - set(victims)
+
+
+def test_stream_merge_resumes_from_checkpoint(spark, base_rows, tmp_path):
+    """Checkpointed streaming merge survives a restart: half the delta
+    files are processed, the query terminates (availableNow), more files
+    arrive, and a SECOND run with the SAME checkpoint processes only the
+    new files -- the final table must equal a from-scratch LWW over
+    base + full delta."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
+
+    landed = str(tmp_path / "landed")
+    land_by_shard(_cells(spark, base_rows), landed)
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(spool)
+
+    first = _cells(spark, [("k1", "c", "v1", 500, "sst-d1", "LIVE"),
+                           ("k2", "c", "v2", 500, "sst-d1", "LIVE")])
+    second = _cells(spark, [("k1", "c", "v1b", 900, "sst-d2", "LIVE"),
+                            ("knew", "c", "nv", 100, "sst-d2", "LIVE")])
+    schema = first.schema
+
+    def run_stream():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(spool))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, _i: merge_delta_lww(spark, landed, b))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    first.coalesce(1).write.mode("append").parquet(spool)
+    run_stream()
+    got1 = {r["key"].decode(): r["value"].decode()
+            for r in spark.read.parquet(landed).collect()}
+    assert got1["k1"] == "v1" and got1["k2"] == "v2"
+
+    second.coalesce(1).write.mode("append").parquet(spool)
+    run_stream()  # same checkpoint: only the new file is processed
+    got2 = {r["key"].decode(): (r["value"].decode(), r["writeTime"])
+            for r in spark.read.parquet(landed).collect()}
+    assert got2["k1"] == ("v1b", 900)   # newer delta superseded the first
+    assert got2["k2"] == ("v2", 500)
+    assert got2["knew"] == ("nv", 100)
+    assert len(got2) == 41  # 40 base (k1..k2 overwritten in place) + knew

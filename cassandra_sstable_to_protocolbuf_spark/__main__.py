@@ -24,9 +24,13 @@ import sys
 USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "convert [--continue-on-error] <sstable_dir_or_data_file> <output_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "to-parquet <sstable_dir_or_data_file> <output_dir>\n"
+         "to-parquet [--by-shard] <sstable_dir_or_data_file> <output_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "compact <sstable_dir_or_data_file> <output_dir>")
+         "compact <sstable_dir_or_data_file> <output_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "merge <delta_sstable_dir_or_data_file> <landed_shard_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "delete-keys <keys_file> <landed_shard_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -132,25 +136,38 @@ def convert(input_path: str, output_dir: str,
     return 0
 
 
-def to_parquet(input_path: str, output_dir: str) -> int:
-    """Extension surface: land live+LWW cells as columnar parquet
-    partitioned by origin sstable, so repeat analytics never re-parse
-    sstable bytes (see landed.py's scale rationale)."""
-    from cassandra_sstable_to_protocolbuf_spark.landed import land_to_parquet
+def to_parquet(input_path: str, output_dir: str,
+               by_shard: bool = False) -> int:
+    """Extension surface: land live+LWW cells as columnar parquet --
+    partitioned by origin sstable (default; repeat analytics never
+    re-parse sstable bytes), or by key shard (`--by-shard`; the layout
+    `merge`/`delete-keys` maintain incrementally). See landed.py's
+    scale rationale."""
+    from cassandra_sstable_to_protocolbuf_spark.landed import (
+        land_by_shard, land_to_parquet)
     from cassandra_sstable_to_protocolbuf_spark.session import (
         ensure_shipped, get_spark)
 
     spark = get_spark("sstable-to-parquet")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
-    land_to_parquet(spark, input_path, output_dir)
+    if by_shard:
+        from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+            read_native_cells)
+
+        cells = read_native_cells(spark, input_path, live_only=True)
+        land_by_shard(cells, output_dir)
+        group_col = "shard"
+    else:
+        land_to_parquet(spark, input_path, output_dir)
+        group_col = "sstable_id"
     from pyspark.sql import functions as F
 
     landed = spark.read.parquet(output_dir)
-    for r in sorted(landed.groupBy("sstable_id")
+    for r in sorted(landed.groupBy(group_col)
                     .agg(F.count(F.lit(1)).alias("n")).collect(),
-                    key=lambda r: r.sstable_id):
-        print(f"{r.sstable_id}: cells={r.n}")
+                    key=lambda r: str(r[group_col])):
+        print(f"{r[group_col]}: cells={r.n}")
     print(f"landed {landed.count()} reconciled cells to {output_dir}")
     return 0
 
@@ -174,22 +191,77 @@ def compact_cmd(input_path: str, output_dir: str) -> int:
     return 0
 
 
+def merge_cmd(delta_path: str, landed_dir: str) -> int:
+    """Copy-on-write LWW upsert of a delta sstable batch into a
+    shard-partitioned landed table (built with `to-parquet --by-shard`):
+    only shard directories containing delta keys are read and
+    rewritten."""
+    from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    spark = get_spark("sstable-merge")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    delta = read_native_cells(spark, delta_path, live_only=True)
+    shards = merge_delta_lww(spark, landed_dir, delta)
+    print(f"merged delta into {len(shards)} shard(s): {shards}")
+    return 0
+
+
+def delete_keys_cmd(keys_file: str, landed_dir: str) -> int:
+    """Right-to-be-forgotten pass: delete every key listed (one utf-8
+    key per line) from the shard-partitioned landed table, rewriting
+    only the shards those keys live in."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import delete_keys_lww
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+
+    spark = get_spark("sstable-delete-keys")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    keys = (spark.read.text(keys_file)
+            .filter(F.length("value") > 0)
+            .select(F.encode("value", "UTF-8").alias("key")))
+    shards = delete_keys_lww(spark, landed_dir, keys)
+    print(f"deleted keys from {len(shards)} shard(s): {shards}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     args = list(argv)
     continue_on_error = "--continue-on-error" in args
     if continue_on_error:
         args.remove("--continue-on-error")
-    if len(args) != 3 or args[0] not in ("convert", "to-parquet", "compact"):
+    by_shard = "--by-shard" in args
+    if by_shard:
+        args.remove("--by-shard")
+    commands = ("convert", "to-parquet", "compact", "merge", "delete-keys")
+    if len(args) != 3 or args[0] not in commands:
         _die(USAGE)
     cmd, input_path, output_dir = args
     if cmd != "convert" and continue_on_error:
         _die(USAGE)
+    if cmd != "to-parquet" and by_shard:
+        _die(USAGE)
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
     if cmd == "to-parquet":
-        return to_parquet(input_path, output_dir)
+        return to_parquet(input_path, output_dir, by_shard=by_shard)
     if cmd == "compact":
         return compact_cmd(input_path, output_dir)
+    if cmd == "merge":
+        if not os.path.isdir(output_dir):
+            _die(f"landed dir does not exist: {output_dir}")
+        return merge_cmd(input_path, output_dir)
+    if cmd == "delete-keys":
+        if not os.path.isdir(output_dir):
+            _die(f"landed dir does not exist: {output_dir}")
+        return delete_keys_cmd(input_path, output_dir)
     return convert(input_path, output_dir, continue_on_error)
 
 

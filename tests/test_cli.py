@@ -130,3 +130,56 @@ def test_to_parquet_lands_lww_partitioned(tmp_path):
         (b"k1", b"a", b"new", 20, "ks-cf-ka-2"),
         (b"k3", b"d", b"v3", 5, "ks-cf-ka-2"),
     ]
+
+
+def test_merge_and_delete_keys_cli(tmp_path):
+    """The landed-maintenance lifecycle through the real CLI:
+    to-parquet --by-shard lands the base, merge upserts a delta sstable
+    copy-on-write, delete-keys removes a victim key."""
+    base_sst = str(tmp_path / "base_sst")
+    N.write_sstable(base_sst, 1, [
+        {"key": b"alpha", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 10, "value": b"old"}]},
+        {"key": b"beta", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 10, "value": b"keep"}]},
+    ])
+    delta_sst = str(tmp_path / "delta_sst")
+    N.write_sstable(delta_sst, 2, [
+        {"key": b"alpha", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 99, "value": b"new"}]},
+        {"key": b"gamma", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 5, "value": b"add"}]},
+    ])
+    landed = str(tmp_path / "landed")
+
+    r = _run("to-parquet", "--by-shard", base_sst, landed)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "landed 2 reconciled cells" in r.stdout
+
+    r = _run("merge", delta_sst, landed)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "merged delta into" in r.stdout
+
+    keys_file = tmp_path / "victims.txt"
+    keys_file.write_text("beta\n")
+    r = _run("delete-keys", str(keys_file), landed)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "deleted keys from 1 shard(s)" in r.stdout
+
+    import duckdb
+    rows = {k.decode() if isinstance(k, (bytes, bytearray)) else k:
+            (v.decode() if isinstance(v, (bytes, bytearray)) else v, wt)
+            for k, v, wt in duckdb.sql(
+                f"SELECT key, value, writeTime FROM "
+                f"read_parquet('{landed}/*/*.parquet')").fetchall()}
+    assert rows == {"alpha": ("new", 99), "gamma": ("add", 5)}
+
+
+def test_merge_requires_existing_landed_dir(tmp_path):
+    sst = str(tmp_path / "sst")
+    N.write_sstable(sst, 1, [
+        {"key": b"k", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}])
+    r = _run("merge", sst, str(tmp_path / "missing"))
+    assert r.returncode != 0
+    assert "does not exist" in r.stderr

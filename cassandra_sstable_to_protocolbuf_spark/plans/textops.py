@@ -761,3 +761,36 @@ SELECT doc_id, sentence_idx, sentence,
                             t -> t <> '')) AS INTEGER) AS n_tokens
 FROM x
 """
+
+
+def docs_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib integration: a fasttext-style quality classifier trained ON
+    THE CORPUS (hashed token features -> logistic regression against the
+    deterministic rule-based keep flag as weak labels) and applied back
+    to every document -- the learn-the-filter-then-scale-it step of a
+    training-data pipeline. Rows-only gate: LBFGS coefficients are
+    float-iterative and engine-specific by nature; agreement with the
+    weak labels is pinned in tests/test_approx_quality.py.
+
+    Scale: training is a few passes over hashed 2^12-dim sparse vectors
+    (MLlib's distributed LBFGS); scoring is one narrow map. No shuffle
+    beyond the aggregations LBFGS itself does."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, Tokenizer
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    flags = quality_score(docs).select(
+        "doc_id", F.col("keep").cast("double").alias("label"))
+    labeled = docs.select("doc_id", "text").join(flags, "doc_id")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    tf = HashingTF(inputCol="words", outputCol="features",
+                   numFeatures=1 << 12)
+    lr = LogisticRegression(maxIter=20, regParam=0.01, featuresCol="features")
+    train = tf.transform(tok.transform(labeled))
+    model = lr.fit(train)
+    scored = model.transform(train)
+    return (scored.select("doc_id", "label",
+                          F.col("prediction").alias("predicted_keep"))
+            .withColumn("agree", F.col("label") == F.col("predicted_keep")))

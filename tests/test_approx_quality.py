@@ -194,3 +194,14 @@ def test_percentile_approx_error_bound(spark):
             # loose 2% relative value bound on this distribution
             assert abs(approx - exact) <= max(0.02 * abs(exact), 1e-9), (
                 f"{r['l_returnflag']} {q}: approx={approx} exact={exact}")
+
+
+def test_quality_lr_agrees_with_weak_labels(spark):
+    from cassandra_sstable_to_protocolbuf_spark.plans.textops import (
+        docs_quality_lr)
+
+    rows = docs_quality_lr(spark, SF_SMOKE).collect()
+    agree = sum(1 for r in rows if r["agree"]) / len(rows)
+    # the classifier must reconstruct the rule it was trained on from
+    # hashed token features alone
+    assert agree >= 0.85, f"classifier agreement {agree:.2%}"

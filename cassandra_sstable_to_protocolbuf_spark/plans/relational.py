@@ -2928,3 +2928,40 @@ WHERE epoch_us(ts) >= 1706745600000000
   AND epoch_us(ts) <  1709251200000000
 GROUP BY 1
 """
+
+
+def customer_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink+source round-trip (Spark 4 built-in XML data source):
+    customers written as an XML document stream, read back with an
+    explicit schema (schema-on-read, like the CSV twin), aggregated per
+    market segment. XML is an interchange edge format, not an analytics
+    layout -- the round-trip certifies the ingest boundary; analytics
+    stay columnar."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.col("c_acctbal").cast(DEC).alias("bal"))
+    out = scratch_dir("xml_cust", os.path.basename(sf_dir.rstrip("/")))
+    (cust.write.mode("overwrite").format("xml")
+     .option("rowTag", "customer").save(out))
+    back = (spark.read.format("xml").option("rowTag", "customer")
+            .schema("c_custkey long, c_name string, c_mktsegment string, "
+                    "bal decimal(12,2)")
+            .load(out))
+    return (back.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_custs"),
+                 F.sum("bal").cast("double").alias("total_bal"),
+                 F.max("c_custkey").alias("max_key")))
+
+
+CUSTOMER_XML_ROUNDTRIP_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+       MAX(c_custkey) AS max_key
+FROM customer
+GROUP BY 1
+"""

@@ -47,6 +47,7 @@ reference's iterator pipeline.
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 import struct
 from collections.abc import Iterator
@@ -309,10 +310,18 @@ class CompressionInfo:
             f.write(struct.pack(f">{len(self.offsets)}q", *self.offsets))
 
 
-class CompressedDataFile:
-    """File-like view of an lz4-block-compressed Data.db in UNCOMPRESSED
-    coordinates: seek/tell/read over logical positions, decompressing one
-    chunk at a time (single-chunk cache -- scans are sequential)."""
+class CompressedDataFile(io.RawIOBase):
+    """Raw-IO view of an lz4-block-compressed Data.db in UNCOMPRESSED
+    coordinates: seek/tell/readinto over logical positions,
+    decompressing one chunk at a time (single-chunk cache -- scans are
+    sequential).
+
+    Deliberately a RawIOBase so `open_data_file` can wrap it in a
+    C-level io.BufferedReader: the cell parser issues millions of 1-13
+    byte reads per split, and serving them from an interpreter-level
+    read() was the dominant scan cost (each tiny read paid a Python
+    call + bytearray allocation; BufferedReader serves them as C
+    memcpys and only calls readinto() per buffer refill)."""
 
     def __init__(self, data_path: str, info: CompressionInfo,
                  verify_checksums: bool = True):
@@ -320,6 +329,7 @@ class CompressedDataFile:
 
         import pyarrow as pa
 
+        super().__init__()
         self._f = open(data_path, "rb")
         self._file_size = os.path.getsize(data_path)
         self._info = info
@@ -347,41 +357,55 @@ class CompressedDataFile:
         self._cached_idx, self._cached = idx, bytes(data)
         return self._cached
 
-    def seek(self, pos: int) -> None:
-        self._pos = pos
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def seek(self, pos: int, whence: int = os.SEEK_SET) -> int:
+        if whence == os.SEEK_SET:
+            self._pos = pos
+        elif whence == os.SEEK_CUR:
+            self._pos += pos
+        elif whence == os.SEEK_END:
+            self._pos = self._info.data_length + pos
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
 
     def tell(self) -> int:
         return self._pos
 
-    def read(self, n: int) -> bytes:
-        out = bytearray()
+    def readinto(self, b) -> int:
+        n = len(b)
         cl = self._info.chunk_length
-        while n > 0 and self._pos < self._info.data_length:
+        written = 0
+        while written < n and self._pos < self._info.data_length:
             idx, off = divmod(self._pos, cl)
-            piece = self._chunk(idx)[off:off + n]
-            out += piece
+            piece = self._chunk(idx)[off:off + (n - written)]
+            b[written:written + len(piece)] = piece
             self._pos += len(piece)
-            n -= len(piece)
-        return bytes(out)
+            written += len(piece)
+        return written
 
     def close(self) -> None:
-        self._f.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
+        if not self.closed:
+            self._f.close()
+        super().close()
 
 
 def open_data_file(data_path: str, verify_checksums: bool = True):
     """Open Data.db in logical coordinates: transparently decompressing
     when a CompressionInfo.db component is present (S6). Returns
-    (file_like, logical_size)."""
+    (file_like, logical_size); the compressed path is wrapped in a
+    C-buffered reader so per-cell small reads cost a memcpy, not a
+    Python call."""
     comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
     if os.path.exists(comp_path):
         info = CompressionInfo.parse(comp_path)
-        return CompressedDataFile(data_path, info, verify_checksums), info.data_length
+        raw = CompressedDataFile(data_path, info, verify_checksums)
+        return io.BufferedReader(raw, buffer_size=1 << 16), info.data_length
     return open(data_path, "rb"), os.path.getsize(data_path)
 
 

@@ -712,3 +712,53 @@ FROM (
 ) t
 WHERE rn = 1 AND CAST(split_part(key, '|', 1) AS BIGINT) % 7 <> 0
 """
+
+
+def sst_permissive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1's scale-out form: ONE distributed scan over a fixture set with
+    a corrupted file, mode=PERMISSIVE -- the split hitting the bad chunk
+    emits a cell_kind='ERROR' marker row instead of failing the job
+    (sstable-granularity _corrupt_record channel). Where
+    sst_continue_on_error mirrors the reference's per-file driver loop
+    (Runner.java:84-87), this is how 100 TB survives bad files: no
+    driver loop at all, error rows aggregate per sstable in the same
+    job as the good counts.
+
+    Good cells parsed BEFORE the corrupt chunk still surface
+    (at-least-the-parsed-prefix, like PERMISSIVE CSV), so the corrupted
+    file's count is pinned to -1 and only its error FLAG is compared --
+    the prefix length is a byte-layout detail, not a semantic one."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        to_binary_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX, read_native_cells, write_cells_as_sstables)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = scratch_dir("perm_err", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    write_cells_as_sstables(cells, out, compression="lz4").collect()
+    bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
+    with open(bad, "r+b") as f:  # flip one mid-file byte: checksum fails
+        f.seek(os.path.getsize(bad) // 2)
+        byte = f.read(1)[0]
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([byte ^ 0xFF]))
+
+    scan = read_native_cells(spark, out, mode="PERMISSIVE")
+    per_file = (scan.groupBy("sstable_id").agg(
+        F.max((F.col("cell_kind") == "ERROR").cast("int")).alias("err"),
+        F.sum(F.when(F.col("partition_deletion_live")
+                     & (F.col("cell_kind") == "LIVE"), 1).otherwise(0))
+        .alias("n_live")))
+    return per_file.select(
+        F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+        .alias("sstable_id"),
+        F.when(F.col("err") == 1, "error").otherwise("ok").alias("status"),
+        F.when(F.col("err") == 1, F.lit(-1).cast("long"))
+        .otherwise(F.col("n_live")).alias("n_live_cells"))
+
+
+SST_PERMISSIVE_SCAN_SQL = SST_CONTINUE_ON_ERROR_SQL

@@ -826,11 +826,18 @@ class SSTableNativeReader(DataSourceReader):
     def __init__(self, path: str, partitions_per_split: int,
                  live_only: bool = False,
                  expected_partitioner: str | None = None,
-                 token_range: tuple[str, str] | None = None):
+                 token_range: tuple[str, str] | None = None,
+                 permissive: bool = False):
         self.path = path
         self.partitions_per_split = partitions_per_split
         self.live_only = live_only
         self.expected_partitioner = expected_partitioner
+        # mode=PERMISSIVE: a split hitting corruption emits an ERROR
+        # marker row instead of failing the task (the _corrupt_record
+        # channel of the standard sources, at sstable granularity) --
+        # one distributed job survives bad files, where FAILFAST (the
+        # default) keeps corruption loud
+        self.permissive = permissive
         # [start, end) over the md5 token rendered as lowercase hex --
         # Cassandra's parallel-export sharding: a fleet of readers each
         # scans one contiguous token interval. Hex-string compare equals
@@ -1096,9 +1103,22 @@ class SSTableNativeReader(DataSourceReader):
                 [pa.array(c, t.type) for c, t in zip(cols, arrow_schema)],
                 schema=arrow_schema)
 
+        def rows_or_error(split):
+            if not self.permissive:
+                yield from self._iter_rows(split)
+                return
+            try:
+                yield from self._iter_rows(split)
+            except Exception as e:  # corruption -> ERROR marker row;
+                # rows already yielded from the split's good prefix stand
+                # (same at-least-the-parsed-prefix contract as PERMISSIVE
+                # CSV), and consumers key on cell_kind='ERROR'
+                yield (split.sstable_id, b"", b"",
+                       str(e)[:500].encode(), 0, "ERROR", None, None, False)
+
         rows: list[tuple] = []
         append = rows.append
-        for row in self._iter_rows(split):
+        for row in rows_or_error(split):
             append(row)
             if len(rows) >= self.ARROW_BATCH_ROWS:
                 yield batch(rows)
@@ -1132,8 +1152,12 @@ class SSTableNativeDataSource(DataSource):
             raise ValueError("tokenRangeStart and tokenRangeEnd must be "
                              "set together")
         token_range = (lo.lower(), hi.lower()) if lo is not None else None
+        mode = str(self.options.get("mode", "FAILFAST")).upper()
+        if mode not in ("FAILFAST", "PERMISSIVE"):
+            raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode}")
         return SSTableNativeReader(path, pps, live_only, expected,
-                                   token_range=token_range)
+                                   token_range=token_range,
+                                   permissive=(mode == "PERMISSIVE"))
 
 
 def register(spark) -> None:
@@ -1145,15 +1169,19 @@ def register(spark) -> None:
 
 def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
                       live_only: bool = False,
-                      token_range: tuple[str, str] | None = None):
+                      token_range: tuple[str, str] | None = None,
+                      mode: str = "FAILFAST"):
     """token_range: optional [start, end) interval over the md5 token as
     lowercase hex (prefixes fine: ('40', 'c0') is the middle half of the
     ring) -- the Cassandra parallel-export sharding surface. Splits
-    wholly outside the interval are pruned at plan time."""
+    wholly outside the interval are pruned at plan time.
+    mode: FAILFAST (default, corruption fails the task loudly) or
+    PERMISSIVE (corruption emits a cell_kind='ERROR' marker row)."""
     register(spark)
     rd = (spark.read.format("sstable_cassandra")
           .option("partitionsPerSplit", str(partitions_per_split))
-          .option("liveOnly", "true" if live_only else "false"))
+          .option("liveOnly", "true" if live_only else "false")
+          .option("mode", mode))
     if token_range is not None:
         rd = (rd.option("tokenRangeStart", token_range[0])
               .option("tokenRangeEnd", token_range[1]))

@@ -286,7 +286,7 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  query_id_col: str = "qid", n_planes: int = 4,
                  n_tables: int = 6, seed: int = 42,
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, probe_flips: int = 0) -> DataFrame:
     """Approximate cosine top-k: score only bucket-mates of each query.
 
     OR-construction over `n_tables` independent sign-LSH tables (one
@@ -296,7 +296,14 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cost ~n_tables * corpus/2^n_planes per query. Shares the Rademacher
     signature machinery with lsh_dup_pairs, so the result is fully
     deterministic and has an exact DuckDB oracle
-    (ann_lsh_topk_oracle_sql)."""
+    (ann_lsh_topk_oracle_sql).
+
+    probe_flips=j additionally probes, per table, the j buckets at
+    Hamming distance 1 from the query's bucket (bits 0..j-1 flipped) --
+    multi-probe: near-boundary neighbors land one bit away far more
+    often than chance, so recall rises steeply for a (j+1)x probe-cost
+    factor, without adding tables (which would multiply CORPUS-side
+    signature cost, not just query-side probes)."""
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
     sig_udf = lsh_signature_udf(n_tables, n_planes, seed, dim)
@@ -306,6 +313,12 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).alias("emb"))
     c_ex = c.select("nid", F.posexplode(sig_udf("emb")).alias("t", "sig"))
     q_ex = q.select("qid", F.posexplode(sig_udf("emb")).alias("t", "sig"))
+    if probe_flips:
+        probes = [F.col("sig")] + [
+            F.col("sig").bitwiseXOR(F.lit(1 << j))
+            for j in range(probe_flips)]
+        q_ex = q_ex.select(
+            "qid", "t", F.explode(F.array(*probes)).alias("sig"))
     # no broadcast hints: the query side here is a corpus fraction, not
     # a bounded dim -- AQE broadcasts it at small SF and shuffles at
     # scale (a hardcoded hint would OOM on a large query set)
@@ -426,12 +439,20 @@ SELECT qid, rank, nid, cosine FROM (
 
 def ann_lsh_topk_oracle_sql(query_pred: str, k: int = 5, n_planes: int = 4,
                             n_tables: int = 6, seed: int = 42,
-                            dim: int = 64,
+                            dim: int = 64, probe_flips: int = 0,
                             table: str = "embeddings") -> str:
     """DuckDB oracle for ann_lsh_topk: identical literal plane matrix,
-    identical fold order, window top-k over the bucketed candidates.
-    `query_pred` selects the query subset (e.g. 'vec_id % 25 = 0')."""
+    identical fold order (and the identical multi-probe bit flips),
+    window top-k over the bucketed candidates. `query_pred` selects the
+    query subset (e.g. 'vec_id % 25 = 0')."""
     planes = rademacher_planes(seed, n_tables * n_planes, dim)
+    flip_vals = ", ".join(
+        f"({v})" for v in [0] + [1 << j for j in range(probe_flips)])
+    qsig_expand = (
+        f", qsig AS (SELECT qid, t, xor(sig, CAST(f AS BIGINT)) AS sig\n"
+        f"            FROM qsig0, (VALUES {flip_vals}) flips(f))"
+        if probe_flips else
+        ", qsig AS (SELECT qid, t, sig FROM qsig0)")
 
     def dot(plane: list[float]) -> str:
         lits = ",".join("1.0" if w > 0 else "-1.0" for w in plane)
@@ -450,7 +471,8 @@ def ann_lsh_topk_oracle_sql(query_pred: str, k: int = 5, n_planes: int = 4,
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
 sigt AS ({sigt}),
-qsig AS (SELECT vec_id AS qid, t, sig FROM sigt WHERE {query_pred}),
+qsig0 AS (SELECT vec_id AS qid, t, sig FROM sigt WHERE {query_pred})
+{qsig_expand},
 cand AS (
   SELECT DISTINCT q.qid, s.vec_id AS nid
   FROM qsig q JOIN sigt s USING (t, sig)

@@ -66,11 +66,12 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert set(approx_by_q) == set(exact_by_q)
     # these embeddings are near-isotropic random vectors (top-5 neighbors
     # share the query's label only ~13% of the time), the worst case for
-    # any sublinear ANN; ~0.5 recall at ~38% probe cost is the measured
-    # operating point of the default config
+    # any sublinear ANN; single-probe measured ~0.5 here, and the gated
+    # config's multi-probe (all Hamming-1 buckets per table) lifts it to
+    # ~0.99 at 5x query-side probe cost
     hits = sum(len(exact_by_q[q] & approx_by_q.get(q, set())) for q in exact_by_q)
     total = sum(len(v) for v in exact_by_q.values())
-    assert hits / total >= 0.4, f"ANN recall {hits}/{total}"
+    assert hits / total >= 0.8, f"ANN recall {hits}/{total}"
 
 
 def test_ivf_topk_recall_vs_brute_force(spark):

@@ -406,3 +406,34 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     for b in range(SIMHASH_BITS):
         sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.6,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n: int = 3,
+                              max_shingle_df: int | None = None) -> DataFrame:
+    """DIRECTIONAL near-duplicate pairs by shingle containment:
+    containment(d1 -> d2) = |S1 n S2| / |S1|. Asymmetric where Jaccard
+    is symmetric -- a short document quoted inside a long one scores
+    containment ~1.0 but Jaccard ~|S1|/|S2|, so this is the detector
+    for subset/quotation duplication that a Jaccard threshold misses.
+    Same inverted-index join shape (and hot-shingle cap) as
+    ngram_jaccard_pairs; both directions surface as separate rows."""
+    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    if max_shingle_df is not None:
+        hot = (sh.groupBy("shingle").count()
+               .filter(F.col("count") > max_shingle_df).select("shingle"))
+        sh = sh.join(hot, "shingle", "left_anti")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    common = (a.join(b, "shingle")
+              .filter(F.col("d1") != F.col("d2"))
+              .groupBy("d1", "d2")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
+    containment = F.col("n_common").cast("double") / F.col("c1").cast("double")
+    return (common.join(c1, "d1")
+            .select("d1", "d2", "n_common", "c1",
+                    containment.alias("containment"))
+            .filter(F.col("containment") >= threshold))

@@ -794,3 +794,42 @@ def docs_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("doc_id", "label",
                           F.col("prediction").alias("predicted_keep"))
             .withColumn("agree", F.col("label") == F.col("predicted_keep")))
+
+
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dups over the dedup corpus (the
+    replica-augmented documents): |S1 n S2| / |S1| >= 0.6. Catches
+    subset/quotation duplication that symmetric Jaccard misses; exact
+    replicas surface in BOTH directions at containment 1.0. Same
+    scale shape as docs_ngram_jaccard (inverted-index join with the
+    hot-shingle cap)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
+        shingle_containment_pairs)
+
+    return shingle_containment_pairs(_dedup_corpus(spark, sf_dir),
+                                     threshold=0.6, max_shingle_df=1000)
+
+
+DOCS_CONTAINMENT_SQL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM {_DUCK_DEDUP_CORPUS} c),
+toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM corpus),
+sh0 AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+       FROM toks),
+sdf AS (SELECT shingle, COUNT(*) AS c FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.doc_id, sh0.shingle
+       FROM sh0 JOIN sdf ON sh0.shingle = sdf.shingle
+       WHERE sdf.c <= 1000),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+                            AND a.doc_id <> b.doc_id
+         GROUP BY 1, 2)
+SELECT d1, d2, n_common, c1.c AS c1,
+       CAST(n_common AS DOUBLE) / CAST(c1.c AS DOUBLE) AS containment
+FROM pair JOIN cnt c1 ON d1 = c1.doc_id
+WHERE CAST(n_common AS DOUBLE) / CAST(c1.c AS DOUBLE) >= 0.6
+"""

@@ -2965,3 +2965,55 @@ SELECT c_mktsegment,
 FROM customer
 GROUP BY 1
 """
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type 3-sigma anomaly counts with ENGINE-EXACT arithmetic: the
+    z-score test |v - mean| > 3*stddev is evaluated as the cross-
+    multiplied integer identity (v*n - sum)^2 > 9*(n*sumsq - sum^2)
+    over penny-scaled BIGINT sums (the squares lifted to DECIMAL(38,0)
+    where int64 would overflow) -- no floating mean/variance whose
+    summation order differs between engines ever exists.
+
+    Scale: one hash agg for the per-type moments (map-side partial),
+    broadcast back over the same scan for the outlier count -- two
+    passes, both full-scan-shaped, no sort."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+    stats = (ev.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("vc").alias("s"),
+                  F.sum(F.col("vc") * F.col("vc")).alias("sq")))
+    d38 = "decimal(38,0)"
+    dev = (F.col("vc") * F.col("n") - F.col("s")).cast(d38)
+    var_n2 = (F.col("n").cast(d38) * F.col("sq").cast(d38)
+              - F.col("s").cast(d38) * F.col("s").cast(d38))
+    outlier = dev * dev > F.lit(9).cast(d38) * var_n2
+    return (ev.join(broadcast(stats), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(outlier, 1).otherwise(0)).alias("n_outliers")))
+
+
+EVENTS_ANOMALY_ZSCORE_SQL = """
+WITH ev AS (SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM events),
+st AS (SELECT event_type,
+              COUNT(*) AS n,
+              SUM(vc) AS s,
+              SUM(vc * vc) AS sq
+       FROM ev GROUP BY 1)
+SELECT ev.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN
+                CAST(ev.vc * st.n - st.s AS DECIMAL(38,0))
+                * CAST(ev.vc * st.n - st.s AS DECIMAL(38,0))
+              > CAST(9 AS DECIMAL(38,0))
+                * (CAST(st.n AS DECIMAL(38,0)) * CAST(st.sq AS DECIMAL(38,0))
+                   - CAST(st.s AS DECIMAL(38,0)) * CAST(st.s AS DECIMAL(38,0)))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ev JOIN st ON ev.event_type = st.event_type
+GROUP BY 1
+"""

@@ -53,6 +53,8 @@ HEADLINE = [
     "events_funnel",
     "events_resample_ffill",
     "events_scd2",
+    "events_anomaly_zscore",
+    "events_rollup_refresh",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",
@@ -63,6 +65,7 @@ HEADLINE = [
     # training-data extensions
     "docs_exact_dedup",
     "docs_ngram_jaccard",
+    "docs_containment_pairs",
     "docs_simhash_pairs",
     "docs_minhash_lsh",
     "docs_dup_clusters",

@@ -118,21 +118,24 @@ def merge_delta_lww(spark: SparkSession, landed_dir: str,
 
 
 def _rewrite_shards(spark: SparkSession, landed_dir: str,
-                    rewritten: DataFrame, shards: list[int]) -> None:
-    """Write `rewritten` (carrying a `shard` column restricted to
-    `shards`) to staging, then swap each affected shard directory in
-    place. A shard absent from staging (all of its rows removed) is
-    dropped from the table -- required for delete propagation."""
+                    rewritten: DataFrame, shards: list,
+                    part_col: str = "shard") -> None:
+    """Write `rewritten` (carrying partition column `part_col` restricted
+    to `shards`) to staging, then swap each affected partition directory
+    in place. A partition absent from staging (all of its rows removed)
+    is dropped from the table -- required for delete propagation. The
+    same commit seam serves the key-sharded landed table and the
+    day-partitioned rollup table."""
     import os
     import shutil
     import tempfile
 
     staging = tempfile.mkdtemp(prefix="ctps_merge_staging_")
     try:
-        rewritten.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        rewritten.write.mode("overwrite").partitionBy(part_col).parquet(staging)
         for s in shards:
-            src = os.path.join(staging, f"shard={s}")
-            dst = os.path.join(landed_dir, f"shard={s}")
+            src = os.path.join(staging, f"{part_col}={s}")
+            dst = os.path.join(landed_dir, f"{part_col}={s}")
             tomb = dst + ".old"
             if os.path.isdir(dst):
                 os.rename(dst, tomb)

@@ -3017,3 +3017,87 @@ SELECT ev.event_type,
 FROM ev JOIN st ON ev.event_type = st.event_type
 GROUP BY 1
 """
+
+
+# --- continuous aggregate: incremental rollup refresh -------------------
+
+def _hourly_rollup_agg(ev: DataFrame) -> DataFrame:
+    """Partial-aggregable hourly rollup rows: (day, hour_us, event_type)
+    -> n_events + penny-exact value sum. Counts and integer sums form a
+    commutative monoid, which is exactly what makes the rollup
+    incrementally refreshable: merging two partial rollups is adding
+    their columns, never rescanning history."""
+    hour_us = (F.col("ts_us") - F.pmod("ts_us", F.lit(3_600_000_000)))
+    # TZ-FREE day derivation (epoch-day integer -> date arithmetic): a
+    # from_unixtime/date_format rendering would shift with the driver
+    # session's timezone and break both the partition layout and the
+    # oracle compare
+    day_num = F.expr("ts_us div 86400000000").cast("int")
+    day = F.date_add(F.to_date(F.lit("1970-01-01")), day_num).cast("string")
+    return (ev.groupBy(day.alias("day"),
+                       hour_us.alias("hour_us"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("vc").alias("sum_cents")))
+
+
+def _events_vc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "events").select(
+        "event_type", _ts_us().alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+
+
+def events_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: an hourly rollup table lands
+    partitioned by day; a late delta batch (the final 20% of the stream
+    by event_id) refreshes it INCREMENTALLY -- only the day partitions
+    the delta touches are read, partial-agg-merged (sums add; history
+    is never rescanned), and swapped in via the same staging commit as
+    the landed-table merge. The oracle recomputes the rollup from all
+    events from scratch; the refreshed table must be indistinguishable.
+
+    At 100 TB this is the hypertable/materialized-rollup pattern: the
+    day's partition is the unit of refresh, and a delta's cost is
+    proportional to the days it touches, not the rollup's history."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import _rewrite_shards
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    ev = _events_vc(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]  # 2 scalars
+    cutoff = lo + int((hi - lo) * 0.8)  # base = first 80% of the stream
+    base_ev = ev.filter(F.col("ts_us") < F.lit(cutoff))
+    delta_ev = ev.filter(F.col("ts_us") >= F.lit(cutoff))
+
+    out = scratch_dir("rollup_events", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    _hourly_rollup_agg(base_ev).write.mode("overwrite") \
+        .partitionBy("day").parquet(out)
+
+    delta = _hourly_rollup_agg(delta_ev).localCheckpoint()  # bounded: agg rows
+    days = sorted(r["day"] for r in delta.select("day").distinct().collect())
+    base = (spark.read.parquet(out)
+            .filter(F.col("day").isin(days)))
+    merged = (base.unionByName(delta)
+              .groupBy("day", "hour_us", "event_type")
+              .agg(F.sum("n_events").alias("n_events"),
+                   F.sum("sum_cents").alias("sum_cents")))
+    _rewrite_shards(spark, out, merged, days, part_col="day")
+    back = spark.read.parquet(out)
+    return back.select("day", "hour_us", "event_type", "n_events",
+                       "sum_cents")
+
+
+EVENTS_ROLLUP_REFRESH_SQL = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM events)
+SELECT CAST(DATE '1970-01-01'
+            + CAST(ts_us // 86400000000 AS INTEGER) AS VARCHAR) AS day,
+       ts_us - ts_us % 3600000000 AS hour_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(vc) AS BIGINT) AS sum_cents
+FROM ev
+GROUP BY 1, 2, 3
+"""

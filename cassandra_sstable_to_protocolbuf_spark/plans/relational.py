@@ -3101,3 +3101,50 @@ SELECT CAST(DATE '1970-01-01'
 FROM ev
 GROUP BY 1, 2, 3
 """
+
+
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 'video' frame dedup: split each binary payload into
+    16-byte frames and drop frames identical to their predecessor (the
+    static-scene compression step of a video ingest pipeline). Frames
+    are compared as hex strings so the identical computation runs
+    JVM-side here and in the oracle; per-payload totals keep the gate
+    output small. The lag window partitions by doc -- the only shuffle,
+    on the natural media key."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_payloads)
+
+    docs = _t(spark, sf_dir, "documents")
+    media = (attach_payloads(docs)
+             .filter(F.length("payload") >= 16)
+             .select("doc_id", F.hex("payload").alias("hx"),
+                     (F.length("payload") / 16).cast("int").alias("nf")))
+    frames = media.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(0, nf - 1), i -> substring(hx, i*32+1, 32))"
+        )).alias("i", "frame"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    prev = F.lag("frame").over(w)
+    kept = prev.isNull() | (F.col("frame") != prev)
+    return (frames.withColumn("keep", kept)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum(F.col("keep").cast("int")).cast("long")
+                 .alias("n_kept")))
+
+
+MM_FRAME_DEDUP_SQL = """
+WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                  octet_length(encode(text)) // 16 AS nf
+           FROM documents WHERE octet_length(encode(text)) >= 16),
+f AS (SELECT doc_id, hx, unnest(range(0, nf)) AS i FROM d),
+fr AS (SELECT doc_id, i, substr(hx, CAST(i*32+1 AS INT), 32) AS frame FROM f),
+k AS (SELECT doc_id, i, frame,
+             LAG(frame) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      FROM fr)
+SELECT doc_id, COUNT(*) AS n_frames,
+       CAST(SUM(CASE WHEN prev IS NULL OR frame <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM k GROUP BY 1
+"""

@@ -833,3 +833,49 @@ SELECT d1, d2, n_common, c1.c AS c1,
 FROM pair JOIN cnt c1 ON d1 = c1.doc_id
 WHERE CAST(n_common AS DOUBLE) / CAST(c1.c AS DOUBLE) >= 0.6
 """
+
+
+def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction per document: rank terms by tf * N/df (the
+    RATIONAL form of tf-idf -- ln(N/df) is monotone in N/df for a fixed
+    tf but floating logs are engine-specific, so the score is one double
+    division over exact integers and the ranking ties break on the term
+    string). Top-3 per doc via a window over the (doc, term) counts.
+
+    Scale: one explode + two hash aggs (term-per-doc counts, then df)
+    and a broadcast-sized df table joined back; the window partitions by
+    doc_id -- the same shuffle the counts already created."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar, bounded
+    from pyspark.sql import Window as W
+    score = (F.col("tf") * F.lit(int(n_docs))).cast("double") / F.col("df").cast("double")
+    ranked = (tf.join(df_, "w")
+              .withColumn("score", score)
+              .withColumn("rank", F.row_number().over(
+                  W.partitionBy("doc_id")
+                  .orderBy(F.desc("score"), F.asc("w")))))
+    return (ranked.filter(F.col("rank") <= 3)
+            .select("doc_id", "rank", F.col("w").alias("term"),
+                    "tf", "df", "score"))
+
+
+DOCS_TFIDF_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                                     / CAST(df.df AS DOUBLE) DESC,
+                                     tf.w ASC) AS rank
+  FROM tf JOIN df USING (w), n)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS term, tf, df, score
+FROM ranked WHERE rank <= 3
+"""

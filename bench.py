@@ -126,12 +126,13 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 3)
         # per-query min/max across the timed runs: round-over-round
         # deltas inside a line's own [min, max] band are shared-JVM noise
-        # (GC/JIT), not plan changes -- the spread makes that separable
-        spread[name] = {"min": round(min(runs), 3),
-                        "max": round(max(runs), 3)}
+        # (GC/JIT), not plan changes -- the spread makes that separable.
+        # The reported timing IS the spread's min, computed once.
+        mn = round(min(runs), 3)
+        timings[name] = mn
+        spread[name] = {"min": mn, "max": round(max(runs), 3)}
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -71,21 +71,19 @@ def convert(input_path: str, output_dir: str,
     for data_path in inputs:
         sid = os.path.basename(data_path)[:-len("-Data.db")]
         if sid in id_to_path:
-            raise ValueError(
-                f"duplicate sstable basename {sid!r}: {id_to_path[sid]} vs "
-                f"{data_path}; outputs are named by basename and would collide")
+            _die(f"duplicate sstable basename {sid!r}: {id_to_path[sid]} vs "
+                 f"{data_path}; outputs are named by basename and would collide")
         id_to_path[sid] = data_path
 
     if continue_on_error and os.path.isdir(input_path):
         # reference parity (Runner.java:84-87): a corrupt file prints its
         # error and processing continues with the next file. One Spark job
         # per input file isolates failures; each job still fans out over
-        # that file's index splits.
-        import glob
-
+        # that file's index splits. Reuses the discovery list above --
+        # round 2's nested-dir bug was exactly two discovery sites
+        # disagreeing.
         failures = 0
-        for data_path in sorted(glob.glob(
-                os.path.join(input_path, "**", "*-Data.db"), recursive=True)):
+        for data_path in inputs:
             try:
                 convert(data_path, output_dir, continue_on_error=False)
             except Exception as e:  # noqa: BLE001 -- per-file error channel
@@ -224,7 +222,11 @@ def delete_keys_cmd(keys_file: str, landed_dir: str) -> int:
     spark = get_spark("sstable-delete-keys")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
+    # strip the trailing CR a Windows-authored file carries -- b'key\r'
+    # matches nothing and the pass would report success while deleting
+    # zero rows
     keys = (spark.read.text(keys_file)
+            .select(F.regexp_replace("value", "\r$", "").alias("value"))
             .filter(F.length("value") > 0)
             .select(F.encode("value", "UTF-8").alias("key")))
     shards = delete_keys_lww(spark, landed_dir, keys)

@@ -130,7 +130,13 @@ def _rewrite_shards(spark: SparkSession, landed_dir: str,
     import shutil
     import tempfile
 
-    staging = tempfile.mkdtemp(prefix="ctps_merge_staging_")
+    # staging MUST live on the same filesystem as the table: the commit
+    # is os.rename, which raises EXDEV across mounts -- and a failed
+    # cross-device rename after the dst->tomb step would leave the
+    # table missing a shard. Same-parent staging makes the rename
+    # guaranteed-atomic.
+    parent = os.path.dirname(os.path.abspath(landed_dir)) or "."
+    staging = tempfile.mkdtemp(prefix="ctps_merge_staging_", dir=parent)
     try:
         rewritten.write.mode("overwrite").partitionBy(part_col).parquet(staging)
         for s in shards:

@@ -244,8 +244,6 @@ def _native_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
     import pathlib
-    import shutil
-    import tempfile
 
     from cassandra_sstable_to_protocolbuf_spark.sources import cells as cells_mod
     from cassandra_sstable_to_protocolbuf_spark.sources import (
@@ -256,6 +254,8 @@ def _native_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     # mtime): the driver regenerates testdata between rounds, and a
     # code- or data-change must miss the cache rather than serve stale
     # fixtures against a fresh oracle
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+
     src = pathlib.Path(sf_dir) / "lineitem.parquet"
     stat = src.stat()
     digest = hashlib.md5(
@@ -263,19 +263,15 @@ def _native_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         + pathlib.Path(cells_mod.__file__).read_bytes()
         + f"{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()).hexdigest()[:10]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"sstnative_fix_{tag}_{digest}")
-    if not os.path.isdir(out):
+
+    def build(tmp: str) -> None:
         from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
             write_cells_as_sstables)
 
         cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-        tmp = tempfile.mkdtemp(prefix=f"sstnative_build_{tag}_")
         write_cells_as_sstables(cells, tmp, compression="lz4").collect()
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
-    return out
+
+    return build_once(f"sstnative_fix_{tag}", digest, build)
 
 
 def sst_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +424,30 @@ FROM (
 """
 
 
+def _corrupt_fixture_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Fresh sstable fixture set with sst-1's Data.db mid-file byte
+    flipped (Adler32 chunk checksum fails on read) -- the shared input
+    of both E1 gates (per-file isolation and the PERMISSIVE scan)."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        to_binary_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX, write_cells_as_sstables)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = scratch_dir(tag, os.path.basename(sf_dir.rstrip("/")), fresh=True)
+    write_cells_as_sstables(cells, out, compression="lz4").collect()
+    bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
+    with open(bad, "r+b") as f:  # flip one mid-file byte: checksum fails
+        f.seek(os.path.getsize(bad) // 2)
+        byte = f.read(1)[0]
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([byte ^ 0xFF]))
+    return out
+
+
 def sst_continue_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1 under the gate: per-file error isolation over a fixture set
     whose sst-1 Data.db has a corrupted compressed chunk.
@@ -448,22 +468,10 @@ def sst_continue_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import re
 
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
-    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
-        to_binary_cells)
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        DATA_SUFFIX, read_native_cells, write_cells_as_sstables)
+        DATA_SUFFIX, read_native_cells)
 
-    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    out = scratch_dir("cerr", os.path.basename(sf_dir.rstrip("/")),
-                      fresh=True)
-    write_cells_as_sstables(cells, out, compression="lz4").collect()
-    bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
-    with open(bad, "r+b") as f:  # flip one mid-file byte: checksum fails
-        f.seek(os.path.getsize(bad) // 2)
-        byte = f.read(1)[0]
-        f.seek(-1, os.SEEK_CUR)
-        f.write(bytes([byte ^ 0xFF]))
+    out = _corrupt_fixture_dir(spark, sf_dir, "cerr")
 
     results = []
     for fname in sorted(f for f in os.listdir(out)
@@ -517,25 +525,19 @@ def sst_landed_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import pathlib
-    import shutil
-    import tempfile
 
     from cassandra_sstable_to_protocolbuf_spark import landed as landed_mod
     from cassandra_sstable_to_protocolbuf_spark.landed import land_to_parquet
+
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
 
     fixture = _native_fixture_dir(spark, sf_dir)
     digest = hashlib.md5(
         pathlib.Path(landed_mod.__file__).read_bytes()
         + fixture.encode()).hexdigest()[:10]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(tempfile.gettempdir(), f"ctps_landed_{tag}_{digest}")
-    if not os.path.isdir(out):
-        tmp = tempfile.mkdtemp(prefix=f"ctps_landed_build_{tag}_")
-        land_to_parquet(spark, fixture, tmp)
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    out = build_once(f"ctps_landed_{tag}", digest,
+                     lambda tmp: land_to_parquet(spark, fixture, tmp))
     back = (spark.read.parquet(out)
             .filter(F.col("sstable_id") == "ks-sst-r-ka-1"))
     return back.select(
@@ -572,31 +574,26 @@ def incremental_base_dir(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
     import pathlib
-    import shutil
-    import tempfile
 
     from cassandra_sstable_to_protocolbuf_spark import landed as landed_mod
     from cassandra_sstable_to_protocolbuf_spark.landed import land_by_shard
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells)
 
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+
     fixture = _native_fixture_dir(spark, sf_dir)
     digest = hashlib.md5(
         pathlib.Path(landed_mod.__file__).read_bytes()
         + fixture.encode()).hexdigest()[:10]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    base_dir = os.path.join(tempfile.gettempdir(),
-                            f"ctps_incr_{tag}_{digest}")
-    if not os.path.isdir(base_dir):
+
+    def build(tmp: str) -> None:
         primary = (read_native_cells(spark, fixture, live_only=True)
                    .filter(~F.col("sstable_id").contains("sst-r")))
-        tmp = tempfile.mkdtemp(prefix=f"ctps_incr_build_{tag}_")
         land_by_shard(primary, tmp)
-        try:
-            os.rename(tmp, base_dir)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
-    return base_dir
+
+    return build_once(f"ctps_incr_{tag}", digest, build)
 
 
 def replica_delta_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,7 +638,6 @@ def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
     from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
     from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
@@ -728,25 +724,10 @@ def sst_permissive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at-least-the-parsed-prefix, like PERMISSIVE CSV), so the corrupted
     file's count is pinned to -1 and only its error FLAG is compared --
     the prefix length is a byte-layout detail, not a semantic one."""
-    import os
-
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
-    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
-        to_binary_cells)
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        DATA_SUFFIX, read_native_cells, write_cells_as_sstables)
+        read_native_cells)
 
-    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    out = scratch_dir("perm_err", os.path.basename(sf_dir.rstrip("/")),
-                      fresh=True)
-    write_cells_as_sstables(cells, out, compression="lz4").collect()
-    bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
-    with open(bad, "r+b") as f:  # flip one mid-file byte: checksum fails
-        f.seek(os.path.getsize(bad) // 2)
-        byte = f.read(1)[0]
-        f.seek(-1, os.SEEK_CUR)
-        f.write(bytes([byte ^ 0xFF]))
-
+    out = _corrupt_fixture_dir(spark, sf_dir, "perm_err")
     scan = read_native_cells(spark, out, mode="PERMISSIVE")
     per_file = (scan.groupBy("sstable_id").agg(
         F.max((F.col("cell_kind") == "ERROR").cast("int")).alias("err"),

@@ -2978,15 +2978,20 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one hash agg for the per-type moments (map-side partial),
     broadcast back over the same scan for the outlier count -- two
     passes, both full-scan-shaped, no sort."""
+    d38 = "decimal(38,0)"
     ev = _t(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100).cast("long").alias("vc"))
+    # moments accumulate in DECIMAL(38,0) from the first multiply:
+    # vc*vc wraps int64 once |value| reaches ~$30M, and Spark's
+    # non-ANSI mode would wrap SILENTLY where DuckDB promotes to
+    # HUGEINT -- the divergence this query exists to rule out
     stats = (ev.groupBy("event_type")
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum("vc").alias("s"),
-                  F.sum(F.col("vc") * F.col("vc")).alias("sq")))
-    d38 = "decimal(38,0)"
-    dev = (F.col("vc") * F.col("n") - F.col("s")).cast(d38)
+                  F.sum(F.col("vc").cast(d38)).alias("s"),
+                  F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+                  .alias("sq")))
+    dev = (F.col("vc").cast(d38) * F.col("n") - F.col("s")).cast(d38)
     var_n2 = (F.col("n").cast(d38) * F.col("sq").cast(d38)
               - F.col("s").cast(d38) * F.col("s").cast(d38))
     outlier = dev * dev > F.lit(9).cast(d38) * var_n2
@@ -3002,8 +3007,8 @@ WITH ev AS (SELECT event_type,
             FROM events),
 st AS (SELECT event_type,
               COUNT(*) AS n,
-              SUM(vc) AS s,
-              SUM(vc * vc) AS sq
+              SUM(CAST(vc AS HUGEINT)) AS s,
+              SUM(CAST(vc AS HUGEINT) * vc) AS sq
        FROM ev GROUP BY 1)
 SELECT ev.event_type,
        COUNT(*) AS n_events,

@@ -84,6 +84,17 @@ def scratch_dir(name: str, tag: str, fresh: bool = False) -> str:
     root = os.path.join(tempfile.gettempdir(),
                         f"ctps_scratch_{getpass.getuser()}")
     os.makedirs(root, mode=0o700, exist_ok=True)
+    # makedirs' mode is ignored for a PRE-EXISTING root, so exist_ok
+    # alone would accept a directory squatted by another user (the
+    # predictable-path attack this isolation exists to stop) -- verify
+    # ownership and strip group/other bits every call
+    st = os.stat(root)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise PermissionError(
+            f"scratch root {root} is owned by uid {st.st_uid}, not this "
+            f"user -- refusing to share scratch with another account")
+    if st.st_mode & 0o077:
+        os.chmod(root, 0o700)
     d = os.path.join(root, f"{name}_{tag}")
     if fresh and os.path.isdir(d):
         shutil.rmtree(d, ignore_errors=True)
@@ -160,3 +171,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each testdata table as a temp view (for spark.sql plans)."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def build_once(cache_name: str, digest: str, build_fn) -> str:
+    """Content-addressed build-once directory: returns the path for
+    (cache_name, digest), building it via `build_fn(tmp_dir)` on a miss.
+    The build lands in a private temp dir and is renamed into place, so
+    a concurrent builder losing the rename race just discards its copy;
+    the digest must cover every input that should invalidate the cache
+    (source bytes of the code involved + the input's identity)."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"{cache_name}_{digest}")
+    if not os.path.isdir(out):
+        tmp = tempfile.mkdtemp(prefix=f"{cache_name}_build_")
+        build_fn(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
+    return out

@@ -806,11 +806,17 @@ def scan_partitions_eager(data_path: str, start: int, end: int) -> Iterator[dict
 
 
 class _SSTableSplit(InputPartition):
-    def __init__(self, sstable_id: str, data_path: str, start: int, end: int):
+    def __init__(self, sstable_id: str, data_path: str, start: int, end: int,
+                 error: str | None = None):
         self.sstable_id = sstable_id
         self.data_path = data_path
         self.start = start
         self.end = end
+        # PERMISSIVE planning: a file whose components failed at plan
+        # time (missing/corrupt Index/Statistics/CompressionInfo) is
+        # represented by one error split; read() turns it into an ERROR
+        # marker row instead of the whole job failing on the driver
+        self.error = error
 
 
 class SSTableNativeReader(DataSourceReader):
@@ -902,97 +908,108 @@ class SSTableNativeReader(DataSourceReader):
         return files
 
     def partitions(self):
-        # S2 analog: validate component presence before scan
-        # (reference requires DATA + PRIMARY_INDEX,
-        # SSTableReaderPatched.java:80-81)
         splits = []
         for data_path in self._data_files():
-            index_path = data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
-            if not os.path.exists(index_path):
-                raise FileNotFoundError(f"missing index component for {data_path}")
             sstable_id = os.path.basename(data_path)[:-len(DATA_SUFFIX)]
-            stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
-            if self.expected_partitioner is not None:
-                # S2 partitioner check: the reference hard-exits when the
-                # sstable's partitioner differs from the configured one
-                if not os.path.exists(stats_path):
-                    raise FileNotFoundError(
-                        f"partitioner check requested but no Statistics.db "
-                        f"for {data_path}")
-                found = read_statistics(stats_path)["partitioner"]
-                if found != self.expected_partitioner:
-                    raise ValueError(
-                        f"partitioner mismatch for {sstable_id}: sstable has "
-                        f"{found}, expected {self.expected_partitioner}")
-            part_name = (read_statistics(stats_path)["partitioner"]
-                         if os.path.exists(stats_path)
-                         else DEFAULT_PARTITIONER)
-            token = token_function(part_name)
-            if self.token_range is not None and part_name != DEFAULT_PARTITIONER:
+            if self.permissive:
+                # component errors surface as ERROR rows, per file,
+                # so one bad sstable cannot fail the whole plan
+                try:
+                    splits.extend(self._file_splits(data_path, sstable_id))
+                except Exception as e:  # noqa: BLE001 -- error channel
+                    splits.append(_SSTableSplit(sstable_id, data_path,
+                                                0, 0, error=str(e)[:500]))
+            else:
+                splits.extend(self._file_splits(data_path, sstable_id))
+        return splits
+
+    def _file_splits(self, data_path: str, sstable_id: str) -> list:
+        splits = []
+        index_path = data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
+        if not os.path.exists(index_path):
+            raise FileNotFoundError(f"missing index component for {data_path}")
+        stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
+        if self.expected_partitioner is not None:
+            # S2 partitioner check: the reference hard-exits when the
+            # sstable's partitioner differs from the configured one
+            if not os.path.exists(stats_path):
+                raise FileNotFoundError(
+                    f"partitioner check requested but no Statistics.db "
+                    f"for {data_path}")
+            found = read_statistics(stats_path)["partitioner"]
+            if found != self.expected_partitioner:
                 raise ValueError(
-                    f"token-range scan is defined over the md5 token space "
-                    f"(RandomPartitioner); {sstable_id} was written by "
-                    f"{part_name}")
-            # logical (uncompressed) extent -- index offsets live there
-            comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
-            if os.path.exists(comp_path):
-                size = CompressionInfo.parse(comp_path).data_length
-            else:
-                size = os.path.getsize(data_path)
-            summary = load_summary(data_path)
-            k = self.partitions_per_split
+                    f"partitioner mismatch for {sstable_id}: sstable has "
+                    f"{found}, expected {self.expected_partitioner}")
+        part_name = (read_statistics(stats_path)["partitioner"]
+                     if os.path.exists(stats_path)
+                     else DEFAULT_PARTITIONER)
+        token = token_function(part_name)
+        if self.token_range is not None and part_name != DEFAULT_PARTITIONER:
+            raise ValueError(
+                f"token-range scan is defined over the md5 token space "
+                f"(RandomPartitioner); {sstable_id} was written by "
+                f"{part_name}")
+        # logical (uncompressed) extent -- index offsets live there
+        comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
+        if os.path.exists(comp_path):
+            size = CompressionInfo.parse(comp_path).data_length
+        else:
+            size = os.path.getsize(data_path)
+        summary = load_summary(data_path)
+        k = self.partitions_per_split
 
-            if self.pushed_keys is not None:
-                # S5 indexed seek: one split per matching partition;
-                # everything else in the file is never read
-                splits.extend(self._seek_splits(
-                    sstable_id, data_path, index_path, summary, token, size))
-                continue
+        if self.pushed_keys is not None:
+            # S5 indexed seek: one split per matching partition;
+            # everything else in the file is never read
+            splits.extend(self._seek_splits(
+                sstable_id, data_path, index_path, summary, token, size))
+            return splits
 
-            # S3: split boundaries every k-th index entry. Planning never
-            # materializes the index: either stride over the sampled
-            # summary (no Index.db IO at all) or stream the index keeping
-            # only every k-th offset -- O(entries/k) driver memory, the
-            # summary-chunking analog of SSTableReaderPatched.java:138-178.
-            if summary is not None and k % summary["interval"] == 0:
-                stride = k // summary["interval"]
-                starts = [(data_pos, key) for j, (key, _ipos, data_pos)
-                          in enumerate(summary["entries"]) if j % stride == 0]
-                first, last = summary["first"], summary["last"]
-            else:
-                starts, first, last = [], None, None
-                for i, (key, off, _ipos) in enumerate(iter_index(index_path)):
-                    if first is None:
-                        first = key
-                    last = key
-                    if i % k == 0:
-                        starts.append((off, key))
-            if first is not None:
-                # validate() analog (SSTableReaderPatched.java:213-216):
-                # the first decorated key must not sort after the last.
-                if (token(first), first) > (token(last), last):
-                    raise ValueError(
-                        f"SSTable first key {first!r} > last key {last!r} "
-                        f"in {sstable_id} (corrupt index or wrong "
-                        f"partitioner {part_name})")
-            if not starts:
-                splits.append(_SSTableSplit(sstable_id, data_path, 0, size))
-            for j, (start, skey) in enumerate(starts):
-                end = starts[j + 1][0] if j + 1 < len(starts) else size
-                if self.token_range is not None:
-                    # split j holds tokens in [tok(skey), tok(next_skey)]
-                    # (file order IS token order): prune whole splits
-                    # outside [lo, hi) -- the summary makes a sharded
-                    # export read only its own token interval's bytes.
-                    # Boundary ties keep the split (residual filter in
-                    # _iter_rows is exact either way).
-                    lo, hi = self.token_range
-                    if self._token_hex(skey) >= hi:
-                        continue
-                    if j + 1 < len(starts) \
-                            and self._token_hex(starts[j + 1][1]) < lo:
-                        continue
-                splits.append(_SSTableSplit(sstable_id, data_path, start, end))
+        # S3: split boundaries every k-th index entry. Planning never
+        # materializes the index: either stride over the sampled
+        # summary (no Index.db IO at all) or stream the index keeping
+        # only every k-th offset -- O(entries/k) driver memory, the
+        # summary-chunking analog of SSTableReaderPatched.java:138-178.
+        if summary is not None and k % summary["interval"] == 0:
+            stride = k // summary["interval"]
+            starts = [(data_pos, key) for j, (key, _ipos, data_pos)
+                      in enumerate(summary["entries"]) if j % stride == 0]
+            first, last = summary["first"], summary["last"]
+        else:
+            starts, first, last = [], None, None
+            for i, (key, off, _ipos) in enumerate(iter_index(index_path)):
+                if first is None:
+                    first = key
+                last = key
+                if i % k == 0:
+                    starts.append((off, key))
+        if first is not None:
+            # validate() analog (SSTableReaderPatched.java:213-216):
+            # the first decorated key must not sort after the last.
+            if (token(first), first) > (token(last), last):
+                raise ValueError(
+                    f"SSTable first key {first!r} > last key {last!r} "
+                    f"in {sstable_id} (corrupt index or wrong "
+                    f"partitioner {part_name})")
+        if not starts:
+            splits.append(_SSTableSplit(sstable_id, data_path, 0, size))
+        for j, (start, skey) in enumerate(starts):
+            end = starts[j + 1][0] if j + 1 < len(starts) else size
+            if self.token_range is not None:
+                # split j holds tokens in [tok(skey), tok(next_skey)]
+                # (file order IS token order): prune whole splits
+                # outside [lo, hi) -- the summary makes a sharded
+                # export read only its own token interval's bytes.
+                # Boundary ties keep the split (residual filter in
+                # _iter_rows is exact either way).
+                lo, hi = self.token_range
+                if self._token_hex(skey) >= hi:
+                    continue
+                if j + 1 < len(starts) \
+                        and self._token_hex(starts[j + 1][1]) < lo:
+                    continue
+            splits.append(_SSTableSplit(sstable_id, data_path, start, end))
         return splits
 
     def _seek_splits(self, sstable_id: str, data_path: str, index_path: str,
@@ -1104,6 +1121,11 @@ class SSTableNativeReader(DataSourceReader):
                 schema=arrow_schema)
 
         def rows_or_error(split):
+            if split is not None and getattr(split, "error", None):
+                # plan-time component failure captured as an error split
+                yield (split.sstable_id, b"", b"", split.error.encode(),
+                       0, "ERROR", None, None, False)
+                return
             if not self.permissive:
                 yield from self._iter_rows(split)
                 return

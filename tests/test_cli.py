@@ -183,3 +183,31 @@ def test_merge_requires_existing_landed_dir(tmp_path):
     r = _run("merge", sst, str(tmp_path / "missing"))
     assert r.returncode != 0
     assert "does not exist" in r.stderr
+
+
+def test_delete_keys_strips_crlf(tmp_path):
+    """A Windows-authored victims file (CRLF line endings) must still
+    delete its keys -- b'key\\r' matching nothing would report success
+    while every victim row remained."""
+    base_sst = str(tmp_path / "base_sst")
+    N.write_sstable(base_sst, 1, [
+        {"key": b"victim", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"x"}]},
+        {"key": b"other", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"y"}]},
+    ])
+    landed = str(tmp_path / "landed")
+    r = _run("to-parquet", "--by-shard", base_sst, landed)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    keys_file = tmp_path / "victims.txt"
+    keys_file.write_bytes(b"victim\r\n")
+    r = _run("delete-keys", str(keys_file), landed)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    import duckdb
+    keys = {k.decode() if isinstance(k, (bytes, bytearray)) else k
+            for (k,) in duckdb.sql(
+                f"SELECT key FROM read_parquet('{landed}/*/*.parquet')"
+            ).fetchall()}
+    assert keys == {"other"}

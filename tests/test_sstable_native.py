@@ -372,3 +372,34 @@ def test_key_pushdown_no_match_returns_empty(spark, fixture_sstables):
     got = (N.read_native_cells(spark, fixture_sstables)
            .filter(F.col("key") == F.lit(b"nonexistent")).collect())
     assert got == []
+
+
+def test_permissive_covers_plan_time_component_errors(spark, tmp_path):
+    """mode=PERMISSIVE must survive a file whose COMPONENTS are broken
+    at plan time (missing Index.db), not just mid-scan corruption: the
+    bad file surfaces as one cell_kind='ERROR' row, the good file scans
+    normally, and the default FAILFAST still refuses the scan."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells, write_sstable)
+
+    d = str(tmp_path / "ssts")
+    write_sstable(d, 1, [
+        {"key": b"good", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}])
+    write_sstable(d, 2, [
+        {"key": b"bad", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 2, "value": b"w"}]}])
+    os.unlink(os.path.join(d, "ks-cf-ka-2-Index.db"))
+
+    rows = read_native_cells(spark, d, mode="PERMISSIVE").collect()
+    kinds = {(r["sstable_id"], r["cell_kind"]) for r in rows}
+    assert ("ks-cf-ka-2", "ERROR") in kinds
+    assert ("ks-cf-ka-1", "LIVE") in kinds
+    err = [r for r in rows if r["cell_kind"] == "ERROR"]
+    assert len(err) == 1 and b"Index" in err[0]["value"] or b"index" in err[0]["value"]
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="[Ii]ndex"):
+        read_native_cells(spark, d).collect()

@@ -588,6 +588,19 @@ def write_cells_as_sstables(cells_df, out_dir: str,
 # readers
 # --------------------------------------------------------------------------
 
+def _read_exact(f, n: int) -> bytes:
+    """Variable-length field read that REFUSES short results: a silently
+    truncated name/value (corrupt length field, truncated file) must
+    raise -- under PERMISSIVE mode a short read would otherwise surface
+    a bogus truncated cell as real data before the error marker."""
+    b = f.read(n)
+    if len(b) != n:
+        raise ValueError(
+            f"truncated read: wanted {n} bytes, got {len(b)} "
+            f"(corrupt length field or truncated sstable)")
+    return b
+
+
 def iter_index(index_path: str,
                start_pos: int = 0) -> Iterator[tuple[bytes, int, int]]:
     """Stream (key, data_offset, index_pos) entries from -Index.db,
@@ -605,7 +618,7 @@ def iter_index(index_path: str,
             if len(hdr) < 2:
                 return
             (klen,) = struct.unpack(">H", hdr)
-            key = f.read(klen)
+            key = _read_exact(f, klen)
             offset, plen = struct.unpack(">QI", f.read(12))
             f.seek(plen, os.SEEK_CUR)  # skip promoted index blob
             yield key, offset, pos
@@ -719,11 +732,11 @@ def _read_cell_atoms(f, count: int | None = None) -> Iterator[dict]:
                 raise ValueError(
                     "zero-length cell name inside a column-counted row")
             return
-        name = f.read(nlen)
+        name = _read_exact(f, nlen)
         (flags,) = struct.unpack(">B", f.read(1))
         if flags & FLAG_RANGE_TOMBSTONE:
             (elen,) = struct.unpack(">H", f.read(2))
-            end_name = f.read(elen)
+            end_name = _read_exact(f, elen)
             rt_ldt, rt_marked = struct.unpack(">iq", f.read(12))
             yield {"name": name, "kind": "RANGE_TOMBSTONE",
                    "value": end_name, "timestamp": rt_marked,
@@ -732,16 +745,16 @@ def _read_cell_atoms(f, count: int | None = None) -> Iterator[dict]:
             ttl, lexp = struct.unpack(">ii", f.read(8))
             ts, vlen = struct.unpack(">qi", f.read(12))
             yield {"name": name, "kind": "EXPIRING",
-                   "value": f.read(vlen), "timestamp": ts,
+                   "value": _read_exact(f, vlen), "timestamp": ts,
                    "ttl": ttl, "local_expiration": lexp}
         elif flags & FLAG_COUNTER:
             _tsd, ts, vlen = struct.unpack(">qqi", f.read(20))
             yield {"name": name, "kind": "COUNTER",
-                   "value": f.read(vlen), "timestamp": ts,
+                   "value": _read_exact(f, vlen), "timestamp": ts,
                    "ttl": None, "local_expiration": None}
         elif flags & FLAG_DELETION:
             ts, vlen = struct.unpack(">qi", f.read(12))
-            body = f.read(vlen)
+            body = _read_exact(f, vlen)
             (cell_ldt,) = struct.unpack(">i", body) if vlen == 4 else (0,)
             yield {"name": name, "kind": "DELETED",
                    "value": b"", "timestamp": ts,
@@ -749,7 +762,7 @@ def _read_cell_atoms(f, count: int | None = None) -> Iterator[dict]:
         else:
             ts, vlen = struct.unpack(">qi", f.read(12))
             yield {"name": name, "kind": "LIVE",
-                   "value": f.read(vlen), "timestamp": ts,
+                   "value": _read_exact(f, vlen), "timestamp": ts,
                    "ttl": None, "local_expiration": None}
 
 
@@ -780,7 +793,7 @@ def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
             if len(hdr) < 2:
                 return
             (klen,) = struct.unpack(">H", hdr)
-            key = f.read(klen)
+            key = _read_exact(f, klen)
             if old_format:
                 # pre-'ja' row framing: long row-size precedes the
                 # deletion time, and an int column count replaces the

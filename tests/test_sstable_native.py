@@ -403,3 +403,28 @@ def test_permissive_covers_plan_time_component_errors(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="[Ii]ndex"):
         read_native_cells(spark, d).collect()
+
+
+def test_truncated_value_raises_not_silently_truncates(tmp_path):
+    """A corrupt value-length field (or truncated file) must raise, not
+    yield a cell with silently shortened bytes -- under PERMISSIVE mode
+    a truncated cell would otherwise persist as real data."""
+    import os
+    import struct
+
+    import pytest as _pytest
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        scan_partitions_eager, write_sstable)
+
+    d = str(tmp_path / "ssts")
+    write_sstable(d, 1, [
+        {"key": b"k", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1,
+             "value": b"0123456789"}]}], compression=None)
+    data = os.path.join(d, "ks-cf-ka-1-Data.db")
+    size = os.path.getsize(data)
+    with open(data, "r+b") as f:
+        f.truncate(size - 4)  # chop mid-value
+    with _pytest.raises((ValueError, struct.error)):
+        list(scan_partitions_eager(data, 0, size))

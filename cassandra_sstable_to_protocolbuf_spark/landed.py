@@ -25,7 +25,12 @@ def lww_live_cells(cells: DataFrame) -> DataFrame:
     Input: the native source's flat cell frame (live_only=True: dead
     partitions and non-live cells already dropped in the reader, leaving
     PARTITION markers + LIVE cells). Output: one winner per (key, name)
-    across all sstables, Cassandra's own reconciliation rule.
+    across all sstables: highest writeTime wins (Cassandra's rule), with
+    DETERMINISTIC tie-breaks on (sstable_id, value). Note the deliberate
+    divergence on exact-timestamp ties: Cassandra reconciliation breaks
+    them on value alone; this engine inserts sstable_id first so the
+    winner is stable under any file arrival order -- every oracle gates
+    the same order, so the choice is pinned, not accidental.
 
     Scale shape: a single hash aggregation -- lexicographic struct-max
     over (writeTime, sstable_id, value) ships one candidate per group
@@ -143,6 +148,10 @@ def _rewrite_shards(spark: SparkSession, landed_dir: str,
             src = os.path.join(staging, f"{part_col}={s}")
             dst = os.path.join(landed_dir, f"{part_col}={s}")
             tomb = dst + ".old"
+            # a tomb left by a crash between a previous swap's rename and
+            # cleanup would make os.rename(dst, tomb) fail forever
+            # (ENOTEMPTY) -- clear it first
+            shutil.rmtree(tomb, ignore_errors=True)
             if os.path.isdir(dst):
                 os.rename(dst, tomb)
             if os.path.isdir(src):
@@ -166,8 +175,13 @@ def delete_keys_lww(spark: SparkSession, landed_dir: str,
     import shutil
     import tempfile
 
+    # same reasoning as merge_delta_lww: the key set feeds both the
+    # shard collect and the anti join, and a non-deterministic source
+    # re-evaluated between them could hash keys into a shard the base
+    # was never filtered to -- a silently missed deletion
     keyed = (keys.select(F.col("key"))
-             .withColumn("shard", key_shard(F.col("key"))))
+             .withColumn("shard", key_shard(F.col("key")))
+             .localCheckpoint())
     shards = sorted(r["shard"] for r in
                     keyed.select("shard").distinct().collect())
     if not shards:

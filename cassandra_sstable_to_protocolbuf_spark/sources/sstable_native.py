@@ -84,7 +84,19 @@ NATIVE_CELL_SCHEMA_DDL = (
 
 
 def md5_token(key: bytes) -> int:
-    """RandomPartitioner-style token: md5 digest as a big integer."""
+    """md5 digest as an UNSIGNED big integer -- this engine's
+    deterministic ordering token for its own fixtures, chosen because it
+    sorts identically to the md5 hexdigest STRING (the property the
+    token-range scan surface and its DuckDB oracle rely on: `md5(key)
+    BETWEEN '40' AND 'c0'` is exactly an interval of this token).
+
+    Deliberate divergence from real Cassandra: RandomPartitioner's token
+    is abs() of the SIGNED md5 BigInteger, which orders differently for
+    digests with the top bit set. Real-file token-order parity is
+    provided for Murmur3Partitioner (the reference's configured
+    partitioner, cassandra.yaml:91) via `murmur3_token`; genuine
+    RandomPartitioner 2.0 files would need an abs-signed variant here
+    before `validate()`/seek bisect order checks hold for them."""
     return int.from_bytes(hashlib.md5(key).digest(), "big", signed=False)
 
 
@@ -432,6 +444,13 @@ def write_sstable(dir_path: str, generation: int,
 
     os.makedirs(dir_path, exist_ok=True)
     prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
+    # components build under pid-tagged temp names and move into place
+    # with os.replace at the end: a retried or speculative writer task
+    # (Spark reruns failed attempts) must never interleave bytes into a
+    # live component file a reader could open mid-write. Both attempts
+    # write identical deterministic content, so last-replace-wins is
+    # safe per file.
+    tmp = prefix + f".w{os.getpid()}"
     token = token_function(partitioner)
     # decorated-key order: (token, key-bytes) like Cassandra's
     # DecoratedKey.compareTo (token first, key bytes break ties)
@@ -487,7 +506,7 @@ def write_sstable(dir_path: str, generation: int,
             data.write(struct.pack(">H", 0))  # end-of-partition marker
         payload = data.getvalue()
     if compression is None:
-        with open(prefix + DATA_SUFFIX, "wb") as out:
+        with open(tmp + DATA_SUFFIX, "wb") as out:
             out.write(payload)
     elif compression == "lz4":
         import zlib
@@ -496,17 +515,17 @@ def write_sstable(dir_path: str, generation: int,
 
         codec = pa.Codec("lz4_raw")
         offsets = []
-        with open(prefix + DATA_SUFFIX, "wb") as out:
+        with open(tmp + DATA_SUFFIX, "wb") as out:
             for i in range(0, max(len(payload), 1), chunk_length):
                 offsets.append(out.tell())
                 comp = bytes(codec.compress(payload[i:i + chunk_length]))
                 out.write(comp)
                 out.write(struct.pack(">I", zlib.adler32(comp)))
         CompressionInfo(chunk_length, len(payload), offsets).write(
-            prefix + COMPRESSION_SUFFIX)
+            tmp + COMPRESSION_SUFFIX)
     else:
         raise ValueError(f"unsupported compression {compression}")
-    with open(prefix + INDEX_SUFFIX, "wb") as idx:
+    with open(tmp + INDEX_SUFFIX, "wb") as idx:
         sampled = []
         for i, (key, pos) in enumerate(index_entries):
             if i % DEFAULT_INDEX_INTERVAL == 0:
@@ -515,10 +534,14 @@ def write_sstable(dir_path: str, generation: int,
             idx.write(key)
             idx.write(struct.pack(">Q", pos))
             idx.write(struct.pack(">I", 0))  # no promoted index
-    write_statistics(prefix + STATS_SUFFIX, partitioner)
+    write_statistics(tmp + STATS_SUFFIX, partitioner)
     if index_entries:
-        write_summary(prefix + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
+        write_summary(tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
                       sampled, index_entries[0][0], index_entries[-1][0])
+    for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
+                   STATS_SUFFIX, SUMMARY_SUFFIX):
+        if os.path.exists(tmp + suffix):
+            os.replace(tmp + suffix, prefix + suffix)
     return prefix + DATA_SUFFIX
 
 
@@ -610,16 +633,27 @@ def iter_index(index_path: str,
     the primary index through a RandomAccessReader one entry at a time
     (SSTableReaderPatched.java:139-168) rather than materializing it.
     """
+    size = os.path.getsize(index_path)
     with open(index_path, "rb") as f:
         f.seek(start_pos)
         while True:
             pos = f.tell()
+            if pos == size:
+                return  # clean EOF: exactly at the end of the last entry
             hdr = f.read(2)
             if len(hdr) < 2:
-                return
+                raise ValueError(
+                    f"truncated index entry header at {pos} in {index_path}")
             (klen,) = struct.unpack(">H", hdr)
             key = _read_exact(f, klen)
             offset, plen = struct.unpack(">QI", f.read(12))
+            # a corrupt promoted-index length must not seek past EOF and
+            # masquerade as a clean end -- a FAILFAST point lookup would
+            # silently miss every entry after the corruption
+            if f.tell() + plen > size:
+                raise ValueError(
+                    f"promoted index length {plen} at {pos} runs past the "
+                    f"end of {index_path} (corrupt index)")
             f.seek(plen, os.SEEK_CUR)  # skip promoted index blob
             yield key, offset, pos
 
@@ -942,6 +976,9 @@ class SSTableNativeReader(DataSourceReader):
         if not os.path.exists(index_path):
             raise FileNotFoundError(f"missing index component for {data_path}")
         stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
+        part_name = (read_statistics(stats_path)["partitioner"]
+                     if os.path.exists(stats_path)
+                     else DEFAULT_PARTITIONER)
         if self.expected_partitioner is not None:
             # S2 partitioner check: the reference hard-exits when the
             # sstable's partitioner differs from the configured one
@@ -949,14 +986,10 @@ class SSTableNativeReader(DataSourceReader):
                 raise FileNotFoundError(
                     f"partitioner check requested but no Statistics.db "
                     f"for {data_path}")
-            found = read_statistics(stats_path)["partitioner"]
-            if found != self.expected_partitioner:
+            if part_name != self.expected_partitioner:
                 raise ValueError(
                     f"partitioner mismatch for {sstable_id}: sstable has "
-                    f"{found}, expected {self.expected_partitioner}")
-        part_name = (read_statistics(stats_path)["partitioner"]
-                     if os.path.exists(stats_path)
-                     else DEFAULT_PARTITIONER)
+                    f"{part_name}, expected {self.expected_partitioner}")
         token = token_function(part_name)
         if self.token_range is not None and part_name != DEFAULT_PARTITIONER:
             raise ValueError(

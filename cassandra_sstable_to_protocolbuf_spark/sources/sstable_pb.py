@@ -131,8 +131,12 @@ class SSTablePbReader(DataSourceReader):
             # (Runner.java walks; streaming sinks nest batch=N subdirs)
             files = sorted(glob.glob(
                 os.path.join(self.path, f"**/*{FILE_SUFFIX}"), recursive=True))
-        else:
+        elif os.path.exists(self.path):
             files = [self.path]
+        else:
+            # fail at PLANNING like the native source, not with an
+            # opaque open() error inside an executor task
+            files = []
         if not files:
             raise FileNotFoundError(f"no {FILE_SUFFIX} files under {self.path}")
         return [_PbFilePartition(p) for p in files]

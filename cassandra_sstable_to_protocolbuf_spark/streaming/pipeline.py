@@ -96,8 +96,10 @@ def _interval_ms(interval: str) -> int:
     """'N seconds|minutes|hours|days' -> milliseconds (the subset of
     Spark's interval syntax the streaming entries use)."""
     n, unit = interval.strip().split()
+    # lower() BEFORE rstrip: '2 HOURS' is valid Spark interval syntax,
+    # and 'HOURS'.rstrip('s') leaves the trailing S un-stripped
     factor = {"second": 1000, "minute": 60_000, "hour": 3_600_000,
-              "day": 86_400_000}[unit.rstrip("s").lower()]
+              "day": 86_400_000}[unit.lower().rstrip("s")]
     return int(n) * factor
 
 

@@ -45,10 +45,41 @@ def token_shard(key_col: F.Column, n_outputs: int) -> F.Column:
     return shard
 
 
-def compact_cells(cells: DataFrame, n_outputs: int = 1) -> DataFrame:
+def compact_cells(cells: DataFrame, n_outputs: int = 1,
+                  respect_tombstones: bool = False) -> DataFrame:
     """Live LWW winners re-shaped for the sstable writer, sharded into
-    `n_outputs` token-range outputs named compacted-<shard>."""
-    lww = lww_live_cells(cells)
+    `n_outputs` token-range outputs named compacted-<shard>.
+
+    Tombstone semantics -- two explicit policies:
+
+    * respect_tombstones=False (default, the gated behavior): the
+      reference's F1 quirk applied per file -- a dead partition drops
+      ALL of its own file's cells -- then tombstones are purged
+      (gc_grace=0). Cells of the same key in OTHER files are NOT
+      shadowed; a newer generation's partition delete does not suppress
+      an older generation's cells.
+    * respect_tombstones=True (Cassandra's reconciliation): requires
+      `cells` read with live_only=False so PARTITION markers carry
+      markedForDeleteAt in writeTime; every LIVE cell with
+      writeTime <= max(markedForDeleteAt over the key's tombstones,
+      ANY file) is shadowed, cross-file included, then tombstones are
+      purged. This is what stops a compaction from resurrecting data
+      deleted in a newer generation.
+    """
+    if respect_tombstones:
+        tombs = (cells.filter((F.col("cell_kind") == "PARTITION")
+                              & ~F.col("partition_deletion_live"))
+                 .groupBy("key")
+                 .agg(F.max("writeTime").alias("_tomb_ts")))
+        live = (cells.filter(F.col("cell_kind") == "LIVE")
+                .join(tombs, "key", "left")
+                .filter(F.col("_tomb_ts").isNull()
+                        | (F.col("writeTime") > F.col("_tomb_ts")))
+                .drop("_tomb_ts"))
+        from cassandra_sstable_to_protocolbuf_spark.landed import lww_winners
+        lww = lww_winners(live)
+    else:
+        lww = lww_live_cells(cells)
     return lww.select(
         F.concat_ws("-", F.lit("compacted"),
                     token_shard(F.col("key"), n_outputs)).alias("sstable_id"),
@@ -59,13 +90,16 @@ def compact_cells(cells: DataFrame, n_outputs: int = 1) -> DataFrame:
 
 
 def compact(spark: SparkSession, input_path: str, out_dir: str,
-            n_outputs: int = 1, compression: str | None = None) -> DataFrame:
+            n_outputs: int = 1, compression: str | None = None,
+            respect_tombstones: bool = False) -> DataFrame:
     """Compact every sstable under `input_path` into `n_outputs`
     token-sharded sstables in `out_dir`. Returns the writer's metrics
     DataFrame (sstable_id, path, n_partitions, n_cells)."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells, write_cells_as_sstables)
 
-    cells = read_native_cells(spark, input_path, live_only=True)
-    merged = compact_cells(cells, n_outputs)
+    cells = read_native_cells(spark, input_path,
+                              live_only=not respect_tombstones)
+    merged = compact_cells(cells, n_outputs,
+                           respect_tombstones=respect_tombstones)
     return write_cells_as_sstables(merged, out_dir, compression=compression)

@@ -37,12 +37,23 @@ def lww_live_cells(cells: DataFrame) -> DataFrame:
     per task via map-side partial agg; no window, no sort (the same plan
     as sst_lww_dedup, the 100 TB-right formulation).
     """
-    live = cells.filter(F.col("cell_kind") == "LIVE")
+    return lww_winners(cells.filter(F.col("cell_kind") == "LIVE"))
+
+
+def lww_winners(df, extra_group_cols: tuple = ()) -> "DataFrame":
+    """THE engine's single LWW winner selection: lexicographic struct-max
+    over (writeTime, sstable_id, value) per (key, name [, extras]) as a
+    hash aggregation -- map-side partial agg ships one candidate per
+    group per task; no window, no sort. Every oracle's
+    ORDER BY writeTime DESC, sstable_id DESC, value DESC mirrors exactly
+    this comparator; change it here and NOWHERE else."""
+    group = ["key", "name", *extra_group_cols]
     winner = F.max(F.struct("writeTime", "sstable_id", "value")).alias("w")
-    return (live.groupBy("key", "name").agg(winner)
-            .select("key", "name", F.col("w.value").alias("value"),
+    return (df.groupBy(*group).agg(winner)
+            .select(*group[:2], F.col("w.value").alias("value"),
                     F.col("w.writeTime").alias("writeTime"),
-                    F.col("w.sstable_id").alias("sstable_id")))
+                    F.col("w.sstable_id").alias("sstable_id"),
+                    *extra_group_cols))
 
 
 def land_to_parquet(spark: SparkSession, input_path: str, out_dir: str,
@@ -112,12 +123,8 @@ def merge_delta_lww(spark: SparkSession, landed_dir: str,
         return []
     base = (spark.read.parquet(landed_dir)
             .filter(F.col("shard").isin([int(s) for s in shards])))
-    winner = F.max(F.struct("writeTime", "sstable_id", "value")).alias("w")
-    merged = (base.unionByName(delta)
-              .groupBy("key", "name", "shard").agg(winner)
-              .select("key", "name", F.col("w.value").alias("value"),
-                      F.col("w.writeTime").alias("writeTime"),
-                      F.col("w.sstable_id").alias("sstable_id"), "shard"))
+    merged = lww_winners(base.unionByName(delta),
+                         extra_group_cols=("shard",))
     _rewrite_shards(spark, landed_dir, merged, shards)
     return [int(s) for s in shards]
 

@@ -29,6 +29,13 @@ def as_of_join(left: DataFrame, right: DataFrame, by: str,
     """
     lt = F.col(left_time)
     rt = F.col(right_time)
+    # JOIN null semantics, not window-group semantics: a null key never
+    # matches anything (window partitions would GROUP null keys
+    # together), and a right row with a null time has no position on
+    # the timeline (nulls-first ordering would otherwise carry it onto
+    # every row of its key) -- both match DuckDB's ASOF JOIN, the
+    # operator's oracle
+    right = right.filter(F.col(by).isNotNull() & rt.isNotNull())
     # the carried right payload is ONE struct so all value columns come
     # from the same right row (per-column last(ignorenulls) could mix
     # rows if right values contain nulls)
@@ -50,6 +57,9 @@ def as_of_join(left: DataFrame, right: DataFrame, by: str,
     w = (Window.partitionBy("_k").orderBy("_t", "_is_left")
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = l_tagged.unionByName(r_tagged).select(
-        "_is_left", "_l", F.last("_r", ignorenulls=True).over(w).alias("_r"))
+        "_k", "_is_left", "_l",
+        F.last("_r", ignorenulls=True).over(w).alias("_r"))
     return (filled.filter(F.col("_is_left") == 1)
+            # null-key left rows pass through with null attribution
+            .withColumn("_r", F.when(F.col("_k").isNotNull(), F.col("_r")))
             .select("_l.*", *[F.col(f"_r.{c}").alias(c) for c in value_cols]))

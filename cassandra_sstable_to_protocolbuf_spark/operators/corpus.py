@@ -55,7 +55,10 @@ def pack_sequences(df: DataFrame, tokens_col: str, context_len: int = 512,
     window where its FIRST token lands (long docs straddle into the next
     window -- streaming-packer semantics, zero padding waste).
 
-    Adds `shard`, `seq_id` (globally unique window id), `seq_offset`
+    Adds `shard`, `seq_id` (window id, UNIQUE WITHIN the part_cols
+    partition -- packing restarts per partition value, so a consumer
+    assembling sequences must group by (part_cols..., seq_id), which
+    the emitted columns make possible), `seq_offset`
     (token offset of the doc inside its window).
 
     Scale design: the running sum is windowed by (part_cols..., shard)
@@ -110,15 +113,14 @@ def contamination(train: DataFrame, bench: DataFrame, n: int = 4,
     hash join and never shuffled.  The post-join per-doc agg is keyed by
     doc_id over hit rows only (a vanishing fraction of the corpus).
     """
-    from cassandra_sstable_to_protocolbuf_spark.operators.text import shingles, tokens
+    # one shingle pipeline for the whole engine: dedup.doc_shingles
+    # carries the HOF-explode optimizer guard and the narrow-input
+    # widen() that a private copy here silently dropped
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import doc_shingles
 
-    def doc_shingles(df: DataFrame, out_id: str) -> DataFrame:
-        toks = df.select(F.col(id_col).alias(out_id),
-                         tokens(F.col(text_col)).alias("t"))
-        return toks.select(out_id, F.explode(shingles(F.col("t"), n)).alias("shingle"))
-
-    bench_sh = doc_shingles(bench, "bench_id")
-    train_sh = doc_shingles(train, "doc_id")
+    bench_sh = (doc_shingles(bench, text_col, id_col, n)
+                .withColumnRenamed("doc_id", "bench_id"))
+    train_sh = doc_shingles(train, text_col, id_col, n)
     hits = train_sh.join(F.broadcast(bench_sh), "shingle")
     return (hits.groupBy("doc_id")
             .agg(F.count_distinct("shingle").alias("n_shingle_hits"),

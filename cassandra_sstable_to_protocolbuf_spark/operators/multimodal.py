@@ -108,14 +108,20 @@ def extract_features(media: DataFrame) -> DataFrame:
 def sample_frames(media: DataFrame, every: int = 64) -> DataFrame:
     """'Video' frame sampling shape: keep every `every`-th byte-frame of
     the payload, exploded one row per sampled frame with its index."""
-    frames = F.transform(
-        F.sequence(F.lit(0),
-                   F.greatest((F.length("payload") - 1) / every, F.lit(0)).cast("int")),
-        lambda i: F.struct(
-            (i * every).alias("frame_idx"),
-            F.substring(F.col("payload"), i * every + 1, 1).alias("frame"),
+    frames = F.when(
+        F.length("payload") > 0,
+        F.transform(
+            F.sequence(F.lit(0),
+                       ((F.length("payload") - 1) / every).cast("int")),
+            lambda i: F.struct(
+                (i * every).alias("frame_idx"),
+                F.substring(F.col("payload"), i * every + 1, 1).alias("frame"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast(
+        "array<struct<frame_idx:int,frame:binary>>"))
+    # an EMPTY payload has zero frames; the old greatest(...,0) clamp
+    # instead produced one phantom frame of empty bytes
     return (media.select("doc_id", frames.alias("fs"))
             .select("doc_id", F.explode("fs").alias("f"))
             .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),

@@ -52,11 +52,6 @@ def lww_dedup(cells: DataFrame) -> DataFrame:
     (ties broken by sstable_id to stay deterministic). One hash
     aggregation -- map-side partial aggregation keeps the shuffle small.
     """
-    winner = F.max(F.struct("writeTime", "sstable_id", "value"))
-    return (
-        cells.groupBy("key", "name")
-        .agg(winner.alias("w"))
-        .select("key", "name", F.col("w.value").alias("value"),
-                F.col("w.writeTime").alias("writeTime"),
-                F.col("w.sstable_id").alias("sstable_id"))
-    )
+    from cassandra_sstable_to_protocolbuf_spark.landed import lww_winners
+
+    return lww_winners(cells)

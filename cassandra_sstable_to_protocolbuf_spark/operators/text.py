@@ -171,10 +171,16 @@ PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 def pii_scan(docs: DataFrame, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """PII detection + redaction audit: per-document counts of emails,
+    """PII detection + redaction: per-document counts of emails,
     phone numbers, and IPv4 addresses, plus the fingerprint of the
     redacted text (<EMAIL>/<IP>/<PHONE> placeholders) so downstream
     stages can verify they consumed the scrubbed corpus.
+
+    The counts are independent pattern counts over the ORIGINAL text,
+    not a redaction ledger: redaction is sequential (email, then IP,
+    then phone), so a later pattern embedded inside an earlier match
+    (an IP inside an email's domain) is counted but was consumed by the
+    earlier replacement rather than its own placeholder.
 
     Scale design: a narrow per-row map -- three regexp_count and three
     regexp_replace expressions, all JVM-side inside whole-stage codegen;

@@ -364,6 +364,9 @@ def docs_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 tokens by document frequency (vocabulary head audit).
     explode+hash-agg with map-side partials; the top-k compiles to
     TakeOrderedAndProject, never a full sort."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
     from cassandra_sstable_to_protocolbuf_spark.operators.corpus import heavy_hitters
     docs = _docs(spark, sf_dir)
     return heavy_hitters(docs, T.tokens(F.col("text")), k=20)
@@ -389,6 +392,9 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: every 37th doc stands in for the eval
     set; training docs sharing any 4-token shingle with it are flagged.
     The tiny eval shingle set broadcasts; the corpus is scanned once."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
     from cassandra_sstable_to_protocolbuf_spark.operators.corpus import contamination
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 37 == 0)
@@ -475,6 +481,9 @@ FROM r
 
 def docs_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style repetition gate with integer-exact thresholds."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
     return T.repetition_stats(_docs(spark, sf_dir))
 
 
@@ -845,6 +854,9 @@ def docs_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + two hash aggs (term-per-doc counts, then df)
     and a broadcast-sized df table joined back; the window partitions by
     doc_id -- the same shuffle the counts already created."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))

@@ -840,7 +840,8 @@ def scan_partitions(data_path: str, start: int, end: int) -> Iterator[dict]:
                 ldt, marked = struct.unpack(">iq", f.read(12))
                 cells = _read_cell_atoms(f)
             deletion_live = (ldt == LIVE_LOCAL_DELETION and marked == LIVE_MARKED_AT)
-            yield {"key": key, "deletion_live": deletion_live, "cells": cells}
+            yield {"key": key, "deletion_live": deletion_live,
+                   "deletion_marked_at": marked, "cells": cells}
             for _ in cells:  # drain unconsumed tail to the next partition
                 pass
 
@@ -1122,7 +1123,8 @@ class SSTableNativeReader(DataSourceReader):
             if self.live_only:
                 if not part["deletion_live"]:
                     continue
-                yield (split.sstable_id, part["key"], b"", None, 0,
+                yield (split.sstable_id, part["key"], b"", None,
+                       part["deletion_marked_at"],
                        "PARTITION", None, None, True)
                 for c in part["cells"]:
                     if c["kind"] == "LIVE":
@@ -1135,7 +1137,8 @@ class SSTableNativeReader(DataSourceReader):
             # downstream grouping can emit the empty Row the reference
             # always produces (service/SSTableReader.java:87-109). Cell-kind
             # filters drop it from flat cell views naturally.
-            yield (split.sstable_id, part["key"], b"", None, 0,
+            yield (split.sstable_id, part["key"], b"", None,
+                   part["deletion_marked_at"],
                    "PARTITION", None, None, part["deletion_live"])
             for c in part["cells"]:
                 yield (split.sstable_id, part["key"], c["name"], c["value"],

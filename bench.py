@@ -27,6 +27,7 @@ HEADLINE = [
     "sst_native_scan",
     "sst_landed_parquet",
     "sst_incremental_merge",
+    "sst_time_travel",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

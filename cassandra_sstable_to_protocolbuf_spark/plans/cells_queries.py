@@ -743,3 +743,93 @@ def sst_permissive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SST_PERMISSIVE_SCAN_SQL = SST_CONTINUE_ON_ERROR_SQL
+
+
+def versioned_base_dir(spark: SparkSession, sf_dir: str) -> str:
+    """PRISTINE manifest-versioned landed table at version 0 (primary
+    sstables only), content-addressed like incremental_base_dir; time
+    travel consumers copy it to a working directory before committing."""
+    import hashlib
+    import os
+    import pathlib
+
+    from cassandra_sstable_to_protocolbuf_spark import landed as landed_mod
+    from cassandra_sstable_to_protocolbuf_spark import versioned as ver_mod
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    digest = hashlib.md5(
+        pathlib.Path(ver_mod.__file__).read_bytes()
+        + pathlib.Path(landed_mod.__file__).read_bytes()
+        + fixture.encode()).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build(tmp: str) -> None:
+        primary = (read_native_cells(spark, fixture, live_only=True)
+                   .filter(~F.col("sstable_id").contains("sst-r")))
+        ver_mod.init_versioned(spark, primary, tmp)
+
+    return build_once(f"ctps_versioned_{tag}", digest, build)
+
+
+def sst_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned landed table with time travel: v0 lands the
+    primary sstables, a replica delta then commits v1 through the
+    manifest protocol (versioned.merge_versioned -- data files are
+    immutable, the commit publishes a new file list, untouched shards
+    carry over by reference). BOTH versions are then read back through
+    their pinned manifests and certified against independent
+    from-scratch DuckDB reconstructions: v0 must still be exactly the
+    pre-merge table (history preserved), v1 exactly the full LWW merge.
+
+    This is the lakehouse commit seam (Iceberg/Delta) expressed
+    directly over parquet: at 100 TB it buys snapshot-isolated readers
+    (a scan pins a manifest and never sees a half-committed merge),
+    audit/time travel, rollback of a bad ingest, and explicit storage
+    reclamation -- properties the in-place shard swap
+    (sst_incremental_merge) cannot give. Crash recovery, rollback, and
+    vacuum are pinned by tests/test_versioned.py.
+    """
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        merge_versioned, read_version)
+
+    base = versioned_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = scratch_dir("time_travel_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(base, work)
+    v1 = merge_versioned(spark, work, replica_delta_cells(spark, sf_dir))
+    assert v1 == 1, f"expected first merge to commit v1, got v{v1}"
+    tagged = [project_landed(read_version(spark, work, v))
+              .withColumn("version", F.lit(f"v{v}")) for v in (0, 1)]
+    return tagged[0].unionByName(tagged[1]).select(
+        "version", "key", "name", "value", "writeTime", "sstable_id")
+
+
+SST_TIME_TRAVEL_SQL = f"""
+{cells_cte()}
+SELECT 'v0' AS version, key, name, value, writeTime, sstable_id
+FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+    AND sstable_id <> 'sst-r'
+) t WHERE rn = 1
+UNION ALL
+SELECT 'v1' AS version, key, name, value, writeTime, sstable_id
+FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+) t WHERE rn = 1
+"""

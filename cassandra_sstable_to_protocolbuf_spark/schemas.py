@@ -55,3 +55,14 @@ NESTED_ROW_SCHEMA = StructType([
     StructField("key", BinaryType(), False),
     StructField("columns", ArrayType(COLUMN_STRUCT), False),
 ])
+
+# Key-sharded landed/versioned table row (landed.lww_winners output plus
+# the shard column both incremental layouts partition on).
+LANDED_SCHEMA = StructType([
+    StructField("key", BinaryType(), False),
+    StructField("name", BinaryType(), False),
+    StructField("value", BinaryType(), True),
+    StructField("writeTime", LongType(), False),
+    StructField("sstable_id", StringType(), False),
+    StructField("shard", LongType(), False),
+])

@@ -1,0 +1,255 @@
+"""Manifest-versioned landed table: snapshot isolation + time travel.
+
+`landed.merge_delta_lww` commits by swapping partition directories in
+place -- correct for a single writer, but a reader listing the table
+mid-swap can observe a missing shard, and history is gone the moment the
+swap lands. At 100 TB the lakehouse answer (Iceberg/Delta) is to make
+data files IMMUTABLE and commit by publishing a new manifest: readers
+pin a version's file list and are never affected by concurrent commits,
+old versions stay queryable (time travel), a bad ingest is undone by
+restoring a prior version, and storage is reclaimed explicitly
+(vacuum). This module is that seam implemented directly over parquet:
+
+    table_dir/
+      _manifests/v{N}.json   # {"version": N, "files": {shard: [relpath...]}}
+      _current               # text: the committed version number
+      data/c{N}/pshard=S/    # commit N's immutable parquet files
+
+Commit protocol: write data files into a fresh `data/c{N}` directory
+(never touching prior commits), write the manifest via temp+rename,
+then atomically repoint `_current` (temp+fsync+rename). A crash before
+the `_current` rename leaves at most a stale manifest/data dir that the
+next commit overwrites (version numbers derive from `_current`, the
+single source of truth); a crash after is a completed commit. Readers
+racing a commit see either the old or the new version, never a blend --
+the snapshot-isolation property the in-place swap cannot give.
+
+Scale notes: a manifest holds one file list per touched shard -- O(live
+files), the same driver-side footprint Spark's own file index pays to
+plan a scan, and at real scale the maps would page per shard exactly as
+Iceberg splits manifests. Merge cost stays proportional to the delta:
+only manifest entries for the delta's shards are read and replaced;
+untouched shards' entries (and files) carry over by reference.
+
+The gate (`sst_time_travel` in cells_queries.py) certifies both
+versions of a merged table against from-scratch DuckDB reconstructions;
+tests/test_versioned.py pins snapshot isolation, rollback-as-new-
+version, vacuum, and stale-manifest crash recovery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.landed import (
+    key_shard, lww_live_cells, lww_winners)
+
+_MANIFESTS = "_manifests"
+_CURRENT = "_current"
+_DATA = "data"
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, _MANIFESTS, f"v{version}.json")
+
+
+def current_version(table_dir: str) -> int:
+    with open(os.path.join(table_dir, _CURRENT), encoding="ascii") as f:
+        return int(f.read().strip())
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    """The committed manifest for `version` (default: current). Raises
+    FileNotFoundError for a vacuumed/never-committed version."""
+    if version is None:
+        version = current_version(table_dir)
+    path = _manifest_path(table_dir, version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} of {table_dir} does not exist "
+            f"(never committed, or reclaimed by vacuum)")
+    with open(path, encoding="utf-8") as f:
+        m = json.load(f)
+    if m.get("version") != version:
+        raise ValueError(f"manifest {path} claims version {m.get('version')}")
+    return m
+
+
+def _atomic_write(path: str, text: str) -> None:
+    """Same-directory temp + fsync + rename: the only atomic publish
+    primitive POSIX gives us, used for both manifests and `_current`."""
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit_")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
+
+
+def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
+            version: int) -> int:
+    manifest = {"version": version,
+                "files": {s: sorted(fl) for s, fl in
+                          sorted(files_by_shard.items()) if fl}}
+    _atomic_write(_manifest_path(table_dir, version), json.dumps(manifest))
+    _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
+    return version
+
+
+def _commit_data_files(merged: DataFrame, table_dir: str,
+                       version: int) -> dict[str, list[str]]:
+    """Write a commit's rows into its own immutable `data/c{N}` dir,
+    partitioned by shard for directory locality; returns the produced
+    parquet files keyed by shard (paths relative to the table root).
+
+    The partition column is a DUPLICATE (`pshard`) of the plain `shard`
+    column: partitionBy strips its column from the file bytes, and
+    versioned reads hand Spark explicit file lists (no partition
+    discovery), so the shard value must live IN the files."""
+    commit_rel = os.path.join(_DATA, f"c{version}")
+    commit_dir = os.path.join(table_dir, commit_rel)
+    (merged.withColumn("pshard", F.col("shard"))
+     .write.mode("overwrite").partitionBy("pshard").parquet(commit_dir))
+    files: dict[str, list[str]] = {}
+    for entry in os.scandir(commit_dir):
+        if entry.is_dir() and entry.name.startswith("pshard="):
+            shard = entry.name.split("=", 1)[1]
+            files[shard] = [
+                os.path.join(commit_rel, entry.name, f)
+                for f in os.listdir(entry.path) if f.endswith(".parquet")]
+    return files
+
+
+def init_versioned(spark: SparkSession, cells: DataFrame,
+                   table_dir: str) -> int:
+    """Create version 0 of a versioned landed table from raw native
+    cells (live LWW reconciliation + key sharding, exactly
+    `landed.land_by_shard`'s dataflow)."""
+    os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
+    merged = lww_live_cells(cells).withColumn("shard", key_shard(F.col("key")))
+    return _commit(table_dir, _commit_data_files(merged, table_dir, 0), 0)
+
+
+def read_version(spark: SparkSession, table_dir: str,
+                 version: int | None = None) -> DataFrame:
+    """The table exactly as of `version` (default: current): reads the
+    manifest's pinned file list, so concurrent commits and vacuums of
+    OTHER versions never change the result."""
+    m = read_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, p)
+             for fl in m["files"].values() for p in fl]
+    if not paths:
+        from cassandra_sstable_to_protocolbuf_spark.schemas import LANDED_SCHEMA
+        return spark.createDataFrame([], LANDED_SCHEMA)
+    return spark.read.parquet(*paths)
+
+
+def merge_versioned(spark: SparkSession, table_dir: str,
+                    delta_cells: DataFrame) -> int:
+    """Commit a new version holding the LWW merge of the current version
+    with a delta cell batch. Only the delta's shards are read and
+    rewritten; every other shard's files carry into the new manifest by
+    reference (zero I/O). Returns the new version number."""
+    delta = (lww_live_cells(delta_cells)
+             .withColumn("shard", key_shard(F.col("key")))
+             .localCheckpoint())
+    shards = sorted(str(r["shard"]) for r in
+                    delta.select("shard").distinct().collect())
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    if not shards:
+        return cur
+    base_paths = [os.path.join(table_dir, p)
+                  for s in shards for p in manifest["files"].get(s, [])]
+    merged = delta if not base_paths else lww_winners(
+        spark.read.parquet(*base_paths).unionByName(delta),
+        extra_group_cols=("shard",))
+    new_files = _commit_data_files(merged, table_dir, cur + 1)
+    files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
+    files.update(new_files)
+    return _commit(table_dir, files, cur + 1)
+
+
+def delete_keys_versioned(spark: SparkSession, table_dir: str,
+                          keys: DataFrame) -> int:
+    """Commit a new version with every cell of the given partition keys
+    removed (right-to-be-forgotten, versioned: the PRIOR version still
+    holds the data until vacuum reclaims it -- retention policy is the
+    vacuum horizon, exactly Delta/Iceberg's model). Returns the new
+    version number."""
+    keyed = (keys.select("key")
+             .withColumn("shard", key_shard(F.col("key")))
+             .localCheckpoint())
+    shards = sorted(str(r["shard"]) for r in
+                    keyed.select("shard").distinct().collect())
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    base_paths = [os.path.join(table_dir, p)
+                  for s in shards for p in manifest["files"].get(s, [])]
+    if not shards or not base_paths:
+        return cur
+    kept = (spark.read.parquet(*base_paths)
+            .join(keyed.select("key").distinct(), ["key"], "left_anti"))
+    new_files = _commit_data_files(kept, table_dir, cur + 1)
+    files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
+    files.update(new_files)
+    return _commit(table_dir, files, cur + 1)
+
+
+def restore_version(table_dir: str, to_version: int) -> int:
+    """Roll the table back to a prior version's CONTENT by committing it
+    as a NEW version (Delta's RESTORE semantics): history stays linear
+    and append-only, the bad versions remain inspectable until vacuum,
+    and the restored manifest shares the old version's files by
+    reference -- zero data I/O."""
+    old = read_manifest(table_dir, to_version)
+    new_version = current_version(table_dir) + 1
+    return _commit(table_dir, old["files"], new_version)
+
+
+def vacuum(table_dir: str, retain: int = 2) -> list[str]:
+    """Reclaim storage: keep the newest `retain` manifests (always
+    including current), delete older manifests and every data file no
+    retained manifest references. Returns the deleted paths. Time
+    travel reaches exactly the retained horizon afterwards."""
+    if retain < 1:
+        raise ValueError("vacuum must retain at least the current version")
+    cur = current_version(table_dir)
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    versions = sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+    versions = [v for v in versions if v <= cur]  # stale > cur = crash junk
+    keep = set(versions[-retain:]) | {cur}
+    live: set[str] = set()
+    for v in keep:
+        for fl in read_manifest(table_dir, v)["files"].values():
+            live.update(fl)
+    deleted: list[str] = []
+    for v in versions:
+        if v not in keep:
+            os.unlink(_manifest_path(table_dir, v))
+            deleted.append(_manifest_path(table_dir, v))
+    data_root = os.path.join(table_dir, _DATA)
+    for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+        for f in filenames:
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, table_dir)
+            if f.endswith(".parquet") and rel not in live:
+                os.unlink(full)
+                deleted.append(full)
+        if not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    return deleted

@@ -1,0 +1,164 @@
+"""Manifest-versioned landed table (versioned.py): commit protocol,
+snapshot isolation, time travel, restore, vacuum, crash recovery.
+
+The correctness of BOTH snapshots of a merged table against from-scratch
+DuckDB reconstructions is gated by the catalog query `sst_time_travel`;
+these tests pin the table-format mechanics the gate can't see.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_sstable_to_protocolbuf_spark.landed import key_shard, lww_winners
+from cassandra_sstable_to_protocolbuf_spark.versioned import (
+    current_version, delete_keys_versioned, init_versioned, merge_versioned,
+    read_manifest, read_version, restore_version, vacuum)
+
+
+def _cells(spark, rows):
+    """rows: (key, name, value, writeTime, sstable_id, cell_kind)."""
+    return spark.createDataFrame(
+        [(k.encode(), n.encode(), v.encode(), wt, sid, kind)
+         for k, n, v, wt, sid, kind in rows],
+        "key binary, name binary, value binary, writeTime long, "
+        "sstable_id string, cell_kind string")
+
+
+def _content(df):
+    """Comparable {(key, name): (value, writeTime)} map."""
+    return {(bytes(r.key), bytes(r.name)): (bytes(r.value), r.writeTime)
+            for r in df.collect()}
+
+
+@pytest.fixture()
+def base_rows():
+    return [(f"k{i}", "c", f"base{i}", 100, "sst-base", "LIVE")
+            for i in range(40)]
+
+
+@pytest.fixture()
+def table(spark, base_rows, tmp_path):
+    t = str(tmp_path / "vt")
+    v = init_versioned(spark, _cells(spark, base_rows), t)
+    assert v == 0
+    return t
+
+
+def test_init_read_is_lww(spark, table, base_rows):
+    got = _content(read_version(spark, table))
+    assert got == {(k.encode(), b"c"): (v.encode(), 100)
+                   for k, _c, v, _wt, _s, _k in base_rows}
+
+
+def test_merge_commits_new_version_and_preserves_old(spark, table, base_rows):
+    delta = _cells(spark, [("k7", "c", "newer", 200, "sst-d", "LIVE"),
+                           ("brand", "c", "new", 50, "sst-d", "LIVE")])
+    assert merge_versioned(spark, table, delta) == 1
+    assert current_version(table) == 1
+
+    v1 = _content(read_version(spark, table))
+    assert v1[(b"k7", b"c")] == (b"newer", 200)
+    assert v1[(b"brand", b"c")] == (b"new", 50)
+    assert len(v1) == len(base_rows) + 1
+
+    # time travel: v0 is still exactly the pre-merge table
+    v0 = _content(read_version(spark, table, 0))
+    assert v0 == {(k.encode(), b"c"): (v.encode(), 100)
+                  for k, _c, v, _wt, _s, _k in base_rows}
+
+
+def test_untouched_shards_carry_over_by_reference(spark, table):
+    m0 = read_manifest(table, 0)
+    delta = _cells(spark, [("k7", "c", "x", 200, "sst-d", "LIVE")])
+    merge_versioned(spark, table, delta)
+    [shard] = [str(r["s"]) for r in spark.range(1).select(
+        key_shard(F.lit(b"k7")).alias("s")).collect()]
+    m1 = read_manifest(table, 1)
+    assert m1["files"][shard] != m0["files"].get(shard)
+    for s, fl in m0["files"].items():
+        if s != shard:
+            assert m1["files"][s] == fl  # same relpaths: zero I/O carry-over
+    # snapshot isolation: every v0 file still exists (a reader pinning
+    # the v0 manifest mid-merge is never broken)
+    for fl in m0["files"].values():
+        for p in fl:
+            assert os.path.exists(os.path.join(table, p))
+
+
+def test_empty_delta_is_a_no_op_commit(spark, table):
+    empty = _cells(spark, [])
+    assert merge_versioned(spark, table, empty) == 0
+    assert current_version(table) == 0
+
+
+def test_delete_keys_versioned_keeps_history(spark, table):
+    keys = spark.createDataFrame([(b"k3",), (b"k9",)], "key binary")
+    assert delete_keys_versioned(spark, table, keys) == 1
+    v1 = _content(read_version(spark, table))
+    assert (b"k3", b"c") not in v1 and (b"k9", b"c") not in v1
+    assert len(v1) == 38
+    assert len(_content(read_version(spark, table, 0))) == 40
+
+
+def test_restore_is_a_new_version_sharing_files(spark, table):
+    delta = _cells(spark, [("k7", "c", "bad", 200, "sst-d", "LIVE")])
+    merge_versioned(spark, table, delta)
+    assert restore_version(table, 0) == 2
+    assert current_version(table) == 2
+    assert _content(read_version(spark, table)) == _content(
+        read_version(spark, table, 0))
+    assert read_manifest(table, 2)["files"] == read_manifest(table, 0)["files"]
+
+
+def test_vacuum_reclaims_old_versions_only(spark, table):
+    for i in range(3):
+        merge_versioned(spark, table, _cells(
+            spark, [("k7", "c", f"u{i}", 200 + i, "sst-d", "LIVE")]))
+    assert current_version(table) == 3
+    keep_files = {p for fl in read_manifest(table, 3)["files"].values()
+                  for p in fl}
+    keep_files |= {p for fl in read_manifest(table, 2)["files"].values()
+                   for p in fl}
+    deleted = vacuum(table, retain=2)
+    assert deleted, "expected vacuum to reclaim something"
+    # current and current-1 remain fully readable
+    assert read_version(spark, table, 3).count() == 40
+    assert read_version(spark, table, 2).count() == 40
+    for p in keep_files:
+        assert os.path.exists(os.path.join(table, p))
+    # older snapshots are gone, and report so cleanly
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, table, 0)
+    # no deleted path is referenced by a retained manifest
+    rel_deleted = {os.path.relpath(p, table) for p in deleted
+                   if p.endswith(".parquet")}
+    assert not (rel_deleted & keep_files)
+
+
+def test_stale_crash_manifest_is_overwritten(spark, table):
+    # a crash after writing v1's manifest but BEFORE repointing _current
+    # leaves a stale v1.json; the next commit must claim v1 cleanly
+    stale = os.path.join(table, "_manifests", "v1.json")
+    with open(stale, "w", encoding="utf-8") as f:
+        json.dump({"version": 1, "files": {"0": ["data/cjunk/x.parquet"]}}, f)
+    assert current_version(table) == 0
+    delta = _cells(spark, [("k7", "c", "real", 200, "sst-d", "LIVE")])
+    assert merge_versioned(spark, table, delta) == 1
+    assert _content(read_version(spark, table))[(b"k7", b"c")] == (b"real", 200)
+
+
+def test_versioned_matches_lww_winners_plan(spark, table, base_rows):
+    # the merged snapshot equals a from-scratch lww_winners over the
+    # union of all input generations (the catalog gate proves this vs
+    # DuckDB at fixture scale; here at unit scale with ties)
+    delta = _cells(spark, [("k1", "c", "tie", 100, "sst-zzz", "LIVE"),
+                           ("k2", "c", "older", 50, "sst-d", "LIVE")])
+    merge_versioned(spark, table, delta)
+    all_cells = _cells(spark, base_rows).unionByName(delta)
+    expect = _content(lww_winners(all_cells))
+    assert _content(read_version(spark, table)) == expect

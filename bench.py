@@ -61,6 +61,7 @@ HEADLINE = [
     "orders_dpp_join",
     "lineitem_bloom_join",
     "events_sorted_layout",
+    "events_zorder_layout",
     "orders_time_rollup",
     "range_join_price_bands",
     # training-data extensions

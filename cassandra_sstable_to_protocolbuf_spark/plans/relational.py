@@ -2930,6 +2930,105 @@ GROUP BY 1
 """
 
 
+_Z_BITS = 6  # 64 buckets per dimension, 12-bit z-values
+
+
+def _zvalue(ub, tb):
+    """Morton/Z-order interleave of two `_Z_BITS`-bit bucket columns,
+    built from shift/mask expressions so the whole computation stays
+    inside whole-stage codegen (no UDF)."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = (z
+             + F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+             + F.shiftleft(F.shiftright(tb, i).bitwiseAND(F.lit(1)), 2 * i))
+    return z
+
+
+def _zorder_events_dir(spark: SparkSession, sf_dir: str):
+    """Events landed ONCE per scratch tag as a 2-D Z-ORDER layout over
+    (user_id, event time): each row gets a z-value interleaving its
+    user bucket and time bucket, and the table is range-partitioned +
+    sorted on z. The z-curve's locality means every file covers a small
+    TILE of (user, time) space, so parquet min/max stats on BOTH bucket
+    columns are tight per file -- a predicate on either dimension (or
+    both) skips most files. A 1-D sort can only give this for its
+    leading column; z-order is how a 100 TB table serves selective
+    queries on two unrelated dimensions from one layout (the
+    OPTIMIZE ZORDER model). Returns (dir, t_lo_us, t_hi_us)."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_id", "event_type", "user_id", "value",
+                  _ts_us().alias("ts_us")))
+    # data-derived time-bucket bounds (a tiny driver agg, layout-build
+    # time only); user buckets hash-free since user_id is integral
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    out = scratch_dir("zorder_events", os.path.basename(sf_dir.rstrip("/")))
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        nb = F.lit(1 << _Z_BITS)
+        ub = F.pmod(F.col("user_id"), nb).cast("int")
+        # integer DIV, not float /: the redundant bucket predicates the
+        # reader derives use Python's exact //, and a float boundary
+        # (16.9999... vs 17) would silently drop edge rows
+        tb = F.least(F.expr(
+            f"CAST(((ts_us - {int(lo)}) * {1 << _Z_BITS}) DIV {span} AS INT)"),
+            nb - F.lit(1))
+        (ev.withColumn("ubucket", ub).withColumn("tbucket", tb)
+         .withColumn("z", _zvalue(F.col("ubucket"), F.col("tbucket")))
+         .repartitionByRange(16, F.col("z"))
+         .sortWithinPartitions("z")
+         .write.mode("overwrite").parquet(out))
+    return out, int(lo), int(hi)
+
+
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-user + time-slice query over the z-ordered events layout:
+    the semantic predicate is (user_id = 3 AND two weeks of January);
+    the layout-aware read adds the REDUNDANT bucket predicates implied
+    by it (constant-folded to literals, so they push into the parquet
+    scan and drive file/row-group skipping on the z-layout's tight
+    bucket stats). The oracle evaluates only the semantic predicate on
+    the raw table -- the bucket predicates must be result-invisible,
+    certifying that z-order is pure layout, not semantics. Two-dim
+    skipping strength is pinned by tests/test_zorder_layout.py."""
+    out, lo, hi = _zorder_events_dir(spark, sf_dir)
+    span = max(hi - lo + 1, 1)
+    nb = 1 << _Z_BITS
+    t0, t1 = 1704672000000000, 1705276800000000  # [2024-01-08, 2024-01-15) UTC
+    tb0 = max(0, min((t0 - lo) * nb // span, nb - 1))
+    tb1 = max(0, min((t1 - lo) * nb // span, nb - 1))
+    back = (spark.read.parquet(out)
+            .filter((F.col("ubucket") == 3 % nb)
+                    & F.col("tbucket").between(int(tb0), int(tb1))
+                    & (F.col("user_id") == 3)
+                    & (F.col("ts_us") >= t0) & (F.col("ts_us") < t1)))
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_value"),
+                 F.min("ts_us").alias("first_us"),
+                 F.max("ts_us").alias("last_us")))
+
+
+EVENTS_ZORDER_LAYOUT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       MIN(epoch_us(ts)) AS first_us,
+       MAX(epoch_us(ts)) AS last_us
+FROM events
+WHERE user_id = 3
+  AND epoch_us(ts) >= 1704672000000000
+  AND epoch_us(ts) <  1705276800000000
+GROUP BY 1
+"""
+
+
 def customer_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink+source round-trip (Spark 4 built-in XML data source):
     customers written as an XML document stream, read back with an

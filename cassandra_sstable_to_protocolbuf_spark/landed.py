@@ -67,6 +67,7 @@ def land_to_parquet(spark: SparkSession, input_path: str, out_dir: str,
                               partitions_per_split=partitions_per_split,
                               live_only=True)
     (lww_live_cells(cells)
+     .repartition(F.col("sstable_id"))
      .write.mode("overwrite").partitionBy("sstable_id").parquet(out_dir))
 
 
@@ -91,6 +92,10 @@ def land_by_shard(cells: DataFrame, out_dir: str) -> None:
     directory."""
     (lww_live_cells(cells)
      .withColumn("shard", key_shard(F.col("key")))
+     # cluster by shard before the partitioned write: otherwise every
+     # task writes into every shard dir (tasks x shards small files,
+     # paid by every later merge/delete/scan of the layout)
+     .repartition(F.col("shard"))
      .write.mode("overwrite").partitionBy("shard").parquet(out_dir))
 
 
@@ -150,7 +155,8 @@ def _rewrite_shards(spark: SparkSession, landed_dir: str,
     parent = os.path.dirname(os.path.abspath(landed_dir)) or "."
     staging = tempfile.mkdtemp(prefix="ctps_merge_staging_", dir=parent)
     try:
-        rewritten.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+        (rewritten.repartition(F.col(part_col))
+         .write.mode("overwrite").partitionBy(part_col).parquet(staging))
         for s in shards:
             src = os.path.join(staging, f"{part_col}={s}")
             dst = os.path.join(landed_dir, f"{part_col}={s}")

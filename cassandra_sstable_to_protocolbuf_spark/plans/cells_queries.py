@@ -640,13 +640,14 @@ def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
 
     base = incremental_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = scratch_dir("incr_merge_work", tag, fresh=True)
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(base, work)
+    clone_tree(base, work)
     merge_delta_lww(spark, work, replica_delta_cells(spark, sf_dir))
     return project_landed(spark.read.parquet(work))
 
@@ -679,13 +680,14 @@ def sst_shard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from cassandra_sstable_to_protocolbuf_spark.landed import delete_keys_lww
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
 
     base = incremental_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = scratch_dir("shard_delete_work", tag, fresh=True)
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(base, work)
+    clone_tree(base, work)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     keys = (li.filter(F.col("l_orderkey") % 7 == 0)
             .select(F.encode(F.concat_ws("|", "l_orderkey", "l_linenumber"),
@@ -795,7 +797,8 @@ def sst_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
         merge_versioned, read_version)
 
@@ -803,7 +806,7 @@ def sst_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = scratch_dir("time_travel_work", tag, fresh=True)
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(base, work)
+    clone_tree(base, work)
     v1 = merge_versioned(spark, work, replica_delta_cells(spark, sf_dir))
     assert v1 == 1, f"expected first merge to commit v1, got v{v1}"
     tagged = [project_landed(read_version(spark, work, v))

@@ -193,3 +193,22 @@ def build_once(cache_name: str, digest: str, build_fn) -> str:
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # lost the build race
     return out
+
+
+def clone_tree(src: str, dst: str) -> None:
+    """Copy-on-write style working copy of a landed table: hardlink every
+    file instead of copying bytes. Safe because BOTH mutation protocols
+    never modify file contents in place -- the versioned table only adds
+    new commit dirs/manifests, and the shard swap replaces whole files --
+    so a linked working copy can be mutated freely while the pristine
+    base keeps its inodes. Falls back to a byte copy across filesystems
+    (hardlinks cannot cross devices)."""
+    import shutil
+
+    def link_or_copy(s: str, d: str) -> None:
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+    shutil.copytree(src, dst, copy_function=link_or_copy)

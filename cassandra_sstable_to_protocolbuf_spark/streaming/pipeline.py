@@ -526,7 +526,8 @@ def stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
     from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
         incremental_base_dir, project_landed, replica_delta_cells)
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     # spool the delta as 4 files -> 4 micro-batches under availableNow
@@ -538,7 +539,7 @@ def stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = incremental_base_dir(spark, sf_dir)
     work = scratch_dir("incr_stream_work", tag, fresh=True)
     shutil.rmtree(work, ignore_errors=True)
-    shutil.copytree(base, work)
+    clone_tree(base, work)
 
     schema = spark.read.parquet(spool).schema
     stream = (spark.readStream.schema(schema)

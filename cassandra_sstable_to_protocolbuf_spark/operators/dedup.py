@@ -326,7 +326,8 @@ def simhash_components(docs: DataFrame, max_hamming: int = 3,
 
 
 def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         small_graph_rows: int = 20_000_000) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the smallest node id in
     its component. Returns (node, cluster_id).
@@ -352,6 +353,17 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     sym = (edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
            .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
            .localCheckpoint())
+    # Size-adaptive strategy (the AQE move, applied to graph clustering):
+    # each distributed round costs fixed scheduler/shuffle latency, so on
+    # a small edge set O(log d) rounds are pure overhead. Below the
+    # threshold -- edges ALREADY materialized, so the count is free, and
+    # 10M pairs is ~200 MB of driver ints -- a driver-side union-find
+    # answers in milliseconds. Above it, the distributed loop proceeds;
+    # at 100 TB the collapse in simhash_components typically brings the
+    # representative graph UNDER the threshold, which is exactly why the
+    # collapse exists. Results are identical: min node id per component.
+    if sym.count() <= small_graph_rows:
+        return _driver_union_find(edges.sparkSession, sym)
     labels = (sym.groupBy("node")
               .agg(F.least(F.col("node"), F.min("nbr")).alias("lbl"))
               .localCheckpoint())
@@ -384,6 +396,36 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} hook+jump "
         f"rounds (handles diameter up to ~2^{max_iter}); raise max_iter")
+
+
+def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
+    """Small-graph fast path for connected_components: collect the
+    (already materialized, threshold-bounded) symmetric edge list and
+    run path-compressed union-find with min-id roots on the driver."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.toLocalIterator():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins the root -- the distributed loop's invariant
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    schema = sym.select(F.col("node"), F.col("node").alias("cluster_id")).schema
+    return spark.createDataFrame(rows, schema)
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

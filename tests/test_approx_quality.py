@@ -160,9 +160,17 @@ def test_connected_components_known_graph(spark):
     # the pair 10-11; node 4 also linked to 2 (cycle safety)
     edges = spark.createDataFrame(
         [(2, 1), (2, 3), (3, 4), (4, 2), (10, 11)], "d1: long, d2: long")
-    got = {(r.node, r.cluster_id)
-           for r in connected_components(edges).collect()}
-    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    # both strategies of the size-adaptive split must agree exactly:
+    # the driver union-find (default at this size) and the distributed
+    # hook+jump loop (forced by a zero small-graph threshold)
+    got_driver = {(r.node, r.cluster_id)
+                  for r in connected_components(edges).collect()}
+    got_dist = {(r.node, r.cluster_id)
+                for r in connected_components(
+                    edges, small_graph_rows=0).collect()}
+    assert got_driver == want
+    assert got_dist == want
 
 
 def test_simhash_components_equal_pair_graph_components(spark):

@@ -30,7 +30,17 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "merge <delta_sstable_dir_or_data_file> <landed_shard_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "delete-keys <keys_file> <landed_shard_dir>")
+         "delete-keys <keys_file> <landed_shard_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "init-versioned <sstable_dir_or_data_file> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "merge-versioned <delta_sstable_dir_or_data_file> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "restore <version> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "vacuum <retain_versions> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "table-history <table_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -234,6 +244,95 @@ def delete_keys_cmd(keys_file: str, landed_dir: str) -> int:
     return 0
 
 
+def _versioned_spark(app: str):
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+
+    spark = get_spark(app)
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    return spark
+
+
+def init_versioned_cmd(input_path: str, table_dir: str) -> int:
+    """Create version 0 of a manifest-versioned landed table from raw
+    sstables (immutable data files + manifest commit -- versioned.py)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        init_versioned, read_manifest, read_version)
+
+    spark = _versioned_spark("sstable-init-versioned")
+    cells = read_native_cells(spark, input_path, live_only=True)
+    v = init_versioned(spark, cells, table_dir)
+    m = read_manifest(table_dir, v)
+    n_files = sum(len(fl) for fl in m["files"].values())
+    print(f"committed v{v}: {read_version(spark, table_dir, v).count()} "
+          f"cells, {len(m['files'])} shard(s), {n_files} file(s)")
+    return 0
+
+
+def merge_versioned_cmd(delta_path: str, table_dir: str) -> int:
+    """Commit the LWW merge of a delta sstable batch as a new version;
+    prior versions stay readable (time travel)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        current_version, merge_versioned)
+
+    spark = _versioned_spark("sstable-merge-versioned")
+    before = current_version(table_dir)
+    delta = read_native_cells(spark, delta_path, live_only=True)
+    v = merge_versioned(spark, table_dir, delta)
+    if v == before:
+        print(f"empty delta: table stays at v{v}")
+    else:
+        print(f"committed v{v} (previous v{before} still readable)")
+    return 0
+
+
+def restore_cmd(version: str, table_dir: str) -> int:
+    from cassandra_sstable_to_protocolbuf_spark.versioned import restore_version
+
+    if not version.isdigit():
+        _die(f"restore expects a numeric version, got {version!r}")
+    v = restore_version(table_dir, int(version))
+    print(f"restored content of v{version} as new version v{v}")
+    return 0
+
+
+def vacuum_cmd(retain: str, table_dir: str) -> int:
+    from cassandra_sstable_to_protocolbuf_spark.versioned import vacuum
+
+    if not retain.isdigit() or int(retain) < 1:
+        _die(f"vacuum expects a positive retain count, got {retain!r}")
+    deleted = vacuum(table_dir, retain=int(retain))
+    print(f"vacuum reclaimed {len(deleted)} file(s)")
+    return 0
+
+
+def table_history_cmd(table_dir: str) -> int:
+    """List every retained snapshot: version, shard/file counts, and
+    which one `_current` points at. Driver-only (no Spark session)."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        current_version, read_manifest)
+
+    mdir = os.path.join(table_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        _die(f"not a versioned table (no _manifests): {table_dir}")
+    cur = current_version(table_dir)
+    versions = sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                      if f.startswith("v") and f.endswith(".json"))
+    for v in versions:
+        if v > cur:
+            continue  # stale crash leftover, not a committed snapshot
+        m = read_manifest(table_dir, v)
+        n_files = sum(len(fl) for fl in m["files"].values())
+        marker = "  <- current" if v == cur else ""
+        print(f"v{v}: {len(m['files'])} shard(s), {n_files} file(s){marker}")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     args = list(argv)
     continue_on_error = "--continue-on-error" in args
@@ -242,7 +341,13 @@ def main(argv: list[str]) -> int:
     by_shard = "--by-shard" in args
     if by_shard:
         args.remove("--by-shard")
-    commands = ("convert", "to-parquet", "compact", "merge", "delete-keys")
+    if len(args) == 2 and args[0] == "table-history" and not (
+            continue_on_error or by_shard):
+        if not os.path.isdir(args[1]):
+            _die(f"table dir does not exist: {args[1]}")
+        return table_history_cmd(args[1])
+    commands = ("convert", "to-parquet", "compact", "merge", "delete-keys",
+                "init-versioned", "merge-versioned", "restore", "vacuum")
     if len(args) != 3 or args[0] not in commands:
         _die(USAGE)
     cmd, input_path, output_dir = args
@@ -250,8 +355,20 @@ def main(argv: list[str]) -> int:
         _die(USAGE)
     if cmd != "to-parquet" and by_shard:
         _die(USAGE)
+    if cmd in ("restore", "vacuum"):
+        # first operand is a number, not a path
+        if not os.path.isdir(output_dir):
+            _die(f"table dir does not exist: {output_dir}")
+        return (restore_cmd if cmd == "restore" else vacuum_cmd)(
+            input_path, output_dir)
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
+    if cmd == "init-versioned":
+        return init_versioned_cmd(input_path, output_dir)
+    if cmd == "merge-versioned":
+        if not os.path.isdir(output_dir):
+            _die(f"table dir does not exist: {output_dir}")
+        return merge_versioned_cmd(input_path, output_dir)
     if cmd == "to-parquet":
         return to_parquet(input_path, output_dir, by_shard=by_shard)
     if cmd == "compact":

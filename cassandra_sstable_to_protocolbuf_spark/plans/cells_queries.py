@@ -836,3 +836,62 @@ FROM (
   WHERE partition_deletion_live AND cell_kind = 'LIVE'
 ) t WHERE rn = 1
 """
+
+
+def index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Secondary value index over the pristine sharded landed table,
+    content-addressed alongside it (index.py bytes + base dir identity)."""
+    import hashlib
+    import os
+    import pathlib
+
+    from cassandra_sstable_to_protocolbuf_spark import index as index_mod
+    from cassandra_sstable_to_protocolbuf_spark.index import build_value_index
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+
+    base = incremental_base_dir(spark, sf_dir)
+    digest = hashlib.md5(
+        pathlib.Path(index_mod.__file__).read_bytes()
+        + base.encode()).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return build_once(f"ctps_validx_{tag}", digest,
+                      lambda tmp: build_value_index(spark, base, tmp))
+
+
+def sst_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index point lookup (Cassandra 2i analog over the landed
+    layout): find every partition whose l_shipdate cell equals
+    1996-07-04 via the inverted (name, value) index -- ONE index bucket
+    directory read, then a fetch restricted to exactly the hit keys'
+    shard directories -- and return ALL cells of those partitions. The
+    oracle recomputes the answer with a from-scratch semi-join over the
+    full logical cell table, so a hash match certifies the whole
+    index-then-fetch plan; bucket/shard pruning is pinned by
+    tests/test_secondary_index.py."""
+    from cassandra_sstable_to_protocolbuf_spark.index import index_point_fetch
+
+    base = incremental_base_dir(spark, sf_dir)
+    idx = index_dir_for(spark, sf_dir)
+    fetched = index_point_fetch(spark, base, idx,
+                                b"l_shipdate", b"1996-07-04")
+    return project_landed(fetched)
+
+
+SST_INDEX_LOOKUP_SQL = f"""
+{cells_cte()},
+winners AS (
+  SELECT key, name, value, writeTime, sstable_id
+  FROM (
+    SELECT key, name, value, writeTime, sstable_id,
+           ROW_NUMBER() OVER (PARTITION BY key, name
+                              ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
+    FROM cells
+    WHERE partition_deletion_live AND cell_kind = 'LIVE'
+      AND sstable_id <> 'sst-r'
+  ) t WHERE rn = 1
+)
+SELECT key, name, value, writeTime, sstable_id
+FROM winners
+WHERE key IN (SELECT key FROM winners
+              WHERE name = 'l_shipdate' AND value = '1996-07-04')
+"""

@@ -56,6 +56,7 @@ HEADLINE = [
     "events_resample_ffill",
     "events_scd2",
     "events_anomaly_zscore",
+    "events_value_histogram",
     "events_rollup_refresh",
     "skew_salted_join",
     "bucketed_join_revenue",
@@ -73,6 +74,7 @@ HEADLINE = [
     "docs_minhash_lsh",
     "docs_dup_clusters",
     "docs_stratified_sample",
+    "docs_weighted_sample",
     "docs_pack_sequences",
     "docs_heavy_hitters",
     "docs_decontaminate",

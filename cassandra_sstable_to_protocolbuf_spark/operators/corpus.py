@@ -159,3 +159,31 @@ def domain_mix(df: DataFrame, shares_bp: dict[str, int],
     return (df.join(F.broadcast(rates), stratum_col)
             .withColumn("sample_bp", bucket_hash(F.col(key_col)))
             .filter(F.col("sample_bp") < F.col("keep_bp")))
+
+
+def weighted_priority_sample(df: DataFrame, weight_col: str, k: int,
+                             key_col: str = "doc_id") -> DataFrame:
+    """Deterministic weight-proportional top-k sampling (priority
+    sampling, Duffield-Lund-Thorup shape): each row gets priority
+    ~ weight / u for a per-key pseudo-uniform u, and the k highest
+    priorities are kept -- heavier rows proportionally likelier, yet the
+    choice is a pure function of the keys, so retries and backfills
+    select identical rows (df.sample's RNG cannot promise this).
+
+    All-integer arithmetic: u = LCG(key) in [0, 2^31), priority =
+    (weight << 40) DIV (u + 1) -- exact and identical across engines,
+    so the operator is fully hash-gatable. weight * 2^40 must stay
+    within int64: weights up to ~8M are safe.
+
+    Scale shape: a narrow map then ORDER BY ... LIMIT k -- Spark
+    executes TakeOrdered (per-partition partial top-k, only k rows per
+    task reach the driver-side merge), not a global sort."""
+    u = (F.col(key_col) % HASH_P * HASH_A + HASH_C) % HASH_M
+    # integer DIV, not float /: float quotients round where DIV
+    # truncates, and the two engines must rank identically
+    out = (df.withColumn("_u", u)
+           .withColumn("priority", F.expr(
+               f"(CAST({weight_col} AS BIGINT) * 1099511627776) "
+               f"DIV (_u + 1)"))
+           .drop("_u"))
+    return out.orderBy(F.col("priority").desc(), F.col(key_col)).limit(k)

@@ -3252,3 +3252,31 @@ SELECT doc_id, COUNT(*) AS n_frames,
             AS BIGINT) AS n_kept
 FROM k GROUP BY 1
 """
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type: penny-exact
+    binning (value*100 as BIGINT, DIV 500 => 5-unit bins) with count and
+    exact integer sum per bin. One hash aggregation with map-side
+    partial agg -- the distribution-profiling scan every monitoring
+    layer runs over a 100 TB event table."""
+    ev = _t(spark, sf_dir, "events")
+    pennies = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    return (ev.withColumn("_p", pennies)
+            .withColumn("bin", F.expr("_p DIV 500"))
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("_p").alias("sum_pennies"))
+            .select("event_type",
+                    (F.col("bin") * 5).cast("double").alias("bin_lo"),
+                    "n_events", "sum_pennies"))
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST((CAST(ROUND(value * 100) AS BIGINT) // 500) * 5 AS DOUBLE) AS bin_lo,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_pennies
+FROM events
+GROUP BY 1, 2
+"""

@@ -891,3 +891,31 @@ ranked AS (
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, w AS term, tf, df, score
 FROM ranked WHERE rank <= 3
 """
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional corpus sampling: the 500
+    highest-priority docs under priority ~ n_chars / u with a per-key
+    pseudo-uniform u (corpus.weighted_priority_sample) -- longer docs
+    proportionally likelier, selection a pure function of doc_id, so
+    retries/backfills pick identical rows. Integer-exact, so the oracle
+    reproduces the ranking bit-for-bit; executes as TakeOrdered
+    (per-partition partial top-k), never a global sort."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        weighted_priority_sample)
+    docs = _docs(spark, sf_dir)
+    return (weighted_priority_sample(docs, "n_chars", k=500)
+            .select("doc_id", "lang", "n_chars", "priority"))
+
+
+DOCS_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, lang, n_chars, priority
+FROM (
+  SELECT doc_id, lang, n_chars,
+         (CAST(n_chars AS BIGINT) * 1099511627776)
+           // (((doc_id % 1000003) * 1103515245 + 12345) % 2147483648 + 1)
+           AS priority
+  FROM documents)
+ORDER BY priority DESC, doc_id
+LIMIT 500
+"""

@@ -895,3 +895,35 @@ FROM winners
 WHERE key IN (SELECT key FROM winners
               WHERE name = 'l_shipdate' AND value = '1996-07-04')
 """
+
+
+def sst_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read ingest into the versioned landed table: the replica
+    delta is committed by APPENDING its files to the affected shards
+    (versioned.append_versioned -- the base is never read or rewritten,
+    so the commit costs O(delta) however large the base is), and
+    reconciliation happens at read time (versioned.read_merged). The
+    oracle recomputes last-write-wins from scratch over ALL sstables;
+    the read-time-merged snapshot must be indistinguishable -- this is
+    Iceberg/Delta's MoR trade (fast commits, deferred compaction),
+    where sst_time_travel gates the CoW side. Compaction invariance and
+    the O(delta) commit shape are pinned by tests/test_versioned.py."""
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, read_merged)
+
+    base = versioned_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = scratch_dir("mor_merge_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    clone_tree(base, work)
+    v = append_versioned(spark, work, replica_delta_cells(spark, sf_dir))
+    assert v == 1, f"expected MoR append to commit v1, got v{v}"
+    return project_landed(read_merged(spark, work))
+
+
+SST_MOR_MERGE_SQL = SST_INCREMENTAL_MERGE_SQL

@@ -261,3 +261,66 @@ def vacuum(table_dir: str, retain: int = 2) -> list[str]:
         if not os.listdir(dirpath):
             os.rmdir(dirpath)
     return deleted
+
+
+# --- merge-on-read commits + compaction ---------------------------------
+
+
+def append_versioned(spark: SparkSession, table_dir: str,
+                     delta_cells: DataFrame) -> int:
+    """Merge-on-read commit: land the (internally LWW-reconciled,
+    sharded) delta as NEW files APPENDED to the affected shards' file
+    lists -- the base data is never read or rewritten, so ingest cost
+    is O(delta) regardless of how much base data the delta's shards
+    hold. The price moves to reads: a shard now holds overlapping
+    generations, and consumers must reconcile through `read_merged`
+    until `compact_versioned` folds the shard back to one generation.
+    This is Iceberg/Delta's merge-on-read vs copy-on-write trade
+    (`merge_versioned` is the CoW side), and at 100 TB it is what keeps
+    a minutely ingest cadence affordable.
+    """
+    delta = (lww_live_cells(delta_cells)
+             .withColumn("shard", key_shard(F.col("key")))
+             .localCheckpoint())
+    shards = sorted(str(r["shard"]) for r in
+                    delta.select("shard").distinct().collect())
+    cur = current_version(table_dir)
+    if not shards:
+        return cur
+    manifest = read_manifest(table_dir, cur)
+    new_files = _commit_data_files(delta, table_dir, cur + 1)
+    files = dict(manifest["files"])
+    for s, fl in new_files.items():
+        files[s] = files.get(s, []) + fl
+    return _commit(table_dir, files, cur + 1)
+
+
+def read_merged(spark: SparkSession, table_dir: str,
+                version: int | None = None) -> DataFrame:
+    """Snapshot read with read-time LWW reconciliation across the
+    overlapping generations merge-on-read commits leave in a shard.
+    Exact no-op on fully compacted (or pure CoW) snapshots -- winners
+    of winners are themselves."""
+    return lww_winners(read_version(spark, table_dir, version),
+                       extra_group_cols=("shard",))
+
+
+def compact_versioned(spark: SparkSession, table_dir: str) -> int:
+    """OPTIMIZE-style compaction: commit a new version whose shards each
+    hold ONE file of reconciled winners, folding merge-on-read debt
+    back to zero. Content (under reconciliation) is invariant; prior
+    versions stay readable; reclaimed bytes wait for vacuum. Only
+    shards carrying more than one file are rewritten -- already-compact
+    shards carry over by reference."""
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    debt = {s: fl for s, fl in manifest["files"].items() if len(fl) > 1}
+    if not debt:
+        return cur
+    paths = [os.path.join(table_dir, p) for fl in debt.values() for p in fl]
+    winners = lww_winners(spark.read.parquet(*paths),
+                          extra_group_cols=("shard",))
+    new_files = _commit_data_files(winners, table_dir, cur + 1)
+    files = {s: fl for s, fl in manifest["files"].items() if s not in debt}
+    files.update(new_files)
+    return _commit(table_dir, files, cur + 1)

@@ -162,3 +162,56 @@ def test_versioned_matches_lww_winners_plan(spark, table, base_rows):
     all_cells = _cells(spark, base_rows).unionByName(delta)
     expect = _content(lww_winners(all_cells))
     assert _content(read_version(spark, table)) == expect
+
+
+def test_mor_append_is_o_delta_and_read_merged_reconciles(
+        spark, table, base_rows):
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, read_merged)
+
+    delta = _cells(spark, [("k7", "c", "newer", 200, "sst-d", "LIVE"),
+                           ("brand", "c", "new", 50, "sst-d", "LIVE")])
+    assert append_versioned(spark, table, delta) == 1
+    # O(delta) commit: the new commit dir holds ONLY the delta's rows
+    import glob
+    c1_files = glob.glob(os.path.join(table, "data", "c1", "**", "*.parquet"),
+                         recursive=True)
+    assert spark.read.parquet(*c1_files).count() == 2
+    # read-time reconciliation sees the winners
+    merged = _content(read_merged(spark, table))
+    assert merged[(b"k7", b"c")] == (b"newer", 200)
+    assert merged[(b"brand", b"c")] == (b"new", 50)
+    assert len(merged) == len(base_rows) + 1
+    # the raw (unreconciled) snapshot carries both generations of k7
+    from cassandra_sstable_to_protocolbuf_spark.versioned import read_version
+    raw = read_version(spark, table).filter(F.col("key") == b"k7").count()
+    assert raw == 2
+
+
+def test_compaction_folds_mor_debt_content_invariant(spark, table):
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, compact_versioned, read_manifest, read_merged,
+        read_version)
+
+    for i in range(3):
+        append_versioned(spark, table, _cells(
+            spark, [("k7", "c", f"u{i}", 200 + i, "sst-d", "LIVE")]))
+    m = read_manifest(table)
+    [k7_shard] = [str(r["s"]) for r in spark.range(1).select(
+        key_shard(F.lit(b"k7")).alias("s")).collect()]
+    assert len(m["files"][k7_shard]) == 4  # base + 3 MoR generations
+    before = _content(read_merged(spark, table))
+
+    v = compact_versioned(spark, table)
+    assert v == 4
+    m2 = read_manifest(table)
+    assert all(len(fl) == 1 for fl in m2["files"].values())
+    # only the debt shard was rewritten; others carried over by reference
+    for s, fl in m["files"].items():
+        if s != k7_shard:
+            assert m2["files"][s] == fl
+    # content invariant, and the compacted snapshot needs no reconcile
+    assert _content(read_version(spark, table)) == before
+    assert _content(read_merged(spark, table)) == before
+    # fully compacted -> further compaction is a no-op commit
+    assert compact_versioned(spark, table) == 4

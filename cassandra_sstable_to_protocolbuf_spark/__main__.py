@@ -34,7 +34,9 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "init-versioned <sstable_dir_or_data_file> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "merge-versioned <delta_sstable_dir_or_data_file> <table_dir>\n"
+         "merge-versioned [--mor] <delta_sstable_dir_or_data_file> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "compact-versioned <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "restore <version> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
@@ -272,22 +274,43 @@ def init_versioned_cmd(input_path: str, table_dir: str) -> int:
     return 0
 
 
-def merge_versioned_cmd(delta_path: str, table_dir: str) -> int:
+def merge_versioned_cmd(delta_path: str, table_dir: str,
+                        mor: bool = False) -> int:
     """Commit the LWW merge of a delta sstable batch as a new version;
-    prior versions stay readable (time travel)."""
+    prior versions stay readable (time travel). With `mor`, commit
+    merge-on-read (O(delta) file append, reconcile at read time; run
+    compact-versioned to fold the debt)."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells)
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
-        current_version, merge_versioned)
+        append_versioned, current_version, merge_versioned)
 
     spark = _versioned_spark("sstable-merge-versioned")
     before = current_version(table_dir)
     delta = read_native_cells(spark, delta_path, live_only=True)
-    v = merge_versioned(spark, table_dir, delta)
+    commit = append_versioned if mor else merge_versioned
+    v = commit(spark, table_dir, delta)
     if v == before:
         print(f"empty delta: table stays at v{v}")
     else:
-        print(f"committed v{v} (previous v{before} still readable)")
+        mode = "merge-on-read " if mor else ""
+        print(f"committed {mode}v{v} (previous v{before} still readable)")
+    return 0
+
+
+def compact_versioned_cmd(table_dir: str) -> int:
+    """Fold merge-on-read debt: rewrite multi-file shards to one
+    reconciled file each, as a new content-invariant version."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        compact_versioned, current_version)
+
+    spark = _versioned_spark("sstable-compact-versioned")
+    before = current_version(table_dir)
+    v = compact_versioned(spark, table_dir)
+    if v == before:
+        print(f"already compact: table stays at v{v}")
+    else:
+        print(f"compacted into v{v}")
     return 0
 
 
@@ -341,11 +364,15 @@ def main(argv: list[str]) -> int:
     by_shard = "--by-shard" in args
     if by_shard:
         args.remove("--by-shard")
-    if len(args) == 2 and args[0] == "table-history" and not (
-            continue_on_error or by_shard):
+    mor = "--mor" in args
+    if mor:
+        args.remove("--mor")
+    if len(args) == 2 and args[0] in ("table-history", "compact-versioned") \
+            and not (continue_on_error or by_shard or mor):
         if not os.path.isdir(args[1]):
             _die(f"table dir does not exist: {args[1]}")
-        return table_history_cmd(args[1])
+        return (table_history_cmd if args[0] == "table-history"
+                else compact_versioned_cmd)(args[1])
     commands = ("convert", "to-parquet", "compact", "merge", "delete-keys",
                 "init-versioned", "merge-versioned", "restore", "vacuum")
     if len(args) != 3 or args[0] not in commands:
@@ -354,6 +381,8 @@ def main(argv: list[str]) -> int:
     if cmd != "convert" and continue_on_error:
         _die(USAGE)
     if cmd != "to-parquet" and by_shard:
+        _die(USAGE)
+    if cmd != "merge-versioned" and mor:
         _die(USAGE)
     if cmd in ("restore", "vacuum"):
         # first operand is a number, not a path
@@ -368,7 +397,7 @@ def main(argv: list[str]) -> int:
     if cmd == "merge-versioned":
         if not os.path.isdir(output_dir):
             _die(f"table dir does not exist: {output_dir}")
-        return merge_versioned_cmd(input_path, output_dir)
+        return merge_versioned_cmd(input_path, output_dir, mor=mor)
     if cmd == "to-parquet":
         return to_parquet(input_path, output_dir, by_shard=by_shard)
     if cmd == "compact":

@@ -271,3 +271,39 @@ def test_versioned_cli_rejects_bad_operands(tmp_path):
     assert r.returncode != 0
     r = _run("table-history", str(tmp_path / "nope"))
     assert r.returncode != 0
+
+
+def test_versioned_mor_and_compact_cli(tmp_path):
+    """merge-versioned --mor appends O(delta) files; compact-versioned
+    folds the debt -- both from the command line."""
+    base = str(tmp_path / "base")
+    N.write_sstable(base, 1, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"v1"}]},
+    ])
+    delta = str(tmp_path / "delta")
+    N.write_sstable(delta, 2, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"NEW"}]},
+    ])
+    table = str(tmp_path / "vt")
+    r = _run("init-versioned", base, table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("merge-versioned", "--mor", delta, table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "committed merge-on-read v1" in r.stdout
+
+    from cassandra_sstable_to_protocolbuf_spark.versioned import read_manifest
+    m = read_manifest(table, 1)
+    assert any(len(fl) == 2 for fl in m["files"].values())  # MoR debt
+
+    r = _run("compact-versioned", table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "compacted into v2" in r.stdout
+    m2 = read_manifest(table, 2)
+    assert all(len(fl) == 1 for fl in m2["files"].values())
+
+    # already compact -> no-op, no new version
+    r = _run("compact-versioned", table)
+    assert r.returncode == 0
+    assert "already compact: table stays at v2" in r.stdout

@@ -589,3 +589,52 @@ SELECT c_mktsegment,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1
 """
+
+
+def stream_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ingest into the MANIFEST-VERSIONED landed table:
+    replica cells arrive as a stream (availableNow, one file per
+    micro-batch) and each batch commits merge-on-read
+    (versioned.append_versioned) -- an O(delta) file append publishing
+    a new snapshot, so every micro-batch is a consistent, time-
+    travelable version and readers never see a half-applied batch.
+
+    Replay safety comes from LWW algebra, not the commit protocol: an
+    at-least-once re-delivered batch appends duplicate FILES, but
+    read-time reconciliation (read_merged) picks identical winners, so
+    the result table is invariant under replay -- the storage debt is
+    exactly what compact_versioned folds away. The gate certifies the
+    read-time-merged final snapshot against the batch oracle's
+    from-scratch LWW over all sstables."""
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
+        project_landed, replica_delta_cells, versioned_base_dir)
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, current_version, read_merged)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    spool = scratch_dir("ver_stream_spool", tag, fresh=True)
+    (replica_delta_cells(spark, sf_dir)
+     .repartition(4).write.mode("overwrite").parquet(spool))
+
+    base = versioned_base_dir(spark, sf_dir)
+    work = scratch_dir("ver_stream_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    clone_tree(base, work)
+
+    schema = spark.read.parquet(spool).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(spool))
+    ckpt = scratch_dir("ver_stream_ckpt", tag, fresh=True)
+    query = (stream.writeStream
+             .foreachBatch(lambda batch, _id: append_versioned(spark, work, batch))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+    query.awaitTermination()
+    assert current_version(work) >= 1, "stream committed no versions"
+    return project_landed(read_merged(spark, work))

@@ -215,3 +215,17 @@ def test_compaction_folds_mor_debt_content_invariant(spark, table):
     assert _content(read_merged(spark, table)) == before
     # fully compacted -> further compaction is a no-op commit
     assert compact_versioned(spark, table) == 4
+
+
+def test_mor_replay_is_content_invariant(spark, table):
+    """At-least-once replay of a MoR batch appends duplicate files but
+    identical winners -- the LWW algebra that makes append_versioned a
+    safe streaming (foreachBatch) sink."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, read_merged)
+
+    delta = _cells(spark, [("k7", "c", "newer", 200, "sst-d", "LIVE")])
+    append_versioned(spark, table, delta)
+    once = _content(read_merged(spark, table))
+    append_versioned(spark, table, delta)  # replay
+    assert _content(read_merged(spark, table)) == once

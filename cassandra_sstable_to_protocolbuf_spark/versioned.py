@@ -16,13 +16,17 @@ restoring a prior version, and storage is reclaimed explicitly
       data/c{N}/pshard=S/    # commit N's immutable parquet files
 
 Commit protocol: write data files into a fresh `data/c{N}` directory
-(never touching prior commits), write the manifest via temp+rename,
-then atomically repoint `_current` (temp+fsync+rename). A crash before
-the `_current` rename leaves at most a stale manifest/data dir that the
-next commit overwrites (version numbers derive from `_current`, the
-single source of truth); a crash after is a completed commit. Readers
-racing a commit see either the old or the new version, never a blend --
-the snapshot-isolation property the in-place swap cannot give.
+(never touching prior commits), CLAIM the version by creating its
+manifest with O_EXCL (the CAS of the protocol -- two writers racing to
+the same version number lose exactly one of the two creates, and the
+loser gets `CommitConflict` to recompute-and-retry on the winner's
+snapshot: optimistic concurrency, Delta/Iceberg's model), then
+atomically repoint `_current` (temp+fsync+rename). A crash before the
+`_current` rename leaves an unclaimed manifest that the next committer
+reclaims after a liveness grace window; a crash after is a completed
+commit. Readers racing a commit see either the old or the new version,
+never a blend -- the snapshot-isolation property the in-place swap
+cannot give.
 
 Scale notes: a manifest holds one file list per touched shard -- O(live
 files), the same driver-side footprint Spark's own file index pays to
@@ -99,12 +103,69 @@ def _atomic_write(path: str, text: str) -> None:
         raise
 
 
+class CommitConflict(RuntimeError):
+    """Another writer committed this version first. The caller should
+    re-read the current version, recompute against the new base, and
+    retry -- the standard optimistic-concurrency loop."""
+
+
+# A manifest file for an uncommitted version younger than this is
+# treated as a LIVE concurrent writer (conflict); older, as a crashed
+# writer's leftover that the next committer may reclaim.
+STALE_MANIFEST_GRACE_S = 60.0
+
+
+def _create_exclusive(path: str, text: str, table_dir: str,
+                      version: int) -> None:
+    """CAS primitive of the commit protocol: O_EXCL manifest creation.
+    Two writers racing to commit the same version number both pass the
+    read phase, but exactly one wins the create; the loser gets
+    CommitConflict and must recompute on the winner's snapshot. A
+    leftover manifest whose version never became current is reclaimed
+    only after a grace age, so a LIVE writer between its manifest write
+    and `_current` repoint is never clobbered."""
+    import time
+
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(text)
+                f.flush()
+                os.fsync(f.fileno())
+            return
+        except FileExistsError:
+            if current_version(table_dir) >= version:
+                raise CommitConflict(
+                    f"version {version} of {table_dir} was committed by "
+                    f"another writer; recompute against the new current "
+                    f"version and retry") from None
+            age = time.time() - os.path.getmtime(path)
+            if age < STALE_MANIFEST_GRACE_S:
+                raise CommitConflict(
+                    f"another writer appears to be mid-commit of version "
+                    f"{version} (manifest age {age:.1f}s); retry later")\
+                    from None
+            if attempt == 0:
+                try:
+                    os.unlink(path)  # crashed writer's leftover
+                except FileNotFoundError:
+                    pass
+    raise CommitConflict(f"could not claim version {version} after retry")
+
+
 def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
             version: int) -> int:
     manifest = {"version": version,
                 "files": {s: sorted(fl) for s, fl in
                           sorted(files_by_shard.items()) if fl}}
-    _atomic_write(_manifest_path(table_dir, version), json.dumps(manifest))
+    if version == 0:
+        # table creation has no concurrent-writer protocol to honor
+        _atomic_write(_manifest_path(table_dir, version),
+                      json.dumps(manifest))
+    else:
+        _create_exclusive(_manifest_path(table_dir, version),
+                          json.dumps(manifest), table_dir, version)
     _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
     return version
 

@@ -140,16 +140,47 @@ def test_vacuum_reclaims_old_versions_only(spark, table):
     assert not (rel_deleted & keep_files)
 
 
-def test_stale_crash_manifest_is_overwritten(spark, table):
+def test_stale_crash_manifest_is_reclaimed_after_grace(spark, table):
     # a crash after writing v1's manifest but BEFORE repointing _current
-    # leaves a stale v1.json; the next commit must claim v1 cleanly
+    # leaves a stale v1.json; once past the liveness grace window the
+    # next commit reclaims v1 cleanly
     stale = os.path.join(table, "_manifests", "v1.json")
     with open(stale, "w", encoding="utf-8") as f:
         json.dump({"version": 1, "files": {"0": ["data/cjunk/x.parquet"]}}, f)
+    os.utime(stale, (0, 0))  # age it past STALE_MANIFEST_GRACE_S
     assert current_version(table) == 0
     delta = _cells(spark, [("k7", "c", "real", 200, "sst-d", "LIVE")])
     assert merge_versioned(spark, table, delta) == 1
     assert _content(read_version(spark, table))[(b"k7", b"c")] == (b"real", 200)
+
+
+def test_concurrent_commit_raises_conflict(spark, table):
+    """Optimistic concurrency: a writer whose target version was taken
+    by another writer (manifest exists AND current advanced) must get
+    CommitConflict, not silently clobber the winner's snapshot."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import CommitConflict
+
+    d1 = _cells(spark, [("k7", "c", "winner", 200, "sst-d", "LIVE")])
+    assert merge_versioned(spark, table, d1) == 1
+    # simulate the loser: it read current=0 earlier and tries to claim v1
+    from cassandra_sstable_to_protocolbuf_spark import versioned as V
+    with pytest.raises(CommitConflict, match="another writer"):
+        V._commit(table, {"0": ["data/c1/pshard=0/x.parquet"]}, 1)
+    # the winner's snapshot is untouched
+    assert _content(read_version(spark, table))[(b"k7", b"c")] == (b"winner", 200)
+
+
+def test_live_midcommit_manifest_is_not_clobbered(spark, table):
+    """A FRESH uncommitted manifest (another writer between its manifest
+    write and _current repoint) must raise, not be reclaimed."""
+    from cassandra_sstable_to_protocolbuf_spark import versioned as V
+    from cassandra_sstable_to_protocolbuf_spark.versioned import CommitConflict
+
+    fresh = os.path.join(table, "_manifests", "v1.json")
+    with open(fresh, "w", encoding="utf-8") as f:
+        json.dump({"version": 1, "files": {}}, f)
+    with pytest.raises(CommitConflict, match="mid-commit"):
+        V._commit(table, {}, 1)
 
 
 def test_versioned_matches_lww_winners_plan(spark, table, base_rows):

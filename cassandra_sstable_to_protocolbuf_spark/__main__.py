@@ -338,17 +338,12 @@ def table_history_cmd(table_dir: str) -> int:
     """List every retained snapshot: version, shard/file counts, and
     which one `_current` points at. Driver-only (no Spark session)."""
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
-        current_version, read_manifest)
+        current_version, list_versions, read_manifest)
 
-    mdir = os.path.join(table_dir, "_manifests")
-    if not os.path.isdir(mdir):
+    if not os.path.isdir(os.path.join(table_dir, "_manifests")):
         _die(f"not a versioned table (no _manifests): {table_dir}")
     cur = current_version(table_dir)
-    versions = sorted(int(f[1:-5]) for f in os.listdir(mdir)
-                      if f.startswith("v") and f.endswith(".json"))
-    for v in versions:
-        if v > cur:
-            continue  # stale crash leftover, not a committed snapshot
+    for v in list_versions(table_dir):
         m = read_manifest(table_dir, v)
         n_files = sum(len(fl) for fl in m["files"].values())
         marker = "  <- current" if v == cur else ""

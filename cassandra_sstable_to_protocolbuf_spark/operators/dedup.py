@@ -327,7 +327,7 @@ def simhash_components(docs: DataFrame, max_hamming: int = 3,
 
 def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
                          max_iter: int = 25,
-                         small_graph_rows: int = 20_000_000) -> DataFrame:
+                         small_graph_rows: int = 2_000_000) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the smallest node id in
     its component. Returns (node, cluster_id).
@@ -356,12 +356,15 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2",
     # Size-adaptive strategy (the AQE move, applied to graph clustering):
     # each distributed round costs fixed scheduler/shuffle latency, so on
     # a small edge set O(log d) rounds are pure overhead. Below the
-    # threshold -- edges ALREADY materialized, so the count is free, and
-    # 10M pairs is ~200 MB of driver ints -- a driver-side union-find
-    # answers in milliseconds. Above it, the distributed loop proceeds;
-    # at 100 TB the collapse in simhash_components typically brings the
-    # representative graph UNDER the threshold, which is exactly why the
-    # collapse exists. Results are identical: min node id per component.
+    # threshold -- edges ALREADY materialized, so the count is free --
+    # a driver-side union-find answers in well under a second: 2M rows
+    # stream via toLocalIterator and the parent dict peaks around a
+    # hundred MB (Python dict slots + boxed ints are ~100 bytes/entry,
+    # which is what bounds the threshold, NOT the raw 16 B/edge).
+    # Above it, the distributed loop proceeds; at 100 TB the collapse in
+    # simhash_components typically brings the representative graph UNDER
+    # the threshold, which is exactly why the collapse exists. Results
+    # are identical: min node id per component.
     if sym.count() <= small_graph_rows:
         return _driver_union_find(edges.sparkSession, sym)
     labels = (sym.groupBy("node")

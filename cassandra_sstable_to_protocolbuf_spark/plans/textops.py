@@ -894,7 +894,7 @@ FROM ranked WHERE rank <= 3
 
 
 def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weight-proportional corpus sampling: the 500
+    """Deterministic weight-proportional corpus sampling: the 200
     highest-priority docs under priority ~ n_chars / u with a per-key
     pseudo-uniform u (corpus.weighted_priority_sample) -- longer docs
     proportionally likelier, selection a pure function of doc_id, so
@@ -904,7 +904,7 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
         weighted_priority_sample)
     docs = _docs(spark, sf_dir)
-    return (weighted_priority_sample(docs, "n_chars", k=500)
+    return (weighted_priority_sample(docs, "n_chars", k=200)
             .select("doc_id", "lang", "n_chars", "priority"))
 
 
@@ -917,5 +917,5 @@ FROM (
            AS priority
   FROM documents)
 ORDER BY priority DESC, doc_id
-LIMIT 500
+LIMIT 200
 """

@@ -67,13 +67,29 @@ def current_version(table_dir: str) -> int:
         return int(f.read().strip())
 
 
+def list_versions(table_dir: str) -> list[int]:
+    """COMMITTED snapshot versions, ascending. Manifest files above the
+    `_current` pointer are crash leftovers whose commit never completed,
+    not snapshots -- they are excluded here and unreadable via
+    read_manifest, so restore/time-travel can never resurrect one."""
+    cur = current_version(table_dir)
+    mdir = os.path.join(table_dir, _MANIFESTS)
+    return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+                  if f.startswith("v") and f.endswith(".json")
+                  and f[1:-5].isdigit() and int(f[1:-5]) <= cur)
+
+
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
     """The committed manifest for `version` (default: current). Raises
     FileNotFoundError for a vacuumed/never-committed version."""
     if version is None:
         version = current_version(table_dir)
     path = _manifest_path(table_dir, version)
-    if not os.path.exists(path):
+    # a manifest above _current is an uncommitted crash leftover whose
+    # data files vacuum may already have reclaimed -- serving it (or
+    # letting restore_version re-commit it) would publish a snapshot of
+    # dangling paths
+    if version > current_version(table_dir) or not os.path.exists(path):
         raise FileNotFoundError(
             f"version {version} of {table_dir} does not exist "
             f"(never committed, or reclaimed by vacuum)")
@@ -140,16 +156,26 @@ def _create_exclusive(path: str, text: str, table_dir: str,
                     f"version {version} of {table_dir} was committed by "
                     f"another writer; recompute against the new current "
                     f"version and retry") from None
-            age = time.time() - os.path.getmtime(path)
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # a concurrent reclaimer removed it: retry create
             if age < STALE_MANIFEST_GRACE_S:
                 raise CommitConflict(
                     f"another writer appears to be mid-commit of version "
                     f"{version} (manifest age {age:.1f}s); retry later")\
                     from None
             if attempt == 0:
+                # atomic reclaim of the crashed leftover: rename wins at
+                # most once, so two concurrent reclaimers cannot both
+                # unlink-and-create (one's rename fails, it retries the
+                # O_EXCL create and loses to the other's fresh -- hence
+                # young -- manifest with a clean CommitConflict)
+                tomb = f"{path}.reclaimed.{os.getpid()}"
                 try:
-                    os.unlink(path)  # crashed writer's leftover
-                except FileNotFoundError:
+                    os.rename(path, tomb)
+                    os.unlink(tomb)
+                except OSError:
                     pass
     raise CommitConflict(f"could not claim version {version} after retry")
 
@@ -179,8 +205,18 @@ def _commit_data_files(merged: DataFrame, table_dir: str,
     The partition column is a DUPLICATE (`pshard`) of the plain `shard`
     column: partitionBy strips its column from the file bytes, and
     versioned reads hand Spark explicit file lists (no partition
-    discovery), so the shard value must live IN the files."""
-    commit_rel = os.path.join(_DATA, f"c{version}")
+    discovery), so the shard value must live IN the files.
+
+    The directory name carries a per-attempt random suffix: two writers
+    racing to the same version number must stage into DIFFERENT
+    directories, or the conflict loser's overwrite-mode write would
+    delete the winner's already-committed files before the manifest CAS
+    even runs (the reason Delta/Iceberg writers use unique file names).
+    The loser's orphaned directory is unreferenced by any manifest and
+    falls to vacuum."""
+    import uuid
+
+    commit_rel = os.path.join(_DATA, f"c{version}-{uuid.uuid4().hex[:8]}")
     commit_dir = os.path.join(table_dir, commit_rel)
     # cluster rows by shard BEFORE the partitioned write: without it,
     # every write task emits a file into every shard directory (tasks x
@@ -289,18 +325,33 @@ def restore_version(table_dir: str, to_version: int) -> int:
     return _commit(table_dir, old["files"], new_version)
 
 
-def vacuum(table_dir: str, retain: int = 2) -> list[str]:
+def vacuum(table_dir: str, retain: int = 2,
+           min_file_age_s: float = STALE_MANIFEST_GRACE_S) -> list[str]:
     """Reclaim storage: keep the newest `retain` manifests (always
     including current), delete older manifests and every data file no
     retained manifest references. Returns the deleted paths. Time
-    travel reaches exactly the retained horizon afterwards."""
+    travel reaches exactly the retained horizon afterwards.
+
+    Unreferenced files younger than `min_file_age_s` survive: a writer
+    between its data write and its manifest CAS has files no manifest
+    references yet, and an ungraced vacuum would delete them right
+    before the commit succeeds (Delta's retention-window rationale).
+    Crash-leftover manifests above `_current` are reclaimed under the
+    same grace."""
+    import time
+
     if retain < 1:
         raise ValueError("vacuum must retain at least the current version")
+
+    def aged(path: str) -> bool:
+        try:
+            return time.time() - os.path.getmtime(path) >= min_file_age_s
+        except OSError:
+            return False  # vanished underneath us: nothing to delete
+
     cur = current_version(table_dir)
     mdir = os.path.join(table_dir, _MANIFESTS)
-    versions = sorted(int(f[1:-5]) for f in os.listdir(mdir)
-                      if f.startswith("v") and f.endswith(".json"))
-    versions = [v for v in versions if v <= cur]  # stale > cur = crash junk
+    versions = list_versions(table_dir)
     keep = set(versions[-retain:]) | {cur}
     live: set[str] = set()
     for v in keep:
@@ -311,12 +362,19 @@ def vacuum(table_dir: str, retain: int = 2) -> list[str]:
         if v not in keep:
             os.unlink(_manifest_path(table_dir, v))
             deleted.append(_manifest_path(table_dir, v))
+    # aged crash leftovers above _current (their commit never completed)
+    for f in os.listdir(mdir):
+        if (f.startswith("v") and f.endswith(".json")
+                and f[1:-5].isdigit() and int(f[1:-5]) > cur
+                and aged(os.path.join(mdir, f))):
+            os.unlink(os.path.join(mdir, f))
+            deleted.append(os.path.join(mdir, f))
     data_root = os.path.join(table_dir, _DATA)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for f in filenames:
             full = os.path.join(dirpath, f)
             rel = os.path.relpath(full, table_dir)
-            if f.endswith(".parquet") and rel not in live:
+            if f.endswith(".parquet") and rel not in live and aged(full):
                 os.unlink(full)
                 deleted.append(full)
         if not os.listdir(dirpath):

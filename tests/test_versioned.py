@@ -124,7 +124,7 @@ def test_vacuum_reclaims_old_versions_only(spark, table):
                   for p in fl}
     keep_files |= {p for fl in read_manifest(table, 2)["files"].values()
                    for p in fl}
-    deleted = vacuum(table, retain=2)
+    deleted = vacuum(table, retain=2, min_file_age_s=0)
     assert deleted, "expected vacuum to reclaim something"
     # current and current-1 remain fully readable
     assert read_version(spark, table, 3).count() == 40
@@ -205,7 +205,7 @@ def test_mor_append_is_o_delta_and_read_merged_reconciles(
     assert append_versioned(spark, table, delta) == 1
     # O(delta) commit: the new commit dir holds ONLY the delta's rows
     import glob
-    c1_files = glob.glob(os.path.join(table, "data", "c1", "**", "*.parquet"),
+    c1_files = glob.glob(os.path.join(table, "data", "c1-*", "**", "*.parquet"),
                          recursive=True)
     assert spark.read.parquet(*c1_files).count() == 2
     # read-time reconciliation sees the winners

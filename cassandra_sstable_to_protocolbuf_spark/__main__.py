@@ -40,7 +40,7 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "restore <version> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "vacuum <retain_versions> <table_dir>\n"
+         "vacuum [--no-grace] <retain_versions> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "table-history <table_dir>")
 
@@ -324,12 +324,17 @@ def restore_cmd(version: str, table_dir: str) -> int:
     return 0
 
 
-def vacuum_cmd(retain: str, table_dir: str) -> int:
+def vacuum_cmd(retain: str, table_dir: str, no_grace: bool = False) -> int:
+    """Reclaim unreferenced files. By default unreferenced files younger
+    than the liveness grace survive (they may belong to an in-flight
+    commit); `--no-grace` reclaims them too -- safe only when no other
+    writer can be running."""
     from cassandra_sstable_to_protocolbuf_spark.versioned import vacuum
 
     if not retain.isdigit() or int(retain) < 1:
         _die(f"vacuum expects a positive retain count, got {retain!r}")
-    deleted = vacuum(table_dir, retain=int(retain))
+    kwargs = {"min_file_age_s": 0.0} if no_grace else {}
+    deleted = vacuum(table_dir, retain=int(retain), **kwargs)
     print(f"vacuum reclaimed {len(deleted)} file(s)")
     return 0
 
@@ -362,8 +367,11 @@ def main(argv: list[str]) -> int:
     mor = "--mor" in args
     if mor:
         args.remove("--mor")
+    no_grace = "--no-grace" in args
+    if no_grace:
+        args.remove("--no-grace")
     if len(args) == 2 and args[0] in ("table-history", "compact-versioned") \
-            and not (continue_on_error or by_shard or mor):
+            and not (continue_on_error or by_shard or mor or no_grace):
         if not os.path.isdir(args[1]):
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"
@@ -379,12 +387,15 @@ def main(argv: list[str]) -> int:
         _die(USAGE)
     if cmd != "merge-versioned" and mor:
         _die(USAGE)
+    if cmd != "vacuum" and no_grace:
+        _die(USAGE)
     if cmd in ("restore", "vacuum"):
         # first operand is a number, not a path
         if not os.path.isdir(output_dir):
             _die(f"table dir does not exist: {output_dir}")
-        return (restore_cmd if cmd == "restore" else vacuum_cmd)(
-            input_path, output_dir)
+        if cmd == "vacuum":
+            return vacuum_cmd(input_path, output_dir, no_grace=no_grace)
+        return restore_cmd(input_path, output_dir)
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
     if cmd == "init-versioned":

@@ -138,3 +138,24 @@ def test_scratch_dir_isolated_per_user():
     mode = stat.S_IMODE(os.stat(parent).st_mode)
     assert mode == 0o700, f"scratch parent mode {oct(mode)}"
     assert scratch_dir("unit", "t0") == d  # stable across calls
+
+
+def test_weighted_priority_sample_matches_python_model(spark):
+    """The deterministic priority ranking must reproduce a pure-Python
+    model exactly (same LCG, same integer DIV), including the top-k cut
+    and tie-breaks -- the property the cross-engine oracle relies on."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        HASH_A, HASH_C, HASH_M, HASH_P, weighted_priority_sample)
+
+    rows = [(i, (i * 37) % 211 + 1) for i in range(300)]  # (key, weight)
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [(r.doc_id, r.priority) for r in
+           weighted_priority_sample(df, "w", k=50).collect()]
+
+    def pri(key, w):
+        u = (key % HASH_P * HASH_A + HASH_C) % HASH_M
+        return (w * (1 << 40)) // (u + 1)
+
+    model = sorted(((k, pri(k, w)) for k, w in rows),
+                   key=lambda t: (-t[1], t[0]))[:50]
+    assert got == model

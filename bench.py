@@ -30,6 +30,7 @@ HEADLINE = [
     "sst_time_travel",
     "sst_index_lookup",
     "sst_mor_merge",
+    "sst_compacted_merge",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

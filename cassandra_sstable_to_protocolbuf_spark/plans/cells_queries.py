@@ -927,3 +927,34 @@ def sst_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SST_MOR_MERGE_SQL = SST_INCREMENTAL_MERGE_SQL
+
+
+def sst_compacted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full merge-on-read lifecycle under the oracle: append the
+    replica delta (O(delta) MoR commit), COMPACT the debt away
+    (versioned.compact_versioned), then read the compacted snapshot RAW
+    -- no read-time reconciliation. A hash match against the
+    from-scratch LWW oracle certifies that compaction's rewrite
+    produced exactly the reconciled winners, closing the loop
+    sst_mor_merge opens (which gates the pre-compaction read-time
+    merge)."""
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, compact_versioned, read_version)
+
+    base = versioned_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = scratch_dir("compacted_merge_work", tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    clone_tree(base, work)
+    append_versioned(spark, work, replica_delta_cells(spark, sf_dir))
+    v = compact_versioned(spark, work)
+    assert v == 2, f"expected compaction to commit v2, got v{v}"
+    return project_landed(read_version(spark, work, v))
+
+
+SST_COMPACTED_MERGE_SQL = SST_INCREMENTAL_MERGE_SQL

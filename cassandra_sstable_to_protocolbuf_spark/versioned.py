@@ -180,11 +180,50 @@ def _create_exclusive(path: str, text: str, table_dir: str,
     raise CommitConflict(f"could not claim version {version} after retry")
 
 
+def _schema_json(df: DataFrame) -> str:
+    return df.schema.json()
+
+
+def _check_schema(manifest: dict, df: DataFrame, op: str) -> None:
+    """Refuse commits whose schema differs from the table's recorded
+    one: the LWW reconciler works over the canonical landed columns, so
+    a silently widened/narrowed commit would drop or null data. Schema
+    evolution is a deliberate seam (the manifest carries the schema; an
+    evolved table needs an evolution-aware reconciler), not an accident
+    this check allows."""
+    recorded = manifest.get("schema")
+    if recorded is not None and recorded != _schema_json(df):
+        raise ValueError(
+            f"{op}: commit schema differs from the table schema; "
+            f"recorded={recorded} got={_schema_json(df)}")
+
+
+def _check_input_columns(cells: DataFrame, op: str) -> None:
+    """Refuse raw cell inputs carrying columns the LWW reconciler does
+    not know: lww_live_cells projects to the canonical landed columns,
+    so an unexpected input column would vanish silently -- the caller
+    must either drop it deliberately or extend the reconciler."""
+    from cassandra_sstable_to_protocolbuf_spark.schemas import FLAT_CELL_SCHEMA
+    # everything the flat cell model and the native source legitimately
+    # carry; the LWW projection dropping THESE is the operator's
+    # documented contract, not silent loss
+    allowed = (set(FLAT_CELL_SCHEMA.fieldNames())
+               | {"shard", "ttl", "local_expiration"})
+    extra = sorted(set(cells.columns) - allowed)
+    if extra:
+        raise ValueError(
+            f"{op}: input columns {extra} are unknown to the LWW "
+            f"reconciler and would be silently dropped; remove them or "
+            f"extend the reconciliation schema deliberately")
+
+
 def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
-            version: int) -> int:
+            version: int, schema_json: str | None = None) -> int:
     manifest = {"version": version,
                 "files": {s: sorted(fl) for s, fl in
                           sorted(files_by_shard.items()) if fl}}
+    if schema_json is not None:
+        manifest["schema"] = schema_json
     if version == 0:
         # table creation has no concurrent-writer protocol to honor
         _atomic_write(_manifest_path(table_dir, version),
@@ -243,9 +282,32 @@ def init_versioned(spark: SparkSession, cells: DataFrame,
     """Create version 0 of a versioned landed table from raw native
     cells (live LWW reconciliation + key sharding, exactly
     `landed.land_by_shard`'s dataflow)."""
+    _check_input_columns(cells, "init_versioned")
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
     merged = lww_live_cells(cells).withColumn("shard", key_shard(F.col("key")))
-    return _commit(table_dir, _commit_data_files(merged, table_dir, 0), 0)
+    return _commit(table_dir, _commit_data_files(merged, table_dir, 0), 0,
+                   schema_json=_schema_json(merged))
+
+
+def _manifest_schema(manifest: dict):
+    """The snapshot's recorded StructType, or None for manifests written
+    before schemas were recorded."""
+    s = manifest.get("schema")
+    if s is None:
+        return None
+    from pyspark.sql.types import StructType
+    return StructType.fromJson(json.loads(s))
+
+
+def _read_files(spark: SparkSession, manifest: dict,
+                paths: list[str]) -> DataFrame:
+    """Read data files under the manifest's RECORDED schema: no footer
+    schema inference (one less full-fleet metadata pass at scale), and
+    every reader -- including of an empty shard set -- sees the same
+    schema the commit wrote."""
+    schema = _manifest_schema(manifest)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*paths)
 
 
 def read_version(spark: SparkSession, table_dir: str,
@@ -256,10 +318,12 @@ def read_version(spark: SparkSession, table_dir: str,
     m = read_manifest(table_dir, version)
     paths = [os.path.join(table_dir, p)
              for fl in m["files"].values() for p in fl]
+    schema = _manifest_schema(m)
     if not paths:
         from cassandra_sstable_to_protocolbuf_spark.schemas import LANDED_SCHEMA
-        return spark.createDataFrame([], LANDED_SCHEMA)
-    return spark.read.parquet(*paths)
+        return spark.createDataFrame([], schema or LANDED_SCHEMA)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(*paths)
 
 
 def merge_versioned(spark: SparkSession, table_dir: str,
@@ -268,6 +332,7 @@ def merge_versioned(spark: SparkSession, table_dir: str,
     with a delta cell batch. Only the delta's shards are read and
     rewritten; every other shard's files carry into the new manifest by
     reference (zero I/O). Returns the new version number."""
+    _check_input_columns(delta_cells, "merge_versioned")
     delta = (lww_live_cells(delta_cells)
              .withColumn("shard", key_shard(F.col("key")))
              .localCheckpoint())
@@ -277,15 +342,17 @@ def merge_versioned(spark: SparkSession, table_dir: str,
     manifest = read_manifest(table_dir, cur)
     if not shards:
         return cur
+    _check_schema(manifest, delta, "merge_versioned")
     base_paths = [os.path.join(table_dir, p)
                   for s in shards for p in manifest["files"].get(s, [])]
     merged = delta if not base_paths else lww_winners(
-        spark.read.parquet(*base_paths).unionByName(delta),
+        _read_files(spark, manifest, base_paths).unionByName(delta),
         extra_group_cols=("shard",))
     new_files = _commit_data_files(merged, table_dir, cur + 1)
     files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
     files.update(new_files)
-    return _commit(table_dir, files, cur + 1)
+    return _commit(table_dir, files, cur + 1,
+                   schema_json=manifest.get("schema") or _schema_json(merged))
 
 
 def delete_keys_versioned(spark: SparkSession, table_dir: str,
@@ -306,12 +373,13 @@ def delete_keys_versioned(spark: SparkSession, table_dir: str,
                   for s in shards for p in manifest["files"].get(s, [])]
     if not shards or not base_paths:
         return cur
-    kept = (spark.read.parquet(*base_paths)
+    kept = (_read_files(spark, manifest, base_paths)
             .join(keyed.select("key").distinct(), ["key"], "left_anti"))
     new_files = _commit_data_files(kept, table_dir, cur + 1)
     files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
     files.update(new_files)
-    return _commit(table_dir, files, cur + 1)
+    return _commit(table_dir, files, cur + 1,
+                   schema_json=manifest.get("schema") or _schema_json(kept))
 
 
 def restore_version(table_dir: str, to_version: int) -> int:
@@ -322,7 +390,8 @@ def restore_version(table_dir: str, to_version: int) -> int:
     reference -- zero data I/O."""
     old = read_manifest(table_dir, to_version)
     new_version = current_version(table_dir) + 1
-    return _commit(table_dir, old["files"], new_version)
+    return _commit(table_dir, old["files"], new_version,
+                   schema_json=old.get("schema"))
 
 
 def vacuum(table_dir: str, retain: int = 2,
@@ -398,6 +467,7 @@ def append_versioned(spark: SparkSession, table_dir: str,
     (`merge_versioned` is the CoW side), and at 100 TB it is what keeps
     a minutely ingest cadence affordable.
     """
+    _check_input_columns(delta_cells, "append_versioned")
     delta = (lww_live_cells(delta_cells)
              .withColumn("shard", key_shard(F.col("key")))
              .localCheckpoint())
@@ -407,11 +477,13 @@ def append_versioned(spark: SparkSession, table_dir: str,
     if not shards:
         return cur
     manifest = read_manifest(table_dir, cur)
+    _check_schema(manifest, delta, "append_versioned")
     new_files = _commit_data_files(delta, table_dir, cur + 1)
     files = dict(manifest["files"])
     for s, fl in new_files.items():
         files[s] = files.get(s, []) + fl
-    return _commit(table_dir, files, cur + 1)
+    return _commit(table_dir, files, cur + 1,
+                   schema_json=manifest.get("schema") or _schema_json(delta))
 
 
 def read_merged(spark: SparkSession, table_dir: str,
@@ -437,9 +509,10 @@ def compact_versioned(spark: SparkSession, table_dir: str) -> int:
     if not debt:
         return cur
     paths = [os.path.join(table_dir, p) for fl in debt.values() for p in fl]
-    winners = lww_winners(spark.read.parquet(*paths),
+    winners = lww_winners(_read_files(spark, manifest, paths),
                           extra_group_cols=("shard",))
     new_files = _commit_data_files(winners, table_dir, cur + 1)
     files = {s: fl for s, fl in manifest["files"].items() if s not in debt}
     files.update(new_files)
-    return _commit(table_dir, files, cur + 1)
+    return _commit(table_dir, files, cur + 1,
+                   schema_json=manifest.get("schema") or _schema_json(winners))

@@ -260,3 +260,23 @@ def test_mor_replay_is_content_invariant(spark, table):
     once = _content(read_merged(spark, table))
     append_versioned(spark, table, delta)  # replay
     assert _content(read_merged(spark, table)) == once
+
+
+def test_schema_recorded_and_enforced(spark, table):
+    """The manifest records the commit schema; reads use it (no footer
+    inference), and a mismatched-schema commit is refused instead of
+    silently dropping columns through the LWW reconciler."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, read_manifest)
+
+    m = read_manifest(table)
+    assert m.get("schema"), "manifest should record the table schema"
+    assert set(read_version(spark, table).columns) == {
+        "key", "name", "value", "writeTime", "sstable_id", "shard"}
+
+    widened = (_cells(spark, [("k7", "c", "x", 200, "sst-d", "LIVE")])
+               .withColumn("extra", F.lit(1)))
+    with pytest.raises(ValueError, match="unknown to the LWW"):
+        append_versioned(spark, table, widened)
+    # refused commit left no new version behind
+    assert current_version(table) == 0

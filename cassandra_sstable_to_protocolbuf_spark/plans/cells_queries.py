@@ -637,17 +637,13 @@ def sst_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten) is pinned by tests/test_incremental_merge.py.
     """
     import os
-    import shutil
 
     from cassandra_sstable_to_protocolbuf_spark.landed import merge_delta_lww
-    from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
 
     base = incremental_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    work = scratch_dir("incr_merge_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "incr_merge_work", tag)
     merge_delta_lww(spark, work, replica_delta_cells(spark, sf_dir))
     return project_landed(spark.read.parquet(work))
 
@@ -677,17 +673,13 @@ def sst_shard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the primary-only LWW from scratch and applies the
     same key predicate; the deleted table must match exactly."""
     import os
-    import shutil
 
     from cassandra_sstable_to_protocolbuf_spark.landed import delete_keys_lww
-    from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
 
     base = incremental_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    work = scratch_dir("shard_delete_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "shard_delete_work", tag)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     keys = (li.filter(F.col("l_orderkey") % 7 == 0)
             .select(F.encode(F.concat_ws("|", "l_orderkey", "l_linenumber"),
@@ -795,18 +787,14 @@ def sst_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuum are pinned by tests/test_versioned.py.
     """
     import os
-    import shutil
 
-    from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
         merge_versioned, read_version)
 
     base = versioned_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    work = scratch_dir("time_travel_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "time_travel_work", tag)
     v1 = merge_versioned(spark, work, replica_delta_cells(spark, sf_dir))
     assert v1 == 1, f"expected first merge to commit v1, got v{v1}"
     tagged = [project_landed(read_version(spark, work, v))
@@ -909,18 +897,14 @@ def sst_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     where sst_time_travel gates the CoW side. Compaction invariance and
     the O(delta) commit shape are pinned by tests/test_versioned.py."""
     import os
-    import shutil
 
-    from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
         append_versioned, read_merged)
 
     base = versioned_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    work = scratch_dir("mor_merge_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "mor_merge_work", tag)
     v = append_versioned(spark, work, replica_delta_cells(spark, sf_dir))
     assert v == 1, f"expected MoR append to commit v1, got v{v}"
     return project_landed(read_merged(spark, work))
@@ -939,18 +923,14 @@ def sst_compacted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sst_mor_merge opens (which gates the pre-compaction read-time
     merge)."""
     import os
-    import shutil
 
-    from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
         append_versioned, compact_versioned, read_version)
 
     base = versioned_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
-    work = scratch_dir("compacted_merge_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "compacted_merge_work", tag)
     append_versioned(spark, work, replica_delta_cells(spark, sf_dir))
     v = compact_versioned(spark, work)
     assert v == 2, f"expected compaction to commit v2, got v{v}"

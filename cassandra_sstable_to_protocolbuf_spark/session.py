@@ -212,3 +212,17 @@ def clone_tree(src: str, dst: str) -> None:
             shutil.copy2(s, d)
 
     shutil.copytree(src, dst, copy_function=link_or_copy)
+
+
+def work_clone(base_dir: str, name: str, tag: str) -> str:
+    """Fresh hardlink working copy of a pristine content-addressed base
+    table under the session scratch root (the clone_tree contract needs
+    a non-existent destination, so the scratch dir is removed after
+    allocation). One helper because every mutate-a-cloned-base gate
+    repeats this dance."""
+    import shutil
+
+    work = scratch_dir(name, tag, fresh=True)
+    shutil.rmtree(work, ignore_errors=True)
+    clone_tree(base_dir, work)
+    return work

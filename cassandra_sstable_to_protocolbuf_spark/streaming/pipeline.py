@@ -527,7 +527,7 @@ def stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
         incremental_base_dir, project_landed, replica_delta_cells)
     from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+        scratch_dir, work_clone)
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     # spool the delta as 4 files -> 4 micro-batches under availableNow
@@ -535,11 +535,8 @@ def stream_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (replica_delta_cells(spark, sf_dir)
      .repartition(4).write.mode("overwrite").parquet(spool))
 
-    import shutil
     base = incremental_base_dir(spark, sf_dir)
-    work = scratch_dir("incr_stream_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "incr_stream_work", tag)
 
     schema = spark.read.parquet(spool).schema
     stream = (spark.readStream.schema(schema)
@@ -607,12 +604,11 @@ def stream_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-time-merged final snapshot against the batch oracle's
     from-scratch LWW over all sstables."""
     import os
-    import shutil
 
     from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
         project_landed, replica_delta_cells, versioned_base_dir)
     from cassandra_sstable_to_protocolbuf_spark.session import (
-        clone_tree, scratch_dir)
+        scratch_dir, work_clone)
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
         append_versioned, current_version, read_merged)
 
@@ -622,9 +618,7 @@ def stream_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
      .repartition(4).write.mode("overwrite").parquet(spool))
 
     base = versioned_base_dir(spark, sf_dir)
-    work = scratch_dir("ver_stream_work", tag, fresh=True)
-    shutil.rmtree(work, ignore_errors=True)
-    clone_tree(base, work)
+    work = work_clone(base, "ver_stream_work", tag)
 
     schema = spark.read.parquet(spool).schema
     stream = (spark.readStream.schema(schema)

@@ -82,14 +82,15 @@ def list_versions(table_dir: str) -> list[int]:
 def read_manifest(table_dir: str, version: int | None = None) -> dict:
     """The committed manifest for `version` (default: current). Raises
     FileNotFoundError for a vacuumed/never-committed version."""
+    cur = current_version(table_dir)
     if version is None:
-        version = current_version(table_dir)
+        version = cur
     path = _manifest_path(table_dir, version)
     # a manifest above _current is an uncommitted crash leftover whose
     # data files vacuum may already have reclaimed -- serving it (or
     # letting restore_version re-commit it) would publish a snapshot of
     # dangling paths
-    if version > current_version(table_dir) or not os.path.exists(path):
+    if version > cur or not os.path.exists(path):
         raise FileNotFoundError(
             f"version {version} of {table_dir} does not exist "
             f"(never committed, or reclaimed by vacuum)")

@@ -142,14 +142,32 @@ def main() -> None:
         spread[name] = {"min": mn, "max": round(max(runs), 3)}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    # The driver captures only the LAST 2000 chars of stdout; a 72-query
+    # timings dict inlined here (~5.9 KB in round 3) overflowed that window
+    # and the round's bench went unrecorded (BENCH_r03.json parsed: null).
+    # Print a compact summary line (<500 chars) and write the per-query
+    # timings + min/max spread to a committed sidecar instead.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "queries": timings,
+            "query_spread": spread,
+        }, f, indent=1, sort_keys=True)
+    line = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "query_spread": spread,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    })
+    assert len(line) < 500, f"bench summary line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -59,23 +59,58 @@ def compact_cells(cells: DataFrame, n_outputs: int = 1,
       shadowed; a newer generation's partition delete does not suppress
       an older generation's cells.
     * respect_tombstones=True (Cassandra's reconciliation): requires
-      `cells` read with live_only=False so PARTITION markers carry
-      markedForDeleteAt in writeTime; every LIVE cell with
-      writeTime <= max(markedForDeleteAt over the key's tombstones,
-      ANY file) is shadowed, cross-file included, then tombstones are
-      purged. This is what stops a compaction from resurrecting data
-      deleted in a newer generation.
+      `cells` read with live_only=False so tombstone atoms survive to
+      this operator. Shadowing is applied at ALL THREE granularities,
+      cross-file included, with Cassandra's tie rule (a tombstone at
+      the same timestamp beats the cell):
+        - partition: LIVE cells with writeTime <= max(markedForDeleteAt
+          over the key's non-live PARTITION markers) drop;
+        - cell: LIVE cells with writeTime <= max(timestamp over DELETED
+          cells of the same (key, name)) drop;
+        - range: LIVE cells whose name lies in [start, end] of a
+          RANGE_TOMBSTONE of the same key (start = its name, end = its
+          value, both bounds inclusive per the 2.0 on-disk bounds) with
+          writeTime <= its markedForDeleteAt drop.
+      Then tombstones themselves are purged (gc_grace=0). This is what
+      stops a compaction from resurrecting data deleted -- by any
+      deletion kind -- in a newer generation.
+
+    Scale shape of the shadow joins: partition and cell tombstone sets
+    aggregate to one row per deleted key / (key, name) before joining
+    (equi-joins on the hash-partitioned key, map-side combinable); the
+    range-tombstone pass is an equi-join on key with the [start, end]
+    bound check as a residual predicate -- tombstones are a vanishing
+    fraction of cells, so each pass is a broadcast-sized right side in
+    practice while staying a plain shuffled join at worst.
     """
     if respect_tombstones:
         tombs = (cells.filter((F.col("cell_kind") == "PARTITION")
                               & ~F.col("partition_deletion_live"))
                  .groupBy("key")
                  .agg(F.max("writeTime").alias("_tomb_ts")))
+        cell_tombs = (cells.filter(F.col("cell_kind") == "DELETED")
+                      .groupBy("key", "name")
+                      .agg(F.max("writeTime").alias("_cell_tomb_ts")))
+        range_tombs = (cells.filter(F.col("cell_kind") == "RANGE_TOMBSTONE")
+                       .select(F.col("key").alias("_rt_key"),
+                               F.col("name").alias("_rt_start"),
+                               F.col("value").alias("_rt_end"),
+                               F.col("writeTime").alias("_rt_ts")))
         live = (cells.filter(F.col("cell_kind") == "LIVE")
                 .join(tombs, "key", "left")
                 .filter(F.col("_tomb_ts").isNull()
                         | (F.col("writeTime") > F.col("_tomb_ts")))
-                .drop("_tomb_ts"))
+                .drop("_tomb_ts")
+                .join(cell_tombs, ["key", "name"], "left")
+                .filter(F.col("_cell_tomb_ts").isNull()
+                        | (F.col("writeTime") > F.col("_cell_tomb_ts")))
+                .drop("_cell_tomb_ts")
+                .join(range_tombs,
+                      (F.col("key") == F.col("_rt_key"))
+                      & (F.col("name") >= F.col("_rt_start"))
+                      & (F.col("name") <= F.col("_rt_end"))
+                      & (F.col("writeTime") <= F.col("_rt_ts")),
+                      "left_anti"))
         from cassandra_sstable_to_protocolbuf_spark.landed import lww_winners
         lww = lww_winners(live)
     else:

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.operators.text import fingerprint, shingles, tokens
+from cassandra_sstable_to_protocolbuf_spark.session import pin
 
 SIMHASH_BITS = 60
 SIMHASH_BANDS = 4
@@ -69,7 +70,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
     # downstream anti-join stays a narrow broadcast over the cached
     # rows). MEMORY_AND_DISK spills; at real scale this materializes to
     # storage instead.
-    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sh = pin(doc_shingles(docs, text_col, id_col, n))
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").count()
                .filter(F.col("count") > max_shingle_df).select("shingle"))
@@ -151,7 +152,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
     # tokenize+shingle chain re-runs per consumer. One row per doc;
     # MEMORY_AND_DISK spills gracefully when a corpus outgrows memory
     # (at real scale you'd checkpoint this to storage instead).
-    base = toks.select("doc_id", shingles(F.col("t")).alias("sh")).cache()
+    base = pin(toks.select("doc_id", shingles(F.col("t")).alias("sh")))
     # explode + codegen'd hash aggregation, NOT 63 interpreted HOF
     # transforms over the shingle array: each md5 code is computed ONCE
     # per (doc, shingle) row and all permutation mins run as JVM
@@ -171,7 +172,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.5,
         for t in range(n_bands)])
     # cache: both band self-join sides read the signatures (AQE's
     # broadcast defeats ReusedExchange, same as simhash_pairs)
-    mins = mins.cache()
+    mins = pin(mins)
     ex = mins.select("doc_id", F.posexplode(bands).alias("band", "bsig"))
     a_side = ex.select("band", "bsig", F.col("doc_id").alias("d1"))
     b_side = ex.select("band", "bsig", F.col("doc_id").alias("d2"))
@@ -254,7 +255,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
     # the cache the whole explode+60-aggregate signature stage runs
     # twice. One signature row per doc, so the cache is tiny even at
     # corpus scale (n_docs x 16 bytes).
-    sh = simhash(docs, text_col, id_col).cache()
+    sh = pin(simhash(docs, text_col, id_col))
     return _simhash_band_pairs(sh, max_hamming)
 
 
@@ -313,7 +314,7 @@ def simhash_components(docs: DataFrame, max_hamming: int = 3,
     equals the pair-graph label doc for doc.
     """
     # simhash() canonicalizes the id column to 'doc_id' internally
-    sh = simhash(docs, text_col, id_col).cache()
+    sh = pin(simhash(docs, text_col, id_col))
     rep = sh.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
     rep_pairs = _simhash_band_pairs(
         rep.select(F.col("rep_id").alias("doc_id"), "simhash"), max_hamming)
@@ -464,7 +465,7 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.6,
     for subset/quotation duplication that a Jaccard threshold misses.
     Same inverted-index join shape (and hot-shingle cap) as
     ngram_jaccard_pairs; both directions surface as separate rows."""
-    sh = doc_shingles(docs, text_col, id_col, n).cache()
+    sh = pin(doc_shingles(docs, text_col, id_col, n))
     if max_shingle_df is not None:
         hot = (sh.groupBy("shingle").count()
                .filter(F.col("count") > max_shingle_df).select("shingle"))

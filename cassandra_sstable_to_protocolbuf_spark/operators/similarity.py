@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.types import ArrayType, LongType
+from cassandra_sstable_to_protocolbuf_spark.session import pin
 
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
@@ -192,7 +193,7 @@ def lsh_dup_pairs(corpus: DataFrame, threshold: float = 0.45,
     ex = e.select("id", F.posexplode(sig_udf("emb")).alias("t", "sig"))
     if multiprobe:  # interleaved [sig_t, probe_t]: position -> table id
         ex = ex.withColumn("t", F.floor(F.col("t") / 2).cast("int"))
-    ex = ex.cache()
+    ex = pin(ex)
     # bounded small: <= n_tables * 2^n_planes distinct buckets => broadcast
     ok_buckets = (ex.groupBy("t", "sig")
                   .agg(F.count(F.lit(1)).alias("n_members"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.operators import dedup as D
 from cassandra_sstable_to_protocolbuf_spark.operators import text as T
+from cassandra_sstable_to_protocolbuf_spark.session import pin
 
 _DUCK_TOKENS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 _DUCK_FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
@@ -574,7 +575,7 @@ def docs_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded trigram set feeds BOTH the doc-frequency agg and the
     # scoring join; cache it so the tokenize+explode runs once (same
     # ReusedExchange-vs-broadcast gap as the LSH signature frames)
-    tri = docs.select("doc_id", F.explode(tri_arr).alias("tri")).cache()
+    tri = pin(docs.select("doc_id", F.explode(tri_arr).alias("tri")))
     top = (tri.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
            .orderBy(F.desc("df"), F.asc("tri")).limit(500)
            .select("tri", F.lit(1).alias("in_top")))
@@ -697,7 +698,7 @@ def docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_for_hof_explode(spark)
     docs = _docs(spark, sf_dir)
     # feeds BOTH the count-building agg and the scoring join
-    pairs = T.bigram_pairs(docs).cache()
+    pairs = pin(T.bigram_pairs(docs))
     bigc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # context totals derive from the bigram table (vocab-sized input),
     # not from a third corpus scan

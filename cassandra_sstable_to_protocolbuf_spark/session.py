@@ -156,6 +156,43 @@ def widen(df, min_partitions: int | None = None):
     return df
 
 
+# --- pinned-cache registry -------------------------------------------------
+# A few operators pin small intermediate frames with .cache() (LSH/SimHash
+# signatures, the trigram explode, the PERMISSIVE parse) because
+# ReuseExchange does not fire across broadcast boundaries and the frames
+# feed multiple consumers. The operator returns its result lazily, so it
+# cannot unpersist after "the" action -- it never sees one. The registry
+# makes the pins sweepable by the NEXT catalog-query invocation (the
+# driver/bench run queries sequentially, so the previous query's action
+# has completed by then), bounding a long-lived session's executor
+# storage to ONE query's pins instead of an unswept accumulation.
+# Unpersisting early is always safe for .cache() frames (lineage intact,
+# worst case recompute) -- which is why localCheckpoint() frames, whose
+# lineage is truncated, are deliberately NOT registered here; those are
+# reclaimed by Spark's ContextCleaner when the driver drops the frame.
+
+_PINNED: list = []
+
+
+def pin(df):
+    """cache() a frame and register it for a later sweep_pinned()."""
+    df = df.cache()
+    _PINNED.append(df)
+    return df
+
+
+def sweep_pinned() -> int:
+    """Unpersist every registered pinned frame; returns how many."""
+    n = len(_PINNED)
+    for df in _PINNED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped; nothing to free
+    _PINNED.clear()
+    return n
+
+
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

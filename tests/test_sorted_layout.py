@@ -34,8 +34,10 @@ def test_sorted_files_are_range_disjoint(spark):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
 
-    # a one-month window intersects only its slice of the files
-    lo, hi = 1706745600000000, 1709251200000000
+    # the gated mid-January week (inside the data's Jan 1-30 span, so
+    # the intersection is NON-empty) touches only its slice of the files
+    lo, hi = 1704672000000000, 1705276800000000  # [2024-01-08, 2024-01-15)
     touched = sum(1 for s_lo, s_hi in spans if s_hi >= lo and s_lo < hi)
+    assert touched >= 1, "week window inside the data must touch >=1 file"
     assert touched <= max(1, len(spans) // 2), (
-        f"month window touches {touched}/{len(spans)} files")
+        f"week window touches {touched}/{len(spans)} files")

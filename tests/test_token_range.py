@@ -116,3 +116,63 @@ def test_compact_respect_tombstones_stops_resurrection(spark, tmp_path):
     compact(spark, d, out2).collect()  # default: per-file quirk, no shadowing
     back2 = read_native_cells(spark, out2).filter("cell_kind = 'LIVE'").collect()
     assert {bytes(r["name"]) for r in back2} == {b"old", b"new"}
+
+
+def test_compact_cell_tombstone_stops_resurrection(spark, tmp_path):
+    """A newer generation's CELL delete must shadow an older generation's
+    LIVE cell of the same (key, name) -- the round-3 advisory found the
+    cell_kind='LIVE' prefilter dropped DELETED atoms before
+    reconciliation, so the delete was silently ignored. Tie timestamps
+    go to the tombstone (Cassandra's rule); other names are untouched."""
+    from cassandra_sstable_to_protocolbuf_spark.compaction import compact
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells, write_sstable)
+
+    d = str(tmp_path / "in")
+    write_sstable(d, 1, [
+        {"key": b"K", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 5, "value": b"x"},
+            {"name": b"b", "kind": "LIVE", "timestamp": 5, "value": b"y"},
+            {"name": b"c", "kind": "LIVE", "timestamp": 5, "value": b"z"},
+        ]}])
+    write_sstable(d, 2, [
+        {"key": b"K", "cells": [
+            {"name": b"a", "kind": "DELETED", "timestamp": 10},  # newer: shadows
+            {"name": b"b", "kind": "DELETED", "timestamp": 5},   # tie: shadows
+            {"name": b"c", "kind": "DELETED", "timestamp": 3},   # older: no-op
+        ]}])
+
+    out = str(tmp_path / "out")
+    compact(spark, d, out, respect_tombstones=True).collect()
+    back = read_native_cells(spark, out).filter("cell_kind = 'LIVE'").collect()
+    assert {bytes(r["name"]) for r in back} == {b"c"}
+
+
+def test_compact_range_tombstone_stops_resurrection(spark, tmp_path):
+    """A newer generation's RANGE tombstone must shadow older LIVE cells
+    whose names fall in [start, end] (bounds inclusive) with
+    writeTime <= markedForDeleteAt; names outside the range and cells
+    written after the deletion survive."""
+    from cassandra_sstable_to_protocolbuf_spark.compaction import compact
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells, write_sstable)
+
+    d = str(tmp_path / "in")
+    write_sstable(d, 1, [
+        {"key": b"K", "cells": [
+            {"name": b"col-a", "kind": "LIVE", "timestamp": 5, "value": b"1"},
+            {"name": b"col-b", "kind": "LIVE", "timestamp": 5, "value": b"2"},
+            {"name": b"col-c", "kind": "LIVE", "timestamp": 20, "value": b"3"},
+            {"name": b"col-z", "kind": "LIVE", "timestamp": 5, "value": b"4"},
+        ]}])
+    # gen-2: range tombstone [col-a, col-c] at markedForDeleteAt=10
+    write_sstable(d, 2, [
+        {"key": b"K", "range_tombstones": [(b"col-a", b"col-c", 1, 10)],
+         "cells": []}])
+
+    out = str(tmp_path / "out")
+    compact(spark, d, out, respect_tombstones=True).collect()
+    back = read_native_cells(spark, out).filter("cell_kind = 'LIVE'").collect()
+    # col-a, col-b in range & older -> dropped; col-c newer than the
+    # deletion -> survives; col-z outside the range -> survives
+    assert {bytes(r["name"]) for r in back} == {b"col-c", b"col-z"}

@@ -94,6 +94,8 @@ HEADLINE = [
     "mm_image_features",
     "mm_audio_features",
     "mm_resize",
+    "mm_wav_decode",
+    "mm_bmp_decode",
 ]
 
 

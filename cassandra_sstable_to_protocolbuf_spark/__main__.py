@@ -32,7 +32,7 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "delete-keys <keys_file> <landed_shard_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "init-versioned <sstable_dir_or_data_file> <table_dir>\n"
+         "init-versioned [--force] <sstable_dir_or_data_file> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "merge-versioned [--mor] <delta_sstable_dir_or_data_file> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
@@ -256,9 +256,12 @@ def _versioned_spark(app: str):
     return spark
 
 
-def init_versioned_cmd(input_path: str, table_dir: str) -> int:
+def init_versioned_cmd(input_path: str, table_dir: str,
+                       force: bool = False) -> int:
     """Create version 0 of a manifest-versioned landed table from raw
-    sstables (immutable data files + manifest commit -- versioned.py)."""
+    sstables (immutable data files + manifest commit -- versioned.py).
+    Refuses an already-initialized table unless --force (a re-init
+    orphans all prior versions for the next vacuum to delete)."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells)
     from cassandra_sstable_to_protocolbuf_spark.versioned import (
@@ -266,7 +269,10 @@ def init_versioned_cmd(input_path: str, table_dir: str) -> int:
 
     spark = _versioned_spark("sstable-init-versioned")
     cells = read_native_cells(spark, input_path, live_only=True)
-    v = init_versioned(spark, cells, table_dir)
+    try:
+        v = init_versioned(spark, cells, table_dir, force=force)
+    except FileExistsError as e:
+        _die(str(e))
     m = read_manifest(table_dir, v)
     n_files = sum(len(fl) for fl in m["files"].values())
     print(f"committed v{v}: {read_version(spark, table_dir, v).count()} "
@@ -370,6 +376,9 @@ def main(argv: list[str]) -> int:
     no_grace = "--no-grace" in args
     if no_grace:
         args.remove("--no-grace")
+    force = "--force" in args
+    if force:
+        args.remove("--force")
     if len(args) == 2 and args[0] in ("table-history", "compact-versioned") \
             and not (continue_on_error or by_shard or mor or no_grace):
         if not os.path.isdir(args[1]):
@@ -389,6 +398,8 @@ def main(argv: list[str]) -> int:
         _die(USAGE)
     if cmd != "vacuum" and no_grace:
         _die(USAGE)
+    if cmd != "init-versioned" and force:
+        _die(USAGE)
     if cmd in ("restore", "vacuum"):
         # first operand is a number, not a path
         if not os.path.isdir(output_dir):
@@ -399,7 +410,7 @@ def main(argv: list[str]) -> int:
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
     if cmd == "init-versioned":
-        return init_versioned_cmd(input_path, output_dir)
+        return init_versioned_cmd(input_path, output_dir, force=force)
     if cmd == "merge-versioned":
         if not os.path.isdir(output_dir):
             _die(f"table dir does not exist: {output_dir}")

@@ -1,12 +1,20 @@
 """Multimodal column handling: opaque binary payloads + typed metadata,
 processed with Arrow-batched mapInPandas.
 
-Real image/audio codecs are not available in this environment, so the
-decode step is STUBBED: payloads with a real media type raise
-NotImplementedError at the exact seam where PIL / torchaudio / ffmpeg
-would plug in, while the deterministic 'application/x-fake' codec keeps
-the whole Spark-side pipeline -- schema, batching, partitioning, UDF
-signatures -- real and testable.
+Three codecs live behind the `_decode_payload` seam:
+
+* 'application/x-fake' -- raw bytes, the deterministic synthetic codec
+  that keeps every pipeline testable with zero dependencies;
+* 'audio/wav' -- a REAL container format, decoded with the stdlib
+  `wave` module (RIFF header walk, PCM frame extraction);
+* 'image/bmp' -- a REAL container format, decoded with a pure-struct
+  parser (BITMAPFILEHEADER/INFOHEADER, 8-bit palettized pixels,
+  bottom-up rows, 4-byte stride padding).
+
+Heavier formats (PNG/JPEG/MP3/MP4) still raise NotImplementedError at
+the same seam, where PIL / torchaudio / ffmpeg would plug in -- the wav
+and bmp paths prove the seam carries real container parsing end-to-end,
+not just a byte passthrough.
 
 Scale notes: payloads never pass through Python row-at-a-time; they move
 as Arrow binary arrays into pandas batches (mapInPandas), the decode is
@@ -18,6 +26,8 @@ width (float arrays), parquet-friendly for downstream training jobs.
 from __future__ import annotations
 
 from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,15 +69,178 @@ def attach_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+WAV_MEDIA_TYPE = "audio/wav"
+BMP_MEDIA_TYPE = "image/bmp"
+
+
+def encode_wav(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """A real WAV container: RIFF/WAVE header + mono 8-bit PCM frames,
+    written by the stdlib `wave` module (what any audio tool reads)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(samples)
+    return buf.getvalue()
+
+
+def encode_bmp(pixels: bytes, width: int) -> bytes:
+    """A real 8-bit palettized grayscale BMP: file header, 40-byte
+    BITMAPINFOHEADER, 256-entry palette, and BOTTOM-UP pixel rows padded
+    to 4-byte strides -- the exact layout image viewers open. `pixels`
+    fills rows top-down left-right; the tail of the last row pads with
+    zero pixels."""
+    import struct
+
+    if width < 1:
+        raise ValueError("bmp width must be >= 1")
+    n = len(pixels)
+    height = max(1, -(-n // width))
+    full = pixels + b"\x00" * (width * height - n)
+    stride = (width + 3) & ~3
+    pad = b"\x00" * (stride - width)
+    rows = [full[r * width:(r + 1) * width] + pad for r in range(height)]
+    pixel_data = b"".join(reversed(rows))  # bottom-up storage
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    file_header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data),
+                              0, 0, offset)
+    info_header = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8,
+                              0, len(pixel_data), 2835, 2835, 256, 0)
+    return file_header + info_header + palette + pixel_data
+
+
+def decode_bmp(payload: bytes):
+    """Parse an uncompressed 8-bit BMP: returns (width, height, pixels)
+    with pixels flattened TOP-DOWN (stride padding stripped, bottom-up
+    storage unflipped) -- what a real image decode hands downstream."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: missing BM magic")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size, width, height, planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 8 or compression != 0:
+        raise ValueError(f"only uncompressed 8-bit BMP supported, "
+                         f"got bpp={bpp} compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * height, offset=data_offset)
+    rows = raw.reshape(height, stride)[:, :width]
+    if bottom_up:
+        rows = rows[::-1]
+    return width, height, rows.reshape(-1)
+
+
 def _decode_payload(media_type: str, payload: bytes):
     """The codec seam. Real types plug in real decoders here."""
     import numpy as np
 
     if media_type == FAKE_MEDIA_TYPE:
         return np.frombuffer(payload, dtype=np.uint8)
+    if media_type == WAV_MEDIA_TYPE:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 1 or w.getnchannels() != 1:
+                raise ValueError(
+                    f"expected mono 8-bit PCM, got width="
+                    f"{w.getsampwidth()} channels={w.getnchannels()}")
+            return np.frombuffer(w.readframes(w.getnframes()),
+                                 dtype=np.uint8)
+    if media_type == BMP_MEDIA_TYPE:
+        return decode_bmp(payload)[2]
     raise NotImplementedError(
         f"no codec for {media_type} in this environment; install the "
         f"image/audio libraries and extend _decode_payload")
+
+
+def attach_wav_payloads(docs: DataFrame) -> DataFrame:
+    """Real-container media column: each document's utf-8 bytes become
+    the PCM samples of a genuine WAV file (header and all). Built in an
+    Arrow-batched pandas UDF -- encode cost rides the narrow map."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def wav_of(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: encode_wav(t.encode("utf-8")))
+
+    return docs.select(
+        "doc_id",
+        F.lit(WAV_MEDIA_TYPE).alias("media_type"),
+        wav_of(F.col("text")).alias("payload"),
+        F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"))
+
+
+def attach_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """Real-container media column: each document's utf-8 bytes become
+    the pixels of a genuine 8-bit BMP, width varied per doc
+    (doc_id % 13 + 4) so stride padding and multi-row layouts are all
+    exercised; the last row zero-pads to width * height."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def bmp_of(text: pd.Series, width: pd.Series) -> pd.Series:
+        return pd.Series([encode_bmp(t.encode("utf-8"), int(w))
+                          for t, w in zip(text, width)])
+
+    width = (F.col("doc_id") % 13 + 4).cast("int")
+    return docs.select(
+        "doc_id",
+        F.lit(BMP_MEDIA_TYPE).alias("media_type"),
+        bmp_of(F.col("text"), width).alias("payload"),
+        width.alias("width"),
+        F.lit(0).cast("int").alias("height"))
+
+
+IMAGE_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("n_pixels", LongType(), False),
+    StructField("pixel_sum", LongType(), False),
+    StructField("mean_pixel", DoubleType(), False),
+])
+
+
+def extract_image_stats(media: DataFrame) -> DataFrame:
+    """Decode image containers and emit per-image pixel statistics.
+    Width/height come from the DECODED header (not the metadata
+    columns), so the gate certifies the container round-trip, not a
+    passthrough. Integer-exact sum; mean is one exact-int division."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
+                                           pdf["payload"]):
+                if mt != BMP_MEDIA_TYPE:
+                    raise NotImplementedError(f"no image decoder for {mt}")
+                w, h, px = decode_bmp(bytes(payload))
+                n = len(px)
+                out.append({"doc_id": doc_id, "width": w, "height": h,
+                            "n_pixels": n, "pixel_sum": int(px.sum()),
+                            "mean_pixel": float(int(px.sum())) / max(n, 1)})
+            yield pd.DataFrame(out)
+
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    return widen(media).mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 def extract_features(media: DataFrame) -> DataFrame:

@@ -304,6 +304,12 @@ CATALOG: dict[str, QueryDef] = {
                                 "every-Nth byte-frame sampling (explode, no shuffle)"),
     "mm_frame_dedup": QueryDef(R.mm_frame_dedup, R.MM_FRAME_DEDUP_SQL,
                                "consecutive-duplicate frame removal (video dedup shape)"),
+    "mm_wav_decode": QueryDef(R.mm_wav_decode, R.MM_WAV_DECODE_SQL,
+                              "REAL WAV container encode->decode round-trip "
+                              "(stdlib wave parser behind the codec seam)"),
+    "mm_bmp_decode": QueryDef(R.mm_bmp_decode, R.MM_BMP_DECODE_SQL,
+                              "REAL 8-bit BMP container round-trip (struct "
+                              "parser: header, bottom-up rows, stride pad)"),
     "mm_resize": QueryDef(R.mm_resize, R.MM_RESIZE_SQL,
                           "nearest-neighbor payload resize (Arrow codec seam)"),
     # --- text analysis + dedup (north-star extensions) --------------------

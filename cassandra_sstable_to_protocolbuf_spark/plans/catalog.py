@@ -325,6 +325,9 @@ CATALOG: dict[str, QueryDef] = {
                                  "content fingerprint + shard"),
     "docs_exact_dedup": QueryDef(TX.docs_exact_dedup, TX.DOCS_EXACT_DEDUP_SQL,
                                  "exact dedup on fingerprint"),
+    "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
+                               "span-level exact-substring duplication audit "
+                               "(tokens covered by cross-doc 8-token windows)"),
     "docs_ngram_jaccard": QueryDef(TX.docs_ngram_jaccard, TX.DOCS_NGRAM_JACCARD_SQL,
                                    "exact near-dup pairs (shingle inverted index)"),
     "docs_containment_pairs": QueryDef(TX.docs_containment_pairs,

@@ -183,6 +183,39 @@ GROUP BY 1
 """
 
 
+def docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication audit over the replica
+    corpus: per-doc counts of tokens covered by an 8-token window that
+    occurs verbatim in another document (operators/dedup.dup_span_stats
+    -- the copied-passage detector whole-doc and set-similarity dedup
+    both miss)."""
+    return D.dup_span_stats(_dedup_corpus(spark, sf_dir), k=8)
+
+
+DOCS_DUP_SPANS_SQL = rf"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS arr
+           FROM {_DUCK_DEDUP_CORPUS} corpus),
+n AS (SELECT doc_id, len(arr) AS n_tokens, arr FROM t),
+st AS (SELECT doc_id, arr, unnest(range(0, n_tokens - 7)) AS s
+       FROM n WHERE n_tokens >= 8),
+sh AS (SELECT doc_id, s, array_to_string(arr[s+1:s+8], ' ') AS shingle
+       FROM st),
+dup AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+ds AS (SELECT doc_id, s FROM sh JOIN dup USING (shingle)),
+cov AS (SELECT DISTINCT doc_id, s + r.range AS pos
+        FROM ds, range(0, 8) r),
+cnt AS (SELECT doc_id, COUNT(*) AS n_dup FROM cov GROUP BY doc_id)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+       CASE WHEN n.n_tokens > 0
+            THEN CAST(COALESCE(cnt.n_dup, 0) AS DOUBLE) / n.n_tokens
+            ELSE 0.0 END AS dup_ratio
+FROM n LEFT JOIN cnt USING (doc_id)
+"""
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df caps inverted-index skew: a shingle shared by >1000
     # docs contributes ~0 similarity signal but O(df^2) join cost. The

@@ -71,6 +71,7 @@ HEADLINE = [
     # training-data extensions
     "docs_exact_dedup",
     "docs_dup_spans",
+    "docs_span_scrub",
     "docs_ngram_jaccard",
     "docs_containment_pairs",
     "docs_simhash_pairs",

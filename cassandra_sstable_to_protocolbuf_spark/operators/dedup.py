@@ -485,6 +485,38 @@ def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.6,
             .filter(F.col("containment") >= threshold))
 
 
+def _dup_span_cover(docs: DataFrame, k: int, text_col: str, id_col: str):
+    """Shared core of the span-dedup pair: returns
+    (with_n: doc_id/arr/n_tokens, covered_pos: doc_id/pos) where
+    covered_pos holds each DISTINCT token position lying under some
+    k-token window that occurs verbatim in another document."""
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        tune_for_hof_explode, widen)
+
+    tune_for_hof_explode(docs.sparkSession)
+    base = widen(docs).select(F.col(id_col).alias("doc_id"),
+                              tokens(F.col(text_col)).alias("arr"))
+    with_n = base.select("doc_id", "arr", F.size("arr").alias("n_tokens"))
+    starts = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(0), F.col("n_tokens") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = (with_n.select("doc_id", "arr", F.explode(starts).alias("s"))
+          .select("doc_id", "s",
+                  F.concat_ws(" ", F.slice(F.col("arr"), F.col("s") + 1, k))
+                  .alias("shingle")))
+    dup = (sh.groupBy("shingle")
+           .agg(F.count_distinct("doc_id").alias("df"))
+           .filter(F.col("df") >= 2)
+           .select("shingle"))
+    covered_pos = (sh.join(dup, "shingle")
+                   .select("doc_id",
+                           F.explode(F.sequence(
+                               F.col("s"), F.col("s") + k - 1)).alias("pos"))
+                   .distinct())
+    return with_n, covered_pos
+
+
 def dup_span_stats(docs: DataFrame, k: int = 8,
                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Span-level EXACT-substring duplication audit (the Lee et al. 2022
@@ -505,32 +537,9 @@ def dup_span_stats(docs: DataFrame, k: int = 8,
     counting. No all-pairs anywhere; suffix automata are the exotic
     alternative, this is the standard distributed shape.
     """
-    from cassandra_sstable_to_protocolbuf_spark.session import (
-        tune_for_hof_explode, widen)
-
-    tune_for_hof_explode(docs.sparkSession)
-    base = widen(docs).select(F.col(id_col).alias("doc_id"),
-                              tokens(F.col(text_col)).alias("arr"))
-    with_n = base.select("doc_id", "arr", F.size("arr").alias("n_tokens"))
+    with_n, covered_pos = _dup_span_cover(docs, k, text_col, id_col)
     per_doc = with_n.select("doc_id", "n_tokens")
-    starts = F.when(
-        F.col("n_tokens") >= k,
-        F.sequence(F.lit(0), F.col("n_tokens") - k)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = (with_n.select("doc_id", "arr", F.explode(starts).alias("s"))
-          .select("doc_id", "s",
-                  F.concat_ws(" ", F.slice(F.col("arr"), F.col("s") + 1, k))
-                  .alias("shingle")))
-    dup = (sh.groupBy("shingle")
-           .agg(F.count_distinct("doc_id").alias("df"))
-           .filter(F.col("df") >= 2)
-           .select("shingle"))
-    covered = (sh.join(dup, "shingle")
-               .select("doc_id",
-                       F.explode(F.sequence(F.col("s"),
-                                            F.col("s") + k - 1)).alias("pos"))
-               .distinct()
-               .groupBy("doc_id")
+    covered = (covered_pos.groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_dup_tokens")))
     return (per_doc.join(covered, "doc_id", "left")
             .select("doc_id",
@@ -541,3 +550,35 @@ def dup_span_stats(docs: DataFrame, k: int = 8,
                            F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
                            / F.col("n_tokens").cast("double"))
                     .otherwise(F.lit(0.0)).alias("dup_ratio")))
+
+
+def scrub_dup_spans(docs: DataFrame, k: int = 8,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The ACTIONABLE half of the span-dedup pair: rewrite each document
+    with its duplicated spans REMOVED (tokens under any cross-doc
+    k-window dropped, survivors rejoined in original order with single
+    spaces). Emits the cleaned text's md5 fingerprint rather than the
+    text itself -- gate-friendly, and what a dedup ledger stores anyway.
+
+    Scale shape: the cover computation is shared with dup_span_stats;
+    the rebuild posexplodes tokens (O(corpus tokens)), anti-joins the
+    covered positions, and reassembles per doc with
+    sort_array(collect_list(struct(pos, tok))) -- one extra shuffle on
+    doc_id, bounded per-doc state, no all-pairs."""
+    with_n, covered_pos = _dup_span_cover(docs, k, text_col, id_col)
+    toks = with_n.select(
+        "doc_id", F.posexplode("arr").alias("pos", "tok"))
+    kept = toks.join(covered_pos, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(" ", F.transform(
+                   F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                   lambda st: st.tok)).alias("scrubbed"),
+                    F.count(F.lit(1)).alias("n_kept")))
+    return (with_n.select("doc_id", "n_tokens")
+            .join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.coalesce("n_kept", F.lit(0)).cast("long")
+                    .alias("n_kept"),
+                    F.md5(F.coalesce("scrubbed", F.lit("")))
+                    .alias("scrubbed_fp")))

@@ -328,6 +328,9 @@ CATALOG: dict[str, QueryDef] = {
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),
+    "docs_span_scrub": QueryDef(TX.docs_span_scrub, TX.DOCS_SPAN_SCRUB_SQL,
+                                "span dedup applied: duplicated windows "
+                                "removed, cleaned-text fingerprint emitted"),
     "docs_ngram_jaccard": QueryDef(TX.docs_ngram_jaccard, TX.DOCS_NGRAM_JACCARD_SQL,
                                    "exact near-dup pairs (shingle inverted index)"),
     "docs_containment_pairs": QueryDef(TX.docs_containment_pairs,

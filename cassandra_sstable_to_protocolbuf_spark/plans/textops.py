@@ -216,6 +216,44 @@ FROM n LEFT JOIN cnt USING (doc_id)
 """
 
 
+def docs_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable half of span dedup: documents rewritten with their
+    cross-doc duplicated 8-token windows REMOVED, emitted as kept-token
+    counts + an md5 fingerprint of the cleaned text (what a dedup ledger
+    stores). A fully-duplicated replica scrubs to the empty string."""
+    return D.scrub_dup_spans(_dedup_corpus(spark, sf_dir), k=8)
+
+
+DOCS_SPAN_SCRUB_SQL = rf"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS arr
+           FROM {_DUCK_DEDUP_CORPUS} corpus),
+n AS (SELECT doc_id, len(arr) AS n_tokens, arr FROM t),
+st AS (SELECT doc_id, arr, unnest(range(0, n_tokens - 7)) AS s
+       FROM n WHERE n_tokens >= 8),
+sh AS (SELECT doc_id, s, array_to_string(arr[s+1:s+8], ' ') AS shingle
+       FROM st),
+dup AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(DISTINCT doc_id) >= 2),
+ds AS (SELECT doc_id, s FROM sh JOIN dup USING (shingle)),
+cov AS (SELECT DISTINCT doc_id, s + r.range AS pos
+        FROM ds, range(0, 8) r),
+toks AS (SELECT doc_id, unnest(range(0, n_tokens)) AS pos, arr FROM n),
+kept AS (SELECT t2.doc_id, t2.pos, t2.arr[t2.pos + 1] AS tok
+         FROM toks t2 LEFT JOIN cov
+           ON t2.doc_id = cov.doc_id AND t2.pos = cov.pos
+         WHERE cov.doc_id IS NULL),
+rebuilt AS (SELECT doc_id,
+                   COUNT(*) AS n_kept,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS scrubbed_fp
+            FROM kept GROUP BY doc_id)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(r.scrubbed_fp, md5('')) AS scrubbed_fp
+FROM n LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def docs_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_shingle_df caps inverted-index skew: a shingle shared by >1000
     # docs contributes ~0 similarity signal but O(df^2) join cost. The

@@ -159,3 +159,20 @@ def test_weighted_priority_sample_matches_python_model(spark):
     model = sorted(((k, pri(k, w)) for k, w in rows),
                    key=lambda t: (-t[1], t[0]))[:50]
     assert got == model
+
+
+def test_widen_is_a_noop_for_well_partitioned_inputs(spark):
+    """widen() exists to rescue single-row-group local fixtures; at real
+    scale inputs arrive with >= cores splits and widen must NOT inject a
+    repartition (an accidental corpus shuffle before every narrow map
+    would be a 100 TB regression)."""
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    cores = spark.sparkContext.defaultParallelism
+    wide_df = spark.range(0, 10_000, 1, cores + 4)
+    assert widen(wide_df) is wide_df  # same object: no plan change at all
+
+    narrow_df = spark.range(0, 10_000, 1, 1)
+    widened = widen(narrow_df)
+    assert widened is not narrow_df
+    assert widened.rdd.getNumPartitions() >= cores

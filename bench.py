@@ -77,6 +77,8 @@ HEADLINE = [
     "docs_simhash_pairs",
     "docs_minhash_lsh",
     "docs_dup_clusters",
+    "docs_leakage_safe_split",
+    "docs_chunk_windows",
     "docs_stratified_sample",
     "docs_weighted_sample",
     "docs_pack_sequences",

@@ -328,6 +328,14 @@ CATALOG: dict[str, QueryDef] = {
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),
+    "docs_leakage_safe_split": QueryDef(TX.docs_leakage_safe_split,
+                                        TX.DOCS_LEAKAGE_SPLIT_SQL,
+                                        "dedup-aware train/val/test split "
+                                        "(near-dup clusters stay together)"),
+    "docs_chunk_windows": QueryDef(TX.docs_chunk_windows,
+                                   TX.DOCS_CHUNK_WINDOWS_SQL,
+                                   "context-window chunking: 64-token chunks "
+                                   "on a 48-token stride, per-chunk ledger"),
     "docs_span_scrub": QueryDef(TX.docs_span_scrub, TX.DOCS_SPAN_SCRUB_SQL,
                                 "span dedup applied: duplicated windows "
                                 "removed, cleaned-text fingerprint emitted"),

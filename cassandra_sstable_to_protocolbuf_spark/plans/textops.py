@@ -362,6 +362,122 @@ FROM labeled
 """
 
 
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: the split is a deterministic
+    hash of the near-dup CLUSTER id, not the doc id, so every member of
+    a near-duplicate cluster lands in the SAME split -- the assignment
+    that prevents eval contamination when train and test would otherwise
+    each get a copy of the same document. 90/5/5 by bucket; singleton
+    docs are their own cluster. Retry-stable (pure hash, no RNG).
+
+    Scale: reuses the SimHash connected-components labeling (banded
+    equi-join + label propagation); the split itself is one codegen
+    expression over the labeled frame."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import bucket_hash
+
+    docs = _docs(spark, sf_dir)
+    comp = D.simhash_components(docs, max_hamming=3)
+    labeled = (docs.join(comp, docs.doc_id == comp.node, "left")
+               .select(docs.doc_id,
+                       F.coalesce("cluster_id", docs.doc_id)
+                       .alias("cluster_id")))
+    bp = bucket_hash(F.col("cluster_id"))
+    split = (F.when(bp < 9000, "train")
+             .when(bp < 9500, "val").otherwise("test"))
+    return labeled.select("doc_id", "cluster_id",
+                          bp.cast("long").alias("split_bp"),
+                          split.alias("split"))
+
+
+DOCS_LEAKAGE_SPLIT_SQL = f"""
+WITH RECURSIVE
+pairs AS ({{simhash}}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION SELECT d2, d1 FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+bp AS (SELECT doc_id, cluster_id,
+              ((cluster_id % {{p}}) * {{a}} + {{c}}) % {{m}} % 10000
+                AS split_bp
+       FROM labeled)
+SELECT doc_id, cluster_id, CAST(split_bp AS BIGINT) AS split_bp,
+       CASE WHEN split_bp < 9000 THEN 'train'
+            WHEN split_bp < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM bp
+"""
+
+from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (  # noqa: E402
+    HASH_A as _HA, HASH_C as _HC, HASH_M as _HM, HASH_P as _HP)
+
+DOCS_LEAKAGE_SPLIT_SQL = DOCS_LEAKAGE_SPLIT_SQL.format(
+    simhash=DOCS_SIMHASH_SQL, p=_HP, a=_HA, c=_HC, m=_HM)
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (training/RAG prep): each document's
+    token stream is cut into 64-token chunks on a 48-token stride
+    (16-token overlap so no span is split across a boundary without a
+    copy). Emits per-chunk index/start/length and the chunk text's md5
+    (what a chunk ledger stores). Pure JVM expressions: one
+    sequence+explode and slice/concat -- a narrow map, no Python, no
+    shuffle; linear at 100 TB."""
+    from cassandra_sstable_to_protocolbuf_spark.session import tune_for_hof_explode
+
+    tune_for_hof_explode(spark)
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.col("text"))
+    toks = base.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"),
+                 lambda x: x != "").alias("arr"))
+    with_n = toks.select("doc_id", "arr", F.size("arr").alias("n"))
+    starts = F.when(F.col("n") > 0,
+                    F.sequence(F.lit(0), F.col("n") - 1,
+                               F.lit(CHUNK_STRIDE))
+                    ).otherwise(F.array().cast("array<int>"))
+    ch = (with_n.select("doc_id", "arr", "n", F.posexplode(starts)
+                        .alias("chunk_idx", "start"))
+          .select("doc_id",
+                  F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                  F.col("start").cast("long").alias("start"),
+                  F.slice(F.col("arr"), F.col("start") + 1,
+                          CHUNK_TOKENS).alias("chunk")))
+    return ch.select("doc_id", "chunk_idx", "start",
+                     F.size("chunk").cast("long").alias("n_chunk_tokens"),
+                     F.md5(F.concat_ws(" ", "chunk")).alias("chunk_fp"))
+
+
+DOCS_CHUNK_WINDOWS_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS arr FROM documents),
+n AS (SELECT doc_id, arr, len(arr) AS n FROM t),
+st AS (SELECT doc_id, arr, n,
+              unnest(range(0, n, {CHUNK_STRIDE})) AS start
+       FROM n WHERE n > 0),
+idx AS (SELECT doc_id, start,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1
+                 AS chunk_idx,
+               arr[start+1:start+{CHUNK_TOKENS}] AS chunk
+        FROM st)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(start AS BIGINT) AS start,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_fp
+FROM idx
+"""
+
+
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup candidates + exact-Jaccard verify.
     Hand-rolled universal hashing with seeded literal coefficients, so

@@ -77,3 +77,26 @@ def test_heavy_hitters_doc_frequency_not_term_frequency(spark):
            for r in heavy_hitters(df, F.col("toks"), k=2).collect()]
     # 'a' appears 3 times but in ONE doc; 'b' is in all three
     assert got == [("b", 3, 1), ("a", 1, 2)]  # tie a/c broken by text
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark):
+    """The dedup-aware split's defining property: every SimHash near-dup
+    pair lands in ONE split (a doc and its near-copy must never straddle
+    train/test), and all three splits are non-empty with roughly the
+    90/5/5 intent."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import simhash_pairs
+    from cassandra_sstable_to_protocolbuf_spark.plans.textops import (
+        _docs, docs_leakage_safe_split)
+    from tests.conftest import SF_SMOKE
+
+    split = docs_leakage_safe_split(spark, SF_SMOKE)
+    by_doc = {r["doc_id"]: r["split"] for r in split.collect()}
+    pairs = simhash_pairs(_docs(spark, SF_SMOKE), max_hamming=3).collect()
+    assert pairs, "fixture must contain near-dup pairs for this to test anything"
+    for r in pairs:
+        assert by_doc[r["d1"]] == by_doc[r["d2"]], (
+            f"near-dups {r['d1']}/{r['d2']} straddle splits: leakage")
+    from collections import Counter
+    c = Counter(by_doc.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]

@@ -42,7 +42,9 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "vacuum [--no-grace] <retain_versions> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "table-history <table_dir>")
+         "table-history <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "build-corpus <sf_dir> <out_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -345,6 +347,69 @@ def vacuum_cmd(retain: str, table_dir: str, no_grace: bool = False) -> int:
     return 0
 
 
+def build_corpus_cmd(sf_dir: str, out_dir: str) -> int:
+    """The end-to-end training-corpus build, composing the gated
+    operators into the pipeline's actual deliverable: language gate ->
+    quality gate -> repetition gate -> exact-dedup canonical ->
+    dedup-aware train/val/test split -> greedy context-window packing,
+    landed as parquet partitioned by split with a one-line JSON yield
+    summary. Every stage is the SAME plan its catalog gate certifies --
+    this command is their composition, not a re-implementation."""
+    import json as _json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.operators import text as T
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        pack_sequences)
+    from cassandra_sstable_to_protocolbuf_spark.plans.textops import (
+        docs_langid, docs_leakage_safe_split, docs_quality,
+        docs_repetition_filter)
+
+    spark = _versioned_spark("sstable-build-corpus")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    lang = docs_langid(spark, sf_dir).select(
+        "doc_id", (F.col("lang_pred") == "en").alias("l_keep"))
+    qual = docs_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep"))
+    rep = docs_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("r_keep"))
+    canon = docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")).select(
+        "doc_id",
+        (F.min("doc_id").over(Window.partitionBy("fp")) == F.col("doc_id"))
+        .alias("is_canon"))
+    split = docs_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    kept = (docs.join(lang, "doc_id").join(qual, "doc_id")
+            .join(rep, "doc_id").join(canon, "doc_id").join(split, "doc_id")
+            .filter(F.col("l_keep") & F.col("q_keep") & F.col("r_keep")
+                    & F.col("is_canon"))
+            .withColumn("n_tokens", T.token_count(F.col("text"))))
+    packed = pack_sequences(kept, "n_tokens", part_cols=("split", "lang"))
+    out_cols = ["doc_id", "text", "lang", "source", "n_tokens",
+                "seq_id", "seq_offset", "split"]
+    # one file per split dir, not one per task x split (the small-file
+    # explosion every partitionBy write invites)
+    (packed.select(*out_cols)
+     .repartition(F.col("split"))
+     .write.mode("overwrite").partitionBy("split").parquet(out_dir))
+    counts = {r["split"]: (r["n_docs"], r["n_seqs"], r["n_tokens"])
+              for r in (spark.read.parquet(out_dir)
+                        .groupBy("split")
+                        .agg(F.count(F.lit(1)).alias("n_docs"),
+                             F.count_distinct("seq_id").alias("n_seqs"),
+                             F.sum("n_tokens").alias("n_tokens"))
+                        .collect())}
+    total = docs.count()
+    summary = {"input_docs": total,
+               "kept_docs": sum(v[0] for v in counts.values()),
+               "splits": {s: {"docs": d, "seqs": q, "tokens": t}
+                          for s, (d, q, t) in sorted(counts.items())}}
+    print(_json.dumps(summary))
+    return 0
+
+
 def table_history_cmd(table_dir: str) -> int:
     """List every retained snapshot: version, shard/file counts, and
     which one `_current` points at. Driver-only (no Spark session)."""
@@ -386,7 +451,8 @@ def main(argv: list[str]) -> int:
         return (table_history_cmd if args[0] == "table-history"
                 else compact_versioned_cmd)(args[1])
     commands = ("convert", "to-parquet", "compact", "merge", "delete-keys",
-                "init-versioned", "merge-versioned", "restore", "vacuum")
+                "init-versioned", "merge-versioned", "restore", "vacuum",
+                "build-corpus")
     if len(args) != 3 or args[0] not in commands:
         _die(USAGE)
     cmd, input_path, output_dir = args
@@ -409,6 +475,10 @@ def main(argv: list[str]) -> int:
         return restore_cmd(input_path, output_dir)
     if not os.path.exists(input_path):
         _die(f"input path does not exist: {input_path}")
+    if cmd == "build-corpus":
+        if not os.path.isdir(input_path):
+            _die(f"sf dir does not exist: {input_path}")
+        return build_corpus_cmd(input_path, output_dir)
     if cmd == "init-versioned":
         return init_versioned_cmd(input_path, output_dir, force=force)
     if cmd == "merge-versioned":

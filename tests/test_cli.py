@@ -307,3 +307,31 @@ def test_versioned_mor_and_compact_cli(tmp_path):
     r = _run("compact-versioned", table)
     assert r.returncode == 0
     assert "already compact: table stays at v2" in r.stdout
+
+
+def test_build_corpus_end_to_end(tmp_path):
+    """The composed training-corpus build through the real CLI: gates ->
+    dedup -> leakage-safe split -> packing, landed as split-partitioned
+    parquet with a JSON yield summary."""
+    import json
+
+    out = str(tmp_path / "corpus")
+    r = _run("build-corpus", "/root/testdata/sf0.001", out, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["kept_docs"] < summary["input_docs"]  # gates really gate
+    assert set(summary["splits"]) == {"train", "val", "test"}
+    for s in summary["splits"].values():
+        assert s["docs"] > 0 and s["seqs"] > 0 and s["tokens"] > 0
+
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT split, COUNT(*), COUNT(DISTINCT doc_id) FROM "
+        f"read_parquet('{out}/*/*.parquet', hive_partitioning=1) GROUP BY 1"
+    ).fetchall()
+    assert {r0[0] for r0 in rows} == {"train", "val", "test"}
+    # docs land in exactly one split and match the summary
+    total = sum(r0[1] for r0 in rows)
+    assert total == summary["kept_docs"]
+    assert all(r0[1] == r0[2] for r0 in rows)  # no doc duplicated in a split

@@ -130,3 +130,30 @@ def test_bmp_rejects_unsupported_layouts():
     bmp[28] = 24  # claim 24-bit pixels
     with pytest.raises(ValueError, match="8-bit"):
         decode_bmp(bytes(bmp))
+
+
+def test_codec_fuzz_controlled_errors_only():
+    """Malformed containers must fail with controlled errors (ValueError
+    or the stdlib wave.Error), never crash the decoder with index errors
+    or misparse into bogus pixel arrays."""
+    import wave as wave_mod
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        BMP_MEDIA_TYPE, WAV_MEDIA_TYPE)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def fuzz(payload):
+        for mt, allowed in ((BMP_MEDIA_TYPE, (ValueError, struct_error)),
+                            (WAV_MEDIA_TYPE, (ValueError, wave_mod.Error,
+                                              EOFError))):
+            try:
+                _decode_payload(mt, payload)
+            except allowed:
+                pass  # controlled rejection is the contract
+
+    from struct import error as struct_error
+    fuzz()

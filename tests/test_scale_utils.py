@@ -176,3 +176,23 @@ def test_widen_is_a_noop_for_well_partitioned_inputs(spark):
     widened = widen(narrow_df)
     assert widened is not narrow_df
     assert widened.rdd.getNumPartitions() >= cores
+
+
+def test_chunker_plan_is_a_pure_narrow_map(spark):
+    """docs_chunk_windows must compile to a scan + generate + project --
+    NO aggregate, NO join, and no shuffle beyond the local-fixture widen
+    (RoundRobin repartition of the one-row-group input). At 100 TB a
+    chunker that shuffles or aggregates would be a scale bug."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+    from tests.conftest import SF_SMOKE
+
+    plan = _explain(CATALOG["docs_chunk_windows"].fn(spark, SF_SMOKE))
+    assert "Generate" in plan  # the sequence+posexplode
+    for op in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin",
+               "Window "):
+        assert op not in plan, f"chunker plan grew a {op.strip()}"
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(k == "RoundRobinPartitioning" for k in exchanges), (
+        f"chunker shuffles on {exchanges} -- only the widen round-robin "
+        f"is allowed")

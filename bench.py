@@ -82,6 +82,7 @@ HEADLINE = [
     "docs_stratified_sample",
     "docs_weighted_sample",
     "docs_pack_sequences",
+    "docs_token_shards",
     "docs_heavy_hitters",
     "docs_decontaminate",
     "docs_pii_scan",

@@ -187,3 +187,78 @@ def weighted_priority_sample(df: DataFrame, weight_col: str, k: int,
                f"DIV (_u + 1)"))
            .drop("_u"))
     return out.orderBy(F.col("priority").desc(), F.col(key_col)).limit(k)
+
+
+TOKEN_SHARD_DOCS = 256  # docs per binary shard
+
+
+def export_token_shards(docs: DataFrame, out_dir: str,
+                        shard_docs: int = TOKEN_SHARD_DOCS,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """GPT-style memmap training-shard export: every document's tokens
+    become stable 32-bit ids (md5-prefix hash -- the stand-in for a real
+    BPE vocabulary, swapped at one expression), documents are grouped
+    into fixed-size shards by id range, and each shard lands as TWO
+    little-endian uint32 files: `shard-N.bin` (the concatenated token
+    stream, docs in id order) and `shard-N.idx` (per-doc token lengths,
+    same order) -- the layout a memory-mapped training dataloader
+    consumes (Megatron/nanoGPT `.bin`/`.idx` shape).
+
+    Returns a per-shard metrics DataFrame. The md5 columns hash the ids
+    READ BACK from the written files, so a consumer of the metrics has
+    end-to-end proof the on-disk bytes decode to the intended stream
+    (same write-then-verify discipline as the protobuf sink).
+
+    Scale shape: one narrow tokenize+hash map, ONE shuffle (groupBy
+    shard), one writer task per shard with bounded memory (shard_docs
+    documents); files commit via temp+rename so a retried task never
+    leaves a torn shard.
+    """
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+    from cassandra_sstable_to_protocolbuf_spark.operators.text import tokens
+
+    ids = widen(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            tokens(F.col(text_col)),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+            .cast("long")).alias("ids"))
+    sharded = ids.withColumn(
+        "shard", F.floor(F.col("doc_id") / shard_docs).cast("long"))
+
+    schema = ("shard long, n_docs long, n_tokens long, n_bytes long, "
+              "ids_md5 string, lens_md5 string")
+
+    def write_shard(key, pdf):
+        import hashlib
+        import os
+
+        import numpy as np
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        streams = [np.asarray(list(x), dtype=np.uint32) for x in pdf["ids"]]
+        flat = (np.concatenate(streams) if streams
+                else np.array([], dtype=np.uint32))
+        lens = np.asarray([len(s) for s in streams], dtype=np.uint32)
+        bin_path = os.path.join(out_dir, f"shard-{shard:05d}.bin")
+        idx_path = os.path.join(out_dir, f"shard-{shard:05d}.idx")
+        for path, arr in ((bin_path, flat), (idx_path, lens)):
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(arr.astype("<u4").tobytes())
+            os.replace(tmp, path)
+        back = np.fromfile(bin_path, dtype="<u4")
+        lens_back = np.fromfile(idx_path, dtype="<u4")
+        ids_md5 = hashlib.md5(
+            ",".join(map(str, back.tolist())).encode()).hexdigest()
+        lens_md5 = hashlib.md5(
+            ",".join(map(str, lens_back.tolist())).encode()).hexdigest()
+        return pd.DataFrame([{
+            "shard": shard, "n_docs": len(streams),
+            "n_tokens": int(lens.sum()), "n_bytes": int(flat.nbytes),
+            "ids_md5": ids_md5, "lens_md5": lens_md5}])
+
+    return sharded.groupBy("shard").applyInPandas(write_shard, schema)

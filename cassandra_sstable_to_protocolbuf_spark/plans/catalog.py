@@ -328,6 +328,10 @@ CATALOG: dict[str, QueryDef] = {
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),
+    "docs_token_shards": QueryDef(TX.docs_token_shards,
+                                  TX.DOCS_TOKEN_SHARDS_SQL,
+                                  "memmap training-shard export (.bin/.idx "
+                                  "uint32) written, read back, hash-gated"),
     "docs_leakage_safe_split": QueryDef(TX.docs_leakage_safe_split,
                                         TX.DOCS_LEAKAGE_SPLIT_SQL,
                                         "dedup-aware train/val/test split "

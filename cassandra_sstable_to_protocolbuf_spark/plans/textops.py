@@ -487,6 +487,53 @@ FROM idx
 """
 
 
+def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style memmap export certified end-to-end: documents ->
+    stable 32-bit token ids -> per-shard `.bin` (token stream) + `.idx`
+    (doc lengths) little-endian uint32 files -> READ BACK and hashed.
+    The oracle recomputes the id stream and length list per shard from
+    the raw text, so a hash match proves tokenize, shard assignment,
+    in-shard ordering, binary encode AND decode all at once."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        export_token_shards)
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, scratch_dir)
+
+    ensure_shipped(spark)
+    out = scratch_dir("token_shards", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    return export_token_shards(_docs(spark, sf_dir), out)
+
+
+DOCS_TOKEN_SHARDS_SQL = rf"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS arr FROM documents),
+sharded AS (SELECT doc_id, arr, doc_id // 256 AS shard,
+                   len(arr) AS n FROM t),
+pos AS (SELECT shard, doc_id, unnest(range(0, n)) AS pos, arr FROM sharded),
+ids AS (SELECT shard, doc_id, pos,
+               CAST(('0x' || substring(md5(arr[pos+1]), 1, 8)) AS BIGINT)
+                 AS id
+        FROM pos),
+stream AS (SELECT shard,
+                  md5(string_agg(CAST(id AS VARCHAR), ','
+                                 ORDER BY doc_id, pos)) AS ids_md5
+           FROM ids GROUP BY shard),
+lens AS (SELECT shard,
+                md5(string_agg(CAST(n AS VARCHAR), ',' ORDER BY doc_id))
+                  AS lens_md5,
+                COUNT(*) AS n_docs, SUM(n) AS n_tokens
+         FROM sharded GROUP BY shard)
+SELECT l.shard,
+       CAST(l.n_docs AS BIGINT) AS n_docs,
+       CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       CAST(l.n_tokens * 4 AS BIGINT) AS n_bytes,
+       s.ids_md5, l.lens_md5
+FROM lens l JOIN stream s USING (shard)
+"""
+
+
 def docs_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash near-dup candidates + exact-Jaccard verify.
     Hand-rolled universal hashing with seeded literal coefficients, so

@@ -29,6 +29,7 @@ HEADLINE = [
     "sst_incremental_merge",
     "sst_time_travel",
     "sst_index_lookup",
+    "sst_table_info",
     "sst_mor_merge",
     "sst_compacted_merge",
     # relational coverage
@@ -83,6 +84,7 @@ HEADLINE = [
     "docs_weighted_sample",
     "docs_pack_sequences",
     "docs_token_shards",
+    "docs_corpus_profile",
     "docs_heavy_hitters",
     "docs_decontaminate",
     "docs_pii_scan",

@@ -73,6 +73,9 @@ CATALOG: dict[str, QueryDef] = {
     "sst_permissive_scan": QueryDef(C.sst_permissive_scan,
                                     C.SST_PERMISSIVE_SCAN_SQL,
                                     "E1 at scale: one PERMISSIVE job over a corrupt-file fixture"),
+    "sst_table_info": QueryDef(C.sst_table_info, C.SST_TABLE_INFO_SQL,
+                               "sstablemetadata-style DESCRIBE: binary "
+                               "metadata components only, no data bytes"),
     "sst_compact_roundtrip": QueryDef(C.sst_compact_roundtrip,
                                       C.SST_COMPACT_ROUNDTRIP_SQL,
                                       "compaction: LWW merge -> token-sharded binary sstables -> re-read"),
@@ -328,6 +331,10 @@ CATALOG: dict[str, QueryDef] = {
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),
+    "docs_corpus_profile": QueryDef(TX.docs_corpus_profile,
+                                    TX.DOCS_CORPUS_PROFILE_SQL,
+                                    "per-(source, lang) corpus report: "
+                                    "volume, quality keep rate, dup counts"),
     "docs_token_shards": QueryDef(TX.docs_token_shards,
                                   TX.DOCS_TOKEN_SHARDS_SQL,
                                   "memmap training-shard export (.bin/.idx "

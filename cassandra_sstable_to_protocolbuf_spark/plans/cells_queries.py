@@ -938,3 +938,102 @@ def sst_compacted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SST_COMPACTED_MERGE_SQL = SST_INCREMENTAL_MERGE_SQL
+
+
+def sst_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sstablemetadata`-style DESCRIBE over REAL binary sstables,
+    metadata components only -- Descriptor (filename), Statistics.db
+    (partitioner), Summary.db (sampling interval, entry count),
+    Index.db (exact partition count, first/last token) -- the Data.db
+    payload is never opened. This is the operational look-before-you-
+    scan surface (S2+S3 standalone): at 100 TB you read table metadata
+    constantly and data rarely.
+
+    The oracle recomputes every field from the LOGICAL cell table (md5
+    tokens, the writer's summary sampling arithmetic), so a hash match
+    certifies the binary metadata parsers against ground truth.
+
+    Scale: one task per sstable via mapInPandas over the file list --
+    O(#sstables) metadata reads, zero data bytes."""
+    import glob
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    fixture = _native_fixture_dir(spark, sf_dir)
+    paths = sorted(glob.glob(os.path.join(fixture, "**", "*-Data.db"),
+                             recursive=True))
+    pdf = spark.createDataFrame([(p,) for p in paths], "data_path string")
+
+    schema = ("sstable_id string, version string, generation long, "
+              "partitioner string, compressed boolean, "
+              "n_partitions long, index_interval long, "
+              "n_summary_entries long, first_token string, "
+              "last_token string")
+
+    def describe(it):
+        import hashlib
+        import os as _os
+
+        import pandas as pd
+
+        from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+            DATA_SUFFIX, Descriptor, load_summary, read_index,
+            read_statistics)
+
+        for batch in it:
+            out = []
+            for data_path in batch["data_path"]:
+                base = data_path[:-len(DATA_SUFFIX)]
+                try:
+                    d = Descriptor.from_filename(data_path)
+                    sid, version, gen = d.cf, d.version, d.generation
+                except ValueError:  # unnamed fixture layout
+                    sid, version, gen = _os.path.basename(base), "", 0
+                stats = read_statistics(base + "-Statistics.db")
+                entries = read_index(base + "-Index.db")
+                summary = load_summary(data_path)
+                keys = [k for k, _off in entries]
+                out.append({
+                    "sstable_id": sid,
+                    "version": version,
+                    "generation": gen,
+                    "partitioner": stats["partitioner"].rsplit(".", 1)[-1],
+                    "compressed": _os.path.exists(
+                        base + "-CompressionInfo.db"),
+                    "n_partitions": len(keys),
+                    "index_interval": (summary or {}).get("interval", 0),
+                    "n_summary_entries": len((summary or {}).get(
+                        "entries", ())),
+                    "first_token": hashlib.md5(keys[0]).hexdigest()
+                    if keys else "",
+                    "last_token": hashlib.md5(keys[-1]).hexdigest()
+                    if keys else "",
+                })
+            yield pd.DataFrame(out)
+
+    return pdf.mapInPandas(describe, schema)
+
+
+# The writer emits full Cassandra naming ks-<id>-ka-1-Data.db, so every
+# file parses as version 'ka' generation 1 with cf = the engine's
+# sstable_id; Summary sampling is every 128th index entry starting at 0
+# => ceil(parts / 128) entries. Every field recomputed from the logical
+# cells.
+SST_TABLE_INFO_SQL = f"""
+{cells_cte()}
+SELECT sstable_id,
+       'ka' AS version,
+       CAST(1 AS BIGINT) AS generation,
+       'RandomPartitioner' AS partitioner,
+       TRUE AS compressed,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_partitions,
+       CAST(128 AS BIGINT) AS index_interval,
+       CAST((COUNT(DISTINCT key) + 127) // 128 AS BIGINT)
+         AS n_summary_entries,
+       MIN(md5(key)) AS first_token,
+       MAX(md5(key)) AS last_token
+FROM cells
+GROUP BY sstable_id
+"""

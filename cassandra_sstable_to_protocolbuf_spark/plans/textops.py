@@ -487,6 +487,64 @@ FROM idx
 """
 
 
+def docs_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-stop corpus report a pipeline owner reads first: per
+    (source, lang) document counts, token/char volume, quality-gate keep
+    counts and rate, and exact-duplicate counts -- the numbers that
+    decide which domains to up/down-weight and where dedup effort goes.
+    Composes the gated per-doc frames (quality, fingerprint) into one
+    grouped aggregate: token sums are exact integers, the rate is one
+    trailing division.
+
+    Scale: two doc_id-keyed joins of per-doc flag frames, then ONE hash
+    agg keyed by (source, lang) -- a handful of output rows, map-side
+    combinable."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    qual = docs_quality(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    dup = docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")).select(
+        "doc_id",
+        (F.min("doc_id").over(Window.partitionBy("fp")) != F.col("doc_id"))
+        .alias("is_dup"))
+    base = (docs.select("doc_id", "source", "lang",
+                        F.length("text").alias("n_chars"))
+            .join(qual, "doc_id").join(dup, "doc_id"))
+    return (base.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.sum("n_chars").alias("n_chars"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+                 F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+                 .alias("n_exact_dups"))
+            .withColumn("keep_rate",
+                        F.col("n_keep").cast("double")
+                        / F.col("n_docs").cast("double")))
+
+
+DOCS_CORPUS_PROFILE_SQL = f"""
+WITH q AS ({DOCS_QUALITY_SQL}),
+dup AS (SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY {_DUCK_FP}) <> doc_id AS is_dup
+        FROM documents),
+base AS (SELECT d.doc_id, d.source, d.lang, length(d.text) AS n_chars,
+                q.n_tokens, q.keep, dup.is_dup
+         FROM documents d JOIN q USING (doc_id) JOIN dup USING (doc_id))
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dups,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS keep_rate
+FROM base
+GROUP BY source, lang
+"""
+
+
 def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style memmap export certified end-to-end: documents ->
     stable 32-bit token ids -> per-shard `.bin` (token stream) + `.idx`

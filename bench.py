@@ -103,6 +103,7 @@ HEADLINE = [
     "mm_resize",
     "mm_wav_decode",
     "mm_bmp_decode",
+    "mm_png_decode",
 ]
 
 

@@ -143,6 +143,132 @@ def decode_bmp(payload: bytes):
     return width, height, rows.reshape(-1)
 
 
+PNG_MEDIA_TYPE = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: bytes, width: int) -> bytes:
+    """A real PNG: signature, IHDR (8-bit grayscale, non-interlaced),
+    zlib-compressed IDAT with per-scanline filter bytes (Paeth on even
+    rows, None on odd -- so the decoder's unfiltering is actually
+    exercised, not just the zlib inflate), IEND. CRC32 per chunk."""
+    import struct
+    import zlib
+
+    if width < 1:
+        raise ValueError("png width must be >= 1")
+    n = len(pixels)
+    height = max(1, -(-n // width))
+    full = pixels + b"\x00" * (width * height - n)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    raw = bytearray()
+    prev = bytes(width)
+    for r in range(height):
+        row = full[r * width:(r + 1) * width]
+        if r % 2 == 0:  # Paeth-filtered scanline
+            raw.append(4)
+            for x in range(width):
+                a = row[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                raw.append((row[x] - paeth(a, b, c)) & 0xFF)
+        else:  # unfiltered scanline
+            raw.append(0)
+            raw.extend(row)
+        prev = row
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes):
+    """Parse an 8-bit grayscale non-interlaced PNG with the stdlib only:
+    chunk walk with CRC verification, zlib inflate of the concatenated
+    IDAT stream, and full scanline unfiltering (all five filter types).
+    Returns (width, height, pixels) flattened top-down."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: missing signature")
+    pos, width, height, idat = 8, None, None, b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, ilace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color != 0 or comp != 0 or filt != 0:
+                raise ValueError(
+                    f"only 8-bit grayscale PNG supported, got depth="
+                    f"{depth} color={color}")
+            if ilace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((height, width), dtype=np.uint8)
+    for r in range(height):
+        ftype = raw[r * stride]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=width, offset=r * stride + 1).copy()
+        prev = out[r - 1] if r else np.zeros(width, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(1, width):
+                line[x] = (line[x] + line[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            line = (line.astype(np.int32) + prev) % 256
+            line = line.astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(width):
+                a = int(line[x - 1]) if x else 0
+                line[x] = (int(line[x]) + (a + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(width):
+                a = int(line[x - 1]) if x else 0
+                b = int(prev[x])
+                c = int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(line[x]) + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[r] = line
+    return width, height, out.reshape(-1)
+
+
 def _decode_payload(media_type: str, payload: bytes):
     """The codec seam. Real types plug in real decoders here."""
     import numpy as np
@@ -162,6 +288,8 @@ def _decode_payload(media_type: str, payload: bytes):
                                  dtype=np.uint8)
     if media_type == BMP_MEDIA_TYPE:
         return decode_bmp(payload)[2]
+    if media_type == PNG_MEDIA_TYPE:
+        return decode_png(payload)[2]
     raise NotImplementedError(
         f"no codec for {media_type} in this environment; install the "
         f"image/audio libraries and extend _decode_payload")
@@ -182,6 +310,27 @@ def attach_wav_payloads(docs: DataFrame) -> DataFrame:
         F.lit(WAV_MEDIA_TYPE).alias("media_type"),
         wav_of(F.col("text")).alias("payload"),
         F.lit(0).cast("int").alias("width"),
+        F.lit(0).cast("int").alias("height"))
+
+
+def attach_png_payloads(docs: DataFrame) -> DataFrame:
+    """Real-container media column: each document's utf-8 bytes become
+    the pixels of a genuine 8-bit grayscale PNG (zlib IDAT, alternating
+    Paeth/None scanline filters so unfiltering is exercised), width
+    varied per doc (doc_id % 11 + 5)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def png_of(text: pd.Series, width: pd.Series) -> pd.Series:
+        return pd.Series([encode_png(t.encode("utf-8"), int(w))
+                          for t, w in zip(text, width)])
+
+    width = (F.col("doc_id") % 11 + 5).cast("int")
+    return docs.select(
+        "doc_id",
+        F.lit(PNG_MEDIA_TYPE).alias("media_type"),
+        png_of(F.col("text"), width).alias("payload"),
+        width.alias("width"),
         F.lit(0).cast("int").alias("height"))
 
 
@@ -229,9 +378,12 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
             out = []
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"],
                                            pdf["payload"]):
-                if mt != BMP_MEDIA_TYPE:
+                if mt == BMP_MEDIA_TYPE:
+                    w, h, px = decode_bmp(bytes(payload))
+                elif mt == PNG_MEDIA_TYPE:
+                    w, h, px = decode_png(bytes(payload))
+                else:
                     raise NotImplementedError(f"no image decoder for {mt}")
-                w, h, px = decode_bmp(bytes(payload))
                 n = len(px)
                 out.append({"doc_id": doc_id, "width": w, "height": h,
                             "n_pixels": n, "pixel_sum": int(px.sum()),

@@ -313,6 +313,9 @@ CATALOG: dict[str, QueryDef] = {
     "mm_bmp_decode": QueryDef(R.mm_bmp_decode, R.MM_BMP_DECODE_SQL,
                               "REAL 8-bit BMP container round-trip (struct "
                               "parser: header, bottom-up rows, stride pad)"),
+    "mm_png_decode": QueryDef(R.mm_png_decode, R.MM_PNG_DECODE_SQL,
+                              "REAL PNG round-trip (zlib IDAT + CRC walk + "
+                              "Paeth/None scanline unfilter, stdlib only)"),
     "mm_resize": QueryDef(R.mm_resize, R.MM_RESIZE_SQL,
                           "nearest-neighbor payload resize (Arrow codec seam)"),
     # --- text analysis + dedup (north-star extensions) --------------------

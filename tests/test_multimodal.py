@@ -34,13 +34,14 @@ def test_feature_extraction_exact(spark):
 
 
 def test_decode_stub_raises_for_real_media():
-    with pytest.raises(NotImplementedError, match="image/png"):
-        _decode_payload("image/png", b"\x89PNG")
+    # jpeg stays behind the seam (png/bmp/wav now have real decoders)
+    with pytest.raises(NotImplementedError, match="image/jpeg"):
+        _decode_payload("image/jpeg", b"\xff\xd8\xff")
 
 
 def test_unknown_media_type_fails_in_pipeline(spark):
     media = attach_payloads(_docs(spark).limit(1)).withColumn(
-        "media_type", F.lit("image/png"))
+        "media_type", F.lit("image/jpeg"))
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media).collect()
 
@@ -141,13 +142,17 @@ def test_codec_fuzz_controlled_errors_only():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
+    import zlib
+
     from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
-        BMP_MEDIA_TYPE, WAV_MEDIA_TYPE)
+        BMP_MEDIA_TYPE, PNG_MEDIA_TYPE, WAV_MEDIA_TYPE)
 
     @settings(max_examples=200, deadline=None)
     @given(st.binary(min_size=0, max_size=200))
     def fuzz(payload):
         for mt, allowed in ((BMP_MEDIA_TYPE, (ValueError, struct_error)),
+                            (PNG_MEDIA_TYPE, (ValueError, struct_error,
+                                              zlib.error)),
                             (WAV_MEDIA_TYPE, (ValueError, wave_mod.Error,
                                               EOFError))):
             try:
@@ -157,3 +162,33 @@ def test_codec_fuzz_controlled_errors_only():
 
     from struct import error as struct_error
     fuzz()
+
+
+@pytest.mark.parametrize("width", [5, 8, 16])
+def test_png_roundtrip_exact(width):
+    """encode_png -> decode_png recovers pixels exactly through the zlib
+    inflate AND the scanline unfilter (the encoder alternates Paeth and
+    None filters so both paths execute)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        PNG_MEDIA_TYPE, decode_png, encode_png)
+
+    pixels = bytes((i * 31 + 7) % 256 for i in range(93))
+    png = encode_png(pixels, width)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, px = decode_png(png)
+    assert w == width and h == -(-len(pixels) // width)
+    expect = pixels + b"\x00" * (w * h - len(pixels))
+    assert bytes(px) == expect
+    assert bytes(_decode_payload(PNG_MEDIA_TYPE, png)) == expect
+
+
+def test_png_rejects_corruption_and_unsupported():
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        decode_png, encode_png)
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not-a-png")
+    png = bytearray(encode_png(b"abcdefgh", 4))
+    png[20] ^= 0xFF  # flip a bit inside IHDR: CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(png))

@@ -334,6 +334,10 @@ CATALOG: dict[str, QueryDef] = {
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),
+    "stream_corpus_profile": QueryDef(ST.stream_corpus_profile,
+                                      ST.STREAM_CORPUS_PROFILE_SQL,
+                                      "the corpus profile THROUGH the "
+                                      "streaming engine (live ingest view)"),
     "docs_corpus_profile": QueryDef(TX.docs_corpus_profile,
                                     TX.DOCS_CORPUS_PROFILE_SQL,
                                     "per-(source, lang) corpus report: "

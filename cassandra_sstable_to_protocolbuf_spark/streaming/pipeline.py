@@ -632,3 +632,91 @@ def stream_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     assert current_version(work) >= 1, "stream committed no versions"
     return project_landed(read_merged(spark, work))
+
+
+def stream_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) corpus profile maintained THROUGH the
+    streaming engine: documents arrive as a file stream, quality signals
+    are computed as narrow expressions on the stream, and one grouped
+    aggregate keeps running volume/keep counts -- the live ingest
+    dashboard a production corpus pipeline watches. Complete mode +
+    availableNow makes the final table micro-batch-split independent, so
+    it hashes against the batch SQL oracle.
+
+    The dup counters of the BATCH profile (docs_corpus_profile) are
+    deliberately absent: they need a second aggregation over
+    fingerprints, which Structured Streaming's single-aggregation rule
+    forbids -- dedup state on a stream is stream_docs-style
+    dropDuplicates territory, a different operator."""
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.text import (
+        EN_STOPWORDS, marker_hits, tokens)
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (spark.readStream.schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir))
+    counted = docs.select(
+        "source", "lang",
+        F.length("text").alias("n_chars"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        marker_hits(tokens(F.col("text")), EN_STOPWORDS).alias("n_stop"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_distinct"))
+    stop_ratio = (F.col("n_stop").cast("double")
+                  / F.col("n_tokens").cast("double"))
+    rep_ratio = (F.col("n_distinct").cast("double")
+                 / F.col("n_tokens").cast("double"))
+    keep = ((F.col("n_tokens") >= 20) & (stop_ratio < 0.5)
+            & (rep_ratio > 0.1))
+    agg = (counted.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("n_chars").alias("n_chars"),
+                F.sum(F.when(keep, 1).otherwise(0)).alias("n_keep")))
+    name = "stream_corpus_profile_" + uuid.uuid4().hex
+    query = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return (spark.table(name)
+            .withColumn("keep_rate",
+                        F.col("n_keep").cast("double")
+                        / F.col("n_docs").cast("double")))
+
+
+STREAM_CORPUS_PROFILE_SQL = """
+WITH t AS (SELECT source, lang, length(text) AS n_chars,
+                  list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM documents),
+s AS (SELECT source, lang, n_chars,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, x -> x IN ({stops}))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t),
+k AS (SELECT source, lang, n_chars, n_tokens,
+             (n_tokens >= 20
+              AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+              AND CAST(n_distinct AS DOUBLE) / n_tokens > 0.1) AS keep
+      FROM s)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS keep_rate
+FROM k
+GROUP BY source, lang
+"""
+
+
+def _fill_stream_profile_sql() -> str:
+    from cassandra_sstable_to_protocolbuf_spark.operators.text import (
+        EN_STOPWORDS)
+
+    stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return STREAM_CORPUS_PROFILE_SQL.format(stops=stops)
+
+
+STREAM_CORPUS_PROFILE_SQL = _fill_stream_profile_sql()

@@ -44,6 +44,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "table-history <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "sstable-info <sstable_dir_or_data_file>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "build-corpus <sf_dir> <out_dir>")
 
 
@@ -410,6 +412,52 @@ def build_corpus_cmd(sf_dir: str, out_dir: str) -> int:
     return 0
 
 
+def sstable_info_cmd(input_path: str) -> int:
+    """`sstablemetadata`-style report, driver-only (no Spark session):
+    per sstable, the Descriptor/Statistics/Summary/Index metadata --
+    zero data bytes read. The distributed, oracle-gated twin is the
+    `sst_table_info` catalog query; this is the operational one-liner."""
+    import glob
+    import hashlib
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX, Descriptor, load_summary, read_index, read_statistics)
+
+    if os.path.isdir(input_path):
+        paths = sorted(glob.glob(
+            os.path.join(input_path, "**", "*-Data.db"), recursive=True))
+    else:
+        paths = [input_path]
+    if not paths:
+        _die(f"no sstables under {input_path}")
+    for data_path in paths:
+        base = data_path[:-len(DATA_SUFFIX)]
+        try:
+            d = Descriptor.from_filename(data_path)
+            sid = f"{d.ks}.{d.cf} v{d.version} gen={d.generation}"
+        except ValueError:
+            sid = os.path.basename(base)
+        try:
+            stats = read_statistics(base + "-Statistics.db")
+            entries = read_index(base + "-Index.db")
+        except (OSError, ValueError) as e:
+            print(f"{sid}: UNREADABLE ({e})", file=sys.stderr)
+            continue
+        summary = load_summary(data_path)
+        keys = [k for k, _off in entries]
+        compressed = os.path.exists(base + "-CompressionInfo.db")
+        first = hashlib.md5(keys[0]).hexdigest() if keys else "-"
+        last = hashlib.md5(keys[-1]).hexdigest() if keys else "-"
+        print(f"{sid}: partitioner={stats['partitioner'].rsplit('.', 1)[-1]}"
+              f" partitions={len(keys)}"
+              f" summary={len((summary or {}).get('entries', ()))}"
+              f"@{(summary or {}).get('interval', 0)}"
+              f" compressed={'yes' if compressed else 'no'}"
+              f" data_bytes={os.path.getsize(data_path)}"
+              f" tokens=[{first[:12]}.., {last[:12]}..]")
+    return 0
+
+
 def table_history_cmd(table_dir: str) -> int:
     """List every retained snapshot: version, shard/file counts, and
     which one `_current` points at. Driver-only (no Spark session)."""
@@ -444,8 +492,14 @@ def main(argv: list[str]) -> int:
     force = "--force" in args
     if force:
         args.remove("--force")
-    if len(args) == 2 and args[0] in ("table-history", "compact-versioned") \
-            and not (continue_on_error or by_shard or mor or no_grace):
+    if len(args) == 2 and args[0] in ("table-history", "compact-versioned",
+                                      "sstable-info") \
+            and not (continue_on_error or by_shard or mor or no_grace
+                     or force):
+        if args[0] == "sstable-info":
+            if not os.path.exists(args[1]):
+                _die(f"input path does not exist: {args[1]}")
+            return sstable_info_cmd(args[1])
         if not os.path.isdir(args[1]):
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"

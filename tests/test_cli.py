@@ -335,3 +335,20 @@ def test_build_corpus_end_to_end(tmp_path):
     total = sum(r0[1] for r0 in rows)
     assert total == summary["kept_docs"]
     assert all(r0[1] == r0[2] for r0 in rows)  # no doc duplicated in a split
+
+
+def test_sstable_info_driver_only(tmp_path):
+    """sstablemetadata-style CLI report: reads ONLY metadata components
+    (no Spark session -- the command must answer in interactive time)."""
+    src = str(tmp_path / "sst_in")
+    N.write_sstable(src, 1, [
+        {"key": b"k%03d" % i, "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1, "value": b"v"}]}
+        for i in range(300)], compression="lz4")
+    r = _run("sstable-info", src, timeout=60)
+    assert r.returncode == 0, r.stderr[-800:]
+    line = r.stdout.strip()
+    assert "partitions=300" in line
+    assert "compressed=yes" in line
+    assert "summary=3@128" in line  # ceil(300/128) sampled entries
+    assert "partitioner=RandomPartitioner" in line

@@ -98,6 +98,7 @@ HEADLINE = [
     "emb_ann_lsh",
     "emb_ivf_topk",
     "emb_quantize_int8",
+    "emb_semdedup",
     "mm_image_features",
     "mm_audio_features",
     "mm_resize",

@@ -495,3 +495,60 @@ SELECT qid, rank, nid, cosine FROM (
   FROM scored
 ) t WHERE rank <= {k}
 """
+
+
+def semdedup(corpus: DataFrame, threshold: float = 0.45,
+             centroid_mod: int = 40, centroid_rem: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023 shape): coarse-cluster
+    the embedding space, then WITHIN each cluster drop every vector whose
+    cosine to a lower-id cluster-mate reaches the threshold -- keeping
+    one representative per semantic neighborhood without ever comparing
+    across clusters. Emits one row per vector: cluster id, the max
+    cosine to any lower-id cluster-mate, the keep flag, and (for drops)
+    which vector shadowed it.
+
+    Same deterministic coarse quantizer as ivf_topk (seeded corpus
+    subset as centroids; a trained k-means codebook drops in by swapping
+    the centroid frame). Scale shape: one broadcast-centroid assignment
+    pass (map-side argmax, no N x K shuffle), then a SELF-JOIN KEYED ON
+    CLUSTER ID -- cost is sum of cell^2, bounded by the quantizer's cell
+    sizes, never corpus^2; the known recall tradeoff is that near-dups
+    split across a cluster boundary are not compared (the paper's own
+    design point)."""
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    cos = cosine_verify_udf()
+    cent = (corpus.filter((F.col(id_col) % centroid_mod) == centroid_rem)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")))
+    v = widen(corpus).select(F.col(id_col).alias("nid"),
+                             F.col(vec_col).alias("v"))
+    assign = (v.crossJoin(broadcast(cent))
+              .select("nid", "cid", cos("v", "cv").alias("cos"))
+              .groupBy("nid")
+              .agg(F.max_by("cid", F.struct(F.col("cos"),
+                                            (-F.col("cid")).alias("neg")))
+                   .alias("cid")))
+    a1 = (assign.select(F.col("nid").alias("n1"), "cid")
+          .join(v.select(F.col("nid").alias("n1"), F.col("v").alias("v1")),
+                "n1"))
+    a2 = (assign.select(F.col("nid").alias("n2"), "cid")
+          .join(v.select(F.col("nid").alias("n2"), F.col("v").alias("v2")),
+                "n2"))
+    shadow = (a1.join(a2, ["cid"])
+              .filter(F.col("n1") < F.col("n2"))
+              .select("n2", "n1", cos("v1", "v2").alias("c"))
+              .groupBy("n2")
+              .agg(F.max("c").alias("max_cos_lower"),
+                   F.max_by("n1", F.struct(F.col("c"),
+                                           (-F.col("n1")).alias("neg")))
+                   .alias("shadow_id")))
+    return (assign.join(shadow, assign.nid == shadow.n2, "left")
+            .select(F.col("nid").alias(id_col), "cid",
+                    F.coalesce("max_cos_lower", F.lit(0.0))
+                    .alias("max_cos_lower"),
+                    (F.coalesce("max_cos_lower", F.lit(0.0))
+                     < F.lit(threshold)).alias("keep"),
+                    F.when(F.coalesce("max_cos_lower", F.lit(0.0))
+                           >= F.lit(threshold), F.col("shadow_id"))
+                    .otherwise(F.lit(-1)).cast("long").alias("dup_of")))

@@ -418,6 +418,9 @@ CATALOG: dict[str, QueryDef] = {
                                      "embedding near-dup pairs (LSH-bucketed + exact verify)"),
     "emb_dup_clusters": QueryDef(V.emb_dup_clusters, V.EMB_DUP_CLUSTERS_SQL,
                                  "embedding pair list -> connected components"),
+    "emb_semdedup": QueryDef(V.emb_semdedup, V.EMB_SEMDEDUP_SQL,
+                             "SemDeDup: within-coarse-cluster semantic "
+                             "dedup, keep-one ledger per vector"),
 }
 
 

@@ -260,3 +260,50 @@ SELECT vec_id, cluster_id,
        vec_id = cluster_id AS is_canonical
 FROM labeled
 """
+
+
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding table: coarse-cluster, keep one
+    representative per within-cluster semantic neighborhood (cosine >=
+    0.45, this corpus's documented near-dup regime). Returns every
+    vector with its cluster, keep flag, and shadowing vector -- the
+    ledger a semantic-dedup pass hands downstream."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
+        semdedup)
+
+    return semdedup(_emb(spark, sf_dir), threshold=0.45)
+
+
+_COS = ("list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+        " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        " * sqrt(list_sum(list_transform({b}, x -> x * x))))")
+
+EMB_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 40 = 7),
+assign AS (
+  SELECT nid, cid FROM (
+    SELECT e.vec_id AS nid, cent.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS.format(a='e.v', b='cent.cv')}
+                                       DESC, cent.cid ASC) AS r
+    FROM e CROSS JOIN cent) WHERE r = 1),
+pairs AS (
+  SELECT a2.nid AS n2, a1.nid AS n1,
+         {_COS.format(a='e1.v', b='e2.v')} AS c
+  FROM assign a1 JOIN assign a2 ON a1.cid = a2.cid AND a1.nid < a2.nid
+  JOIN e e1 ON e1.vec_id = a1.nid
+  JOIN e e2 ON e2.vec_id = a2.nid),
+shadow AS (
+  SELECT n2, max_cos_lower, shadow_id FROM (
+    SELECT n2, c AS max_cos_lower, n1 AS shadow_id,
+           ROW_NUMBER() OVER (PARTITION BY n2
+                              ORDER BY c DESC, n1 ASC) AS r
+    FROM pairs) WHERE r = 1)
+SELECT a.nid AS vec_id, a.cid,
+       COALESCE(s.max_cos_lower, 0.0) AS max_cos_lower,
+       COALESCE(s.max_cos_lower, 0.0) < 0.45 AS keep,
+       CAST(CASE WHEN COALESCE(s.max_cos_lower, 0.0) >= 0.45
+                 THEN s.shadow_id ELSE -1 END AS BIGINT) AS dup_of
+FROM assign a LEFT JOIN shadow s ON a.nid = s.n2
+"""

@@ -214,3 +214,24 @@ def test_quality_lr_agrees_with_weak_labels(spark):
     # the classifier must reconstruct the rule it was trained on from
     # hashed token features alone
     assert agree >= 0.85, f"classifier agreement {agree:.2%}"
+
+
+def test_semdedup_actually_drops_and_shadows_consistently(spark):
+    """SemDeDup must flag real within-cluster near-dups on this corpus
+    (the gate would pass vacuously on an all-keep ledger), and every
+    drop's shadow must be a LOWER-id vector in the SAME cluster."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.vectorops import (
+        emb_semdedup)
+    from tests.conftest import SF_SMOKE
+
+    rows = emb_semdedup(spark, SF_SMOKE).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    dropped = [r for r in rows if not r["keep"]]
+    assert dropped, "corpus has within-cell near-dups; none flagged"
+    for r in dropped:
+        assert r["dup_of"] >= 0 and r["dup_of"] < r["vec_id"]
+        assert by_id[r["dup_of"]]["cid"] == r["cid"], "shadow crosses cells"
+        assert r["max_cos_lower"] >= 0.45
+    for r in rows:
+        if r["keep"]:
+            assert r["dup_of"] == -1 and r["max_cos_lower"] < 0.45

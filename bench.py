@@ -105,6 +105,7 @@ HEADLINE = [
     "mm_wav_decode",
     "mm_bmp_decode",
     "mm_png_decode",
+    "mm_scene_cuts",
 ]
 
 

@@ -316,6 +316,9 @@ CATALOG: dict[str, QueryDef] = {
     "mm_png_decode": QueryDef(R.mm_png_decode, R.MM_PNG_DECODE_SQL,
                               "REAL PNG round-trip (zlib IDAT + CRC walk + "
                               "Paeth/None scanline unfilter, stdlib only)"),
+    "mm_scene_cuts": QueryDef(R.mm_scene_cuts, R.MM_SCENE_CUTS_SQL,
+                              "video scene-cut detection: frame-difference "
+                              "threshold over the sampled frame stream"),
     "mm_resize": QueryDef(R.mm_resize, R.MM_RESIZE_SQL,
                           "nearest-neighbor payload resize (Arrow codec seam)"),
     # --- text analysis + dedup (north-star extensions) --------------------

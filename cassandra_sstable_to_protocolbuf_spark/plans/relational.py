@@ -896,6 +896,65 @@ FROM f
 """
 
 
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal 'video' scene-cut detection over the sampled frame
+    stream: a cut is a frame whose byte value jumps >= 64 from its
+    predecessor (the frame-difference threshold every shot-boundary
+    detector starts from). Per video: frame count, cut count, and the
+    first cut's index. The lag window partitions by doc -- the shuffle
+    is per-video frame streams, embarrassingly parallel at 100 TB."""
+    from pyspark.sql import Window
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_payloads, sample_frames)
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_payloads(docs).filter(F.length("payload") > 0)
+    frames = sample_frames(media, every=64).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.conv(F.hex("frame"), 16, 10).cast("long").alias("b"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diffed = frames.withColumn(
+        "is_cut", F.when(F.abs(F.col("b") - F.lag("b").over(w)) >= 64,
+                         1).otherwise(0))
+    return (diffed.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_frames"),
+                 F.sum("is_cut").alias("n_cuts"),
+                 F.min(F.when(F.col("is_cut") == 1, F.col("frame_idx")))
+                 .alias("first_cut"))
+            .select("doc_id", "n_frames", "n_cuts",
+                    F.coalesce("first_cut", F.lit(-1)).alias("first_cut")))
+
+
+MM_SCENE_CUTS_SQL = """
+WITH frames AS (
+  SELECT doc_id, frame_idx, frame_byte FROM (
+    WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+    nz AS (SELECT doc_id, b FROM d WHERE octet_length(b) > 0),
+    f AS (SELECT doc_id, b,
+                 unnest(range(0, (octet_length(b) - 1) // 64 + 1)) AS i
+          FROM nz)
+    SELECT doc_id,
+           CAST(i * 64 AS BIGINT) AS frame_idx,
+           CAST((strpos('123456789ABCDEF', substr(hex(b), CAST(2*(i*64)+1 AS INT), 1))) * 16
+              + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*(i*64)+2 AS INT), 1)))
+                AS BIGINT) AS frame_byte
+    FROM f)),
+diffed AS (
+  SELECT doc_id, frame_idx,
+         CASE WHEN ABS(frame_byte - LAG(frame_byte) OVER
+                       (PARTITION BY doc_id ORDER BY frame_idx)) >= 64
+              THEN 1 ELSE 0 END AS is_cut
+  FROM frames)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN is_cut = 1 THEN frame_idx END), -1)
+            AS BIGINT) AS first_cut
+FROM diffed
+GROUP BY doc_id
+"""
+
+
 EVENTS_HOURLY_SQL = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

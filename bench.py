@@ -61,6 +61,8 @@ HEADLINE = [
     "events_anomaly_zscore",
     "events_value_histogram",
     "events_rollup_refresh",
+    "events_retention_cohorts",
+    "customer_rfm_segments",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

@@ -265,6 +265,12 @@ CATALOG: dict[str, QueryDef] = {
     "events_rollup_refresh": QueryDef(R.events_rollup_refresh,
                                       R.EVENTS_ROLLUP_REFRESH_SQL,
                                       "incremental continuous-aggregate refresh (day partitions)"),
+    "events_retention_cohorts": QueryDef(R.events_retention_cohorts,
+                                         R.EVENTS_RETENTION_SQL,
+                                         "cohort retention matrix (first-seen day x offset)"),
+    "customer_rfm_segments": QueryDef(R.customer_rfm_segments,
+                                      R.CUSTOMER_RFM_SQL,
+                                      "RFM quartile segmentation over customer-grain aggregates"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

@@ -3460,3 +3460,119 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --- Retention cohorts (daily cohort x day offset) ------------------------
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix: users grouped by first-seen day,
+    activity counted at each day offset, retention as a share of the
+    cohort. Scale shape: the first-seen aggregation and the activity join
+    both hash on user_id (one co-partitioned shuffle pair, AQE coalesced);
+    cohort sizes are a tiny frame -> broadcast back onto the matrix. No
+    window functions, so every aggregation is map-side-partial friendly
+    at 100 TB."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", F.to_date("ts").alias("d")))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = (first.groupBy("cohort_day")
+             .agg(F.count(F.lit(1)).alias("cohort_size")))
+    cells = (ev.join(first, "user_id")
+             .groupBy("cohort_day",
+                      F.datediff("d", "cohort_day").alias("day_offset"))
+             .agg(F.countDistinct("user_id").alias("n_active")))
+    return (cells.join(broadcast(sizes), "cohort_day")
+            .select(F.col("cohort_day").cast("string").alias("cohort_day"),
+                    "day_offset", "n_active", "cohort_size",
+                    (F.col("n_active").cast("double")
+                     / F.col("cohort_size").cast("double"))
+                    .alias("retention")))
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id),
+sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+cells AS (
+  SELECT f.cohort_day, date_diff('day', f.cohort_day, ev.d) AS day_offset,
+         COUNT(DISTINCT ev.user_id) AS n_active
+  FROM ev JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(c.day_offset AS INT) AS day_offset,
+       c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM cells c JOIN sizes s USING (cohort_day)
+"""
+
+
+# --- RFM customer segmentation (quartile scoring) -------------------------
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quartile segmentation over orders.
+    One hash aggregation per customer, then three ntile(4) windows over
+    the CUSTOMER-grain frame (dimension-sized, ~1.5k rows/SF0.01 -- the
+    windows never see the fact table). Ordering under each ntile carries
+    o_custkey as a unique tiebreaker so quartile assignment is identical
+    across engines. Monetary ordering uses the exact DECIMAL sum; the
+    output casts to double only at the end. (If the customer grain ever
+    outgrows one partition, swap the exact ntile for quartile BREAKPOINTS
+    from percentile_approx and assign by comparison -- same segments, no
+    global sort; exact ntile is kept because the gate demands
+    engine-identical rank ties.)"""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (orders.groupBy("o_custkey")
+                .agg(F.max("o_orderdate").alias("last_order"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.col("o_totalprice").cast(DEC)).alias("monetary")))
+    maxd = orders.agg(F.max("o_orderdate").alias("as_of"))
+    scored = (per_cust.join(broadcast(maxd))
+              .withColumn("recency_days",
+                          F.datediff("as_of", "last_order")))
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m_w = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    seg = (scored
+           .withColumn("r_quartile", F.ntile(4).over(r_w))
+           .withColumn("f_quartile", F.ntile(4).over(f_w))
+           .withColumn("m_quartile", F.ntile(4).over(m_w)))
+    label = (F.when((F.col("r_quartile") == 1) & (F.col("f_quartile") == 1)
+                    & (F.col("m_quartile") == 1), "champion")
+             .when(F.col("r_quartile") >= 4, "dormant")
+             .when(F.col("m_quartile") == 1, "big_spender")
+             .otherwise("regular"))
+    return seg.select("o_custkey", "recency_days", "frequency",
+                      F.col("monetary").cast("double").alias("monetary"),
+                      "r_quartile", "f_quartile", "m_quartile",
+                      label.alias("segment"))
+
+
+CUSTOMER_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey, frequency, monetary,
+         date_diff('day', CAST(last_order AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+           AS recency_days
+  FROM per_cust),
+seg AS (
+  SELECT o_custkey, recency_days, frequency, monetary,
+         NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_quartile,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_quartile,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_quartile
+  FROM scored)
+SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       r_quartile, f_quartile, m_quartile,
+       CASE WHEN r_quartile = 1 AND f_quartile = 1 AND m_quartile = 1
+              THEN 'champion'
+            WHEN r_quartile >= 4 THEN 'dormant'
+            WHEN m_quartile = 1 THEN 'big_spender'
+            ELSE 'regular' END AS segment
+FROM seg
+"""

@@ -340,6 +340,10 @@ CATALOG: dict[str, QueryDef] = {
                                  "content fingerprint + shard"),
     "docs_exact_dedup": QueryDef(TX.docs_exact_dedup, TX.DOCS_EXACT_DEDUP_SQL,
                                  "exact dedup on fingerprint"),
+    "docs_incremental_dedup": QueryDef(TX.docs_incremental_dedup,
+                                       TX.DOCS_INCREMENTAL_DEDUP_SQL,
+                                       "delta-batch dedup against the corpus "
+                                       "fingerprint index (O(delta) ingest)"),
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),

@@ -1229,3 +1229,67 @@ FROM (
 ORDER BY priority DESC, doc_id
 LIMIT 200
 """
+
+
+# --- Incremental (delta-vs-corpus) dedup -----------------------------------
+
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an ARRIVING delta batch against the already-ingested corpus
+    without rescanning the corpus text: the base side collapses to its
+    fingerprint index (at 100 TB this is a persisted, fingerprint-bucketed
+    index maintained by each ingest -- O(corpus) once, O(delta) per day;
+    here it is derived in-query from the same fixture so the oracle can
+    reproduce it). Every delta doc gets a decision:
+      'dup_of_corpus' -- fingerprint already in the base index
+      'dup_in_delta'  -- first-wins loser within the batch (min doc_id)
+      'new'           -- survives ingest
+    Both the index anti-probe and the first-wins aggregation hash on the
+    fingerprint, so the whole decision is two co-keyed shuffles of the
+    DELTA only; the corpus contributes just its index. Fixture: base =
+    doc_id % 3 != 0; delta = the doc_id % 3 == 0 docs (fresh) + replicas
+    of base docs (% 10 == 1 -> +10000, cross-batch dups) + replicas of
+    fresh docs (% 30 == 0 -> +20000, intra-batch dups), so all three
+    decisions are non-empty at every SF."""
+    docs = _docs(spark, sf_dir)
+    fp = T.fingerprint(F.col("text"))
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    fresh = docs.filter(F.col("doc_id") % 3 == 0)
+    delta = (fresh
+             .unionAll(base.filter(F.col("doc_id") % 10 == 1)
+                       .withColumn("doc_id", F.col("doc_id") + 10000))
+             .unionAll(fresh.filter(F.col("doc_id") % 30 == 0)
+                       .withColumn("doc_id", F.col("doc_id") + 20000)))
+    base_idx = base.select(fp.alias("fp")).distinct()
+    dfp = delta.select("doc_id", fp.alias("fp"))
+    firsts = dfp.groupBy("fp").agg(F.min("doc_id").alias("first_id"))
+    hit = base_idx.withColumn("in_corpus", F.lit(True))
+    return (dfp.join(hit, "fp", "left")
+            .join(firsts, "fp")
+            .select("doc_id", "fp",
+                    F.when(F.col("in_corpus").isNotNull(),
+                           "dup_of_corpus")
+                    .when(F.col("doc_id") != F.col("first_id"),
+                          "dup_in_delta")
+                    .otherwise("new").alias("decision")))
+
+
+DOCS_INCREMENTAL_DEDUP_SQL = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+fresh AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+delta AS (
+  SELECT doc_id, text FROM fresh
+  UNION ALL
+  SELECT doc_id + 10000, text FROM base WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 20000, text FROM fresh WHERE doc_id % 30 = 0),
+base_idx AS (SELECT DISTINCT {_DUCK_FP} AS fp FROM base),
+dfp AS (SELECT doc_id, {_DUCK_FP} AS fp FROM delta),
+firsts AS (SELECT fp, MIN(doc_id) AS first_id FROM dfp GROUP BY fp)
+SELECT d.doc_id, d.fp,
+       CASE WHEN b.fp IS NOT NULL THEN 'dup_of_corpus'
+            WHEN d.doc_id <> f.first_id THEN 'dup_in_delta'
+            ELSE 'new' END AS decision
+FROM dfp d
+LEFT JOIN base_idx b USING (fp)
+JOIN firsts f USING (fp)
+"""

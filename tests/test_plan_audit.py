@@ -26,8 +26,10 @@ BNLJ_ALLOWED = {
     "emb_cosine_dup_pairs",     # bounded bucket-stats side
     "emb_ann_lsh",              # LSH OR-construction candidate union
     "emb_ivf_topk",             # bounded centroid table
+    "emb_semdedup",             # same bounded centroid table as ivf_topk
     "tpch_q11_important_parts",  # ONE-ROW global-total broadcast, non-equi
                                  # HAVING compare (decorrelated scalar subq)
+    "customer_rfm_segments",     # ONE-ROW global as-of-date broadcast
 }
 
 # Streaming entries need a running query; iterative ones (label

@@ -30,6 +30,7 @@ HEADLINE = [
     "sst_time_travel",
     "sst_index_lookup",
     "sst_table_info",
+    "sst_repair_diff",
     "sst_mor_merge",
     "sst_compacted_merge",
     # relational coverage
@@ -73,6 +74,7 @@ HEADLINE = [
     "range_join_price_bands",
     # training-data extensions
     "docs_exact_dedup",
+    "docs_incremental_dedup",
     "docs_dup_spans",
     "docs_span_scrub",
     "docs_ngram_jaccard",

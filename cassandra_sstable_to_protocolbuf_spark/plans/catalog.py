@@ -76,6 +76,9 @@ CATALOG: dict[str, QueryDef] = {
     "sst_table_info": QueryDef(C.sst_table_info, C.SST_TABLE_INFO_SQL,
                                "sstablemetadata-style DESCRIBE: binary "
                                "metadata components only, no data bytes"),
+    "sst_repair_diff": QueryDef(C.sst_repair_diff, C.SST_REPAIR_DIFF_SQL,
+                                "anti-entropy repair: Merkle-leaf digest "
+                                "diff + drill of out-of-sync rows"),
     "sst_compact_roundtrip": QueryDef(C.sst_compact_roundtrip,
                                       C.SST_COMPACT_ROUNDTRIP_SQL,
                                       "compaction: LWW merge -> token-sharded binary sstables -> re-read"),

@@ -1037,3 +1037,84 @@ SELECT sstable_id,
 FROM cells
 GROUP BY sstable_id
 """
+
+
+def sst_repair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy repair, the Merkle-tree shape (Cassandra `nodetool
+    repair`): find every out-of-sync row between a replica that MISSED
+    the late writes (side A: the primary sstables only) and the
+    caught-up replica (side B: all sstables including the replayed
+    'sst-r'), without shipping either replica's data.
+
+    Phase 1 -- each side LWW-reconciles its cells and folds them into a
+    64-leaf Merkle tree: leaf = hash(key) % 64, leaf digest = BIT_XOR of
+    per-row digests (md5 over the reconciled row rendered to 60 bits).
+    XOR is commutative/associative, so the digest aggregates map-side
+    partial and the tree a replica ships is KILOBYTES at any scale.
+    Phase 2 -- only leaves whose digests differ are drilled: the per-row
+    states join restricted to those buckets (broadcast of <= 64 leaf
+    ids), emitting one row per out-of-sync (key, name) with a status
+    ('missing_in_stale' / 'divergent_value' / 'stale_write_time').
+
+    Here both replicas derive from one cell scan -- a single aggregation
+    computes side A and side B as two conditional max-structs -- and the
+    reconciled state is pinned because the tree fold and the drill both
+    consume it; the network seam in a real multi-node run is exactly the
+    64-row tree frame. The oracle reproduces tree, prune, and drill in
+    SQL; leaf pruning and all three statuses are pinned on a synthetic
+    two-replica fixture by tests/test_repair_diff.py."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.repair import (
+        repair_diff)
+
+    cells = filter_live(encode_lineitem_cells(spark, sf_dir))
+    return repair_diff(cells, F.col("sstable_id") != "sst-r")
+
+
+SST_REPAIR_DIFF_SQL = f"""
+{cells_cte()}
+, live AS (
+  SELECT * FROM cells WHERE partition_deletion_live AND cell_kind = 'LIVE'),
+a AS (
+  SELECT key, name, value, writeTime, sstable_id
+  FROM (SELECT key, name, value, writeTime, sstable_id,
+               ROW_NUMBER() OVER (PARTITION BY key, name
+                                  ORDER BY writeTime DESC, sstable_id DESC,
+                                           value DESC) AS rn
+        FROM live WHERE sstable_id <> 'sst-r') t WHERE rn = 1),
+b AS (
+  SELECT key, name, value, writeTime, sstable_id
+  FROM (SELECT key, name, value, writeTime, sstable_id,
+               ROW_NUMBER() OVER (PARTITION BY key, name
+                                  ORDER BY writeTime DESC, sstable_id DESC,
+                                           value DESC) AS rn
+        FROM live) t WHERE rn = 1),
+state AS (
+  SELECT b.key, b.name,
+         CAST(('0x' || substring(md5(b.key), 1, 15)) AS BIGINT) % 64
+           AS bucket,
+         a.value AS a_value, a.writeTime AS a_wt, a.sstable_id AS a_sst,
+         b.value AS b_value, b.writeTime AS b_wt, b.sstable_id AS b_sst,
+         CASE WHEN a.key IS NULL THEN 0
+              ELSE CAST(('0x' || substring(md5(a.key || '|' || a.name || '|'
+                       || a.value || '|' || CAST(a.writeTime AS VARCHAR)
+                       || '|' || a.sstable_id), 1, 15)) AS BIGINT) END AS ha,
+         CAST(('0x' || substring(md5(b.key || '|' || b.name || '|'
+                  || b.value || '|' || CAST(b.writeTime AS VARCHAR)
+                  || '|' || b.sstable_id), 1, 15)) AS BIGINT) AS hb
+  FROM b LEFT JOIN a ON a.key = b.key AND a.name = b.name),
+tree AS (
+  SELECT bucket, bit_xor(ha) AS da, bit_xor(hb) AS db
+  FROM state GROUP BY bucket),
+leaves AS (SELECT bucket FROM tree WHERE da IS DISTINCT FROM db)
+SELECT s.bucket, s.key, s.name,
+       CASE WHEN s.a_value IS NULL THEN 'missing_in_stale'
+            WHEN s.a_value <> s.b_value THEN 'divergent_value'
+            ELSE 'stale_write_time' END AS status,
+       s.a_wt AS stale_write_time_us,
+       s.b_wt AS synced_write_time_us,
+       s.b_value AS synced_value
+FROM state s JOIN leaves USING (bucket)
+WHERE s.a_value IS DISTINCT FROM s.b_value
+   OR s.a_wt IS DISTINCT FROM s.b_wt
+   OR s.a_sst IS DISTINCT FROM s.b_sst
+"""

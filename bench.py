@@ -81,6 +81,7 @@ HEADLINE = [
     "docs_containment_pairs",
     "docs_simhash_pairs",
     "docs_minhash_lsh",
+    "docs_fuzzy_dedup",
     "docs_dup_clusters",
     "docs_leakage_safe_split",
     "docs_chunk_windows",

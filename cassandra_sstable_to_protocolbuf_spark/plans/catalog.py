@@ -347,6 +347,9 @@ CATALOG: dict[str, QueryDef] = {
                                        TX.DOCS_INCREMENTAL_DEDUP_SQL,
                                        "delta-batch dedup against the corpus "
                                        "fingerprint index (O(delta) ingest)"),
+    "docs_fuzzy_dedup": QueryDef(TX.docs_fuzzy_dedup, TX.DOCS_FUZZY_DEDUP_SQL,
+                                 "MinHash candidates confirmed by "
+                                 "edit-distance similarity"),
     "docs_dup_spans": QueryDef(TX.docs_dup_spans, TX.DOCS_DUP_SPANS_SQL,
                                "span-level exact-substring duplication audit "
                                "(tokens covered by cross-doc 8-token windows)"),

@@ -1293,3 +1293,50 @@ FROM dfp d
 LEFT JOIN base_idx b USING (fp)
 JOIN firsts f USING (fp)
 """
+
+
+# --- Fuzzy dedup: LSH candidates confirmed by edit distance ---------------
+
+def docs_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage fuzzy dedup: banded-MinHash candidates (linear LSH
+    equi-join, never all-pairs), each confirmed with a CHARACTER-level
+    edit-distance similarity over the normalized text -- the classic
+    belt-and-suspenders pair for catching near-dups that token-set
+    Jaccard scores high but character edits reveal as distinct (and vice
+    versa). lev_sim = 1 - levenshtein/max(len), exact integers into one
+    double division, so the confirm decision is bit-identical across
+    engines. O(candidates) edit-distance calls, JVM codegen side, never
+    O(N^2): at 100 TB the quadratic DP cost is bounded by the LSH
+    candidate count and the document length cap."""
+    pairs = D.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    norm = _docs(spark, sf_dir).select(
+        "doc_id", T.normalized(F.col("text")).alias("n"))
+    n1 = norm.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = norm.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    lev_sim = (F.lit(1.0)
+               - F.levenshtein("n1", "n2").cast("double")
+               / F.greatest(F.length("n1"), F.length("n2")).cast("double"))
+    return (pairs.join(n1, "d1").join(n2, "d2")
+            .select("d1", "d2", "jaccard", lev_sim.alias("lev_sim"),
+                    (lev_sim >= 0.95).alias("confirmed"),
+                    F.when(lev_sim >= 0.95, F.col("d2"))
+                    .otherwise(F.lit(-1)).cast("long").alias("drop_id")))
+
+
+_FUZZY_LEV = ("1.0 - CAST(levenshtein(n1, n2) AS DOUBLE)"
+              " / CAST(greatest(length(n1), length(n2)) AS DOUBLE)")
+DOCS_FUZZY_DEDUP_SQL = rf"""
+WITH norm AS (SELECT doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n
+              FROM documents),
+scored AS (
+  SELECT p.d1, p.d2, p.jaccard, a.n AS n1, b.n AS n2
+  FROM ({DOCS_MINHASH_SQL}) p
+  JOIN norm a ON a.doc_id = p.d1
+  JOIN norm b ON b.doc_id = p.d2)
+SELECT d1, d2, jaccard,
+       {_FUZZY_LEV} AS lev_sim,
+       {_FUZZY_LEV} >= 0.95 AS confirmed,
+       CASE WHEN {_FUZZY_LEV} >= 0.95 THEN d2 ELSE -1 END AS drop_id
+FROM scored
+"""

@@ -64,6 +64,7 @@ HEADLINE = [
     "events_rollup_refresh",
     "events_retention_cohorts",
     "customer_rfm_segments",
+    "lineitem_market_basket",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

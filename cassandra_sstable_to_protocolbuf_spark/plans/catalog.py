@@ -274,6 +274,10 @@ CATALOG: dict[str, QueryDef] = {
     "customer_rfm_segments": QueryDef(R.customer_rfm_segments,
                                       R.CUSTOMER_RFM_SQL,
                                       "RFM quartile segmentation over customer-grain aggregates"),
+    "lineitem_market_basket": QueryDef(R.lineitem_market_basket,
+                                       R.LINEITEM_MARKET_BASKET_SQL,
+                                       "item-affinity mining: co-bought part "
+                                       "pairs with support and lift"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

@@ -3576,3 +3576,63 @@ SELECT o_custkey, CAST(recency_days AS INT) AS recency_days, frequency,
             ELSE 'regular' END AS segment
 FROM seg
 """
+
+
+# --- Market-basket affinity (item-item co-occurrence + lift) --------------
+
+def lineitem_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-affinity mining: part pairs co-bought in the same order, with
+    support and lift. The pair generation is a SELF-JOIN KEYED ON
+    l_orderkey -- cost is sum(basket^2) bounded by the basket-size cap
+    (17 items max in this data; a real deployment caps or samples giant
+    baskets the same way the dedup ops cap hot shingles), never
+    corpus^2. Counts stay exact integers; support and lift are single
+    double divisions over exact products, so the decision surface is
+    engine-identical. The per-item count join hashes on partkey --
+    partial-agg friendly everywhere, no windows, no driver state."""
+    items = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    totals = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"))
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p2"))
+    pairs = (a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+             .groupBy("p1", "p2")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= 2))
+    per_item = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_item"))
+    c1 = per_item.select(F.col("l_partkey").alias("p1"),
+                         F.col("n_item").alias("n_p1"))
+    c2 = per_item.select(F.col("l_partkey").alias("p2"),
+                         F.col("n_item").alias("n_p2"))
+    return (pairs.join(c1, "p1").join(c2, "p2")
+            .join(broadcast(totals))
+            .select("p1", "p2", "n_both", "n_p1", "n_p2",
+                    (F.col("n_both").cast("double")
+                     / F.col("n_orders").cast("double")).alias("support"),
+                    ((F.col("n_both") * F.col("n_orders")).cast("double")
+                     / (F.col("n_p1") * F.col("n_p2")).cast("double"))
+                    .alias("lift")))
+
+
+LINEITEM_MARKET_BASKET_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+per_item AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1)
+SELECT p.p1, p.p2, p.n_both, c1.n_item AS n_p1, c2.n_item AS n_p2,
+       CAST(p.n_both AS DOUBLE) / CAST(t.n_orders AS DOUBLE) AS support,
+       CAST(p.n_both * t.n_orders AS DOUBLE)
+       / CAST(c1.n_item * c2.n_item AS DOUBLE) AS lift
+FROM pairs p
+JOIN per_item c1 ON c1.l_partkey = p.p1
+JOIN per_item c2 ON c2.l_partkey = p.p2
+CROSS JOIN t
+"""

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "tpch_q11_important_parts",  # ONE-ROW global-total broadcast, non-equi
                                  # HAVING compare (decorrelated scalar subq)
     "customer_rfm_segments",     # ONE-ROW global as-of-date broadcast
+    "lineitem_market_basket",    # ONE-ROW global order-count broadcast
 }
 
 # Streaming entries need a running query; iterative ones (label

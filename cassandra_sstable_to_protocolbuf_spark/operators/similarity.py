@@ -552,3 +552,51 @@ def semdedup(corpus: DataFrame, threshold: float = 0.45,
                     F.when(F.coalesce("max_cos_lower", F.lit(0.0))
                            >= F.lit(threshold), F.col("shadow_id"))
                     .otherwise(F.lit(-1)).cast("long").alias("dup_of")))
+
+
+def dot_verify_udf():
+    """Arrow-batched exact INNER PRODUCT between two vector columns --
+    cosine_verify_udf without the norms, same dim-ordered left fold so
+    the double matches DuckDB's list_sum(list_transform(list_zip))
+    bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(a.shape[0])
+        for i in range(a.shape[1]):  # dim-ordered left fold, rows vectorized
+            acc += a[:, i] * b[:, i]
+        return pd.Series(acc)
+
+    return dot
+
+
+def mips_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_id_col: str = "qid") -> DataFrame:
+    """Exact maximum-inner-product top-k (the retrieval metric of
+    recommendation / dense-retrieval scorers, where vector NORM carries
+    signal cosine throws away). Brute-force baseline over a broadcast
+    query set, like cosine_topk. The 100 TB path is the standard
+    norm-augmentation reduction (Bachrach et al. 2014): append
+    sqrt(M^2 - |x|^2) to every corpus vector and 0 to queries -- inner
+    product order becomes cosine order, so ann_lsh_topk's bucketed
+    sign-LSH applies unchanged; this exact form is the gate baseline."""
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    c = widen(corpus).select(F.col(id_col).alias("nid"),
+                             F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    dot = dot_verify_udf()
+    scored = (broadcast(q).crossJoin(c)
+              .filter(F.col("nid") != F.col("qid"))
+              .select("qid", "nid", dot("qv", "v").alias("inner_product")))
+    w = Window.partitionBy("qid").orderBy(F.desc("inner_product"),
+                                          F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "rank", "nid", "inner_product"))

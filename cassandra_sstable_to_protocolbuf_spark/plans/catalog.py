@@ -429,6 +429,9 @@ CATALOG: dict[str, QueryDef] = {
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),
+    "emb_mips_topk": QueryDef(V.emb_mips_topk, V.EMB_MIPS_TOPK_SQL,
+                              "exact max-inner-product top-k "
+                              "(norm-augmentation LSH is the scale path)"),
     "emb_quantize_int8": QueryDef(V.emb_quantize_int8, V.EMB_QUANTIZE_INT8_SQL,
                                   "symmetric int8 quantization audit"),
     "emb_centroid_per_label": QueryDef(V.emb_centroid_per_label, V.EMB_CENTROID_SQL,

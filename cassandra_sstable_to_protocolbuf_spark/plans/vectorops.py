@@ -307,3 +307,34 @@ SELECT a.nid AS vec_id, a.cid,
                  THEN s.shadow_id ELSE -1 END AS BIGINT) AS dup_of
 FROM assign a LEFT JOIN shadow s ON a.nid = s.n2
 """
+
+
+def emb_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact max-inner-product top-k (norm-aware retrieval; see
+    operators/similarity.py:mips_topk for the norm-augmentation LSH
+    reduction that is the 100 TB path)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
+        mips_topk)
+
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    return mips_topk(emb, queries, k=5)
+
+
+EMB_MIPS_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+scored AS (
+  SELECT qid, vec_id AS nid,
+         list_sum(list_transform(list_zip(qv, v), p -> p[1] * p[2]))
+           AS inner_product
+  FROM q, e WHERE vec_id <> qid
+)
+SELECT qid, rank, nid, inner_product FROM (
+  SELECT qid, nid, inner_product,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY inner_product DESC, nid ASC) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""

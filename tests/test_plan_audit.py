@@ -23,6 +23,7 @@ from tests.conftest import SF_SMOKE
 BNLJ_ALLOWED = {
     "range_join_price_bands",   # broadcast interval join
     "emb_cosine_topk",          # brute-force baseline: broadcast query set
+    "emb_mips_topk",            # brute-force baseline: broadcast query set
     "emb_cosine_dup_pairs",     # bounded bucket-stats side
     "emb_ann_lsh",              # LSH OR-construction candidate union
     "emb_ivf_topk",             # bounded centroid table

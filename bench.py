@@ -65,6 +65,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "customer_rfm_segments",
     "lineitem_market_basket",
+    "part_pagerank",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

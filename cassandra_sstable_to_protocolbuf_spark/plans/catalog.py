@@ -278,6 +278,9 @@ CATALOG: dict[str, QueryDef] = {
                                        R.LINEITEM_MARKET_BASKET_SQL,
                                        "item-affinity mining: co-bought part "
                                        "pairs with support and lift"),
+    "part_pagerank": QueryDef(R.part_pagerank, R.PART_PAGERANK_SQL,
+                              "fixed-point PageRank over the co-purchase "
+                              "graph (hash-gateable graph analytics)"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

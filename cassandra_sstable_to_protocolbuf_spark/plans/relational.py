@@ -3636,3 +3636,71 @@ JOIN per_item c1 ON c1.l_partkey = p.p1
 JOIN per_item c2 ON c2.l_partkey = p.p2
 CROSS JOIN t
 """
+
+
+# --- PageRank over the co-purchase graph (fixed-point, hash-gated) --------
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the symmetric co-purchase graph (parts
+    linked when co-bought in >= 2 orders). Fixed-point BIGINT recurrence
+    (operators/graph.py) so every contribution sum and damping step is
+    bit-identical to the unrolled-CTE DuckDB oracle -- the first
+    hash-gateable PageRank; float PageRank can only ever be rows-only."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.graph import (
+        pagerank_fixedpoint)
+
+    items = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p2"))
+    pairs = (a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+             .groupBy("p1", "p2")
+             .agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= 2)
+             .select("p1", "p2"))
+    edges = (pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+             .unionAll(pairs.select(F.col("p2").alias("src"),
+                                    F.col("p1").alias("dst"))))
+    ranks = pagerank_fixedpoint(edges, n_iter=3)
+    return ranks.select(F.col("node").alias("part"), "rank_fp",
+                        (F.col("rank_fp").cast("double") / F.lit(1e12))
+                        .alias("rank"))
+
+
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    from cassandra_sstable_to_protocolbuf_spark.operators.graph import (
+        BASE, DAMP_PCT)
+
+    teleport = (100 - DAMP_PCT) * BASE // 100
+    parts = [f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL SELECT p2, p1 FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT node, CAST({BASE} AS BIGINT) AS rank_fp FROM nodes)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+c{i} AS (SELECT e.dst AS node, r.rank_fp // d.deg AS c
+     FROM edges e JOIN r{i-1} r ON r.node = e.src
+     JOIN deg d ON d.src = e.src),
+s{i} AS (SELECT node, SUM(c) AS s FROM c{i} GROUP BY 1),
+r{i} AS (SELECT n.node,
+         CAST({teleport} + ({DAMP_PCT} * COALESCE(s.s, 0)) // 100 AS BIGINT)
+           AS rank_fp
+     FROM nodes n LEFT JOIN s{i} s USING (node))""")
+    parts.append(f"""
+SELECT node AS part, rank_fp,
+       CAST(rank_fp AS DOUBLE) / 1e12 AS rank
+FROM r{n_iter}""")
+    return "".join(parts)
+
+
+PART_PAGERANK_SQL = _pagerank_oracle_sql(3)

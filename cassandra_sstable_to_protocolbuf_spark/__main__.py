@@ -46,7 +46,9 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "sstable-info <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "build-corpus <sf_dir> <out_dir>")
+         "build-corpus <sf_dir> <out_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "repair-diff <stale_sstables> <synced_sstables>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -458,6 +460,57 @@ def sstable_info_cmd(input_path: str) -> int:
     return 0
 
 
+def repair_diff_cmd(stale_path: str, synced_path: str) -> int:
+    """Anti-entropy repair check between two replicas' sstable sets:
+    Merkle-leaf digest comparison, then a drill of only the differing
+    leaves (operators/repair.py). Prints per-status counts and a sample
+    of out-of-sync rows; exits 1 when the replicas diverge, 0 when they
+    are in sync (the `nodetool repair --preview` contract)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.repair import (
+        repair_diff)
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    spark = get_spark("sstable-repair-diff")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+
+    def side(path: str, tag: str):
+        cells = read_native_cells(spark, path, live_only=True)
+        # hex-render the binary columns (the digest/concat path needs
+        # strings and arbitrary cell bytes need not be UTF-8); drop the
+        # empty-name partition-marker atoms -- partition existence is
+        # implied by its cells, and markers would double-count every
+        # missing partition in the report
+        return (cells.filter(F.length("name") > 0)
+                .select(F.lit(tag).alias("_side"), F.hex("key").alias("key"),
+                        F.hex("name").alias("name"),
+                        F.hex("value").alias("value"),
+                        "writeTime", "sstable_id"))
+
+    cells = side(stale_path, "stale").unionByName(side(synced_path, "synced"))
+    out = repair_diff(cells, F.col("_side") == "stale",
+                      F.col("_side") == "synced")
+    rows = out.collect()
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + 1
+    if not rows:
+        print("replicas in sync: 0 out-of-sync rows")
+        return 0
+    print(f"{len(rows)} out-of-sync row(s): "
+          + ", ".join(f"{k}={v}" for k, v in sorted(by_status.items())))
+    for r in sorted(rows, key=lambda r: (r.key, r.name))[:10]:
+        print(f"  key={r.key} name={r.name} {r.status}"
+              f" stale_wt={r.stale_write_time_us}"
+              f" synced_wt={r.synced_write_time_us}")
+    return 1
+
+
 def table_history_cmd(table_dir: str) -> int:
     """List every retained snapshot: version, shard/file counts, and
     which one `_current` points at. Driver-only (no Spark session)."""
@@ -506,7 +559,7 @@ def main(argv: list[str]) -> int:
                 else compact_versioned_cmd)(args[1])
     commands = ("convert", "to-parquet", "compact", "merge", "delete-keys",
                 "init-versioned", "merge-versioned", "restore", "vacuum",
-                "build-corpus")
+                "build-corpus", "repair-diff")
     if len(args) != 3 or args[0] not in commands:
         _die(USAGE)
     cmd, input_path, output_dir = args
@@ -533,6 +586,10 @@ def main(argv: list[str]) -> int:
         if not os.path.isdir(input_path):
             _die(f"sf dir does not exist: {input_path}")
         return build_corpus_cmd(input_path, output_dir)
+    if cmd == "repair-diff":
+        if not os.path.exists(output_dir):
+            _die(f"input path does not exist: {output_dir}")
+        return repair_diff_cmd(input_path, output_dir)
     if cmd == "init-versioned":
         return init_versioned_cmd(input_path, output_dir, force=force)
     if cmd == "merge-versioned":

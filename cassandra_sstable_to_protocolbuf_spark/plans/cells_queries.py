@@ -1096,11 +1096,11 @@ state AS (
          b.value AS b_value, b.writeTime AS b_wt, b.sstable_id AS b_sst,
          CASE WHEN a.key IS NULL THEN 0
               ELSE CAST(('0x' || substring(md5(a.key || '|' || a.name || '|'
-                       || a.value || '|' || CAST(a.writeTime AS VARCHAR)
-                       || '|' || a.sstable_id), 1, 15)) AS BIGINT) END AS ha,
+                       || a.value || '|' || CAST(a.writeTime AS VARCHAR)),
+                       1, 15)) AS BIGINT) END AS ha,
          CAST(('0x' || substring(md5(b.key || '|' || b.name || '|'
-                  || b.value || '|' || CAST(b.writeTime AS VARCHAR)
-                  || '|' || b.sstable_id), 1, 15)) AS BIGINT) AS hb
+                  || b.value || '|' || CAST(b.writeTime AS VARCHAR)),
+                  1, 15)) AS BIGINT) AS hb
   FROM b LEFT JOIN a ON a.key = b.key AND a.name = b.name),
 tree AS (
   SELECT bucket, bit_xor(ha) AS da, bit_xor(hb) AS db
@@ -1116,5 +1116,4 @@ SELECT s.bucket, s.key, s.name,
 FROM state s JOIN leaves USING (bucket)
 WHERE s.a_value IS DISTINCT FROM s.b_value
    OR s.a_wt IS DISTINCT FROM s.b_wt
-   OR s.a_sst IS DISTINCT FROM s.b_sst
 """

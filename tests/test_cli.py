@@ -352,3 +352,33 @@ def test_sstable_info_driver_only(tmp_path):
     assert "compressed=yes" in line
     assert "summary=3@128" in line  # ceil(300/128) sampled entries
     assert "partitioner=RandomPartitioner" in line
+
+
+def test_repair_diff_cli(tmp_path):
+    stale = str(tmp_path / "stale")
+    synced = str(tmp_path / "synced")
+    base = [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"x"}]},
+        {"key": b"k2", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"s"}]},
+    ]
+    N.write_sstable(stale, 1, base)
+    N.write_sstable(synced, 1, base)
+    # the synced replica also got a later generation: k1 rewritten with a
+    # new value, k3 created -- the stale replica missed both writes
+    N.write_sstable(synced, 2, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"y"}]},
+        {"key": b"k3", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"z"}]},
+    ])
+    r = _run("repair-diff", stale, synced)
+    assert r.returncode == 1, r.stderr
+    assert "2 out-of-sync row(s)" in r.stdout
+    assert "divergent_value=1" in r.stdout
+    assert "missing_in_stale=1" in r.stdout
+    # identical replicas: in sync, exit 0
+    r2 = _run("repair-diff", stale, stale)
+    assert r2.returncode == 0, r2.stderr
+    assert "in sync" in r2.stdout

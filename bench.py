@@ -63,6 +63,7 @@ HEADLINE = [
     "events_value_histogram",
     "events_rollup_refresh",
     "events_retention_cohorts",
+    "events_ab_test",
     "customer_rfm_segments",
     "lineitem_market_basket",
     "part_pagerank",

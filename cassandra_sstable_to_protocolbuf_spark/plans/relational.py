@@ -3704,3 +3704,103 @@ FROM r{n_iter}""")
 
 
 PART_PAGERANK_SQL = _pagerank_oracle_sql(3)
+
+
+# --- A/B experiment analysis (two-sample z-test, engine-exact) -------------
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample z-test between variant A (even user_id)
+    and B (odd): Welch z = (mean_b - mean_a) / sqrt(var_a/n_a +
+    var_b/n_b). All moments accumulate as exact integers (penny-scaled,
+    lifted to DECIMAL(38,0) before any square), and every double is
+    produced by the same literal expression tree on both engines --
+    single divisions over exact numerators/denominators, one sqrt -- so
+    even the float z-score hash-matches. One hash aggregation keyed
+    (event_type, variant) over the full scan, then a variant self-join
+    on the tiny per-type frame."""
+    d38 = "decimal(38,0)"
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"))
+    st = (ev.groupBy("event_type", "is_a")
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum(F.col("vc").cast(d38)).alias("s"),
+               F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+               .alias("sq")))
+
+    def side(tag: str, flag: bool):
+        return (st.filter(F.col("is_a") == flag)
+                .select("event_type", F.col("n").alias(f"n_{tag}"),
+                        F.col("s").alias(f"s_{tag}"),
+                        F.col("sq").alias(f"sq_{tag}")))
+
+    j = side("a", True).join(side("b", False), "event_type")
+
+    def mean(tag: str) -> F.Column:
+        return (F.col(f"s_{tag}").cast("double")
+                / F.col(f"n_{tag}").cast("double"))
+
+    def var(tag: str) -> F.Column:
+        n, s, sq = (F.col(f"n_{tag}"), F.col(f"s_{tag}"), F.col(f"sq_{tag}"))
+        num = n.cast(d38) * sq.cast(d38) - s.cast(d38) * s.cast(d38)
+        den = n.cast(d38) * (n - 1).cast(d38)
+        return num.cast("double") / den.cast("double")
+
+    z = ((mean("b") - mean("a"))
+         / F.sqrt(var("a") / F.col("n_a").cast("double")
+                  + var("b") / F.col("n_b").cast("double")))
+    return j.select(
+        "event_type", "n_a", "n_b",
+        # means/z in cents to keep the output unit explicit
+        mean("a").alias("mean_cents_a"), mean("b").alias("mean_cents_b"),
+        z.alias("z_score"), (F.abs(z) > 1.96).alias("significant"))
+
+
+EVENTS_AB_TEST_SQL = """
+WITH ev AS (SELECT event_type, (user_id % 2 = 0) AS is_a,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM events),
+st AS (SELECT event_type, is_a, COUNT(*) AS n,
+              SUM(CAST(vc AS DECIMAL(38,0))) AS s,
+              SUM(CAST(vc AS DECIMAL(38,0)) * CAST(vc AS DECIMAL(38,0)))
+                AS sq
+       FROM ev GROUP BY 1, 2),
+j AS (SELECT a.event_type,
+             a.n AS n_a, a.s AS s_a, a.sq AS sq_a,
+             b.n AS n_b, b.s AS s_b, b.sq AS sq_b
+      FROM st a JOIN st b ON a.event_type = b.event_type
+      WHERE a.is_a AND NOT b.is_a)
+SELECT event_type, n_a, n_b,
+       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_cents_a,
+       CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_cents_b,
+       (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       / sqrt(CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(sq_a AS DECIMAL(38,0))
+                   - CAST(s_a AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))
+                   AS DOUBLE)
+              / CAST(CAST(n_a AS DECIMAL(38,0))
+                     * CAST(n_a - 1 AS DECIMAL(38,0)) AS DOUBLE)
+              / CAST(n_a AS DOUBLE)
+              + CAST(CAST(n_b AS DECIMAL(38,0)) * CAST(sq_b AS DECIMAL(38,0))
+                     - CAST(s_b AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0))
+                     AS DOUBLE)
+                / CAST(CAST(n_b AS DECIMAL(38,0))
+                       * CAST(n_b - 1 AS DECIMAL(38,0)) AS DOUBLE)
+                / CAST(n_b AS DOUBLE)) AS z_score,
+       abs((CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+            - CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / sqrt(CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(sq_a AS DECIMAL(38,0))
+                       - CAST(s_a AS DECIMAL(38,0)) * CAST(s_a AS DECIMAL(38,0))
+                       AS DOUBLE)
+                  / CAST(CAST(n_a AS DECIMAL(38,0))
+                         * CAST(n_a - 1 AS DECIMAL(38,0)) AS DOUBLE)
+                  / CAST(n_a AS DOUBLE)
+                  + CAST(CAST(n_b AS DECIMAL(38,0)) * CAST(sq_b AS DECIMAL(38,0))
+                         - CAST(s_b AS DECIMAL(38,0)) * CAST(s_b AS DECIMAL(38,0))
+                         AS DOUBLE)
+                    / CAST(CAST(n_b AS DECIMAL(38,0))
+                           * CAST(n_b - 1 AS DECIMAL(38,0)) AS DOUBLE)
+                    / CAST(n_b AS DOUBLE))) > 1.96 AS significant
+FROM j
+"""

@@ -67,6 +67,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "lineitem_market_basket",
     "part_pagerank",
+    "part_triangles",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

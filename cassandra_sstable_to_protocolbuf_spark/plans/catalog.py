@@ -284,6 +284,9 @@ CATALOG: dict[str, QueryDef] = {
     "part_pagerank": QueryDef(R.part_pagerank, R.PART_PAGERANK_SQL,
                               "fixed-point PageRank over the co-purchase "
                               "graph (hash-gateable graph analytics)"),
+    "part_triangles": QueryDef(R.part_triangles, R.PART_TRIANGLES_SQL,
+                               "triangle counting + clustering coefficient "
+                               "(ordered-edge three-way self-join)"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

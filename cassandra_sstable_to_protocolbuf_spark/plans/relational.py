@@ -3649,17 +3649,7 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.operators.graph import (
         pagerank_fixedpoint)
 
-    items = (_t(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey").distinct())
-    a = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("ok"),
-                     F.col("l_partkey").alias("p2"))
-    pairs = (a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
-             .groupBy("p1", "p2")
-             .agg(F.count(F.lit(1)).alias("n_both"))
-             .filter(F.col("n_both") >= 2)
-             .select("p1", "p2"))
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = (pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
              .unionAll(pairs.select(F.col("p2").alias("src"),
                                     F.col("p1").alias("dst"))))
@@ -3667,6 +3657,81 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("node").alias("part"), "rank_fp",
                         (F.col("rank_fp").cast("double") / F.lit(1e12))
                         .alias("rank"))
+
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support>=2 co-purchase graph's ordered edge list (p1 < p2):
+    the support threshold prunes the graph the way hot-shingle caps
+    prune the dedup inverted index -- the downstream graph ops stay
+    bounded even when one giant order links everything."""
+    items = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p2"))
+    return (a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+            .filter(F.col("n_both") >= 2)
+            .select("p1", "p2"))
+
+
+# --- Triangle counting / clustering coefficient ---------------------------
+
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    co-purchase graph: the ordered-edge three-way self-join (a<b<c), the
+    standard distributed triangle enumeration -- each join hashes on one
+    endpoint, and the a<b<c orientation guarantees every triangle
+    materializes exactly once. Degrees come from the symmetric edge
+    list; cc = 2T / (deg*(deg-1)) is a single double division over exact
+    integers."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    e1 = pairs.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
+    e2 = pairs.select(F.col("p1").alias("b"), F.col("p2").alias("c"))
+    e3 = pairs.select(F.col("p1").alias("a"), F.col("p2").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    member = (tri.select(F.col("a").alias("node"))
+              .unionAll(tri.select(F.col("b").alias("node")))
+              .unionAll(tri.select(F.col("c").alias("node"))))
+    counts = member.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    deg = (pairs.select(F.col("p1").alias("node"))
+           .unionAll(pairs.select(F.col("p2").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree")))
+    return (counts.join(deg, "node")
+            .select(F.col("node").alias("part"), "n_triangles", "degree",
+                    ((F.col("n_triangles") * 2).cast("double")
+                     / (F.col("degree") * (F.col("degree") - 1))
+                     .cast("double")).alias("clustering_coeff")))
+
+
+PART_TRIANGLES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+tri AS (
+  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.p1 = e1.p2
+  JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri),
+counts AS (SELECT node, COUNT(*) AS n_triangles FROM member GROUP BY 1),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT p1 AS node FROM pairs UNION ALL SELECT p2 FROM pairs) e
+  GROUP BY 1)
+SELECT c.node AS part, c.n_triangles, d.degree,
+       CAST(c.n_triangles * 2 AS DOUBLE)
+       / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering_coeff
+FROM counts c JOIN deg d USING (node)
+"""
 
 
 def _pagerank_oracle_sql(n_iter: int = 3) -> str:

@@ -64,6 +64,7 @@ HEADLINE = [
     "events_rollup_refresh",
     "events_retention_cohorts",
     "events_ab_test",
+    "dq_audit",
     "customer_rfm_segments",
     "lineitem_market_basket",
     "part_pagerank",

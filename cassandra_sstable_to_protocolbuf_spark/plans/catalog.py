@@ -268,6 +268,9 @@ CATALOG: dict[str, QueryDef] = {
     "events_rollup_refresh": QueryDef(R.events_rollup_refresh,
                                       R.EVENTS_ROLLUP_REFRESH_SQL,
                                       "incremental continuous-aggregate refresh (day partitions)"),
+    "dq_audit": QueryDef(R.dq_audit, R.DQ_AUDIT_SQL,
+                         "data-quality audit: named constraint checks "
+                         "(FK, uniqueness, ranges, nulls) with counts"),
     "events_ab_test": QueryDef(R.events_ab_test, R.EVENTS_AB_TEST_SQL,
                                "two-sample z-test per event type, exact "
                                "integer moments (hash-gated float z)"),

@@ -3869,3 +3869,90 @@ SELECT event_type, n_a, n_b,
                     / CAST(n_b AS DOUBLE))) > 1.96 AS significant
 FROM j
 """
+
+
+# --- Data-quality audit (constraint checks with violation counts) ----------
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the dbt-tests / Deequ layer): one
+    row per named constraint with checked/violation counts and a pass
+    flag. Row-local checks are single aggregations over their scan;
+    referential checks are ONE left join + conditional count (never an
+    anti-join plus a second count pass). Every check is a separate
+    1-row aggregate unioned lazily, so the whole audit is one job and
+    each check scans its table exactly once."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+
+    def check(name: str, df: DataFrame, violation: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(violation, 1).otherwise(0)).alias("n_violations"))
+
+    fk_orders = orders.join(
+        cust.select(F.col("c_custkey").alias("_ck")),
+        orders.o_custkey == F.col("_ck"), "left")
+    fk_lineitem = li.join(
+        orders.select(F.col("o_orderkey").alias("_ok")),
+        li.l_orderkey == F.col("_ok"), "left")
+    pk_dup = (orders.groupBy("o_orderkey")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    checks = [
+        check("orders_custkey_fk", fk_orders, F.col("_ck").isNull()),
+        check("lineitem_orderkey_fk", fk_lineitem, F.col("_ok").isNull()),
+        check("orders_orderkey_unique", pk_dup, F.col("_n") > 1),
+        check("lineitem_price_non_negative", li,
+              F.col("l_extendedprice") < 0),
+        check("lineitem_discount_in_range", li,
+              ~F.col("l_discount").between(0, 1)),
+        check("lineitem_ship_after_order", li.join(
+            orders.select(F.col("o_orderkey").alias("_ok2"), "o_orderdate"),
+            li.l_orderkey == F.col("_ok2"), "left"),
+            F.col("l_shipdate") < F.col("o_orderdate")),
+        check("customer_name_not_null", cust, F.col("c_name").isNull()),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionAll(c)
+    return out.select("check_name", "n_checked", "n_violations",
+                      (F.col("n_violations") == 0).alias("passed"))
+
+
+DQ_AUDIT_SQL = """
+WITH t AS (
+SELECT 'orders_custkey_fk' AS check_name, COUNT(*) AS n_checked,
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem_orderkey_fk', COUNT(*),
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'orders_orderkey_unique', COUNT(*),
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'lineitem_price_non_negative', COUNT(*),
+       CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_in_range', COUNT(*),
+       CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_ship_after_order', COUNT(*),
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'customer_name_not_null', COUNT(*),
+       CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+)
+SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
+FROM t
+"""

@@ -65,6 +65,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_ab_test",
     "dq_audit",
+    "stream_ab_test",
     "customer_rfm_segments",
     "lineitem_market_basket",
     "part_pagerank",

@@ -268,6 +268,9 @@ CATALOG: dict[str, QueryDef] = {
     "events_rollup_refresh": QueryDef(R.events_rollup_refresh,
                                       R.EVENTS_ROLLUP_REFRESH_SQL,
                                       "incremental continuous-aggregate refresh (day partitions)"),
+    "stream_ab_test": QueryDef(ST.stream_ab_test, R.EVENTS_AB_TEST_SQL,
+                               "A/B moment accumulation THROUGH streaming "
+                               "(monoid state), scored batch-side"),
     "dq_audit": QueryDef(R.dq_audit, R.DQ_AUDIT_SQL,
                          "data-quality audit: named constraint checks "
                          "(FK, uniqueness, ranges, nulls) with counts"),

@@ -3783,24 +3783,45 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     even the float z-score hash-matches. One hash aggregation keyed
     (event_type, variant) over the full scan, then a variant self-join
     on the tiny per-type frame."""
+    ev = _t(spark, sf_dir, "events")
+    return ab_zscore_from_moments(ab_moments(ev))
+
+
+def ab_moments(events: DataFrame) -> DataFrame:
+    """(event_type, variant) -> exact integer moments. Counts, sums and
+    sums-of-squares are MONOIDS, so this aggregation is micro-batch- and
+    partition-split-invariant -- the streaming twin accumulates the same
+    frame through the streaming engine."""
     d38 = "decimal(38,0)"
-    ev = _t(spark, sf_dir, "events").select(
+    ev = events.select(
         "event_type",
         (F.col("user_id") % 2 == 0).alias("is_a"),
         F.round(F.col("value") * 100).cast("long").alias("vc"))
-    st = (ev.groupBy("event_type", "is_a")
-          .agg(F.count(F.lit(1)).alias("n"),
-               F.sum(F.col("vc").cast(d38)).alias("s"),
-               F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
-               .alias("sq")))
+    return (ev.groupBy("event_type", "is_a")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("vc").cast(d38)).alias("s"),
+                 F.sum(F.col("vc").cast(d38) * F.col("vc").cast(d38))
+                 .alias("sq")))
+
+
+def ab_zscore_from_moments(st: DataFrame) -> DataFrame:
+    """Finish the Welch z-test over the tiny per-(type, variant) moment
+    frame; expression tree mirrored literally in EVENTS_AB_TEST_SQL."""
+    d38 = "decimal(38,0)"
 
     def side(tag: str, flag: bool):
+        # every column re-aliased per side: the streaming twin passes a
+        # memory TABLE here, and self-joining the same V2 relation with a
+        # shared join-key attribute trips "Conflicting attributes"
         return (st.filter(F.col("is_a") == flag)
-                .select("event_type", F.col("n").alias(f"n_{tag}"),
+                .select(F.col("event_type").alias(f"et_{tag}"),
+                        F.col("n").alias(f"n_{tag}"),
                         F.col("s").alias(f"s_{tag}"),
                         F.col("sq").alias(f"sq_{tag}")))
 
-    j = side("a", True).join(side("b", False), "event_type")
+    j = (side("a", True)
+         .join(side("b", False), F.col("et_a") == F.col("et_b"))
+         .withColumnRenamed("et_a", "event_type"))
 
     def mean(tag: str) -> F.Column:
         return (F.col(f"s_{tag}").cast("double")

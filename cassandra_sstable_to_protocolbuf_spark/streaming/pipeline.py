@@ -720,3 +720,28 @@ def _fill_stream_profile_sql() -> str:
 
 
 STREAM_CORPUS_PROFILE_SQL = _fill_stream_profile_sql()
+
+
+def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B z-test's moment accumulation run THROUGH Structured
+    Streaming: counts / penny sums / penny sums-of-squares are monoids,
+    so complete-mode state (2 rows per event_type, bounded at any stream
+    size) converges to the batch frame regardless of micro-batch splits;
+    availableNow terminates on the bounded fixture. The z-score math
+    then runs batch-side over the tiny streamed moment table -- the same
+    split a production dashboard makes (streaming accumulation, query-
+    time scoring). Gate: the batch EVENTS_AB_TEST_SQL oracle."""
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        ab_moments, ab_zscore_from_moments)
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir))
+    name = "stream_ab_test_" + uuid.uuid4().hex
+    query = (ab_moments(ev).writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+    query.awaitTermination()
+    return ab_zscore_from_moments(spark.table(name))

@@ -283,6 +283,13 @@ CATALOG: dict[str, QueryDef] = {
     "customer_rfm_segments": QueryDef(R.customer_rfm_segments,
                                       R.CUSTOMER_RFM_SQL,
                                       "RFM quartile segmentation over customer-grain aggregates"),
+    "events_markov_transitions": QueryDef(R.events_markov_transitions,
+                                          R.EVENTS_MARKOV_SQL,
+                                          "first-order Markov transition "
+                                          "matrix over user journeys"),
+    "part_pareto_curve": QueryDef(R.part_pareto_curve, R.PART_PARETO_SQL,
+                                  "revenue-concentration (80/20) curve, "
+                                  "decimated to O(100) rows"),
     "lineitem_market_basket": QueryDef(R.lineitem_market_basket,
                                        R.LINEITEM_MARKET_BASKET_SQL,
                                        "item-affinity mining: co-bought part "

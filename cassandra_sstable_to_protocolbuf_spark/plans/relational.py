@@ -3977,3 +3977,95 @@ FROM customer
 SELECT check_name, n_checked, n_violations, n_violations = 0 AS passed
 FROM t
 """
+
+
+# --- User-journey Markov transitions ---------------------------------------
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the user-journey model behind next-action prediction and
+    funnel leak analysis): LAG over (user_id, ts, event_id), then one
+    hash aggregation per (from, to) pair. Probability = pair count over
+    from-state total, one double division over exact longs. The window
+    partitions by user -- state never exceeds one user's events, the
+    same bound sessionization already relies on."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    steps = (ev.select("user_id", "event_type",
+                       F.lag("event_type").over(w).alias("prev"))
+             .filter(F.col("prev").isNotNull()))
+    pairs = (steps.groupBy(F.col("prev").alias("from_type"),
+                           F.col("event_type").alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = (pairs.groupBy("from_type")
+              .agg(F.sum("n").alias("n_from")))
+    return (pairs.join(totals, "from_type")
+            .select("from_type", "to_type", "n", "n_from",
+                    (F.col("n").cast("double")
+                     / F.col("n_from").cast("double")).alias("p")))
+
+
+EVENTS_MARKOV_SQL = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+           FROM events),
+steps AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id) AS prev
+  FROM e),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM steps WHERE prev IS NOT NULL GROUP BY 1, 2),
+totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+           FROM pairs GROUP BY 1)
+SELECT p.from_type, p.to_type, p.n, t.n_from,
+       CAST(p.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM pairs p JOIN totals t USING (from_type)
+"""
+
+
+# --- Pareto revenue concentration ------------------------------------------
+
+def part_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (80/20) curve: parts ranked by exact DECIMAL
+    revenue, cumulative share as one double division per row. The fact
+    table collapses to part grain FIRST; the single cumulative window
+    only ever sees the dimension-sized frame (same discipline as RFM).
+    Emits only every 100th rank plus the top 10 so the output stays
+    O(100) at any corpus size -- the decimation is deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast(DEC)).alias("rev")))
+    total = rev.agg(F.sum("rev").alias("total_rev"))
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey")
+    ranked = (rev.withColumn("rank", F.row_number().over(w))
+              .withColumn("cum_rev",
+                          F.sum("rev").over(
+                              w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (ranked.join(broadcast(total))
+            .filter((F.col("rank") % 100 == 0) | (F.col("rank") <= 10))
+            .select("rank", F.col("l_partkey").alias("part"),
+                    F.col("rev").cast("double").alias("revenue"),
+                    (F.col("cum_rev").cast("double")
+                     / F.col("total_rev").cast("double"))
+                    .alias("cum_share")))
+
+
+PART_PARETO_SQL = """
+WITH rev AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+  FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(rev) AS total_rev FROM rev),
+ranked AS (
+  SELECT l_partkey, rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM rev)
+SELECT r.rank, r.l_partkey AS part,
+       CAST(r.rev AS DOUBLE) AS revenue,
+       CAST(r.cum_rev AS DOUBLE) / CAST(t.total_rev AS DOUBLE) AS cum_share
+FROM ranked r CROSS JOIN t
+WHERE r.rank % 100 = 0 OR r.rank <= 10
+"""

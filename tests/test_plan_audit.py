@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
                                  # HAVING compare (decorrelated scalar subq)
     "customer_rfm_segments",     # ONE-ROW global as-of-date broadcast
     "lineitem_market_basket",    # ONE-ROW global order-count broadcast
+    "part_pareto_curve",         # ONE-ROW global revenue-total broadcast
 }
 
 # Streaming entries need a running query; iterative ones (label

@@ -108,6 +108,7 @@ HEADLINE = [
     "docs_domain_mix",
     "emb_cosine_topk",
     "emb_mips_topk",
+    "emb_kmeans",
     "emb_cosine_dup_pairs",
     "emb_ann_lsh",
     "emb_ivf_topk",

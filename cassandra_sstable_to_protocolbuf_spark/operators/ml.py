@@ -1,0 +1,120 @@
+"""Distributed ML primitives that stay HASH-GATEABLE: like the graph
+module, every recurrence runs in fixed-point BIGINT arithmetic so both
+engines produce bit-identical results -- float k-means can only ever be
+rows-only because centroid means sum in engine-dependent order.
+
+Scale shape per Lloyd iteration: one broadcast-centroid assignment pass
+(map-side argmin, no N x K shuffle -- the codebook is bounded) and one
+(cluster, dim) hash aggregation for the update. The quadratic N x K
+distance work is the irreducible k-means cost; at 100 TB the codebook
+stays fixed-size while N partitions freely."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+SCALE = 1_000_000  # fixed-point: coord = round(x * 1e6) as BIGINT
+
+
+def _dist_sq(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between two BIGINT arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def quantize_vectors(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("nid"),
+        F.transform(vec_col,
+                    lambda x: F.round(x.cast("double") * SCALE)
+                    .cast("long")).alias("q"))
+
+
+def kmeans_fixedpoint(emb: DataFrame, n_iter: int = 2,
+                      centroid_mod: int = 40, centroid_rem: int = 7,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Lloyd's k-means on fixed-point vectors: deterministic seeding (the
+    id-residue corpus subset, same convention as IVF/SemDeDup), argmin
+    assignment with lower-centroid-id ties, and integer-DIV centroid
+    means -- every step bit-identical across engines, so the final
+    assignment (vec_id, cluster_id, dist_sq) hash-gates against an
+    unrolled-CTE DuckDB oracle. Clusters that lose all members vanish in
+    the update on both engines alike."""
+    v = quantize_vectors(emb, id_col, vec_col)
+    cent = (v.filter(F.col("nid") % centroid_mod == centroid_rem)
+            .select(F.col("nid").alias("cid"), F.col("q").alias("cq")))
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = (v.crossJoin(broadcast(c))
+                  .select("nid", "q",
+                          F.struct(_dist_sq(F.col("q"), F.col("cq"))
+                                   .alias("d"), F.col("cid")).alias("dc")))
+        return (scored.groupBy("nid")
+                .agg(F.min("dc").alias("w"), F.first("q").alias("q"))
+                .select("nid", "q", F.col("w.cid").alias("cid"),
+                        F.col("w.d").alias("dist_sq")))
+
+    for _ in range(n_iter):
+        a = assign(cent)
+        dims = a.select("cid", F.posexplode("q").alias("dim", "c"))
+        cent = (dims.groupBy("cid", "dim")
+                .agg(F.expr("SUM(c) DIV COUNT(*)").alias("cc"))
+                .groupBy("cid")
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cc"))),
+                    lambda s: s.cc).alias("cq")))
+    final = assign(cent)
+    return final.select(F.col("nid").alias(id_col),
+                        F.col("cid").alias("cluster_id"), "dist_sq")
+
+
+def kmeans_oracle_sql(n_iter: int = 2, centroid_mod: int = 40,
+                      centroid_rem: int = 7,
+                      table: str = "embeddings") -> str:
+    """DuckDB oracle: identical quantization, seeding, argmin tiebreak,
+    and integer-mean update, unrolled one CTE block per iteration."""
+    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (p[1]-p[2])*(p[1]-p[2])))")
+
+    def assign_cte(tag: str, cent: str) -> str:
+        return f"""
+{tag} AS (
+  SELECT nid, q, cid, d AS dist_sq FROM (
+    SELECT v.nid, v.q, c.cid,
+           {dist.format(a='v.q', b='c.cq')} AS d,
+           ROW_NUMBER() OVER (PARTITION BY v.nid
+                              ORDER BY {dist.format(a='v.q', b='c.cq')},
+                                       c.cid) AS rn
+    FROM v CROSS JOIN {cent} c) t WHERE rn = 1)"""
+
+    parts = [f"""
+WITH v AS (
+  SELECT vec_id AS nid,
+         list_transform(embedding,
+                        x -> CAST(ROUND(CAST(x AS DOUBLE) * {SCALE})
+                                  AS BIGINT)) AS q
+  FROM {table}),
+c0 AS (SELECT nid AS cid, q AS cq FROM v
+       WHERE nid % {centroid_mod} = {centroid_rem})"""]
+    for i in range(1, n_iter + 1):
+        parts.append("," + assign_cte(f"a{i}", f"c{i-1}"))
+        parts.append(f""",
+e{i} AS (
+  SELECT a.cid, d.dim, a.q[d.dim] AS c
+  FROM a{i} a CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d),
+c{i} AS (
+  SELECT cid, list(cc ORDER BY dim) AS cq FROM (
+    SELECT cid, dim, CAST(SUM(c) // COUNT(*) AS BIGINT) AS cc
+    FROM e{i} GROUP BY 1, 2) GROUP BY cid)""")
+    parts.append("," + assign_cte("fin", f"c{n_iter}"))
+    # list_sum yields HUGEINT (pandas float) -- cast back to the BIGINT
+    # the Spark side emits
+    parts.append("""
+SELECT nid AS vec_id, cid AS cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq
+FROM fin""")
+    return "".join(parts)

@@ -451,6 +451,9 @@ CATALOG: dict[str, QueryDef] = {
     # --- similarity search -------------------------------------------------
     "emb_cosine_topk": QueryDef(V.emb_cosine_topk, V.EMB_COSINE_TOPK_SQL,
                                 "exact brute-force cosine top-k"),
+    "emb_kmeans": QueryDef(V.emb_kmeans, V.EMB_KMEANS_SQL,
+                           "hash-gateable fixed-point k-means "
+                           "(2 Lloyd iterations, integer arithmetic)"),
     "emb_mips_topk": QueryDef(V.emb_mips_topk, V.EMB_MIPS_TOPK_SQL,
                               "exact max-inner-product top-k "
                               "(norm-augmentation LSH is the scale path)"),

@@ -338,3 +338,23 @@ SELECT qid, rank, nid, inner_product FROM (
   FROM scored
 ) t WHERE rank <= 5
 """
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gateable distributed k-means (2 Lloyd iterations, fixed-point
+    BIGINT -- see operators/ml.py); emits the final per-vector
+    assignment with its exact integer squared distance."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.ml import (
+        kmeans_fixedpoint)
+
+    return kmeans_fixedpoint(_emb(spark, sf_dir), n_iter=2)
+
+
+def _kmeans_sql() -> str:
+    from cassandra_sstable_to_protocolbuf_spark.operators.ml import (
+        kmeans_oracle_sql)
+
+    return kmeans_oracle_sql(n_iter=2)
+
+
+EMB_KMEANS_SQL = _kmeans_sql()

@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "emb_ann_lsh",              # LSH OR-construction candidate union
     "emb_ivf_topk",             # bounded centroid table
     "emb_semdedup",             # same bounded centroid table as ivf_topk
+    "emb_kmeans",               # bounded codebook broadcast per iteration
     "tpch_q11_important_parts",  # ONE-ROW global-total broadcast, non-equi
                                  # HAVING compare (decorrelated scalar subq)
     "customer_rfm_segments",     # ONE-ROW global as-of-date broadcast

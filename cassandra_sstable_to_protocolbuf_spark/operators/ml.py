@@ -11,6 +11,8 @@ stays fixed-size while N partitions freely."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -19,10 +21,30 @@ SCALE = 1_000_000  # fixed-point: coord = round(x * 1e6) as BIGINT
 
 
 def _dist_sq(a: Column, b: Column) -> Column:
-    """Exact integer squared L2 distance between two BIGINT arrays."""
+    """Exact integer squared L2 distance between two BIGINT arrays
+    (interpreted-HOF form; the hot path uses dist_sq_udf)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def dist_sq_udf():
+    """Arrow-batched exact integer squared L2 distance. INT64 all the
+    way, so unlike the float cosine UDF there is no summation-order
+    subtlety at all -- any evaluation order gives the same integer
+    (coords <= 1.2e6, 64 dims => max 9.2e13, no overflow). ~10x the
+    interpreted zip_with fold on the N x K assignment pass."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def d2(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.to_numpy()).astype(np.int64)
+        b = np.stack(vb.to_numpy()).astype(np.int64)
+        diff = a - b
+        return pd.Series((diff * diff).sum(axis=1))
+
+    return d2
 
 
 def quantize_vectors(emb: DataFrame, id_col: str = "vec_id",
@@ -45,14 +67,19 @@ def kmeans_fixedpoint(emb: DataFrame, n_iter: int = 2,
     assignment (vec_id, cluster_id, dist_sq) hash-gates against an
     unrolled-CTE DuckDB oracle. Clusters that lose all members vanish in
     the update on both engines alike."""
-    v = quantize_vectors(emb, id_col, vec_col)
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    # the fixture parquet is one row group -> widen or every N x K
+    # assignment batch runs on a single core
+    v = quantize_vectors(widen(emb), id_col, vec_col)
     cent = (v.filter(F.col("nid") % centroid_mod == centroid_rem)
             .select(F.col("nid").alias("cid"), F.col("q").alias("cq")))
+    d2 = dist_sq_udf()
 
     def assign(c: DataFrame) -> DataFrame:
         scored = (v.crossJoin(broadcast(c))
                   .select("nid", "q",
-                          F.struct(_dist_sq(F.col("q"), F.col("cq"))
+                          F.struct(d2(F.col("q"), F.col("cq"))
                                    .alias("d"), F.col("cid")).alias("dc")))
         return (scored.groupBy("nid")
                 .agg(F.min("dc").alias("w"), F.first("q").alias("q"))

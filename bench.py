@@ -66,6 +66,7 @@ HEADLINE = [
     "events_ab_test",
     "dq_audit",
     "stream_ab_test",
+    "events_seasonality",
     "events_markov_transitions",
     "part_pareto_curve",
     "customer_rfm_segments",

@@ -283,6 +283,10 @@ CATALOG: dict[str, QueryDef] = {
     "customer_rfm_segments": QueryDef(R.customer_rfm_segments,
                                       R.CUSTOMER_RFM_SQL,
                                       "RFM quartile segmentation over customer-grain aggregates"),
+    "events_seasonality": QueryDef(R.events_seasonality,
+                                   R.EVENTS_SEASONALITY_SQL,
+                                   "timezone-free (dow, hour) activity "
+                                   "heatmap with per-type shares"),
     "events_markov_transitions": QueryDef(R.events_markov_transitions,
                                           R.EVENTS_MARKOV_SQL,
                                           "first-order Markov transition "

@@ -4069,3 +4069,43 @@ SELECT r.rank, r.l_partkey AS part,
 FROM ranked r CROSS JOIN t
 WHERE r.rank % 100 = 0 OR r.rank <= 10
 """
+
+
+# --- Seasonality profile (hour-of-day x day-of-week) -----------------------
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap over (day-of-week, hour-of-day) per event type,
+    with each cell's share of its type's total. Day/hour derive from
+    integer epoch-microsecond arithmetic (1970-01-01 was a Thursday), so
+    the cells are session-timezone-free on both engines -- the
+    date_format path would silently shift with the driver's TZ. One hash
+    aggregation + a per-type total join; share is one double division."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    day = F.expr("ts_us DIV 86400000000")
+    cells = (ev.select("event_type",
+                       F.pmod(day + 4, F.lit(7)).alias("dow"),
+                       F.expr("(ts_us DIV 3600000000) % 24").alias("hod"))
+             .groupBy("event_type", "dow", "hod")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    totals = (cells.groupBy("event_type")
+              .agg(F.sum("n_events").alias("n_total")))
+    return (cells.join(totals, "event_type")
+            .select("event_type", "dow", "hod", "n_events",
+                    (F.col("n_events").cast("double")
+                     / F.col("n_total").cast("double")).alias("share")))
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+cells AS (
+  SELECT event_type,
+         ((ts_us // 86400000000) + 4) % 7 AS dow,
+         (ts_us // 3600000000) % 24 AS hod,
+         COUNT(*) AS n_events
+  FROM ev GROUP BY 1, 2, 3),
+totals AS (SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS n_total
+           FROM cells GROUP BY 1)
+SELECT c.event_type, c.dow, c.hod, c.n_events,
+       CAST(c.n_events AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+FROM cells c JOIN totals t USING (event_type)
+"""

@@ -65,3 +65,56 @@ def test_identical_replicas_diff_empty(spark):
     cells = _fixture(spark).filter(F.col("sstable_id") == "old")
     out = repair_diff(cells, F.lit(True))
     assert out.count() == 0
+
+
+def test_matches_dict_model_on_random_replicas(spark):
+    """Randomized (seeded) two-replica state vs a pure-python model of
+    LWW-reconcile-then-diff: statuses, winners, and the missing side."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for k in range(60):
+        key = f"k{k}"
+        for name in ("a", "b"):
+            # stale replica has the row with probability 0.8
+            has_stale = rng.random() < 0.8
+            wt = rng.randint(1, 5)
+            val = rng.choice("xyz")
+            if has_stale:
+                rows.append((key, name, val, wt, "old"))
+            # synced replica always has it, sometimes strictly newer
+            if rng.random() < 0.5:
+                rows.append((key, name, rng.choice("xyz"), wt + 1, "new"))
+            elif has_stale:
+                rows.append((key, name, val, wt, "new"))
+            else:
+                rows.append((key, name, val, wt, "new"))
+    cells = spark.createDataFrame(rows, COLS)
+
+    # python model: LWW per side on (writeTime, sstable_id, value)
+    def lww(side_rows):
+        best = {}
+        for key, name, val, wt, sst in side_rows:
+            cur = best.get((key, name))
+            cand = (wt, sst, val)
+            if cur is None or cand > cur:
+                best[(key, name)] = cand
+        return best
+    a = lww([r for r in rows if r[4] == "old"])
+    b = lww(rows)
+    want = {}
+    for kn, bw in b.items():
+        aw = a.get(kn)
+        if aw is None:
+            want[kn] = ("missing_in_stale", None, bw[0])
+        elif (aw[2], aw[0]) != (bw[2], bw[0]):
+            status = ("divergent_value" if aw[2] != bw[2]
+                      else "stale_write_time")
+            want[kn] = (status, aw[0], bw[0])
+    out = repair_diff(cells, F.col("sstable_id") != "new")
+    got = {(r.key, r.name): (r.status, r.stale_write_time_us,
+                             r.synced_write_time_us)
+           for r in out.collect()}
+    assert got == want
+    assert want, "fixture produced no diffs -- model test is vacuous"

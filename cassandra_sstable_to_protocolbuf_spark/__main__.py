@@ -48,7 +48,9 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "build-corpus <sf_dir> <out_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "repair-diff <stale_sstables> <synced_sstables>")
+         "repair-diff <stale_sstables> <synced_sstables>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "analyze-events <sf_dir> <out_dir>")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -414,6 +416,37 @@ def build_corpus_cmd(sf_dir: str, out_dir: str) -> int:
     return 0
 
 
+def analyze_events_cmd(sf_dir: str, out_dir: str) -> int:
+    """The end-to-end product-analytics build over the events table,
+    composing the gated operators into one deliverable: hourly rollup,
+    sessionization, retention cohorts, seasonality heatmap, and the
+    user-journey Markov matrix, each landed as parquet under <out_dir>,
+    plus a one-line JSON summary. Every stage is the SAME plan its
+    catalog gate certifies -- this command is their composition."""
+    import json as _json
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        events_hourly, events_markov_transitions, events_retention_cohorts,
+        events_seasonality, events_sessionize_batch)
+
+    spark = _versioned_spark("sstable-analyze-events")
+    stages = {
+        "hourly": events_hourly,
+        "sessions": events_sessionize_batch,
+        "retention": events_retention_cohorts,
+        "seasonality": events_seasonality,
+        "journeys": events_markov_transitions,
+    }
+    summary: dict[str, int] = {}
+    for name, fn in stages.items():
+        dst = os.path.join(out_dir, name)
+        df = fn(spark, sf_dir).coalesce(1)
+        df.write.mode("overwrite").parquet(dst)
+        summary[name] = spark.read.parquet(dst).count()
+    print(_json.dumps({"tables": summary}))
+    return 0
+
+
 def sstable_info_cmd(input_path: str) -> int:
     """`sstablemetadata`-style report, driver-only (no Spark session):
     per sstable, the Descriptor/Statistics/Summary/Index metadata --
@@ -559,7 +592,7 @@ def main(argv: list[str]) -> int:
                 else compact_versioned_cmd)(args[1])
     commands = ("convert", "to-parquet", "compact", "merge", "delete-keys",
                 "init-versioned", "merge-versioned", "restore", "vacuum",
-                "build-corpus", "repair-diff")
+                "build-corpus", "repair-diff", "analyze-events")
     if len(args) != 3 or args[0] not in commands:
         _die(USAGE)
     cmd, input_path, output_dir = args
@@ -590,6 +623,10 @@ def main(argv: list[str]) -> int:
         if not os.path.exists(output_dir):
             _die(f"input path does not exist: {output_dir}")
         return repair_diff_cmd(input_path, output_dir)
+    if cmd == "analyze-events":
+        if not os.path.isdir(input_path):
+            _die(f"sf dir does not exist: {input_path}")
+        return analyze_events_cmd(input_path, output_dir)
     if cmd == "init-versioned":
         return init_versioned_cmd(input_path, output_dir, force=force)
     if cmd == "merge-versioned":

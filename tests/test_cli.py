@@ -382,3 +382,24 @@ def test_repair_diff_cli(tmp_path):
     r2 = _run("repair-diff", stale, stale)
     assert r2.returncode == 0, r2.stderr
     assert "in sync" in r2.stdout
+
+
+def test_analyze_events_cli(tmp_path):
+    import json
+
+    out = str(tmp_path / "analytics")
+    r = _run("analyze-events", "/root/testdata/sf0.001", out)
+    assert r.returncode == 0, r.stderr
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    tables = summary["tables"]
+    assert set(tables) == {"hourly", "sessions", "retention",
+                           "seasonality", "journeys"}
+    assert all(n > 0 for n in tables.values()), tables
+    # the landed parquet is readable and row counts match the summary
+    import duckdb
+    con = duckdb.connect()
+    for name, n in tables.items():
+        got = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{out}/{name}/*.parquet')"
+        ).fetchone()[0]
+        assert got == n, (name, got, n)

@@ -110,6 +110,7 @@ HEADLINE = [
     "emb_cosine_topk",
     "emb_mips_topk",
     "emb_kmeans",
+    "emb_pq_codes",
     "emb_cosine_dup_pairs",
     "emb_ann_lsh",
     "emb_ivf_topk",

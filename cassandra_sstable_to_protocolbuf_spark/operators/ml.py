@@ -102,9 +102,13 @@ def kmeans_fixedpoint(emb: DataFrame, n_iter: int = 2,
 
 def kmeans_oracle_sql(n_iter: int = 2, centroid_mod: int = 40,
                       centroid_rem: int = 7,
-                      table: str = "embeddings") -> str:
+                      table: str = "embeddings",
+                      vec_expr: str = "embedding",
+                      n_dims: int = 64) -> str:
     """DuckDB oracle: identical quantization, seeding, argmin tiebreak,
-    and integer-mean update, unrolled one CTE block per iteration."""
+    and integer-mean update, unrolled one CTE block per iteration.
+    vec_expr/n_dims let product quantization run the same oracle over a
+    dimension SLICE (e.g. embedding[1:32])."""
     dist = ("list_sum(list_transform(list_zip({a}, {b}), "
             "p -> (p[1]-p[2])*(p[1]-p[2])))")
 
@@ -122,7 +126,7 @@ def kmeans_oracle_sql(n_iter: int = 2, centroid_mod: int = 40,
     parts = [f"""
 WITH v AS (
   SELECT vec_id AS nid,
-         list_transform(embedding,
+         list_transform({vec_expr},
                         x -> CAST(ROUND(CAST(x AS DOUBLE) * {SCALE})
                                   AS BIGINT)) AS q
   FROM {table}),
@@ -133,7 +137,7 @@ c0 AS (SELECT nid AS cid, q AS cq FROM v
         parts.append(f""",
 e{i} AS (
   SELECT a.cid, d.dim, a.q[d.dim] AS c
-  FROM a{i} a CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d),
+  FROM a{i} a CROSS JOIN (SELECT unnest(range(1, {n_dims + 1})) AS dim) d),
 c{i} AS (
   SELECT cid, list(cc ORDER BY dim) AS cq FROM (
     SELECT cid, dim, CAST(SUM(c) // COUNT(*) AS BIGINT) AS cc
@@ -145,3 +149,50 @@ c{i} AS (
 SELECT nid AS vec_id, cid AS cluster_id, CAST(dist_sq AS BIGINT) AS dist_sq
 FROM fin""")
     return "".join(parts)
+
+
+def pq_codes(emb: DataFrame, n_iter: int = 1,
+             centroid_mod: int = 40, centroid_rem: int = 7,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Product quantization, the vector-index compression standard: the
+    64-dim space splits into two 32-dim subspaces, each clustered by
+    the SAME fixed-point k-means (so the codebooks and code assignment
+    are hash-gateable), and every vector compresses to a pair of
+    (sub-codebook id) codes -- 8 bytes for what was 256. The exact
+    integer reconstruction error per vector is the sum of the two
+    subspace distances; two independent k-means runs compose with one
+    vec_id equi-join. At 100 TB this is the memory model that makes a
+    billion-vector index fit: codes in RAM, codebooks broadcast."""
+    def sub(lo: int) -> DataFrame:
+        sliced = emb.select(F.col(id_col),
+                            F.slice(vec_col, lo, 32).alias(vec_col))
+        return kmeans_fixedpoint(sliced, n_iter=n_iter,
+                                 centroid_mod=centroid_mod,
+                                 centroid_rem=centroid_rem,
+                                 id_col=id_col, vec_col=vec_col)
+
+    s0 = sub(1).select(F.col(id_col),
+                       F.col("cluster_id").alias("code_0"),
+                       F.col("dist_sq").alias("_d0"))
+    s1 = sub(33).select(F.col(id_col),
+                        F.col("cluster_id").alias("code_1"),
+                        F.col("dist_sq").alias("_d1"))
+    return (s0.join(s1, id_col)
+            .select(id_col, "code_0", "code_1",
+                    (F.col("_d0") + F.col("_d1")).alias("recon_dist_sq")))
+
+
+def pq_oracle_sql(n_iter: int = 1, centroid_mod: int = 40,
+                  centroid_rem: int = 7, table: str = "embeddings") -> str:
+    k0 = kmeans_oracle_sql(n_iter, centroid_mod, centroid_rem, table,
+                           vec_expr="embedding[1:32]", n_dims=32)
+    k1 = kmeans_oracle_sql(n_iter, centroid_mod, centroid_rem, table,
+                           vec_expr="embedding[33:64]", n_dims=32)
+    return f"""
+SELECT k0.vec_id,
+       k0.cluster_id AS code_0,
+       k1.cluster_id AS code_1,
+       k0.dist_sq + k1.dist_sq AS recon_dist_sq
+FROM ({k0}) k0 JOIN ({k1}) k1 USING (vec_id)
+"""

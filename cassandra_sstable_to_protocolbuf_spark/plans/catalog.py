@@ -458,6 +458,9 @@ CATALOG: dict[str, QueryDef] = {
     "emb_kmeans": QueryDef(V.emb_kmeans, V.EMB_KMEANS_SQL,
                            "hash-gateable fixed-point k-means "
                            "(2 Lloyd iterations, integer arithmetic)"),
+    "emb_pq_codes": QueryDef(V.emb_pq_codes, V.EMB_PQ_SQL,
+                             "product-quantization codes from two 32-dim "
+                             "sub-codebooks + exact reconstruction error"),
     "emb_mips_topk": QueryDef(V.emb_mips_topk, V.EMB_MIPS_TOPK_SQL,
                               "exact max-inner-product top-k "
                               "(norm-augmentation LSH is the scale path)"),

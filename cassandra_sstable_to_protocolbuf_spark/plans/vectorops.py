@@ -358,3 +358,22 @@ def _kmeans_sql() -> str:
 
 
 EMB_KMEANS_SQL = _kmeans_sql()
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes + exact reconstruction error (two
+    32-dim sub-codebooks from the fixed-point k-means; see
+    operators/ml.py:pq_codes)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.ml import pq_codes
+
+    return pq_codes(_emb(spark, sf_dir), n_iter=1)
+
+
+def _pq_sql() -> str:
+    from cassandra_sstable_to_protocolbuf_spark.operators.ml import (
+        pq_oracle_sql)
+
+    return pq_oracle_sql(n_iter=1)
+
+
+EMB_PQ_SQL = _pq_sql()

@@ -111,7 +111,6 @@ HEADLINE = [
     "emb_mips_topk",
     "emb_kmeans",
     "emb_pq_codes",
-    "emb_pq_ann",
     "emb_cosine_dup_pairs",
     "emb_ann_lsh",
     "emb_ivf_topk",

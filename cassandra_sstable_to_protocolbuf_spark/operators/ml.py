@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -59,8 +59,7 @@ def quantize_vectors(emb: DataFrame, id_col: str = "vec_id",
 def kmeans_fixedpoint(emb: DataFrame, n_iter: int = 2,
                       centroid_mod: int = 40, centroid_rem: int = 7,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding",
-                      return_codebook: bool = False):
+                      vec_col: str = "embedding") -> DataFrame:
     """Lloyd's k-means on fixed-point vectors: deterministic seeding (the
     id-residue corpus subset, same convention as IVF/SemDeDup), argmin
     assignment with lower-centroid-id ties, and integer-DIV centroid
@@ -97,23 +96,19 @@ def kmeans_fixedpoint(emb: DataFrame, n_iter: int = 2,
                     F.array_sort(F.collect_list(F.struct("dim", "cc"))),
                     lambda s: s.cc).alias("cq")))
     final = assign(cent)
-    out = final.select(F.col("nid").alias(id_col),
-                       F.col("cid").alias("cluster_id"), "dist_sq")
-    if return_codebook:
-        return out, cent
-    return out
+    return final.select(F.col("nid").alias(id_col),
+                        F.col("cid").alias("cluster_id"), "dist_sq")
 
 
 def kmeans_oracle_sql(n_iter: int = 2, centroid_mod: int = 40,
                       centroid_rem: int = 7,
                       table: str = "embeddings",
                       vec_expr: str = "embedding",
-                      n_dims: int = 64, emit: str = "assign") -> str:
+                      n_dims: int = 64) -> str:
     """DuckDB oracle: identical quantization, seeding, argmin tiebreak,
     and integer-mean update, unrolled one CTE block per iteration.
     vec_expr/n_dims let product quantization run the same oracle over a
-    dimension SLICE (e.g. embedding[1:32]); emit='codebook' returns the
-    final centroids instead of the assignment."""
+    dimension SLICE (e.g. embedding[1:32])."""
     dist = ("list_sum(list_transform(list_zip({a}, {b}), "
             "p -> (p[1]-p[2])*(p[1]-p[2])))")
 
@@ -147,10 +142,6 @@ c{i} AS (
   SELECT cid, list(cc ORDER BY dim) AS cq FROM (
     SELECT cid, dim, CAST(SUM(c) // COUNT(*) AS BIGINT) AS cc
     FROM e{i} GROUP BY 1, 2) GROUP BY cid)""")
-    if emit == "codebook":
-        parts.append(f"""
-SELECT cid, cq FROM c{n_iter}""")
-        return "".join(parts)
     parts.append("," + assign_cte("fin", f"c{n_iter}"))
     # list_sum yields HUGEINT (pandas float) -- cast back to the BIGINT
     # the Spark side emits
@@ -204,88 +195,4 @@ SELECT k0.vec_id,
        k1.cluster_id AS code_1,
        k0.dist_sq + k1.dist_sq AS recon_dist_sq
 FROM ({k0}) k0 JOIN ({k1}) k1 USING (vec_id)
-"""
-
-
-def pq_ann_topk(emb: DataFrame, k: int = 5, n_iter: int = 1,
-                centroid_mod: int = 40, centroid_rem: int = 7,
-                query_mod: int = 25,
-                id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """PQ-based approximate nearest neighbors (asymmetric distance):
-    corpus vectors are replaced by their sub-codebook RECONSTRUCTIONS
-    (the codes are all a PQ index stores), queries stay exact, and the
-    ADC score is the exact-integer distance between query slice and
-    reconstructed slice, summed over subspaces. The recall loss vs exact
-    search is pure quantization error -- the measurable PQ tradeoff.
-    Scale: the scan touches only codes + two broadcast codebooks; no
-    full-precision corpus read at query time."""
-    from cassandra_sstable_to_protocolbuf_spark.session import widen
-
-    d2 = dist_sq_udf()
-    recon = None
-    for tag, lo in (("0", 1), ("1", 33)):
-        sliced = emb.select(F.col(id_col),
-                            F.slice(vec_col, lo, 32).alias(vec_col))
-        a, cb = kmeans_fixedpoint(sliced, n_iter=n_iter,
-                                  centroid_mod=centroid_mod,
-                                  centroid_rem=centroid_rem,
-                                  id_col=id_col, vec_col=vec_col,
-                                  return_codebook=True)
-        r = (a.select(F.col(id_col).alias("nid"),
-                      F.col("cluster_id").alias("cid"))
-             .join(broadcast(cb), "cid")
-             .select("nid", F.col("cq").alias(f"r{tag}")))
-        recon = r if recon is None else recon.join(r, "nid")
-    q = quantize_vectors(
-        widen(emb).filter(F.col(id_col) % query_mod == 0), id_col, vec_col)
-    queries = q.select(F.col("nid").alias("qid"),
-                       F.slice("q", 1, 32).alias("q0"),
-                       F.slice("q", 33, 32).alias("q1"))
-    scored = (broadcast(queries).crossJoin(recon)
-              .filter(F.col("nid") != F.col("qid"))
-              .select("qid", "nid",
-                      (d2(F.col("q0"), F.col("r0"))
-                       + d2(F.col("q1"), F.col("r1"))).alias("adc_dist")))
-    w = Window.partitionBy("qid").orderBy("adc_dist", "nid")
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-            .select("qid", "rank", "nid", "adc_dist"))
-
-
-def pq_ann_oracle_sql(k: int = 5, n_iter: int = 1, centroid_mod: int = 40,
-                      centroid_rem: int = 7, query_mod: int = 25,
-                      table: str = "embeddings") -> str:
-    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
-            "p -> (p[1]-p[2])*(p[1]-p[2])))")
-
-    def km(lo_hi: str, emit: str) -> str:
-        return kmeans_oracle_sql(n_iter, centroid_mod, centroid_rem, table,
-                                 vec_expr=f"embedding[{lo_hi}]", n_dims=32,
-                                 emit=emit)
-
-    return f"""
-WITH recon AS (
-  SELECT a0.vec_id AS nid, c0.cq AS r0, c1.cq AS r1
-  FROM ({km('1:32', 'assign')}) a0
-  JOIN ({km('1:32', 'codebook')}) c0 ON c0.cid = a0.cluster_id
-  JOIN ({km('33:64', 'assign')}) a1 ON a1.vec_id = a0.vec_id
-  JOIN ({km('33:64', 'codebook')}) c1 ON c1.cid = a1.cluster_id),
-q AS (
-  SELECT vec_id AS qid,
-         list_transform(embedding[1:32],
-             x -> CAST(ROUND(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS q0,
-         list_transform(embedding[33:64],
-             x -> CAST(ROUND(CAST(x AS DOUBLE) * {SCALE}) AS BIGINT)) AS q1
-  FROM {table} WHERE vec_id % {query_mod} = 0),
-scored AS (
-  SELECT q.qid, r.nid,
-         {dist.format(a='q.q0', b='r.r0')}
-         + {dist.format(a='q.q1', b='r.r1')} AS adc_dist
-  FROM q CROSS JOIN recon r WHERE r.nid <> q.qid)
-SELECT qid, rank, nid, CAST(adc_dist AS BIGINT) AS adc_dist FROM (
-  SELECT qid, nid, adc_dist,
-         ROW_NUMBER() OVER (PARTITION BY qid
-                            ORDER BY adc_dist, nid) AS rank
-  FROM scored) t WHERE rank <= {k}
 """

@@ -461,9 +461,6 @@ CATALOG: dict[str, QueryDef] = {
     "emb_pq_codes": QueryDef(V.emb_pq_codes, V.EMB_PQ_SQL,
                              "product-quantization codes from two 32-dim "
                              "sub-codebooks + exact reconstruction error"),
-    "emb_pq_ann": QueryDef(V.emb_pq_ann, V.EMB_PQ_ANN_SQL,
-                           "PQ asymmetric-distance ANN top-k over the "
-                           "code reconstructions"),
     "emb_mips_topk": QueryDef(V.emb_mips_topk, V.EMB_MIPS_TOPK_SQL,
                               "exact max-inner-product top-k "
                               "(norm-augmentation LSH is the scale path)"),

@@ -377,21 +377,3 @@ def _pq_sql() -> str:
 
 
 EMB_PQ_SQL = _pq_sql()
-
-
-def emb_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-based ANN top-k via asymmetric distance over the code
-    reconstructions (operators/ml.py:pq_ann_topk)."""
-    from cassandra_sstable_to_protocolbuf_spark.operators.ml import pq_ann_topk
-
-    return pq_ann_topk(_emb(spark, sf_dir), k=5, n_iter=1)
-
-
-def _pq_ann_sql() -> str:
-    from cassandra_sstable_to_protocolbuf_spark.operators.ml import (
-        pq_ann_oracle_sql)
-
-    return pq_ann_oracle_sql(k=5, n_iter=1)
-
-
-EMB_PQ_ANN_SQL = _pq_ann_sql()

@@ -30,7 +30,6 @@ BNLJ_ALLOWED = {
     "emb_semdedup",             # same bounded centroid table as ivf_topk
     "emb_kmeans",               # bounded codebook broadcast per iteration
     "emb_pq_codes",             # two bounded sub-codebook broadcasts
-    "emb_pq_ann",               # codebook broadcasts + broadcast query set
     "tpch_q11_important_parts",  # ONE-ROW global-total broadcast, non-equi
                                  # HAVING compare (decorrelated scalar subq)
     "customer_rfm_segments",     # ONE-ROW global as-of-date broadcast

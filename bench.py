@@ -105,6 +105,8 @@ HEADLINE = [
     "docs_repetition_filter",
     "docs_trigram_coverage",
     "docs_bigram_lm",
+    "docs_tfidf_topk",
+    "docs_bpe_merges",
     "docs_pipeline_yield",
     "docs_domain_mix",
     "emb_cosine_topk",

@@ -431,6 +431,12 @@ CATALOG: dict[str, QueryDef] = {
                                    "top-k token doc-frequency (vocab head audit)"),
     "docs_tfidf_keywords": QueryDef(TX.docs_tfidf_keywords, TX.DOCS_TFIDF_SQL,
                                     "per-doc keyword extraction (rational tf-idf)"),
+    "docs_tfidf_topk": QueryDef(TX.docs_tfidf_topk, TX.DOCS_TFIDF_TOPK_SQL,
+                                "sparse lexical top-k similarity "
+                                "(inverted-index join, df-capped)"),
+    "docs_bpe_merges": QueryDef(TX.docs_bpe_merges, TX.DOCS_BPE_SQL,
+                                "BPE vocabulary induction "
+                                "(2 unrolled merge iterations on word-freqs)"),
     "docs_decontaminate": QueryDef(TX.docs_decontaminate,
                                    TX.DOCS_DECONTAMINATE_SQL,
                                    "benchmark decontamination (broadcast shingle join)"),

@@ -1340,3 +1340,175 @@ SELECT d1, d2, jaccard,
        CASE WHEN {_FUZZY_LEV} >= 0.95 THEN d2 ELSE -1 END AS drop_id
 FROM scored
 """
+
+
+# --- BPE vocabulary induction ----------------------------------------------
+
+def _bpe_pair_counts(frame: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-symbol pair counts over a (spaced, freq)
+    word-frequency table; `spaced` is the word as space-joined symbols.
+    One narrow transform + explode + one hash agg -- pair space is
+    vocab-bounded, never corpus-bounded."""
+    f = (frame.withColumn("syms", F.split("spaced", " "))
+         # fully-merged short words have one symbol -> no pairs; the
+         # guard keeps sequence() ascending under ANSI mode
+         .filter(F.size("syms") >= 2))
+    prs = F.expr("transform(sequence(0, size(syms)-2),"
+                 " i -> struct(syms[i] AS a, syms[i+1] AS b))")
+    return (f.select(F.explode(prs).alias("p"), "freq")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("pair_count")))
+
+
+def docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, the distributed shape: ONE corpus pass
+    builds the word-frequency table (vocab-sized, the only shuffle that
+    sees corpus rows); every merge iteration after that is a hash agg +
+    a narrow string rewrite over the vocab table only -- how tokenizer
+    training scales to 100 TB (count words once, iterate on the tiny
+    word-freq table). Two iterations are unrolled and integer-exact:
+
+      step 1: adjacent-char pair counts weighted by word freq, top-5;
+      merge:  the step-1 winner (count desc, then a, b asc -- total
+              order) is applied to every word via non-overlapping
+              left-to-right replace, which IS greedy BPE merge order,
+              and both engines' plain replace() implement it;
+      step 2: recounted pair table over the merged symbols, top-5 --
+              merged symbols ("er") now appear as pair members.
+
+    The winner is applied via a one-row broadcast (plan-audit
+    whitelisted), keeping the whole plan declarative -- no driver-side
+    collect of the pair table. Single-char boundary safety: step-1
+    symbols are all single chars, so the "a b" search string cannot
+    match across a multi-char symbol boundary."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    wf = (toks.filter(F.length("w") >= 2)
+          .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    sp = wf.select(F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("spaced"),
+                   "freq")
+    p1 = _bpe_pair_counts(sp)
+    top1 = (p1.orderBy(F.desc("pair_count"), "a", "b").limit(1)
+            .select(F.col("a").alias("ma"), F.col("b").alias("mb")))
+    merged = (sp.crossJoin(F.broadcast(top1))
+              .select(F.expr("replace(spaced, ma || ' ' || mb, ma || mb)")
+                      .alias("spaced"), "freq"))
+    p2 = _bpe_pair_counts(merged)
+
+    # vocab-bounded rank (hundreds of rows) -- the single-partition
+    # window is over the pair table, never corpus rows
+    rk = W.orderBy(F.desc("pair_count"), "a", "b")
+
+    def top5(p: DataFrame, step: int) -> DataFrame:
+        return (p.withColumn("rank", F.row_number().over(rk).cast("long"))
+                .filter(F.col("rank") <= 5)
+                .select(F.lit(step).cast("long").alias("step"),
+                        "rank", "a", "b", "pair_count"))
+
+    return top5(p1, 1).unionAll(top5(p2, 2))
+
+
+_DUCK_BPE_PAIRS = """
+SELECT u.a AS a, u.b AS b, CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM (SELECT list_transform(range(1, len(string_split(spaced, ' '))),
+             i -> {'a': string_split(spaced, ' ')[i],
+                   'b': string_split(spaced, ' ')[i + 1]}) AS prs, freq
+      FROM %s), unnest(prs) AS t(u)
+GROUP BY 1, 2
+"""
+
+DOCS_BPE_SQL = rf"""
+WITH toks AS (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+       WHERE length(w) >= 2 GROUP BY 1),
+sp AS (SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS spaced, freq
+       FROM wf),
+p1 AS ({_DUCK_BPE_PAIRS % 'sp'}),
+top1 AS (SELECT a, b FROM p1 ORDER BY pair_count DESC, a, b LIMIT 1),
+merged AS (SELECT replace(spaced, t.a || ' ' || t.b, t.a || t.b) AS spaced,
+                  freq
+           FROM sp, top1 t),
+p2 AS ({_DUCK_BPE_PAIRS % 'merged'})
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step,
+         CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b) AS BIGINT)
+           AS rank, a, b, pair_count
+  FROM p1 QUALIFY rank <= 5
+  UNION ALL
+  SELECT CAST(2 AS BIGINT),
+         CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b) AS BIGINT),
+         a, b, pair_count
+  FROM p2 QUALIFY ROW_NUMBER() OVER (ORDER BY pair_count DESC, a, b) <= 5
+)
+"""
+
+
+# --- Sparse lexical similarity search --------------------------------------
+
+def docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical top-k similarity search (the IR twin of
+    emb_cosine_topk): for each query doc (doc_id % 97 == 0, ~1% of the
+    corpus) the 3 most similar docs by tf-idf-weighted term overlap,
+    via an inverted-index equi-join on the term -- never an all-pairs
+    doc x doc comparison.
+
+    Integer-exact scoring so the oracle hashes bit-for-bit: idf is the
+    rational (n_docs * 100) DIV df, and score = SUM(tf_q * tf_c *
+    idf_scaled) over shared index terms, all BIGINT (at n_docs=1e9 the
+    per-term product stays ~1e13, far inside int64).
+
+    Scale shape: the index drops terms with df > 0.9 * n_docs (the
+    stopword/posting-length cap -- on a Zipfian real corpus this kills
+    the head terms that would otherwise quadratically blow up the
+    term join; this synthetic flat vocab keeps all 31 terms); the query
+    postings (~1% of the index) broadcast to stream once over the
+    postings, and the per-(qdoc, cand) accumulation is one hash agg."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # one scalar, bounded (tfidf_keywords precedent)
+    idx = (tf.join(df_, "w")
+           .filter(F.col("df") * 10 <= F.lit(int(n_docs)) * 9)
+           .withColumn("idf_s",
+                       F.expr(f"CAST({int(n_docs) * 100} DIV df AS BIGINT)")))
+    q = idx.select(F.col("doc_id").alias("qdoc"), "w",
+                   F.col("tf").alias("qtf"), F.col("idf_s").alias("qidf")) \
+           .filter(F.col("qdoc") % 97 == 0)
+    scores = (idx.join(F.broadcast(q), "w")
+              .filter(F.col("doc_id") != F.col("qdoc"))
+              .groupBy("qdoc", F.col("doc_id").alias("cand"))
+              .agg(F.sum(F.col("qtf") * F.col("tf") * F.col("qidf"))
+                   .alias("score")))
+    rk = W.partitionBy("qdoc").orderBy(F.desc("score"), F.asc("cand"))
+    return (scores.withColumn("rank", F.row_number().over(rk).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("qdoc", "rank", "cand", "score"))
+
+
+DOCS_TFIDF_TOPK_SQL = rf"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       GROUP BY 1, 2),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idx AS (SELECT tf.doc_id, tf.w, tf.tf, (n.n_docs * 100) // df.df AS idf_s
+        FROM tf JOIN df USING (w), n
+        WHERE df.df * 10 <= n.n_docs * 9),
+q AS (SELECT doc_id AS qdoc, w, tf AS qtf, idf_s AS qidf
+      FROM idx WHERE doc_id % 97 = 0),
+scores AS (SELECT q.qdoc, idx.doc_id AS cand,
+                  CAST(SUM(q.qtf * idx.tf * q.qidf) AS BIGINT) AS score
+           FROM q JOIN idx USING (w)
+           WHERE idx.doc_id <> q.qdoc
+           GROUP BY 1, 2),
+ranked AS (SELECT qdoc, cand, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qdoc
+                       ORDER BY score DESC, cand) AS BIGINT) AS rank
+           FROM scores)
+SELECT qdoc, rank, cand, score FROM ranked WHERE rank <= 3
+"""

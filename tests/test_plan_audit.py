@@ -35,6 +35,7 @@ BNLJ_ALLOWED = {
     "customer_rfm_segments",     # ONE-ROW global as-of-date broadcast
     "lineitem_market_basket",    # ONE-ROW global order-count broadcast
     "part_pareto_curve",         # ONE-ROW global revenue-total broadcast
+    "docs_bpe_merges",           # ONE-ROW winning-merge-pair broadcast
 }
 
 # Streaming entries need a running query; iterative ones (label

@@ -95,6 +95,10 @@ CATALOG: dict[str, QueryDef] = {
                                  "copy-on-write key deletion (right-to-be-forgotten)"),
     "sst_time_travel": QueryDef(C.sst_time_travel, C.SST_TIME_TRAVEL_SQL,
                                 "manifest-versioned merge: both snapshots read via time travel"),
+    "sst_version_changes": QueryDef(C.sst_version_changes,
+                                    C.SST_VERSION_CHANGES_SQL,
+                                    "snapshot-to-snapshot CDC feed "
+                                    "(touched-shard diff, O(commit))"),
     "sst_index_lookup": QueryDef(C.sst_index_lookup, C.SST_INDEX_LOOKUP_SQL,
                                  "secondary-index point lookup -> partition fetch (2i analog)"),
     "sst_mor_merge": QueryDef(C.sst_mor_merge, C.SST_MOR_MERGE_SQL,
@@ -274,6 +278,10 @@ CATALOG: dict[str, QueryDef] = {
     "dq_audit": QueryDef(R.dq_audit, R.DQ_AUDIT_SQL,
                          "data-quality audit: named constraint checks "
                          "(FK, uniqueness, ranges, nulls) with counts"),
+    "customer_k_anonymity": QueryDef(R.customer_k_anonymity,
+                                     R.CUSTOMER_K_ANONYMITY_SQL,
+                                     "k-anonymity / l-diversity release audit "
+                                     "over quasi-identifier classes"),
     "events_ab_test": QueryDef(R.events_ab_test, R.EVENTS_AB_TEST_SQL,
                                "two-sample z-test per event type, exact "
                                "integer moments (hash-gated float z)"),

@@ -1117,3 +1117,103 @@ FROM state s JOIN leaves USING (bucket)
 WHERE s.a_value IS DISTINCT FROM s.b_value
    OR s.a_wt IS DISTINCT FROM s.b_wt
 """
+
+
+def sst_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between snapshots (Delta `table_changes` /
+    Iceberg incremental read): v0 lands the primary sstables; v1 merges
+    the replica delta PLUS a synthetic new-partition batch ('new|'-
+    prefixed copies of the %11 replica keys, so the insert class is
+    non-empty -- the fixture replica only ever updates); v2 deletes the
+    %13 partitions. The emitted table is every (key, name) cell
+    inserted, updated, or deleted across v0 -> v2 with both value/
+    writeTime sides -- what a downstream incremental consumer replays.
+
+    Scale: versioned.diff_versions reads ONLY shards whose manifest
+    file lists differ (immutable carried-over shards cannot contribute
+    a change; keys shard deterministically, so no change escapes the
+    touched set), then one co-keyed full-outer join -- a small commit
+    diffs in O(commit), never O(table). The oracle recomputes the full
+    v0/v2 LWW states from scratch and diffs them wholesale, so a hash
+    match also certifies the touched-shard pruning lost nothing."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        delete_keys_versioned, diff_versions, merge_versioned)
+
+    base = versioned_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = work_clone(base, "version_changes_work", tag)
+
+    delta = replica_delta_cells(spark, sf_dir)
+    okey = F.split(F.decode("key", "UTF-8"), r"\|").getItem(0).cast("long")
+    inserts = (delta.filter(okey % 11 == 0)
+               .withColumn("key", F.concat(F.encode(F.lit("new|"), "UTF-8"),
+                                           F.col("key"))))
+    v1 = merge_versioned(spark, work, delta.unionByName(inserts))
+    assert v1 == 1, f"expected merge to commit v1, got v{v1}"
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    victims = (li.filter(F.col("l_orderkey") % 13 == 0)
+               .select(F.encode(F.concat_ws("|", "l_orderkey",
+                                            "l_linenumber"), "UTF-8")
+                       .alias("key"))
+               .distinct())
+    v2 = delete_keys_versioned(spark, work, victims)
+    assert v2 == 2, f"expected delete to commit v2, got v{v2}"
+
+    ch = diff_versions(spark, work, 0, v2)
+    return ch.select(
+        "change_type",
+        F.decode("key", "UTF-8").alias("key"),
+        F.decode("name", "UTF-8").alias("name"),
+        F.decode("old_value", "UTF-8").alias("old_value"),
+        F.decode("new_value", "UTF-8").alias("new_value"),
+        "old_write_time", "new_write_time")
+
+
+_VC_WINNER = """
+  SELECT key, name, value, writeTime,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC,
+                                     value DESC) AS rn
+  FROM {src}
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+"""
+
+SST_VERSION_CHANGES_SQL = f"""
+{cells_cte()},
+all2 AS (
+  SELECT * FROM cells
+  UNION ALL
+  SELECT sstable_id, 'new|' || key AS key, name, value, writeTime,
+         cell_kind, ttl_expired, partition_deletion_live
+  FROM cells
+  WHERE sstable_id = 'sst-r'
+    AND CAST(split_part(key, '|', 1) AS BIGINT) % 11 = 0),
+w0 AS (SELECT key, name, value, writeTime
+       FROM ({_VC_WINNER.format(src="cells")
+              + "    AND sstable_id <> 'sst-r'"}) t
+       WHERE rn = 1),
+w2 AS (SELECT key, name, value, writeTime
+       FROM ({_VC_WINNER.format(src="all2")}) t
+       WHERE rn = 1
+         AND COALESCE(TRY_CAST(split_part(key, '|', 1) AS BIGINT)
+                      % 13 <> 0, TRUE)),
+j AS (
+  SELECT COALESCE(w0.key, w2.key) AS key,
+         COALESCE(w0.name, w2.name) AS name,
+         w0.value AS old_value, w2.value AS new_value,
+         w0.writeTime AS old_write_time, w2.writeTime AS new_write_time
+  FROM w0 FULL OUTER JOIN w2
+    ON w0.key = w2.key AND w0.name = w2.name)
+SELECT CASE WHEN old_write_time IS NULL THEN 'insert'
+            WHEN new_write_time IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       key, name, old_value, new_value, old_write_time, new_write_time
+FROM j
+WHERE old_write_time IS NULL OR new_write_time IS NULL
+   OR old_value IS DISTINCT FROM new_value
+   OR old_write_time <> new_write_time
+"""

@@ -4109,3 +4109,42 @@ SELECT c.event_type, c.dow, c.hod, c.n_events,
        CAST(c.n_events AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
 FROM cells c JOIN totals t USING (event_type)
 """
+
+
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity / l-diversity
+    over the quasi-identifier (c_nationkey, c_mktsegment) -- the columns
+    an adversary could join to an external dataset -- with the account
+    balance (banded to $1000) as the sensitive attribute. A group is
+    k-anonymous when >= 10 customers share its quasi-identifier (each
+    record hides among >= 10) and l-diverse when the group spans >= 5
+    distinct sensitive bands (knowing the group doesn't reveal the
+    balance). Emits every equivalence class with its size, band count
+    and both flags -- the table a release gate would threshold on.
+
+    Integer-exact: floor(acctbal/1000) is one IEEE double divide +
+    floor, bit-identical across engines on identical parquet doubles.
+    Scale: ONE hash agg over the quasi-identifier (distinct-band count
+    via the same shuffle); group cardinality is the product of QI
+    domains, never row count."""
+    c = _t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    return (c.groupBy("c_nationkey", "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("group_size"),
+                 F.countDistinct(band).alias("n_bands"))
+            .select("c_nationkey", "c_mktsegment", "group_size", "n_bands",
+                    (F.col("group_size") >= 10).alias("is_k_anonymous"),
+                    (F.col("n_bands") >= 5).alias("is_l_diverse")))
+
+
+CUSTOMER_K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+            AS BIGINT) AS n_bands,
+       COUNT(*) >= 10 AS is_k_anonymous,
+       COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 5
+         AS is_l_diverse
+FROM customer
+GROUP BY 1, 2
+"""

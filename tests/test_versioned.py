@@ -280,3 +280,36 @@ def test_schema_recorded_and_enforced(spark, table):
         append_versioned(spark, table, widened)
     # refused commit left no new version behind
     assert current_version(table) == 0
+
+
+def test_diff_versions_reads_only_touched_shards(spark, table, base_rows):
+    """The CDC diff must scan only shards whose manifest file lists
+    differ between the two snapshots -- carried-over shards are
+    immutable and can't contribute changes -- and must still report
+    exactly the full snapshot-minus-snapshot diff."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import diff_versions
+
+    delta = _cells(spark, [("k3", "c", "newer3", 200, "sst-d", "LIVE"),
+                           ("kx", "c", "brand-new", 200, "sst-d", "LIVE")])
+    v1 = merge_versioned(spark, table, delta)
+
+    ch = diff_versions(spark, table, 0, v1)
+    rows = {(bytes(r.key).decode(), r.change_type): r for r in ch.collect()}
+    assert set(rows) == {("k3", "update"), ("kx", "insert")}
+    assert bytes(rows[("k3", "update")].old_value) == b"base3"
+    assert bytes(rows[("k3", "update")].new_value) == b"newer3"
+    assert rows[("kx", "insert")].old_value is None
+
+    # pruning: every file the diff plan reads belongs to a shard whose
+    # file list differs between the v0 and v1 manifests
+    m0, m1 = read_manifest(table, 0), read_manifest(table, 1)
+    touched = {s for s in set(m0["files"]) | set(m1["files"])
+               if m0["files"].get(s) != m1["files"].get(s)}
+    allowed = {os.path.join(table, p)
+               for m in (m0, m1) for s in touched
+               for p in m["files"].get(s, [])}
+    read = {f.removeprefix("file://") for f in ch.inputFiles()}
+    assert read and read <= allowed, (
+        f"diff read untouched-shard files: {sorted(read - allowed)[:3]}")
+    # and the carried-over shards exist (the pruning actually pruned)
+    assert touched < set(m1["files"]), "fixture degenerate: all shards touched"

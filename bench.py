@@ -33,6 +33,7 @@ HEADLINE = [
     "sst_repair_diff",
     "sst_mor_merge",
     "sst_compacted_merge",
+    "sst_version_changes",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",
@@ -65,6 +66,8 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_ab_test",
     "dq_audit",
+    "customer_k_anonymity",
+    "lineitem_exact_percentiles",
     "stream_ab_test",
     "events_seasonality",
     "events_markov_transitions",

@@ -234,6 +234,10 @@ CATALOG: dict[str, QueryDef] = {
                                        "HLL approx distinct (sketch-specific)"),
     "lineitem_approx_percentiles": QueryDef(R.lineitem_approx_percentiles, None,
                                             "GK approx percentile sketch (error-pinned)"),
+    "lineitem_exact_percentiles": QueryDef(R.lineitem_exact_percentiles,
+                                           R.LINEITEM_EXACT_PERCENTILES_SQL,
+                                           "exact discrete percentiles "
+                                           "(order statistics, hash-gated)"),
     "docs_quality_lr": QueryDef(TX.docs_quality_lr, None,
                                 "MLlib quality classifier (accuracy-pinned)"),
     "stream_events_hourly": QueryDef(ST.stream_events_hourly,

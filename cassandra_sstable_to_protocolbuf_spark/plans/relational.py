@@ -4148,3 +4148,44 @@ SELECT c_nationkey, c_mktsegment,
 FROM customer
 GROUP BY 1, 2
 """
+
+
+def lineitem_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-GATED exact percentiles: percentile_disc is an order
+    statistic -- it returns an actual data value, no interpolation, no
+    floats -- so unlike the interpolating/approximate pair
+    (lineitem_approx_percentiles, rows-only by necessity) the result is
+    bit-identical across engines and the driver can hash-gate it. Both
+    engines implement the SQL-standard discrete percentile (smallest
+    value whose cume_dist >= p; verified on odd/even group sizes).
+
+    Computed over quantity CENTS (exact integers). Scale: a per-group
+    sort agg -- the exact path you run on a sampled slice or small
+    group count; the GK sketch next door is the 100 TB path, and this
+    gate is what the sketch's error is measured AGAINST."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = "CAST(ROUND(l_quantity * 100) AS BIGINT)"
+    disc = ("CAST(percentile_disc({p}) WITHIN GROUP "
+            f"(ORDER BY {cents}) AS BIGINT)")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(disc.format(p="0.25")).alias("p25"),
+                 F.expr(disc.format(p="0.5")).alias("p50"),
+                 F.expr(disc.format(p="0.9")).alias("p90"),
+                 F.expr(disc.format(p="0.99")).alias("p99")))
+
+
+LINEITEM_EXACT_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(quantile_disc(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.25)
+            AS BIGINT) AS p25,
+       CAST(quantile_disc(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS p50,
+       CAST(quantile_disc(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.9)
+            AS BIGINT) AS p90,
+       CAST(quantile_disc(CAST(ROUND(l_quantity * 100) AS BIGINT), 0.99)
+            AS BIGINT) AS p99
+FROM lineitem
+GROUP BY 1
+"""

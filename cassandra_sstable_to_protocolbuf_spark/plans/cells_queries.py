@@ -1164,17 +1164,22 @@ def sst_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert v2 == 2, f"expected delete to commit v2, got v{v2}"
 
     ch = diff_versions(spark, work, 0, v2)
+    short = lambda c: F.regexp_extract(c, r"^ks-(.+)-ka-1$", 1)  # noqa: E731
     return ch.select(
         "change_type",
         F.decode("key", "UTF-8").alias("key"),
         F.decode("name", "UTF-8").alias("name"),
         F.decode("old_value", "UTF-8").alias("old_value"),
         F.decode("new_value", "UTF-8").alias("new_value"),
-        "old_write_time", "new_write_time")
+        "old_write_time", "new_write_time",
+        F.when(ch.old_sstable_id.isNotNull(), short("old_sstable_id"))
+        .alias("old_sstable_id"),
+        F.when(ch.new_sstable_id.isNotNull(), short("new_sstable_id"))
+        .alias("new_sstable_id"))
 
 
 _VC_WINNER = """
-  SELECT key, name, value, writeTime,
+  SELECT key, name, value, writeTime, sstable_id,
          ROW_NUMBER() OVER (PARTITION BY key, name
                             ORDER BY writeTime DESC, sstable_id DESC,
                                      value DESC) AS rn
@@ -1192,11 +1197,11 @@ all2 AS (
   FROM cells
   WHERE sstable_id = 'sst-r'
     AND CAST(split_part(key, '|', 1) AS BIGINT) % 11 = 0),
-w0 AS (SELECT key, name, value, writeTime
+w0 AS (SELECT key, name, value, writeTime, sstable_id
        FROM ({_VC_WINNER.format(src="cells")
               + "    AND sstable_id <> 'sst-r'"}) t
        WHERE rn = 1),
-w2 AS (SELECT key, name, value, writeTime
+w2 AS (SELECT key, name, value, writeTime, sstable_id
        FROM ({_VC_WINNER.format(src="all2")}) t
        WHERE rn = 1
          AND COALESCE(TRY_CAST(split_part(key, '|', 1) AS BIGINT)
@@ -1205,15 +1210,18 @@ j AS (
   SELECT COALESCE(w0.key, w2.key) AS key,
          COALESCE(w0.name, w2.name) AS name,
          w0.value AS old_value, w2.value AS new_value,
-         w0.writeTime AS old_write_time, w2.writeTime AS new_write_time
+         w0.writeTime AS old_write_time, w2.writeTime AS new_write_time,
+         w0.sstable_id AS old_sstable_id, w2.sstable_id AS new_sstable_id
   FROM w0 FULL OUTER JOIN w2
     ON w0.key = w2.key AND w0.name = w2.name)
 SELECT CASE WHEN old_write_time IS NULL THEN 'insert'
             WHEN new_write_time IS NULL THEN 'delete'
             ELSE 'update' END AS change_type,
-       key, name, old_value, new_value, old_write_time, new_write_time
+       key, name, old_value, new_value, old_write_time, new_write_time,
+       old_sstable_id, new_sstable_id
 FROM j
 WHERE old_write_time IS NULL OR new_write_time IS NULL
    OR old_value IS DISTINCT FROM new_value
    OR old_write_time <> new_write_time
+   OR old_sstable_id <> new_sstable_id
 """

@@ -437,19 +437,25 @@ def diff_versions(spark: SparkSession, table_dir: str,
         return _read_files(spark, m, paths)
 
     old = side(mo).select("key", "name", F.col("value").alias("old_value"),
-                          F.col("writeTime").alias("old_write_time"))
+                          F.col("writeTime").alias("old_write_time"),
+                          F.col("sstable_id").alias("old_sstable_id"))
     new = side(mn).select("key", "name", F.col("value").alias("new_value"),
-                          F.col("writeTime").alias("new_write_time"))
+                          F.col("writeTime").alias("new_write_time"),
+                          F.col("sstable_id").alias("new_sstable_id"))
     j = old.join(new, ["key", "name"], "full_outer")
+    # provenance counts as change: an LWW tie-break win (same value AND
+    # writeTime, different winning sstable) is still a new cell version
     change = (F.when(F.col("old_write_time").isNull(), "insert")
               .when(F.col("new_write_time").isNull(), "delete")
               .when(~F.col("old_value").eqNullSafe(F.col("new_value"))
-                    | (F.col("old_write_time") != F.col("new_write_time")),
+                    | (F.col("old_write_time") != F.col("new_write_time"))
+                    | (F.col("old_sstable_id") != F.col("new_sstable_id")),
                     "update"))
     return (j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
             .select("change_type", "key", "name", "old_value", "new_value",
-                    "old_write_time", "new_write_time"))
+                    "old_write_time", "new_write_time",
+                    "old_sstable_id", "new_sstable_id"))
 
 
 def merge_versioned(spark: SparkSession, table_dir: str,

@@ -87,6 +87,24 @@ def test_every_snapshot_matches_the_model_history(
         assert _read(spark, table, version) == model, (
             f"snapshot v{version} diverged from model")
 
+    # the CDC diff between ANY adjacent pair (incl. restores, which can
+    # resurrect/delete en masse) must equal the model dicts' diff
+    from cassandra_sstable_to_protocolbuf_spark.versioned import diff_versions
+    for v in range(1, len(history)):
+        before, after = history[v - 1], history[v]
+        expect = {}
+        for kn in set(before) | set(after):
+            b, a = before.get(kn), after.get(kn)
+            if b is None:
+                expect[kn] = "insert"
+            elif a is None:
+                expect[kn] = "delete"
+            elif b != a:
+                expect[kn] = "update"
+        got = {(r["key"].decode(), r["name"].decode()): r["change_type"]
+               for r in diff_versions(spark, table, v - 1, v).collect()}
+        assert got == expect, f"CDC diff v{v-1}->v{v} diverged from model"
+
 
 # --- metadata scale: 10k shards x 100 commits ----------------------------
 

@@ -282,6 +282,10 @@ CATALOG: dict[str, QueryDef] = {
     "dq_audit": QueryDef(R.dq_audit, R.DQ_AUDIT_SQL,
                          "data-quality audit: named constraint checks "
                          "(FK, uniqueness, ranges, nulls) with counts"),
+    "orders_mv_join_refresh": QueryDef(R.orders_mv_join_refresh,
+                                       R.ORDERS_MV_JOIN_REFRESH_SQL,
+                                       "incremental JOIN-MV maintenance "
+                                       "(delta-rule refresh, month-partitioned)"),
     "customer_k_anonymity": QueryDef(R.customer_k_anonymity,
                                      R.CUSTOMER_K_ANONYMITY_SQL,
                                      "k-anonymity / l-diversity release audit "

@@ -4189,3 +4189,82 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY 1
 """
+
+
+def orders_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view (the IVM
+    step beyond events_rollup_refresh's single-table rollup): the MV is
+    revenue by (customer nation, order month) over lineitem JOIN orders
+    JOIN customer JOIN nation, landed month-partitioned. A late batch
+    -- the orders in the final 20% of the date range, with their
+    lineitems -- arrives after the base build; because only the fact
+    side changes, the delta view is exactly delta(L JOIN O) = deltaL
+    JOIN deltaO (classic delta-rule IVM), so the refresh joins and
+    aggregates ONLY the delta, partial-merges into the touched month
+    partitions, and never rescans history. The oracle recomputes the
+    MV from all rows from scratch; the refreshed table must match.
+
+    Revenue is BIGINT 1e-4 dollars (price-cents x (100 - discount-pct))
+    so partial-agg merge is exact integer addition. At 100 TB: refresh
+    cost ~ O(delta + touched partitions); the dimension join broadcasts;
+    the only wide shuffle is the delta's own (month, nation) agg."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import _rewrite_shards
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ntz_epoch_us, scratch_dir)
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "od_us", F.expr(ntz_epoch_us("o_orderdate")))
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    lo, hi = orders.agg(F.min("od_us"), F.max("od_us")).collect()[0]
+    cutoff = lo + int((hi - lo) * 0.8)  # 2 bounded scalars (rollup precedent)
+
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+
+    def mv(o: DataFrame) -> DataFrame:
+        return (li.join(o, li.l_orderkey == o.o_orderkey)
+                .join(cust, o.o_custkey == cust.c_custkey)
+                .join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+                .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                         .alias("month"), "n_name")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.sum(rev).alias("rev_e4")))
+
+    out = scratch_dir("mv_join_orders", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    mv(orders.filter(F.col("od_us") < F.lit(cutoff))) \
+        .write.mode("overwrite").partitionBy("month").parquet(out)
+
+    delta = mv(orders.filter(F.col("od_us") >= F.lit(cutoff))) \
+        .localCheckpoint()  # bounded: MV-grain rows
+    months = sorted(r["month"] for r in delta.select("month")
+                    .distinct().collect())
+    base = spark.read.parquet(out).filter(F.col("month").isin(months))
+    merged = (base.unionByName(delta)
+              .groupBy("month", "n_name")
+              .agg(F.sum("n_items").alias("n_items"),
+                   F.sum("rev_e4").alias("rev_e4")))
+    _rewrite_shards(spark, out, merged, months, part_col="month")
+    return (spark.read.parquet(out)
+            .select("month", "n_name", "n_items", "rev_e4"))
+
+
+ORDERS_MV_JOIN_REFRESH_SQL = """
+SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS rev_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""

@@ -73,6 +73,7 @@ HEADLINE = [
     "events_seasonality",
     "events_markov_transitions",
     "part_pareto_curve",
+    "part_skyline",
     "customer_rfm_segments",
     "lineitem_market_basket",
     "part_pagerank",

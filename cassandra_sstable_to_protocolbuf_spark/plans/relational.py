@@ -4268,3 +4268,50 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1, 2
 """
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-dominance query (the preference-query operator
+    class): parts not dominated on (minimize retail price, maximize
+    size) -- part A dominates B when price_A <= price_B AND size_A >=
+    size_B with at least one strict. Computed by the presort sweep, not
+    an all-pairs self-join: sort by price cents, then a part is on the
+    skyline iff its size is (a) strictly above the running max size of
+    all STRICTLY cheaper parts (RANGE frame to -1 keeps price ties out
+    of their own frame) and (b) the max within its own price tie group.
+
+    Integer-exact (price cents BIGINT). Scale: one range-partitioned
+    sort + two window passes -- O(n log n) where the naive dominance
+    join is O(n^2); the same two-pass prefix-max shape distributes as
+    range-partition + per-partition sweep + boundary-max broadcast."""
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w_lower = Window.orderBy("price_cents").rangeBetween(
+        Window.unboundedPreceding, -1)
+    w_tie = Window.partitionBy("price_cents")
+    d = (p.select("p_partkey", "p_brand", "p_size",
+                  cents.alias("price_cents"))
+         .withColumn("lower_max", F.max("p_size").over(w_lower))
+         .withColumn("tie_max", F.max("p_size").over(w_tie)))
+    return (d.filter((F.col("lower_max").isNull()
+                      | (F.col("p_size") > F.col("lower_max")))
+                     & (F.col("p_size") == F.col("tie_max")))
+            .select("p_partkey", "p_brand", "price_cents", "p_size"))
+
+
+PART_SKYLINE_SQL = """
+WITH d AS (
+  SELECT p_partkey, p_brand, p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part),
+w AS (
+  SELECT p_partkey, p_brand, price_cents, p_size,
+         MAX(p_size) OVER (ORDER BY price_cents
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS lower_max,
+         MAX(p_size) OVER (PARTITION BY price_cents) AS tie_max
+  FROM d)
+SELECT p_partkey, p_brand, price_cents, p_size
+FROM w
+WHERE (lower_max IS NULL OR p_size > lower_max) AND p_size = tie_max
+"""

@@ -129,3 +129,28 @@ def test_bloom_filter_injected_in_join(spark):
         df = _bloom_join_df(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "might_contain" in plan, f"no runtime bloom filter\n{plan}"
+
+
+def test_skyline_sweep_equals_brute_force_dominance(spark):
+    """The presort-sweep skyline and the O(n^2) dominance definition
+    must agree -- guards the sweep's tie handling, which a mirrored
+    oracle (same sweep in SQL) could not catch."""
+    import duckdb
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        part_skyline)
+
+    got = sorted(r.p_partkey for r in
+                 part_skyline(spark, SF_SMOKE).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/part.parquet')")
+    want = sorted(r[0] for r in con.execute("""
+      WITH d AS (SELECT p_partkey,
+                        CAST(ROUND(p_retailprice*100) AS BIGINT) AS c,
+                        p_size AS s FROM part)
+      SELECT p_partkey FROM d a WHERE NOT EXISTS (
+        SELECT 1 FROM d b
+        WHERE b.c <= a.c AND b.s >= a.s AND (b.c < a.c OR b.s > a.s))
+    """).fetchall())
+    assert got == want and got

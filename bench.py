@@ -64,6 +64,7 @@ HEADLINE = [
     "events_value_histogram",
     "events_rollup_refresh",
     "orders_mv_join_refresh",
+    "stream_mv_join_refresh",
     "events_retention_cohorts",
     "events_ab_test",
     "dq_audit",

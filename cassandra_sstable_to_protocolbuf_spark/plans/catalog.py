@@ -282,6 +282,10 @@ CATALOG: dict[str, QueryDef] = {
     "dq_audit": QueryDef(R.dq_audit, R.DQ_AUDIT_SQL,
                          "data-quality audit: named constraint checks "
                          "(FK, uniqueness, ranges, nulls) with counts"),
+    "stream_mv_join_refresh": QueryDef(ST.stream_mv_join_refresh,
+                                       R.ORDERS_MV_JOIN_REFRESH_SQL,
+                                       "join-MV maintained THROUGH streaming "
+                                       "(exactly-once foreachBatch merges)"),
     "part_skyline": QueryDef(R.part_skyline, R.PART_SKYLINE_SQL,
                              "skyline / Pareto-dominance preference query "
                              "(presort sweep, no all-pairs)"),

@@ -745,3 +745,99 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              .outputMode("complete").trigger(availableNow=True).start())
     query.awaitTermination()
     return ab_zscore_from_moments(spark.table(name))
+
+
+def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-MV maintained THROUGH the streaming engine, with
+    EXACTLY-ONCE batch commits: the late-order delta (the final 20% of
+    the date range, lineitems pre-joined to their orders -- the
+    denormalized CDC feed a fact stream actually ships) arrives as an
+    availableNow file stream, one file per micro-batch. Each batch
+    broadcast-joins the customer->nation dim (stream-static enrich),
+    aggregates to MV grain, and partial-merges ONLY the touched month
+    partitions of the base MV.
+
+    Unlike the LWW merges (idempotent by algebra), additive partial
+    aggregation is NOT replay-safe -- an at-least-once redelivery would
+    double-count -- so the sink implements the transactional-foreachBatch
+    pattern: a marker committed AFTER the partition swap makes each
+    batch idempotent. Markers are keyed by the batch's MV-grain CONTENT
+    (in production (queryId, epochId) suffices because the checkpoint
+    pins id->data; the drill below replays through a FRESH checkpoint,
+    where ids may re-slice, so content is the honest key). The gate
+    then PROVES exactly-once: after the first pass completes, the whole
+    spool is re-delivered through a second checkpoint -- without the
+    markers every sum would double and the oracle hash would fail."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import _rewrite_shards
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import _t
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ntz_epoch_us, scratch_dir)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "od_us", F.expr(ntz_epoch_us("o_orderdate")))
+    dim = (_t(spark, sf_dir, "customer")
+           .join(_t(spark, sf_dir, "nation"),
+                 F.col("c_nationkey") == F.col("n_nationkey"))
+           .select("c_custkey", "n_name"))
+
+    lo, hi = orders.agg(F.min("od_us"), F.max("od_us")).collect()[0]
+    cutoff = lo + int((hi - lo) * 0.8)
+
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    fact = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                    "o_custkey", rev.alias("rev_e4"), "od_us"))
+
+    def mv_agg(rows: DataFrame) -> DataFrame:
+        return (rows.join(F.broadcast(dim),
+                          rows.o_custkey == F.col("c_custkey"))
+                .groupBy("month", "n_name")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     F.sum("rev_e4").alias("rev_e4")))
+
+    out = scratch_dir("mv_join_stream", tag, fresh=True)
+    mv_agg(fact.filter(F.col("od_us") < F.lit(cutoff))) \
+        .write.mode("overwrite").partitionBy("month").parquet(out)
+
+    spool = scratch_dir("mv_join_spool", tag, fresh=True)
+    (fact.filter(F.col("od_us") >= F.lit(cutoff))
+     .drop("od_us").repartition(4).write.mode("overwrite").parquet(spool))
+
+    applied = scratch_dir("mv_join_applied", tag, fresh=True)
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        import hashlib
+
+        delta = mv_agg(batch).localCheckpoint()  # bounded: MV-grain rows
+        rows = [(r["month"], r["n_name"], r["n_items"], r["rev_e4"])
+                for r in delta.collect()]  # bounded collect: MV grain
+        sig = hashlib.md5(repr(sorted(rows)).encode()).hexdigest()
+        marker = os.path.join(applied, f"sig-{sig}")
+        if os.path.exists(marker) or not rows:  # replayed batch: skip
+            return
+        months = sorted({m for m, *_ in rows})
+        base = spark.read.parquet(out).filter(F.col("month").isin(months))
+        merged = (base.unionByName(delta)
+                  .groupBy("month", "n_name")
+                  .agg(F.sum("n_items").alias("n_items"),
+                       F.sum("rev_e4").alias("rev_e4")))
+        _rewrite_shards(spark, out, merged, months, part_col="month")
+        with open(marker, "w") as f:  # commit point: batch now idempotent
+            f.write("done")
+
+    schema = spark.read.parquet(spool).schema
+    for attempt in ("first", "replay"):  # second pass = at-least-once drill
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(spool))
+        ckpt = scratch_dir(f"mv_join_ckpt_{attempt}", tag, fresh=True)
+        q = (stream.writeStream.foreachBatch(refresh)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    return (spark.read.parquet(out)
+            .select("month", "n_name", "n_items", "rev_e4"))

@@ -42,7 +42,8 @@ BNLJ_ALLOWED = {
 # propagation) materialize mid-plan. Both are audited by their own tests.
 SKIP = {"stream_events_hourly", "stream_events_sessionize",
         "stream_click_attribution", "stream_incremental_merge",
-        "stream_static_enrich", "docs_dup_clusters"}
+        "stream_static_enrich", "stream_mv_join_refresh",
+        "docs_dup_clusters"}
 
 AUDIT_QUERIES = sorted(set(CATALOG) - SKIP)
 

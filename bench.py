@@ -58,6 +58,7 @@ HEADLINE = [
     "events_sessionize",
     "events_asof_orders",
     "events_funnel",
+    "events_pattern_match",
     "events_resample_ffill",
     "events_scd2",
     "events_anomaly_zscore",

@@ -282,6 +282,10 @@ CATALOG: dict[str, QueryDef] = {
     "dq_audit": QueryDef(R.dq_audit, R.DQ_AUDIT_SQL,
                          "data-quality audit: named constraint checks "
                          "(FK, uniqueness, ranges, nulls) with counts"),
+    "events_pattern_match": QueryDef(R.events_pattern_match,
+                                     R.EVENTS_PATTERN_MATCH_SQL,
+                                     "CEP sequence-pattern match "
+                                     "(view->purchase, no error between)"),
     "stream_mv_join_refresh": QueryDef(ST.stream_mv_join_refresh,
                                        R.ORDERS_MV_JOIN_REFRESH_SQL,
                                        "join-MV maintained THROUGH streaming "

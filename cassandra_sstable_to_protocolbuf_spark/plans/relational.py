@@ -4315,3 +4315,62 @@ SELECT p_partkey, p_brand, price_cents, p_size
 FROM w
 WHERE (lower_max IS NULL OR p_size > lower_max) AND p_size = tie_max
 """
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / CEP operator,
+    which Spark SQL lacks): per user, every 'purchase' whose LATEST
+    preceding 'view' lies within 1 hour with NO 'error' between the
+    matched pair -- PATTERN (view notError* purchase) under greedy
+    last-view binding. Emitted per MATCH (not per user): the funnel
+    next door counts users; this locates each qualifying occurrence
+    with its latency.
+
+    Two conditional running-max windows (last view ts, last error ts)
+    over one per-user sort express the whole pattern -- the canonical
+    CEP-on-Spark shape: ONE shuffle on user_id, no self-joins, no
+    per-user collect; ties broken by event_id so the frame order is
+    total and both engines see identical 'preceding' sets."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "event_type", "event_id",
+                  _ts_us().alias("ts_us")))
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_view = F.max(F.when(F.col("event_type") == "view",
+                             F.col("ts_us"))).over(w)
+    last_err = F.max(F.when(F.col("event_type") == "error",
+                            F.col("ts_us"))).over(w)
+    d = (ev.withColumn("view_ts", last_view)
+         .withColumn("err_ts", last_err)
+         .filter((F.col("event_type") == "purchase")
+                 & F.col("view_ts").isNotNull()
+                 & (F.col("ts_us") - F.col("view_ts") <= 3_600_000_000)
+                 & (F.col("err_ts").isNull()
+                    | (F.col("err_ts") < F.col("view_ts")))))
+    return d.select("user_id", F.col("event_id").alias("purchase_event_id"),
+                    F.col("view_ts").alias("view_ts_us"),
+                    F.col("ts_us").alias("purchase_ts_us"),
+                    (F.col("ts_us") - F.col("view_ts")).alias("latency_us"))
+
+
+EVENTS_PATTERN_MATCH_SQL = """
+WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+           FROM events),
+d AS (
+  SELECT user_id, event_type, event_id, ts_us,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS view_ts,
+         MAX(CASE WHEN event_type = 'error' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS err_ts
+  FROM e)
+SELECT user_id, event_id AS purchase_event_id, view_ts AS view_ts_us,
+       ts_us AS purchase_ts_us, ts_us - view_ts AS latency_us
+FROM d
+WHERE event_type = 'purchase' AND view_ts IS NOT NULL
+  AND ts_us - view_ts <= 3600000000
+  AND (err_ts IS NULL OR err_ts < view_ts)
+"""

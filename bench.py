@@ -34,6 +34,7 @@ HEADLINE = [
     "sst_mor_merge",
     "sst_compacted_merge",
     "sst_version_changes",
+    "sst_merge_into",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

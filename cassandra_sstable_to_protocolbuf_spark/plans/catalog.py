@@ -95,6 +95,9 @@ CATALOG: dict[str, QueryDef] = {
                                  "copy-on-write key deletion (right-to-be-forgotten)"),
     "sst_time_travel": QueryDef(C.sst_time_travel, C.SST_TIME_TRAVEL_SQL,
                                 "manifest-versioned merge: both snapshots read via time travel"),
+    "sst_merge_into": QueryDef(C.sst_merge_into, C.SST_MERGE_INTO_SQL,
+                               "MERGE INTO: upserts + deletes in ONE "
+                               "atomic versioned commit"),
     "sst_version_changes": QueryDef(C.sst_version_changes,
                                     C.SST_VERSION_CHANGES_SQL,
                                     "snapshot-to-snapshot CDC feed "

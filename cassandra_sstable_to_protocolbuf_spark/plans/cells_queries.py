@@ -1225,3 +1225,65 @@ WHERE old_write_time IS NULL OR new_write_time IS NULL
    OR old_write_time <> new_write_time
    OR old_sstable_id <> new_sstable_id
 """
+
+
+def sst_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over the versioned table: the replica delta upserts
+    AND the %3==1 partition deletes land in ONE atomic commit
+    (versioned.merge_into_versioned) -- WHEN MATCHED DELETE + WHEN
+    MATCHED UPDATE + WHEN NOT MATCHED INSERT as a single snapshot,
+    where the two-commit lifecycle (sst_version_changes) exposes an
+    intermediate state. Deletes apply to the current snapshot first,
+    then the upserts LWW-merge into the remainder, so deleted keys that
+    the replica also carries come back as replica-only rows -- the
+    oracle reproduces exactly that order of operations from scratch.
+    Single-commit atomicity is pinned by
+    tests/test_versioned.py::test_merge_into_is_one_commit."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        merge_into_versioned, read_version)
+
+    base = versioned_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = work_clone(base, "merge_into_work", tag)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    victims = (li.filter(F.col("l_orderkey") % 3 == 1)
+               .select(F.encode(F.concat_ws("|", "l_orderkey",
+                                            "l_linenumber"), "UTF-8")
+                       .alias("key"))
+               .distinct())
+    v = merge_into_versioned(spark, work,
+                             replica_delta_cells(spark, sf_dir), victims)
+    assert v == 1, f"expected ONE commit for the mixed batch, got v{v}"
+    return project_landed(read_version(spark, work, v))
+
+
+SST_MERGE_INTO_SQL = f"""
+{cells_cte()},
+w0 AS (SELECT key, name, value, writeTime, sstable_id
+       FROM (
+  SELECT key, name, value, writeTime, sstable_id,
+         ROW_NUMBER() OVER (PARTITION BY key, name
+                            ORDER BY writeTime DESC, sstable_id DESC,
+                                     value DESC) AS rn
+  FROM cells
+  WHERE partition_deletion_live AND cell_kind = 'LIVE'
+    AND sstable_id <> 'sst-r') t
+       WHERE rn = 1),
+kept AS (SELECT * FROM w0
+         WHERE CAST(split_part(key, '|', 1) AS BIGINT) % 3 <> 1),
+repl AS (SELECT key, name, value, writeTime, sstable_id
+         FROM cells
+         WHERE sstable_id = 'sst-r'
+           AND partition_deletion_live AND cell_kind = 'LIVE'),
+u AS (SELECT * FROM kept UNION ALL SELECT * FROM repl),
+fin AS (SELECT key, name, value, writeTime, sstable_id,
+               ROW_NUMBER() OVER (PARTITION BY key, name
+                                  ORDER BY writeTime DESC, sstable_id DESC,
+                                           value DESC) AS rn
+        FROM u)
+SELECT key, name, value, writeTime, sstable_id FROM fin WHERE rn = 1
+"""

@@ -487,6 +487,53 @@ def merge_versioned(spark: SparkSession, table_dir: str,
                    schema_json=manifest.get("schema") or _schema_json(merged))
 
 
+def merge_into_versioned(spark: SparkSession, table_dir: str,
+                         upserts: DataFrame, delete_keys: DataFrame) -> int:
+    """MERGE INTO: upserts and partition deletes applied in ONE atomic
+    commit (the Delta MERGE WHEN MATCHED DELETE / WHEN MATCHED UPDATE /
+    WHEN NOT MATCHED INSERT shape) -- a reader time-traveling around
+    the commit sees either none or all of the mixed batch, which two
+    sequential commits cannot guarantee. Semantics, deterministically:
+    deletes apply to the CURRENT snapshot first, then the upsert batch
+    LWW-merges into the remainder -- so a key in both sides is replaced
+    wholesale by its upsert cells.
+
+    Touched shards = union of both sides' shards; each is read ONCE
+    (delete anti-join + delta union + one LWW reconcile in the same
+    pass); untouched shards carry over by reference. Returns the new
+    version."""
+    _check_input_columns(upserts, "merge_into_versioned")
+    delta = (lww_live_cells(upserts)
+             .withColumn("shard", key_shard(F.col("key")))
+             .localCheckpoint())
+    dk = (delete_keys.select("key").distinct()
+          .withColumn("shard", key_shard(F.col("key")))
+          .localCheckpoint())
+    shards = sorted({str(r["shard"]) for r in
+                     delta.select("shard").distinct().collect()}
+                    | {str(r["shard"]) for r in
+                       dk.select("shard").distinct().collect()})
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    if not shards:
+        return cur
+    _check_schema(manifest, delta, "merge_into_versioned")
+    base_paths = [os.path.join(table_dir, p)
+                  for s in shards for p in manifest["files"].get(s, [])]
+    if base_paths:
+        kept = (_read_files(spark, manifest, base_paths)
+                .join(dk.select("key"), ["key"], "left_anti"))
+        merged = lww_winners(kept.unionByName(delta),
+                             extra_group_cols=("shard",))
+    else:
+        merged = delta
+    new_files = _commit_data_files(merged, table_dir, cur + 1)
+    files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
+    files.update(new_files)
+    return _commit(table_dir, files, cur + 1,
+                   schema_json=manifest.get("schema") or _schema_json(merged))
+
+
 def delete_keys_versioned(spark: SparkSession, table_dir: str,
                           keys: DataFrame) -> int:
     """Commit a new version with every cell of the given partition keys

@@ -313,3 +313,30 @@ def test_diff_versions_reads_only_touched_shards(spark, table, base_rows):
         f"diff read untouched-shard files: {sorted(read - allowed)[:3]}")
     # and the carried-over shards exist (the pruning actually pruned)
     assert touched < set(m1["files"]), "fixture degenerate: all shards touched"
+
+
+def test_merge_into_is_one_commit(spark, table, base_rows):
+    """Mixed upsert+delete batch must land as a SINGLE version, apply
+    deletes to the current snapshot before the upsert merge, and carry
+    untouched shards by reference."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        merge_into_versioned)
+
+    ups = _cells(spark, [("k3", "c", "after3", 200, "sst-m", "LIVE"),
+                         ("k5", "c", "after5", 200, "sst-m", "LIVE"),
+                         ("knew", "c", "fresh", 200, "sst-m", "LIVE")])
+    dels = spark.createDataFrame(
+        [(b"k5",), (b"k7",)], "key binary")  # k5 deleted AND upserted
+    v = merge_into_versioned(spark, table, ups, dels)
+    assert v == 1 and current_version(table) == 1
+
+    got = _content(read_version(spark, table, 1))
+    assert got[(b"k3", b"c")] == (b"after3", 200)       # matched update
+    assert got[(b"knew", b"c")] == (b"fresh", 200)      # not-matched insert
+    assert (b"k7", b"c") not in got                     # matched delete
+    # delete-then-upsert: k5's base row gone, upsert row present
+    assert got[(b"k5", b"c")] == (b"after5", 200)
+    # untouched keys intact, and v0 still time-travels to the pre-state
+    assert got[(b"k0", b"c")] == (b"base0", 100)
+    assert _content(read_version(spark, table, 0))[(b"k7", b"c")] == (
+        b"base7", 100)

@@ -36,6 +36,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "merge-versioned [--mor] <delta_sstable_dir_or_data_file> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "merge-into <delta_sstable_dir_or_data_file> <keys_file> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "compact-versioned <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "restore <version> <table_dir>\n"
@@ -309,6 +311,32 @@ def merge_versioned_cmd(delta_path: str, table_dir: str,
     else:
         mode = "merge-on-read " if mor else ""
         print(f"committed {mode}v{v} (previous v{before} still readable)")
+    return 0
+
+
+def merge_into_cmd(delta_path: str, keys_file: str, table_dir: str) -> int:
+    """MERGE INTO: one atomic commit applying a delta sstable batch
+    (upserts) AND a deletion key list (one utf-8 key per line) -- the
+    mixed WHEN MATCHED/NOT MATCHED batch as a single snapshot."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        current_version, merge_into_versioned)
+
+    spark = _versioned_spark("sstable-merge-into")
+    before = current_version(table_dir)
+    delta = read_native_cells(spark, delta_path, live_only=True)
+    keys = (spark.read.text(keys_file)
+            .select(F.regexp_replace("value", "\r$", "").alias("value"))
+            .filter(F.length("value") > 0)
+            .select(F.encode("value", "UTF-8").alias("key")))
+    v = merge_into_versioned(spark, table_dir, delta, keys)
+    if v == before:
+        print(f"empty batch: table stays at v{v}")
+    else:
+        print(f"committed merge-into v{v} (previous v{before} still readable)")
     return 0
 
 
@@ -590,6 +618,15 @@ def main(argv: list[str]) -> int:
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"
                 else compact_versioned_cmd)(args[1])
+    if args and args[0] == "merge-into":
+        if len(args) != 4:
+            _die(USAGE)
+        for p in (args[1], args[2]):
+            if not os.path.exists(p):
+                _die(f"input path does not exist: {p}")
+        if not os.path.isdir(args[3]):
+            _die(f"table dir does not exist: {args[3]}")
+        return merge_into_cmd(args[1], args[2], args[3])
     commands = ("convert", "to-parquet", "compact", "merge", "delete-keys",
                 "init-versioned", "merge-versioned", "restore", "vacuum",
                 "build-corpus", "repair-diff", "analyze-events")

@@ -403,3 +403,47 @@ def test_analyze_events_cli(tmp_path):
             f"SELECT COUNT(*) FROM read_parquet('{out}/{name}/*.parquet')"
         ).fetchone()[0]
         assert got == n, (name, got, n)
+
+
+def test_merge_into_cli(tmp_path):
+    """MERGE INTO through the real CLI: one command commits upserts and
+    deletes as a single version; the delete-then-upsert key comes back
+    as its upsert row."""
+    base_sst = str(tmp_path / "base_sst")
+    N.write_sstable(base_sst, 1, [
+        {"key": b"alpha", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 10, "value": b"old"}]},
+        {"key": b"beta", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 10, "value": b"gone"}]},
+        {"key": b"kappa", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 10, "value": b"keep"}]},
+    ])
+    delta_sst = str(tmp_path / "delta_sst")
+    N.write_sstable(delta_sst, 2, [
+        {"key": b"alpha", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 99, "value": b"new"}]},
+        {"key": b"beta", "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 5, "value": b"back"}]},
+    ])
+    table = str(tmp_path / "vt")
+    r = _run("init-versioned", base_sst, table)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    keys_file = tmp_path / "victims.txt"
+    keys_file.write_text("beta\n")
+    r = _run("merge-into", delta_sst, str(keys_file), table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "committed merge-into v1" in r.stdout
+
+    import duckdb
+    from cassandra_sstable_to_protocolbuf_spark.versioned import read_manifest
+    m = read_manifest(table, 1)
+    paths = [os.path.join(table, p) for fl in m["files"].values() for p in fl]
+    rows = {bytes(k).decode(): (bytes(v).decode(), wt)
+            for k, v, wt in duckdb.sql(
+                f"SELECT key, value, writeTime FROM read_parquet({paths!r})"
+            ).fetchall()}
+    # alpha updated, kappa untouched, beta deleted from base but
+    # resurrected by its own upsert cell (delete-then-upsert ordering)
+    assert rows == {"alpha": ("new", 99), "kappa": ("keep", 10),
+                    "beta": ("back", 5)}

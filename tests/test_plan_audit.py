@@ -155,3 +155,29 @@ def test_skyline_sweep_equals_brute_force_dominance(spark):
         WHERE b.c <= a.c AND b.s >= a.s AND (b.c < a.c OR b.s > a.s))
     """).fetchall())
     assert got == want and got
+
+
+@pytest.mark.parametrize("name,table,allowed", [
+    ("events_pattern_match", "events",
+     {"event_id", "ts", "user_id", "event_type"}),
+    ("docs_tfidf_topk", "documents", {"doc_id", "text"}),
+    ("docs_bpe_merges", "documents", {"text"}),
+    ("part_skyline", "part",
+     {"p_partkey", "p_brand", "p_size", "p_retailprice"}),
+    ("customer_k_anonymity", "customer",
+     {"c_nationkey", "c_mktsegment", "c_acctbal"}),
+])
+def test_scans_prune_columns(spark, name, table, allowed):
+    """Column pruning must reach the parquet scan: a query touching a
+    few columns of a wide table must not read the rest -- at 100 TB the
+    difference IS the scan cost. Pins every ReadSchema of the query's
+    scans of `table` to the declared column set."""
+    import re
+
+    plan = _plan(spark, name)
+    schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schemas, f"{name}: no ReadSchema in plan"
+    for ln in schemas:
+        cols = set(re.findall(r"[<,](\w+):", ln))
+        assert cols and cols <= allowed, (
+            f"{name} reads unpruned columns {sorted(cols - allowed)}\n{ln}")

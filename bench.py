@@ -125,6 +125,7 @@ HEADLINE = [
     "emb_ann_lsh",
     "emb_ivf_topk",
     "emb_quantize_int8",
+    "emb_matryoshka_audit",
     "emb_semdedup",
     "mm_image_features",
     "mm_audio_features",

@@ -515,6 +515,10 @@ CATALOG: dict[str, QueryDef] = {
     "emb_semdedup": QueryDef(V.emb_semdedup, V.EMB_SEMDEDUP_SQL,
                              "SemDeDup: within-coarse-cluster semantic "
                              "dedup, keep-one ledger per vector"),
+    "emb_matryoshka_audit": QueryDef(V.emb_matryoshka_audit,
+                                     V.EMB_MATRYOSHKA_SQL,
+                                     "truncated-embedding retrieval audit "
+                                     "(full vs 16-dim prefix overlap@5)"),
 }
 
 

@@ -377,3 +377,70 @@ def _pq_sql() -> str:
 
 
 EMB_PQ_SQL = _pq_sql()
+
+
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval audit: for each query,
+    exact top-5 by FULL 64-dim cosine vs top-5 by the 16-dim PREFIX
+    (the MRL deployment question -- how much recall does a 4x cheaper
+    prefix index keep?). Emits per query both ranked id lists and the
+    integer overlap@5, so the gate hashes rank-order agreement without
+    comparing prefix-cosine floats across engines.
+
+    Scale: the decision this audit feeds is exactly the 100 TB lever --
+    a prefix index is 4x less memory/bandwidth PER VECTOR; run the
+    audit on a sampled slice, then serve at the cheapest dim whose
+    overlap clears the product bar. Both rankings share the broadcast
+    query-set brute-force shape of emb_cosine_topk (the audited
+    baseline, deliberately exact)."""
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    full = cosine_topk(emb, queries, k=5)
+    pemb = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    pq = queries.select("qid", F.slice("embedding", 1, 16).alias("embedding"))
+    pre = cosine_topk(pemb, pq, k=5)
+
+    def ranked(df: DataFrame, out: str) -> DataFrame:
+        arr = F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "nid"))),
+            lambda s: s["nid"].cast("string"))
+        return df.groupBy("qid").agg(
+            F.array_join(arr, ",").alias(out), arr.alias(f"_{out}"))
+
+    fa = ranked(full, "full_ids")
+    pa = ranked(pre, "prefix_ids")
+    return (fa.join(pa, "qid")
+            .select("qid", "full_ids", "prefix_ids",
+                    F.size(F.array_intersect("_full_ids", "_prefix_ids"))
+                    .cast("long").alias("overlap5")))
+
+
+_MAT_SCORED = """
+  SELECT qid, vec_id AS nid,
+         list_sum(list_transform(list_zip({q}, {v}), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform({q}, x -> x * x)))
+            * sqrt(list_sum(list_transform({v}, x -> x * x)))) AS cosine
+  FROM q, e WHERE vec_id <> qid
+"""
+
+EMB_MATRYOSHKA_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+ftop AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, nid ASC) AS rank
+         FROM ({_MAT_SCORED.format(q="qv", v="v")}) s QUALIFY rank <= 5),
+ptop AS (SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, nid ASC) AS rank
+         FROM ({_MAT_SCORED.format(q="qv[1:16]", v="v[1:16]")}) s
+         QUALIFY rank <= 5),
+fa AS (SELECT qid, string_agg(CAST(nid AS VARCHAR), ',' ORDER BY rank)
+              AS full_ids FROM ftop GROUP BY qid),
+pa AS (SELECT qid, string_agg(CAST(nid AS VARCHAR), ',' ORDER BY rank)
+              AS prefix_ids FROM ptop GROUP BY qid),
+ov AS (SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS overlap5
+       FROM ftop f JOIN ptop p ON f.qid = p.qid AND f.nid = p.nid
+       GROUP BY 1)
+SELECT qid, full_ids, prefix_ids, COALESCE(ov.overlap5, 0) AS overlap5
+FROM fa JOIN pa USING (qid) LEFT JOIN ov USING (qid)
+"""

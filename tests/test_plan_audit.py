@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "lineitem_market_basket",    # ONE-ROW global order-count broadcast
     "part_pareto_curve",         # ONE-ROW global revenue-total broadcast
     "docs_bpe_merges",           # ONE-ROW winning-merge-pair broadcast
+    "emb_matryoshka_audit",      # two broadcast query-set brute forces
 }
 
 # Streaming entries need a running query; iterative ones (label

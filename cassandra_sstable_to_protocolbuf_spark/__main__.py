@@ -52,7 +52,13 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "repair-diff <stale_sstables> <synced_sstables>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "analyze-events <sf_dir> <out_dir>")
+         "analyze-events <sf_dir> <out_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "explain <query_name> [<sf_dir>]\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "check <query_name> <sf_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "list-queries")
 
 
 def _die(msg: str, code: int = 2) -> "None":
@@ -311,6 +317,60 @@ def merge_versioned_cmd(delta_path: str, table_dir: str,
     else:
         mode = "merge-on-read " if mor else ""
         print(f"committed {mode}v{v} (previous v{before} still readable)")
+    return 0
+
+
+_DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def explain_cmd(query_name: str, sf_dir: str = _DEFAULT_SF_DIR) -> int:
+    """Print the formatted physical plan of a catalog query -- the
+    operator's look-before-you-run surface (PushedFilters, ReadSchema,
+    exchange count, codegen spans) without executing anything."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+
+    if query_name not in CATALOG:
+        _die(f"unknown query: {query_name} (see list-queries)")
+    spark = _versioned_spark("sstable-explain")
+    df = CATALOG[query_name].fn(spark, sf_dir)
+    print(df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted")))
+    return 0
+
+
+def check_cmd(query_name: str, sf_dir: str) -> int:
+    """Run a catalog query AND its DuckDB oracle on the same parquet
+    tables and compare exactly -- the correctness gate as a CLI, so an
+    operator can certify any query on their own data. Exits 1 on
+    mismatch, 3 for rows-only queries (no oracle)."""
+    from cassandra_sstable_to_protocolbuf_spark.oracle import (
+        duck_connection, run_and_compare)
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+
+    if query_name not in CATALOG:
+        _die(f"unknown query: {query_name} (see list-queries)")
+    qd = CATALOG[query_name]
+    if qd.oracle is None:
+        print(f"{query_name}: rows-only query (sketch/ML) -- no SQL oracle")
+        return 3
+    spark = _versioned_spark("sstable-check")
+    try:
+        n = run_and_compare(spark, duck_connection(sf_dir), qd.fn, qd.oracle,
+                            sf_dir, query_name)
+    except AssertionError as e:
+        print(f"MISMATCH {e}", file=sys.stderr)
+        return 1
+    print(f"{query_name}: OK ({n} rows match the oracle exactly)")
+    return 0
+
+
+def list_queries_cmd() -> int:
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+
+    for name, qd in sorted(CATALOG.items()):
+        gate = "oracle" if qd.oracle is not None else "rows-only"
+        print(f"{name:32s} [{gate}] {qd.doc}")
     return 0
 
 
@@ -618,6 +678,22 @@ def main(argv: list[str]) -> int:
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"
                 else compact_versioned_cmd)(args[1])
+    if args and args[0] == "list-queries":
+        if len(args) != 1:
+            _die(USAGE)
+        return list_queries_cmd()
+    if args and args[0] == "explain":
+        if len(args) not in (2, 3):
+            _die(USAGE)
+        if len(args) == 3 and not os.path.isdir(args[2]):
+            _die(f"sf dir does not exist: {args[2]}")
+        return explain_cmd(*args[1:])
+    if args and args[0] == "check":
+        if len(args) != 3:
+            _die(USAGE)
+        if not os.path.isdir(args[2]):
+            _die(f"sf dir does not exist: {args[2]}")
+        return check_cmd(args[1], args[2])
     if args and args[0] == "merge-into":
         if len(args) != 4:
             _die(USAGE)

@@ -1,68 +1,8 @@
-"""Local mirror of the driver's correctness gate: run a catalog query on
-Spark and its oracle SQL on DuckDB, canonicalize both result frames the
-same way, and compare exactly (row count, schema names, values).
-
-Stricter than any reasonable hash comparison: if this passes, the
-driver's hash match passes.
-"""
+"""Local mirror of the driver's correctness gate -- the implementation
+lives in the package (cassandra_sstable_to_protocolbuf_spark.oracle) so the
+`check` CLI and these tests certify with ONE set of rules."""
 
 from __future__ import annotations
 
-import math
-
-import pandas as pd
-
-_NULL = "<NULL>"
-
-
-def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sorted-columns, sorted-rows, all-string frame with uniform nulls."""
-    df = df[sorted(df.columns)].copy()
-
-    def cell(v):
-        if v is None:
-            return _NULL
-        if isinstance(v, float):
-            if math.isnan(v):
-                return _NULL
-            return repr(v)
-        if isinstance(v, (bytes, bytearray)):
-            return v.hex()
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        return str(v)
-
-    for c in df.columns:
-        if str(df[c].dtype) in ("float32", "float64"):
-            df[c] = df[c].map(lambda x: _NULL if pd.isna(x) else repr(float(x)))
-        elif str(df[c].dtype) == "bool":
-            df[c] = df[c].map(lambda x: "true" if x else "false")
-        elif str(df[c].dtype).startswith("int"):
-            df[c] = df[c].map(str)
-        else:
-            df[c] = df[c].map(cell)
-    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame, name: str = "") -> None:
-    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
-        f"{name}: schema mismatch: spark={sorted(spark_df.columns)} "
-        f"duck={sorted(duck_df.columns)}")
-    assert len(spark_df) == len(duck_df), (
-        f"{name}: row count mismatch: spark={len(spark_df)} duck={len(duck_df)}")
-    a = canonicalize(spark_df)
-    b = canonicalize(duck_df)
-    if not a.equals(b):
-        merged = a.merge(b, how="outer", indicator=True)
-        diff = merged[merged["_merge"] != "both"]
-        raise AssertionError(
-            f"{name}: value mismatch, {len(diff)} differing rows, sample:\n"
-            f"{diff.head(10).to_string()}")
-
-
-def run_and_compare(spark, duck, fn, sql: str, sf_dir: str, name: str = "") -> int:
-    """Execute query + oracle, compare; returns row count."""
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    duck_pdf = duck.execute(sql).df()
-    compare(spark_pdf, duck_pdf, name)
-    return len(spark_pdf)
+from cassandra_sstable_to_protocolbuf_spark.oracle import (  # noqa: F401
+    canonicalize, compare, run_and_compare)

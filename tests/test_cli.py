@@ -447,3 +447,27 @@ def test_merge_into_cli(tmp_path):
     # resurrected by its own upsert cell (delete-then-upsert ordering)
     assert rows == {"alpha": ("new", 99), "kappa": ("keep", 10),
                     "beta": ("back", 5)}
+
+
+def test_explain_check_and_list_cli(tmp_path):
+    """Operational surface: list-queries enumerates the catalog,
+    explain prints a physical plan without executing, check runs the
+    engine-vs-oracle gate for one query and exits by result."""
+    r = _run("list-queries")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "tpch_q1_pricing" in r.stdout and "[oracle]" in r.stdout
+    assert "[rows-only]" in r.stdout
+
+    r = _run("explain", "tpch_q6_revenue", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PushedFilters" in r.stdout and "Scan parquet" in r.stdout
+
+    r = _run("check", "tpch_q6_revenue", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rows match the oracle exactly" in r.stdout
+
+    r = _run("check", "events_approx_distinct", "/root/testdata/sf0.001")
+    assert r.returncode == 3  # rows-only: no oracle to check against
+
+    r = _run("check", "no_such_query", "/root/testdata/sf0.001")
+    assert r.returncode != 0 and "unknown query" in r.stderr

@@ -62,6 +62,7 @@ HEADLINE = [
     "events_pattern_match",
     "events_resample_ffill",
     "events_scd2",
+    "events_pit_enrich",
     "events_anomaly_zscore",
     "events_value_histogram",
     "events_rollup_refresh",

@@ -270,6 +270,9 @@ CATALOG: dict[str, QueryDef] = {
                                       "hourly grid resample + forward fill (LOCF)"),
     "events_scd2": QueryDef(R.events_scd2, R.EVENTS_SCD2_SQL,
                             "SCD type-2 temporal versioning (CDC -> validity intervals)"),
+    "events_pit_enrich": QueryDef(R.events_pit_enrich, R.EVENTS_PIT_ENRICH_SQL,
+                                  "feature-store point-in-time join: leakage-free "
+                                  "label enrichment via strict-before as-of binding"),
     "events_anomaly_zscore": QueryDef(R.events_anomaly_zscore,
                                       R.EVENTS_ANOMALY_ZSCORE_SQL,
                                       "3-sigma outlier counts via exact cross-multiplied moments"),

@@ -2861,6 +2861,92 @@ FROM g WINDOW w2 AS (PARTITION BY user_id ORDER BY version)
 """
 
 
+# --- feature-store point-in-time-correct enrichment ---------------------
+
+def events_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join -- the feature-store op that
+    builds a leakage-free training table: each purchase (the label row)
+    is enriched with the user's feature state STRICTLY BEFORE the
+    purchase instant (running non-purchase event count / value total /
+    last activity type). A plain equi-join to "current features" leaks
+    the future into training examples; the PIT join binds each label to
+    the feature version that a model scoring at that instant could
+    actually have seen.
+
+    Strict before is enforced exactly in integer time: a feature
+    version becomes effective at event_ts + 1 microsecond, so the
+    backward as-of join's <= semantics (operators/asof.py) implement
+    feature_ts < label_ts with no epsilon-on-float games. Two feature
+    events on the same (user, microsecond) collapse to the later
+    event_id's state so the right side is unique per (key, time), the
+    as-of operator's contract.
+
+    Scale: the feature build is three window passes over ONE shuffle on
+    user_id; the as-of join is the union+window composition (one more
+    sort on the same key, no range explosion) -- at 100 TB this is two
+    key-partitioned sorts, the same cost class as a sort-merge join,
+    with no per-label feature-table probe amplification."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+        _ts_us().alias("ts_us"))
+    feat_ev = ev.filter(F.col("event_type") != "purchase")
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    w_tie = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc())
+    feats = (feat_ev
+             .withColumn("n_prior", F.count(F.lit(1)).over(w))
+             .withColumn("value_prior",
+                         F.sum("value").over(w).cast("double"))
+             .withColumn("_rn", F.row_number().over(w_tie))
+             .filter(F.col("_rn") == 1)
+             .select("user_id",
+                     (F.col("ts_us") + F.lit(1)).alias("effective_us"),
+                     "n_prior", "value_prior",
+                     F.col("event_type").alias("last_type")))
+    labels = (ev.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "ts_us",
+                      F.col("value").cast("double").alias("label_value")))
+    joined = as_of_join(labels, feats, by="user_id",
+                        left_time="ts_us", right_time="effective_us",
+                        value_cols=["n_prior", "value_prior", "last_type"])
+    return joined.select(
+        "event_id", "user_id", "label_value",
+        F.coalesce("n_prior", F.lit(0)).alias("n_prior"),
+        F.coalesce("value_prior", F.lit(0.0)).alias("value_prior"),
+        F.coalesce("last_type", F.lit("none")).alias("last_type"))
+
+
+EVENTS_PIT_ENRICH_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(value AS DECIMAL(18,6)) AS value,
+                  epoch_us(ts) AS ts_us
+           FROM events),
+f0 AS (SELECT user_id, ts_us, event_id, event_type,
+              CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
+              CAST(SUM(value) OVER w AS DOUBLE) AS value_prior,
+              ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+                                 ORDER BY event_id DESC) AS rn
+       FROM e WHERE event_type <> 'purchase'
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+f AS (SELECT user_id, ts_us + 1 AS effective_us, n_prior, value_prior,
+             event_type AS last_type
+      FROM f0 WHERE rn = 1),
+l AS (SELECT event_id, user_id, ts_us, CAST(value AS DOUBLE) AS label_value
+      FROM e WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.label_value,
+       COALESCE(f.n_prior, 0) AS n_prior,
+       COALESCE(f.value_prior, 0.0) AS value_prior,
+       COALESCE(f.last_type, 'none') AS last_type
+FROM l ASOF LEFT JOIN f
+  ON l.user_id = f.user_id AND l.ts_us >= f.effective_us
+"""
+
+
 def lineitem_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile sketch (Greenwald-Khanna) next to its exact
     counterpart per return flag (rows-only check: sketch internals are

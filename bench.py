@@ -63,6 +63,7 @@ HEADLINE = [
     "events_resample_ffill",
     "events_scd2",
     "events_pit_enrich",
+    "events_peak_concurrency",
     "events_anomaly_zscore",
     "events_value_histogram",
     "events_rollup_refresh",

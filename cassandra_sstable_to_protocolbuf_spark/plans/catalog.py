@@ -248,6 +248,10 @@ CATALOG: dict[str, QueryDef] = {
                                      "hourly agg THROUGH the streaming engine"),
     "events_sessionize": QueryDef(R.events_sessionize_batch, R.EVENTS_SESSIONIZE_SQL,
                                   "gap-based sessionization (gaps-and-islands)"),
+    "events_peak_concurrency": QueryDef(R.events_peak_concurrency,
+                                        R.EVENTS_PEAK_CONCURRENCY_SQL,
+                                        "peak concurrent sessions per day via a "
+                                        "day-partitioned sweep line (no interval self-join)"),
     "stream_events_sessionize": QueryDef(ST.stream_events_sessionize,
                                          ST.STREAM_EVENTS_SESSIONIZE_SQL,
                                          "session_window THROUGH the streaming engine"),

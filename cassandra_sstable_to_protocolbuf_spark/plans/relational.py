@@ -599,6 +599,118 @@ GROUP BY user_id, session_no
 """
 
 
+# --- interval concurrency: day-partitioned sweep line --------------------
+
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day -- the interval-overlap question
+    ("how many users were on at once?") answered with a SWEEP LINE, not
+    an interval self-join: sessions (the 30-min-gap islands from
+    events_sessionize) become +1/-1 boundary deltas, deltas at the same
+    microsecond are pre-summed so tie order cannot matter, and a running
+    sum over the timeline is the concurrency curve; its max per day is
+    the answer. The naive interval self-join is O(overlaps) ~ quadratic
+    in concurrent sessions; the sweep is O(n log n) in boundaries.
+
+    Scale: the timeline sort is partitioned BY DAY, never global --
+    each session is clipped into per-day segments (sequence-explode over
+    the bounded day span), so a midnight-spanning session contributes a
+    carry-in segment starting at day start and every day's sweep is an
+    independent window partition. At 100 TB this is one shuffle on the
+    session key, one on day; no unbounded global sort.
+
+    Concurrency(t) counts sessions with start <= t <= end; single-event
+    sessions are 1-microsecond intervals and still count."""
+    us_day = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (ev.select(
+        "user_id", "event_id", "ts_us",
+        (F.col("ts_us") - F.lag("ts_us", 1).over(w) > 1_800_000_000)
+        .cast("int").alias("new_sess"))
+        .fillna({"new_sess": 1})
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")))
+    segs = (sess
+            .withColumn("day", F.explode(F.sequence(
+                (F.col("start_us") / us_day).cast("long"),
+                (F.col("end_us") / us_day).cast("long"))))
+            .select("day",
+                    F.greatest("start_us", F.col("day") * us_day)
+                    .alias("seg_start"),
+                    F.least("end_us", (F.col("day") + 1) * us_day - 1)
+                    .alias("seg_end")))
+    deltas = (segs.select(F.col("day"), F.col("seg_start").alias("t"),
+                          F.lit(1).alias("delta"))
+              .unionByName(segs.select(
+                  F.col("day"), (F.col("seg_end") + 1).alias("t"),
+                  F.lit(-1).alias("delta")))
+              .groupBy("day", "t")
+              .agg(F.sum("delta").alias("delta"),
+                   F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+                   .alias("starts")))
+    wd = Window.partitionBy("day").orderBy("t")
+    cum = (deltas.withColumn("cum", F.sum("delta").over(
+        wd.rowsBetween(Window.unboundedPreceding, 0))))
+    return (cum.groupBy("day")
+            .agg(F.max("cum").cast("long").alias("peak_concurrency"),
+                 F.sum("starts").cast("long").alias("n_session_segments"))
+            .join(cum.withColumn(
+                "peak", F.max("cum").over(Window.partitionBy("day")))
+                .filter(F.col("cum") == F.col("peak"))
+                .groupBy("day").agg(F.min("t").alias("peak_at_us")), "day")
+            .select(F.date_add(F.lit("1970-01-01").cast("date"),
+                               F.col("day").cast("int")).cast("string")
+                    .alias("day"),
+                    "peak_concurrency", "n_session_segments", "peak_at_us"))
+
+
+EVENTS_PEAK_CONCURRENCY_SQL = """
+WITH e0 AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+e AS (SELECT user_id, event_id, ts_us,
+             CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+s AS (SELECT user_id, ts_us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM e),
+sess AS (SELECT user_id, session_no,
+                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+         FROM s GROUP BY 1, 2),
+segs AS (SELECT UNNEST(generate_series(start_us // 86400000000,
+                                       end_us // 86400000000)) AS day,
+                start_us, end_us
+         FROM sess),
+seg2 AS (SELECT day,
+                GREATEST(start_us, day * 86400000000) AS seg_start,
+                LEAST(end_us, (day + 1) * 86400000000 - 1) AS seg_end
+         FROM segs),
+deltas AS (
+  SELECT day, t, SUM(delta) AS delta,
+         SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS starts
+  FROM (SELECT day, seg_start AS t, 1 AS delta FROM seg2
+        UNION ALL
+        SELECT day, seg_end + 1 AS t, -1 AS delta FROM seg2)
+  GROUP BY 1, 2),
+cum AS (SELECT day, t, starts,
+               SUM(delta) OVER (PARTITION BY day ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM deltas),
+peaks AS (SELECT day, MAX(cum) AS peak, CAST(SUM(starts) AS BIGINT)
+                   AS n_session_segments
+          FROM cum GROUP BY 1)
+SELECT CAST(DATE '1970-01-01' + CAST(p.day AS INT) AS VARCHAR) AS day,
+       CAST(p.peak AS BIGINT) AS peak_concurrency,
+       p.n_session_segments,
+       MIN(c.t) AS peak_at_us
+FROM peaks p JOIN cum c ON c.day = p.day AND c.cum = p.peak
+GROUP BY 1, 2, 3
+"""
+
+
 # --- JSON scalar functions over events.props ------------------------------
 
 def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -66,6 +66,7 @@ HEADLINE = [
     "events_peak_concurrency",
     "events_anomaly_zscore",
     "events_value_histogram",
+    "events_udaf_second_max",
     "events_rollup_refresh",
     "orders_mv_join_refresh",
     "stream_mv_join_refresh",
@@ -82,6 +83,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "lineitem_market_basket",
     "part_pagerank",
+    "part_bfs_hops",
     "part_triangles",
     "skew_salted_join",
     "bucketed_join_revenue",
@@ -105,6 +107,7 @@ HEADLINE = [
     "docs_leakage_safe_split",
     "docs_chunk_windows",
     "docs_stratified_sample",
+    "docs_sample_per_class",
     "docs_weighted_sample",
     "docs_pack_sequences",
     "docs_token_shards",

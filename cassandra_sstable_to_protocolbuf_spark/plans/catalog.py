@@ -233,6 +233,10 @@ CATALOG: dict[str, QueryDef] = {
                                "date part extraction + agg"),
     "events_hourly": QueryDef(R.events_hourly, R.EVENTS_HOURLY_SQL,
                               "time-bucketed agg (batch form of streaming op)"),
+    "events_udaf_second_max": QueryDef(R.events_udaf_second_max,
+                                       R.EVENTS_UDAF_SECOND_MAX_SQL,
+                                       "Arrow GROUPED_AGG pandas UDAF over a "
+                                       "pre-reduced distinct set (exact gate)"),
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
                                        "HLL approx distinct (sketch-specific)"),
     "lineitem_approx_percentiles": QueryDef(R.lineitem_approx_percentiles, None,
@@ -338,6 +342,9 @@ CATALOG: dict[str, QueryDef] = {
     "part_pagerank": QueryDef(R.part_pagerank, R.PART_PAGERANK_SQL,
                               "fixed-point PageRank over the co-purchase "
                               "graph (hash-gateable graph analytics)"),
+    "part_bfs_hops": QueryDef(R.part_bfs_hops, R.PART_BFS_HOPS_SQL,
+                              "BFS hop distance via Pregel-style frontier "
+                              "expansion (vs recursive-CTE oracle)"),
     "part_triangles": QueryDef(R.part_triangles, R.PART_TRIANGLES_SQL,
                                "triangle counting + clustering coefficient "
                                "(ordered-edge three-way self-join)"),
@@ -460,6 +467,10 @@ CATALOG: dict[str, QueryDef] = {
     "docs_weighted_sample": QueryDef(TX.docs_weighted_sample,
                                      TX.DOCS_WEIGHTED_SAMPLE_SQL,
                                      "deterministic weight-proportional priority sampling"),
+    "docs_sample_per_class": QueryDef(TX.docs_sample_per_class,
+                                      TX.DOCS_SAMPLE_PER_CLASS_SQL,
+                                      "fixed-k-per-class hash-ranked sample "
+                                      "(WindowGroupLimit top-k, no global sort)"),
     "docs_pack_sequences": QueryDef(TX.docs_pack_sequences,
                                     TX.DOCS_PACK_SEQUENCES_SQL,
                                     "greedy context-window packing (sharded windows)"),

@@ -920,6 +920,63 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_udaf_second_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via the Arrow GROUPED_AGG pandas UDAF surface:
+    per event type, the second-highest DISTINCT value -- an aggregate
+    whose one-pass form the built-ins don't offer, as a Series->scalar
+    pandas_udf in groupBy().agg() beside built-in twins.
+
+    Scale honesty: a grouped-agg UDAF is NOT partially aggregatable --
+    the whole group's column ships to one task (Arrow-batched). The
+    input here is pre-reduced to DISTINCT (type, value) first (distinct
+    IS partial, map-side combined), so the UDAF sees the reduced set,
+    and the group count is the type cardinality. For a metric a builtin
+    composition can express, the two-window twin is the 100 TB path;
+    this surface is for semantics that genuinely need per-group code.
+    No float arithmetic (selection only), so the hash gate is exact."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: this module's postponed annotations would
+    # otherwise leave pandas_udf unable to infer GROUPED_AGG from hints
+    def _second_max(v):
+        u = v.dropna().unique()
+        if len(u) < 2:
+            return None
+        u.sort()
+        return float(u[-2])
+
+    second_max = pandas_udf(_second_max, "double", PandasUDFType.GROUPED_AGG)
+
+    ev = _t(spark, sf_dir, "events")
+    dv = ev.select("event_type", "value").distinct()
+    # Spark refuses to mix a grouped-agg UDAF with built-in aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT); the builtin twins
+    # aggregate separately and join on the tiny group key
+    udaf = (dv.groupBy("event_type")
+            .agg(second_max(F.col("value")).alias("second_max_value")))
+    builtins_ = (dv.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_distinct_values"),
+                      F.max("value").alias("max_value")))
+    return (builtins_.join(udaf, "event_type")
+            .select("event_type", "n_distinct_values", "max_value",
+                    "second_max_value"))
+
+
+EVENTS_UDAF_SECOND_MAX_SQL = """
+WITH dv AS (SELECT DISTINCT event_type, value FROM events),
+r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC) AS rnk
+      FROM dv WHERE value IS NOT NULL)
+SELECT d.event_type,
+       (SELECT COUNT(*) FROM dv x
+        WHERE x.event_type = d.event_type) AS n_distinct_values,
+       MAX(CASE WHEN rnk = 1 THEN value END) AS max_value,
+       MAX(CASE WHEN rnk = 2 THEN value END) AS second_max_value
+FROM r d GROUP BY 1
+"""
+
+
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type (rows-only check:
     sketch internals are implementation-specific). The exact counterpart
@@ -3873,6 +3930,64 @@ def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_both"))
             .filter(F.col("n_both") >= 2)
             .select("p1", "p2"))
+
+
+# --- BFS hop distance (iterative frontier expansion) ----------------------
+
+def part_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from a seed part (the graph's minimum node id)
+    over the symmetric co-purchase graph, 4 hops max -- the iterative
+    graph-traversal shape (shortest-path/reachability) as unrolled
+    frontier expansion: each round joins the CURRENT frontier to the
+    edge list, distincts the targets, and anti-joins away already-
+    reached nodes, so every node is labeled with its FIRST-visit round
+    = its min hop distance.
+
+    This is the Pregel step expressed relationally: per round one
+    key-partitioned join + one distinct, frontier size bounded by the
+    node count (never the path count -- an unrolled path-join without
+    the distinct would be combinatorial on a cyclic graph). At 100 TB
+    the edge list shuffles once per round on src; 4 rounds = 4 bounded
+    shuffles, and the reached set stays a narrow (node, dist) pair.
+    Oracle: DuckDB recursive CTE with UNION-dedup on (node, dist),
+    aggregated to MIN(dist)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = (pairs.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+             .unionAll(pairs.select(F.col("p2").alias("src"),
+                                    F.col("p1").alias("dst"))))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seed = nodes.agg(F.min("node").alias("node"))
+    reached = seed.select("node", F.lit(0).alias("dist"))
+    frontier = reached.select("node")
+    for k in range(1, 5):
+        nxt = (frontier.join(edges, frontier.node == edges.src)
+               .select(F.col("dst").alias("node")).distinct()
+               .join(reached.select("node"), "node", "left_anti"))
+        reached = reached.unionByName(
+            nxt.select("node", F.lit(k).alias("dist")))
+        frontier = nxt
+    return reached.select(F.col("node").alias("part"),
+                          F.col("dist").cast("long").alias("dist"))
+
+
+PART_BFS_HOPS_SQL = """
+WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst FROM pairs
+          UNION ALL SELECT p2, p1 FROM pairs),
+walk(node, dist) AS (
+  SELECT (SELECT MIN(src) FROM edges), 0
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 4)
+SELECT node AS part, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY 1
+"""
 
 
 # --- Triangle counting / clustering coefficient ---------------------------

@@ -637,6 +637,43 @@ FROM h WHERE sample_bp < {_duck_rate_case()}
 """
 
 
+def docs_sample_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-class sampling (the few-shot / eval-set builder): the
+    20 hash-ranked docs per lang, deterministic and retry-stable -- the
+    complement of rate-based stratified sampling when the deliverable is
+    "exactly k examples per class" regardless of class frequency.
+
+    The pseudo-uniform pick order is the same LCG key-hash the stratified
+    sampler uses (no RNG, identical rows on every backfill), tie-broken
+    by doc_id. Scale: rank<=k over a class-partitioned window compiles
+    to WindowGroupLimit, so each map task keeps only its local top-k
+    before the class shuffle -- per-class traffic is O(k * tasks), not
+    O(class size); no global sort."""
+    from pyspark.sql import Window
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import bucket_hash
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        bucket_hash(F.col("doc_id")).asc(), F.col("doc_id").asc())
+    return (docs
+            .withColumn("pick_rank", F.row_number().over(w))
+            .filter(F.col("pick_rank") <= 20)
+            .select("doc_id", "lang", "source", "n_chars", "pick_rank"))
+
+
+DOCS_SAMPLE_PER_CLASS_SQL = """
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 1000003) * 1103515245 + 12345)
+                      % 2147483648 % 10000 ASC, doc_id ASC) AS pick_rank
+  FROM documents)
+SELECT doc_id, lang, source, n_chars, CAST(pick_rank AS BIGINT) AS pick_rank
+FROM h WHERE pick_rank <= 20
+"""
+
+
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing for training batches: docs in doc_id order
     fill 512-token context windows per (lang, shard); emits the window id

@@ -82,6 +82,8 @@ HEADLINE = [
     "part_skyline",
     "customer_rfm_segments",
     "lineitem_market_basket",
+    "lineitem_equidepth_bins",
+    "orders_negative_samples",
     "part_pagerank",
     "part_bfs_hops",
     "part_triangles",

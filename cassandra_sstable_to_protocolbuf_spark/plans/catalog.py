@@ -342,6 +342,14 @@ CATALOG: dict[str, QueryDef] = {
     "part_pagerank": QueryDef(R.part_pagerank, R.PART_PAGERANK_SQL,
                               "fixed-point PageRank over the co-purchase "
                               "graph (hash-gateable graph analytics)"),
+    "lineitem_equidepth_bins": QueryDef(R.lineitem_equidepth_bins,
+                                        R.LINEITEM_EQUIDEPTH_BINS_SQL,
+                                        "NTILE equal-frequency decile binning "
+                                        "with per-bin exact stats"),
+    "orders_negative_samples": QueryDef(R.orders_negative_samples,
+                                        R.ORDERS_NEGATIVE_SAMPLES_SQL,
+                                        "deterministic negative sampling for "
+                                        "contrastive training (LCG + anti-join)"),
     "part_bfs_hops": QueryDef(R.part_bfs_hops, R.PART_BFS_HOPS_SQL,
                               "BFS hop distance via Pregel-style frontier "
                               "expansion (vs recursive-CTE oracle)"),

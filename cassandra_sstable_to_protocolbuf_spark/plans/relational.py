@@ -3893,6 +3893,113 @@ CROSS JOIN t
 """
 
 
+# --- equi-depth (equal-frequency) binning ---------------------------------
+
+def lineitem_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: NTILE(10) deciles of extended
+    price per return flag, reduced to per-bin stats (count, bounds,
+    decimal-exact sum) -- the feature-engineering binning op (quantile
+    bucketing for GBDT/embedding inputs) next to the fixed-width
+    histogram's equal-WIDTH bins (events_value_histogram).
+
+    NTILE's remainder rule (earlier buckets get the extra row) is
+    standard SQL and identical in both engines; the window's ORDER BY
+    carries a full (price, orderkey, linenumber) tie-break so bucket
+    boundaries cannot depend on physical row order. Scale: one shuffle
+    on the flag, per-partition sort; the output is 30 rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    return (li.withColumn("bin", F.ntile(10).over(w))
+            .groupBy("l_returnflag", "bin")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi"),
+                 F.sum(F.col("l_extendedprice").cast(DEC))
+                 .cast("double").alias("sum_price"))
+            .select("l_returnflag", F.col("bin").cast("long").alias("bin"),
+                    "n_rows", "lo", "hi", "sum_price"))
+
+
+LINEITEM_EQUIDEPTH_BINS_SQL = """
+WITH b AS (
+  SELECT l_returnflag, l_extendedprice,
+         NTILE(10) OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS bin
+  FROM lineitem)
+SELECT l_returnflag, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_rows,
+       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS sum_price
+FROM b GROUP BY 1, 2
+"""
+
+
+# --- negative sampling for recommender / contrastive training -------------
+
+def orders_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling -- the contrastive-training data
+    op: for each customer with purchases, 5 parts they did NOT buy,
+    drawn pseudo-uniformly by an LCG over (customer, draw index) and
+    confirmed negative by an anti-join against the positives. RNG-free,
+    so retries and backfills emit identical negatives (the same property
+    the samplers guarantee) and the whole op is hash-gateable.
+
+    Scale: positives are one distinct over the fact join; candidates
+    are a narrow explode of 15 draws per customer (no cross join with
+    the item table -- the LCG maps straight into the contiguous partkey
+    domain, and the domain size rides in on a one-row broadcast); the
+    anti-join hashes on (customer, part). Draw order ranks survivors so
+    collision-dropped draws are simply skipped -- at most 15 draws for
+    5 negatives leaves the miss probability negligible when positives
+    << catalog, and the emitted draw index makes any shortfall
+    auditable. One shuffle for the distinct, one for the anti-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+           .select(F.col("o_custkey").alias("user_id"),
+                   F.col("l_partkey").alias("part")).distinct())
+    n_parts = _t(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts"))
+    cands = (pos.select("user_id").distinct()
+             .join(F.broadcast(n_parts))
+             .select("user_id", "n_parts",
+                     F.explode(F.sequence(F.lit(0), F.lit(14))).alias("i"))
+             .withColumn("part",
+                         ((F.col("user_id") * F.lit(1_103_515_245)
+                           + F.col("i") * F.lit(12_345) + F.lit(7))
+                          % F.lit(2_147_483_648)) % F.col("n_parts")))
+    w = Window.partitionBy("user_id").orderBy("i")
+    return (cands.join(pos, ["user_id", "part"], "left_anti")
+            .withColumn("neg_rank", F.row_number().over(w))
+            .filter(F.col("neg_rank") <= 5)
+            .select("user_id", "part", F.col("i").alias("draw"),
+                    F.col("neg_rank").cast("long").alias("neg_rank")))
+
+
+ORDERS_NEGATIVE_SAMPLES_SQL = """
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+np AS (SELECT COUNT(*) AS n_parts FROM part),
+cands AS (
+  SELECT u.user_id, d.i,
+         ((u.user_id * 1103515245 + d.i * 12345 + 7) % 2147483648)
+           % np.n_parts AS part
+  FROM (SELECT DISTINCT user_id FROM pos) u
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 14)) AS i) d
+  CROSS JOIN np),
+neg AS (
+  SELECT c.user_id, c.part, c.i,
+         ROW_NUMBER() OVER (PARTITION BY c.user_id ORDER BY c.i) AS neg_rank
+  FROM cands c ANTI JOIN pos p
+    ON p.user_id = c.user_id AND p.part = c.part)
+SELECT user_id, part, i AS draw, CAST(neg_rank AS BIGINT) AS neg_rank
+FROM neg WHERE neg_rank <= 5
+"""
+
+
 # --- PageRank over the co-purchase graph (fixed-point, hash-gated) --------
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

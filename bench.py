@@ -67,6 +67,8 @@ HEADLINE = [
     "events_anomaly_zscore",
     "events_value_histogram",
     "events_udaf_second_max",
+    "events_ewma",
+    "events_winsorize",
     "events_rollup_refresh",
     "orders_mv_join_refresh",
     "stream_mv_join_refresh",

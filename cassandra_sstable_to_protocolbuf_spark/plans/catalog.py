@@ -342,6 +342,12 @@ CATALOG: dict[str, QueryDef] = {
     "part_pagerank": QueryDef(R.part_pagerank, R.PART_PAGERANK_SQL,
                               "fixed-point PageRank over the co-purchase "
                               "graph (hash-gateable graph analytics)"),
+    "events_winsorize": QueryDef(R.events_winsorize, R.EVENTS_WINSORIZE_SQL,
+                                 "percentile clipping (winsorized robust "
+                                 "normalization), broadcast bounds"),
+    "events_ewma": QueryDef(R.events_ewma, R.EVENTS_EWMA_SQL,
+                            "fixed-point EWMA recurrence via applyInPandas "
+                            "(per-key sequential state, hash-gated)"),
     "lineitem_equidepth_bins": QueryDef(R.lineitem_equidepth_bins,
                                         R.LINEITEM_EQUIDEPTH_BINS_SQL,
                                         "NTILE equal-frequency decile binning "

@@ -3893,6 +3893,117 @@ CROSS JOIN t
 """
 
 
+# --- winsorization: percentile clipping for feature normalization ---------
+
+def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized feature summary: per event type, clip values into the
+    exact [p5, p95] band and report the clip counts plus the
+    decimal-exact clipped sum -- the outlier-robust normalization step
+    a feature pipeline runs before scaling (heavy tails would otherwise
+    dominate a mean/variance fit).
+
+    The percentile bounds are exact linear-interpolated percentiles
+    (the same cross-engine-stable primitive lineitem_percentiles
+    gates); they ride back onto the fact rows via a broadcast of the
+    per-type row, so the clip itself is a narrow map over one scan --
+    at 100 TB: one partial-aggregatable percentile pass + one
+    scan-bandwidth pass, no row shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = (ev.groupBy("event_type")
+              .agg(F.percentile("value", 0.05).alias("p05"),
+                   F.percentile("value", 0.95).alias("p95")))
+    clipped = (ev.join(F.broadcast(bounds), "event_type")
+               .withColumn("cv", F.greatest(
+                   "p05", F.least("p95", F.col("value")))))
+    return (clipped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("value") < F.col("p05")).cast("long"))
+                 .alias("n_clipped_low"),
+                 F.sum((F.col("value") > F.col("p95")).cast("long"))
+                 .alias("n_clipped_high"),
+                 F.sum(F.col("cv").cast("decimal(18,6)")).cast("double")
+                 .alias("sum_winsorized"),
+                 F.min("p05").alias("p05"), F.min("p95").alias("p95")))
+
+
+EVENTS_WINSORIZE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1),
+c AS (
+  SELECT e.event_type, e.value, b.p05, b.p95,
+         GREATEST(b.p05, LEAST(b.p95, e.value)) AS cv
+  FROM events e JOIN b USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(SUM(CAST(cv AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized,
+       MIN(p05) AS p05, MIN(p95) AS p95
+FROM c GROUP BY 1
+"""
+
+
+# --- EWMA: per-key sequential recurrence via applyInPandas ----------------
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (alpha = 1/4) --
+    the canonical per-key SEQUENTIAL recurrence that no window frame
+    expresses (each state depends on the previous state, not a frame of
+    inputs): s_t = (3*s_{t-1} + v_t) div 4 in micro-unit fixed point,
+    s_0 = v_0. This is the applyInPandas custom-operator seam: one
+    shuffle on user_id, then each group runs its recurrence in one
+    Arrow batch -- state never crosses a group boundary, so 100 TB
+    splits across executors by key exactly like any keyed aggregation.
+    The recurrence itself is inherently serial PER KEY; parallelism
+    comes from key count, the same bound a stateful streaming operator
+    has.
+
+    Fixed-point integer state (floor division, all inputs positive)
+    makes every step bit-exact, so the DuckDB oracle -- the same
+    recurrence as a recursive CTE stepping rank-by-rank across all
+    users at once -- hash-matches; a float EWMA could only ever be
+    rows-only."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ts_us().alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fp"))
+
+    def recur(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        s, out = None, []
+        for v in pdf["v_fp"]:
+            s = v if s is None else (3 * s + v) // 4
+            out.append(s)
+        pdf["ewma_fp"] = out
+        return pdf[["event_id", "user_id", "ewma_fp"]]
+
+    res = (ev.groupBy("user_id")
+           .applyInPandas(recur, "event_id long, user_id long, ewma_fp long"))
+    return res.select("event_id", "user_id", "ewma_fp",
+                      (F.col("ewma_fp").cast("double") / 1e6).alias("ewma"))
+
+
+EVENTS_EWMA_SQL = """
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id,
+         CAST(ROUND(value * 1000000) AS BIGINT) AS v_fp,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events),
+w(user_id, rn, event_id, s) AS (
+  SELECT user_id, rn, event_id, v_fp FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.event_id, (3 * w.s + e.v_fp) // 4
+  FROM w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+SELECT event_id, user_id, s AS ewma_fp,
+       CAST(s AS DOUBLE) / 1000000 AS ewma
+FROM w
+"""
+
+
 # --- equi-depth (equal-frequency) binning ---------------------------------
 
 def lineitem_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -147,3 +147,28 @@ def test_sample_per_class_is_k_per_class_and_stable(spark):
         assert sorted(g.pick_rank) == list(range(1, len(g) + 1))
     again = TX.docs_sample_per_class(spark, SF_SMOKE).toPandas()
     assert set(out.doc_id) == set(again.doc_id)
+
+
+def test_ewma_stays_in_prefix_band_and_respects_keys(spark):
+    """Each EWMA value must lie within [min, max] of its user's value
+    prefix (a convexity invariant of the recurrence), which also fails
+    loudly if group state ever leaked across user boundaries."""
+    out = R.events_ewma(spark, SF_SMOKE).toPandas()
+    ev = (pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+          .assign(ts_us=lambda d: d["ts"].astype("datetime64[us]")
+                  .astype("int64"),
+                  v_fp=lambda d: (d["value"] * 1e6).round().astype("int64"))
+          .sort_values(["user_id", "ts_us", "event_id"]))
+    ev["lo"] = ev.groupby("user_id")["v_fp"].cummin()
+    ev["hi"] = ev.groupby("user_id")["v_fp"].cummax()
+    m = out.merge(ev[["event_id", "lo", "hi"]], on="event_id")
+    assert len(m) == len(out)
+    assert ((m.ewma_fp >= m.lo) & (m.ewma_fp <= m.hi)).all()
+
+
+def test_winsorize_clips_about_five_percent_per_tail(spark):
+    out = R.events_winsorize(spark, SF_SMOKE).toPandas()
+    assert (out.n_clipped_low <= out.n * 0.06).all()
+    assert (out.n_clipped_high <= out.n * 0.06).all()
+    assert (out.n_clipped_low > 0).all() and (out.n_clipped_high > 0).all()
+    assert (out.p05 < out.p95).all()

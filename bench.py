@@ -69,6 +69,7 @@ HEADLINE = [
     "events_udaf_second_max",
     "events_ewma",
     "events_winsorize",
+    "events_drift_bins",
     "events_rollup_refresh",
     "orders_mv_join_refresh",
     "stream_mv_join_refresh",
@@ -125,6 +126,7 @@ HEADLINE = [
     "docs_tfidf_topk",
     "docs_bpe_merges",
     "docs_pipeline_yield",
+    "docs_quality_auc",
     "docs_domain_mix",
     "emb_cosine_topk",
     "emb_mips_topk",

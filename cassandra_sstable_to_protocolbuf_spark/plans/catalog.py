@@ -342,6 +342,9 @@ CATALOG: dict[str, QueryDef] = {
     "part_pagerank": QueryDef(R.part_pagerank, R.PART_PAGERANK_SQL,
                               "fixed-point PageRank over the co-purchase "
                               "graph (hash-gateable graph analytics)"),
+    "events_drift_bins": QueryDef(R.events_drift_bins, R.EVENTS_DRIFT_BINS_SQL,
+                                  "PSI-style drift report: current window "
+                                  "binned on reference-decile edges"),
     "events_winsorize": QueryDef(R.events_winsorize, R.EVENTS_WINSORIZE_SQL,
                                  "percentile clipping (winsorized robust "
                                  "normalization), broadcast bounds"),
@@ -481,6 +484,9 @@ CATALOG: dict[str, QueryDef] = {
     "docs_weighted_sample": QueryDef(TX.docs_weighted_sample,
                                      TX.DOCS_WEIGHTED_SAMPLE_SQL,
                                      "deterministic weight-proportional priority sampling"),
+    "docs_quality_auc": QueryDef(TX.docs_quality_auc, TX.DOCS_QUALITY_AUC_SQL,
+                                 "exact tie-aware ROC AUC via integer "
+                                 "rank-sum over the bounded score table"),
     "docs_sample_per_class": QueryDef(TX.docs_sample_per_class,
                                       TX.DOCS_SAMPLE_PER_CLASS_SQL,
                                       "fixed-k-per-class hash-ranked sample "

@@ -3893,6 +3893,65 @@ CROSS JOIN t
 """
 
 
+# --- distribution drift report (PSI-style reference-vs-current bins) ------
+
+def events_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitoring report: per event type, the value
+    distribution of the CURRENT window (Jan 16+) binned against decile
+    edges fitted on the REFERENCE window (Jan 1-15) -- the
+    population-stability-index input a production ML pipeline computes
+    before trusting a week's features. Emitting the per-bin (n_ref,
+    n_cur) contingency table keeps the op integer-exact and engine-
+    agnostic; the PSI/chi-square scalar is one tiny local reduction the
+    caller applies (a float log-sum has no stable cross-engine hash).
+
+    Scale: edges are a partial-aggregatable percentile pass over the
+    reference slice only; bin assignment is 9 integer comparisons
+    against a broadcast one-row-per-type edge table -- a narrow map.
+    Two scans (or one with a slice column), zero row shuffles."""
+    split_us = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z in micros
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", _ts_us().alias("ts_us"))
+    ref = ev.filter(F.col("ts_us") < split_us)
+    edges = ref.groupBy("event_type").agg(
+        F.percentile("value", F.lit([i / 10 for i in range(1, 10)]))
+        .alias("e"))
+    binned = (ev.join(F.broadcast(edges), "event_type")
+              .withColumn("bin", (F.lit(1) + sum(
+                  (F.col("value") > F.col("e")[i]).cast("int")
+                  for i in range(9))).cast("long"))
+              .withColumn("is_ref", (F.col("ts_us") < split_us).cast("int")))
+    return (binned.groupBy("event_type", "bin")
+            .agg(F.sum("is_ref").alias("n_ref"),
+                 F.sum(1 - F.col("is_ref")).alias("n_cur")))
+
+
+EVENTS_DRIFT_BINS_SQL = """
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+edges AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+  FROM e WHERE ts_us < 1705363200000000 GROUP BY 1),
+b AS (
+  SELECT e.event_type,
+         1 + (CASE WHEN e.value > q[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[7] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[8] THEN 1 ELSE 0 END)
+           + (CASE WHEN e.value > q[9] THEN 1 ELSE 0 END) AS bin,
+         CASE WHEN e.ts_us < 1705363200000000 THEN 1 ELSE 0 END AS is_ref
+  FROM e JOIN edges USING (event_type))
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+FROM b GROUP BY 1, 2
+"""
+
+
 # --- winsorization: percentile clipping for feature normalization ---------
 
 def events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:

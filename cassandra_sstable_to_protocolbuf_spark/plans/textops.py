@@ -1119,6 +1119,83 @@ FROM x
 """
 
 
+def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation op: the exact ROC AUC of a crude quality
+    margin (token count minus twice the stopword mass -- the integer
+    form of the keep rule's stopword condition) predicting the
+    rule-based keep label, via the tie-aware
+    Mann-Whitney rank-sum identity -- AUC = (2*sum of positive average
+    ranks - npos*(npos+1)) / (2*npos*nneg). Doubling the average ranks
+    keeps EVERYTHING integer until one final division, so the gate is
+    hash-exact (a sklearn-style float accumulation could only ever be
+    rows-only).
+
+    Scale: ranks are NOT a global row sort -- rows reduce to one row
+    per distinct score (cardinality bounded by max doc length),
+    average ranks come from a cumulative count over that
+    bounded score table, and the final reduction is a single-row agg.
+    At 100 TB: one partial-aggregatable groupBy, one tiny window."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    counted = base.select(
+        F.size("t").alias("nt"),
+        T.marker_hits(F.col("t"), T.EN_STOPWORDS).alias("nsw"),
+        F.size(F.array_distinct("t")).alias("nd"))
+    scored = counted.select(
+        (F.col("nt") - 2 * F.col("nsw")).cast("long").alias("score"),
+        # integer twins of the float keep rules (same truth values)
+        ((F.col("nt") >= 20) & (F.col("nsw") * 2 < F.col("nt"))
+         & (F.col("nd") * 10 > F.col("nt"))).cast("long").alias("pos"))
+    from pyspark.sql import Window
+    g = (scored.groupBy("score")
+         .agg(F.sum("pos").alias("n_pos_s"),
+              F.count(F.lit(1)).alias("n_s")))
+    w = (Window.orderBy("score")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = g.select(
+        "score", "n_pos_s", "n_s",
+        F.coalesce(F.sum("n_s").over(w), F.lit(0)).alias("cum_before"))
+    agg = ranked.agg(
+        F.sum("n_pos_s").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("n_pos_s")).alias("n_neg"),
+        F.sum(F.col("n_pos_s")
+              * (2 * F.col("cum_before") + F.col("n_s") + 1)).alias("u2"))
+    return agg.select(
+        "n_pos", "n_neg", "u2",
+        ((F.col("u2") - F.col("n_pos") * (F.col("n_pos") + 1))
+         .cast("double")
+         / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"))
+        .alias("auc"))
+
+
+DOCS_QUALITY_AUC_SQL = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+c AS (SELECT len(toks) AS nt,
+             len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS nsw,
+             len(list_distinct(toks)) AS nd
+      FROM t),
+s AS (SELECT CAST(nt - 2 * nsw AS BIGINT) AS score,
+             CASE WHEN nt >= 20 AND nsw * 2 < nt AND nd * 10 > nt
+                  THEN 1 ELSE 0 END AS pos
+      FROM c),
+g AS (SELECT score, SUM(pos) AS n_pos_s, COUNT(*) AS n_s
+      FROM s GROUP BY 1),
+r AS (SELECT score, n_pos_s, n_s,
+             COALESCE(SUM(n_s) OVER (ORDER BY score
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS cum_before
+      FROM g),
+a AS (SELECT CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+             CAST(SUM(n_s - n_pos_s) AS BIGINT) AS n_neg,
+             CAST(SUM(n_pos_s * (2 * cum_before + n_s + 1)) AS BIGINT) AS u2
+      FROM r)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM a
+"""
+
+
 def docs_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib integration: a fasttext-style quality classifier trained ON
     THE CORPUS (hashed token features -> logistic regression against the

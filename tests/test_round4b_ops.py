@@ -172,3 +172,33 @@ def test_winsorize_clips_about_five_percent_per_tail(spark):
     assert (out.n_clipped_high <= out.n * 0.06).all()
     assert (out.n_clipped_low > 0).all() and (out.n_clipped_high > 0).all()
     assert (out.p05 < out.p95).all()
+
+
+def test_quality_auc_matches_pandas_average_rank(spark):
+    """Engine AUC == the textbook tie-aware (average-rank) Mann-Whitney
+    AUC computed by pandas over the same score/label pairs."""
+    row = TX.docs_quality_auc(spark, SF_SMOKE).collect()[0]
+    # rebuild score/label via the gated docs_quality columns
+    q = TX.docs_quality(spark, SF_SMOKE).toPandas()
+    score = q.n_tokens - 2 * q.n_stopwords
+    pos = q.keep.astype(int)
+    r = score.rank(method="average")
+    npos, nneg = pos.sum(), (1 - pos).sum()
+    auc = (r[pos == 1].sum() - npos * (npos + 1) / 2) / (npos * nneg)
+    assert row["n_pos"] == npos and row["n_neg"] == nneg
+    assert abs(row["auc"] - auc) < 1e-12
+    assert 0.5 < row["auc"] < 1.0  # non-degenerate separation
+
+
+def test_drift_bins_partition_both_windows(spark):
+    out = R.events_drift_bins(spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    split = pd.Timestamp("2024-01-16")
+    for etype, g in out.groupby("event_type"):
+        sel = ev[ev.event_type == etype]
+        assert g.n_ref.sum() == (sel.ts < split).sum()
+        assert g.n_cur.sum() == (sel.ts >= split).sum()
+        assert g.bin.between(1, 10).all()
+        # reference deciles: every ref bin within one row of balance
+        # is too strict under ties; just require all 10 bins present
+        assert set(g.bin) == set(range(1, 11))

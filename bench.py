@@ -70,6 +70,7 @@ HEADLINE = [
     "events_ewma",
     "events_winsorize",
     "events_drift_bins",
+    "stream_ewma",
     "events_rollup_refresh",
     "orders_mv_join_refresh",
     "stream_mv_join_refresh",

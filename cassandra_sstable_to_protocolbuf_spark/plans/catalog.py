@@ -271,6 +271,9 @@ CATALOG: dict[str, QueryDef] = {
     "stream_static_enrich": QueryDef(ST.stream_static_enrich,
                                      ST.STREAM_STATIC_ENRICH_SQL,
                                      "stream-static dim enrichment join"),
+    "stream_ewma": QueryDef(ST.stream_ewma, R.EVENTS_EWMA_SQL,
+                            "order-sensitive EWMA through event-time-ordered "
+                            "streaming replay with per-batch state"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
     "events_resample_ffill": QueryDef(R.events_resample_ffill,

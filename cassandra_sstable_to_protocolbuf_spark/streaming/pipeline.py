@@ -841,3 +841,109 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     return (spark.read.parquet(out)
             .select("month", "n_name", "n_items", "rev_e4"))
+
+
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-SENSITIVE EWMA recurrence maintained THROUGH streaming
+    -- the Kappa-style ordered backfill: unlike every commutative merge
+    above, s_t = (3*s_{t-1} + v_t) div 4 depends on delivery order, so
+    the spool is range-partitioned on event time (4 contiguous slices,
+    one file per micro-batch, mtimes forcing source order) and each
+    foreachBatch folds its slice onto the per-user state carried from
+    the previous batch -- exactly how a production backfill replays
+    partition-ordered history into a stateful feature store.
+
+    State is a (user_id, s) tuple set, persisted per batch_id so an
+    at-least-once redelivery of batch N reloads state N-1 and rewrites
+    the same output partition (idempotent, the transactional-foreachBatch
+    pattern); outputs land per batch and union to the final frame. The
+    gate hash-matches the BATCH recursive-CTE oracle -- certifying that
+    ordered streaming delivery reproduces the sequential recurrence
+    bit-for-bit, which no unordered streaming operator could.
+
+    Scale: per batch one key-partitioned applyInPandas over (seed rows
+    UNION slice rows); state is one tuple per user."""
+    import os
+    import time as _time
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _t, _ts_us)
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ts_us().alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("v_fp"))
+
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    spool = scratch_dir("ewma_spool", tag, fresh=True)
+    step = (hi - lo) // 4 + 1
+    for i in range(4):
+        part = ev.filter(
+            (F.col("ts_us") >= lo + i * step)
+            & (F.col("ts_us") < lo + (i + 1) * step))
+        tmp = os.path.join(spool, f"g{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(spool, f"slice-{i}.parquet")
+        os.replace(os.path.join(tmp, src), dst)
+        # FileStreamSource orders new files by modification time; pin
+        # strictly increasing mtimes so slice order IS event-time order
+        t = _time.time() + i
+        os.utime(dst, (t, t))
+        import shutil
+        shutil.rmtree(tmp)
+
+    state_root = scratch_dir("ewma_state", tag, fresh=True)
+    out_root = scratch_dir("ewma_out", tag, fresh=True)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        seed_dir = os.path.join(state_root, f"b{batch_id - 1}")
+        rows = batch.select("event_id", "user_id", "ts_us", "v_fp")
+        if os.path.isdir(seed_dir):
+            seed = (spark.read.parquet(seed_dir)
+                    .select(F.lit(-1).alias("event_id"), "user_id",
+                            F.lit(-1).alias("ts_us"),
+                            F.col("s").alias("v_fp")))
+            rows = seed.unionByName(rows)
+
+        def recur(pdf):
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            s, out = None, []
+            for v in pdf["v_fp"]:
+                s = v if s is None else (3 * s + v) // 4
+                out.append(s)
+            pdf["ewma_fp"] = out
+            return pdf[["event_id", "user_id", "ewma_fp"]]
+
+        folded = (rows.groupBy("user_id")
+                  .applyInPandas(
+                      recur, "event_id long, user_id long, ewma_fp long")
+                  .localCheckpoint())  # one computation feeds both sinks
+        (folded.filter(F.col("event_id") >= 0)  # seed rows are carriers
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_root, f"b{batch_id}")))
+        # final state per user = the EWMA at its max (ts_us, event_id)
+        # row, recovered relationally (cross-row output order from
+        # applyInPandas is not a contract)
+        last = (rows.groupBy("user_id")
+                .agg(F.max(F.struct("ts_us", "event_id")).alias("m"))
+                .select("user_id", F.col("m.event_id").alias("event_id")))
+        state = (folded.join(last, ["user_id", "event_id"])
+                 .select("user_id", F.col("ewma_fp").alias("s")))
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"b{batch_id}"))
+
+    schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
+    ckpt = scratch_dir("ewma_ckpt", tag, fresh=True)
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1")
+         .option("pathGlobFilter", "slice-*.parquet")
+         .parquet(spool)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = spark.read.parquet(os.path.join(out_root, "b*"))
+    return res.select("event_id", "user_id", "ewma_fp",
+                      (F.col("ewma_fp").cast("double") / 1e6).alias("ewma"))

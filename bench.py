@@ -105,6 +105,7 @@ HEADLINE = [
     "docs_dup_spans",
     "docs_span_scrub",
     "docs_ngram_jaccard",
+    "docs_prefix_filter_pairs",
     "docs_containment_pairs",
     "docs_simhash_pairs",
     "docs_minhash_lsh",

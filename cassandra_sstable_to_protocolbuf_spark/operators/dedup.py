@@ -22,7 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.operators.text import fingerprint, shingles, tokens
@@ -94,6 +94,65 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5,
                 jacc.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_pairs(docs: DataFrame, threshold_pct: int = 60,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact set-similarity join by PREFIX FILTERING (the PPJoin family,
+    Xiao et al.): order every document's shingles by ascending global
+    document frequency (rarest first, shingle text as the tie-break so
+    the canonical order is total and identical everywhere), keep only
+    each doc's first |d| - ceil(t*|d|) + 1 shingles as its prefix, and
+    generate candidates ONLY from prefix-prefix shingle matches -- any
+    pair with Jaccard >= t provably shares a prefix shingle, so exact
+    verification of the candidates returns the complete answer.
+
+    This replaces the hot-shingle df CAP (ngram_jaccard_pairs) with a
+    principled bound: hot shingles sort LAST in every doc, so they fall
+    outside prefixes and never explode the inverted index -- no recall
+    caveat, no tuning constant, same exact-output guarantee as brute
+    force. Cost: one df aggregation + a prefix-sized index join (a
+    t=0.6 prefix is ~40% of each doc's shingles, concentrated in rare
+    =low-fanout postings). threshold_pct is integer basis so the prefix
+    length ceil() stays in exact integer arithmetic.
+
+    Scale: df agg and prefix ranking are one shuffle on shingle + one
+    on doc; the candidate join hashes on (rare) prefix shingles;
+    verification joins only candidate pairs. At 100 TB the Zipf head
+    that would break a naive index join is structurally excluded."""
+    t_num, t_den = threshold_pct, 100
+    sh = pin(doc_shingles(docs, text_col, id_col, n))
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (sh.join(sdf, "shingle")
+              .withColumn("pos", F.row_number().over(w_doc))
+              .withColumn("sz", F.count(F.lit(1)).over(
+                  Window.partitionBy("doc_id"))))
+    # prefix length |d| - ceil(t*|d|) + 1, ceil in exact integers
+    plen = (F.col("sz")
+            - ((F.col("sz") * t_num + t_den - 1)
+               / t_den).cast("long") + 1)
+    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "shingle")
+    cands = (prefix.alias("a").join(
+        prefix.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2")).distinct())
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    common = (cands.join(s1, "d1").join(s2, ["d2", "shingle"])
+              .groupBy("d1", "d2").agg(F.count(F.lit(1)).alias("n_common")))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("c").alias("c1"))
+    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("c").alias("c2"))
+    union_sz = F.col("c1") + F.col("c2") - F.col("n_common")
+    return (common.join(c1, "d1").join(c2, "d2")
+            # integer threshold: J >= t  <=>  den*common >= num*union
+            .filter(F.col("n_common") * t_den >= union_sz * t_num)
+            .select("d1", "d2", "n_common", union_sz.alias("n_union"),
+                    (F.col("n_common").cast("double")
+                     / union_sz.cast("double")).alias("jaccard")))
 
 
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne: a*c+b stays within int64

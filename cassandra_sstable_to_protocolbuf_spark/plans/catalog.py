@@ -487,6 +487,10 @@ CATALOG: dict[str, QueryDef] = {
     "docs_weighted_sample": QueryDef(TX.docs_weighted_sample,
                                      TX.DOCS_WEIGHTED_SAMPLE_SQL,
                                      "deterministic weight-proportional priority sampling"),
+    "docs_prefix_filter_pairs": QueryDef(TX.docs_prefix_filter_pairs,
+                                         TX.DOCS_PREFIX_FILTER_SQL,
+                                         "exact similarity join via PPJoin "
+                                         "prefix filtering (vs brute-force oracle)"),
     "docs_quality_auc": QueryDef(TX.docs_quality_auc, TX.DOCS_QUALITY_AUC_SQL,
                                  "exact tie-aware ROC AUC via integer "
                                  "rank-sum over the bounded score table"),

@@ -288,6 +288,37 @@ WHERE CAST(n_common AS DOUBLE) / CAST(c1.c + c2.c - n_common AS DOUBLE) >= 0.5
 """
 
 
+def docs_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard>=0.6 pairs via PPJoin-style prefix filtering -- no
+    hot-shingle cap, no recall caveat (operators/dedup.py
+    prefix_filter_pairs). The oracle is the literal BRUTE-FORCE answer,
+    so the green hash proves the prefix bound lost no pair."""
+    return D.prefix_filter_pairs(_docs(spark, sf_dir), threshold_pct=60)
+
+
+DOCS_PREFIX_FILTER_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS shingle
+       FROM toks),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+pair AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+SELECT d1, d2, n_common,
+       c1.c + c2.c - n_common AS n_union,
+       CAST(n_common AS DOUBLE) / CAST(c1.c + c2.c - n_common AS DOUBLE)
+         AS jaccard
+FROM pair
+JOIN cnt c1 ON d1 = c1.doc_id
+JOIN cnt c2 ON d2 = c2.doc_id
+WHERE n_common * 100 >= (c1.c + c2.c - n_common) * 60
+"""
+
+
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections import deque
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.plans import relational as R
 from cassandra_sstable_to_protocolbuf_spark.plans import textops as TX
@@ -202,3 +203,29 @@ def test_drift_bins_partition_both_windows(spark):
         # reference deciles: every ref bin within one row of balance
         # is too strict under ties; just require all 10 bins present
         assert set(g.bin) == set(range(1, 11))
+
+
+def test_prefix_filter_index_is_smaller_than_full_index(spark):
+    """The efficiency claim behind prefix filtering: the candidate-join
+    index (prefix rows) is a strict subset of the full inverted index,
+    and hot shingles (the Zipf head that breaks a naive index join)
+    are excluded from prefixes entirely."""
+    from pyspark.sql import Window as W
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
+        doc_shingles)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    sh = doc_shingles(docs)
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (sh.join(sdf, "shingle")
+              .withColumn("pos", F.row_number().over(
+                  W.partitionBy("doc_id").orderBy("df", "shingle")))
+              .withColumn("sz", F.count(F.lit(1)).over(
+                  W.partitionBy("doc_id"))))
+    plen = (F.col("sz") - ((F.col("sz") * 60 + 99) / 100).cast("long") + 1)
+    prefix = ranked.filter(F.col("pos") <= plen)
+    n_all, n_prefix = sh.count(), prefix.count()
+    assert n_prefix < n_all * 0.55  # ~|d|*0.4+1 of each doc
+    # the most frequent shingle never appears in any prefix
+    hottest = sdf.orderBy(F.desc("df")).first()["shingle"]
+    assert prefix.filter(F.col("shingle") == hottest).count() == 0

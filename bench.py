@@ -146,6 +146,7 @@ HEADLINE = [
     "mm_wav_decode",
     "mm_bmp_decode",
     "mm_png_decode",
+    "mm_gif_decode",
     "mm_scene_cuts",
 ]
 

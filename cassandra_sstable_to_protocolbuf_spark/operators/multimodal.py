@@ -269,6 +269,193 @@ def decode_png(payload: bytes):
     return width, height, out.reshape(-1)
 
 
+GIF_MEDIA_TYPE = "image/gif"
+
+
+def _lzw_encode_gif(data: bytes, min_size: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width starting at min_size+1,
+    LSB-first bit packing, clear/EOI codes, dictionary reset at 4096 --
+    the canonical encoder pairing for the decoder below (the same
+    grow-then-widen rule giflib uses)."""
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    code_size = min_size + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code == 4097:  # table full: reset
+            emit(clear, code_size)
+            table = fresh()
+            code_size = min_size + 1
+            next_code = eoi + 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_size: int = 8) -> bytes:
+    """GIF-variant LZW decoder (the canonical algorithm: KwKwK case
+    included, code width grows when the table reaches 2^size - 1)."""
+    clear, eoi = 1 << min_size, (1 << min_size) + 1
+    pos = acc = nbits = 0
+    code_size = min_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated (no EOI)")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+def encode_gif(pixels: bytes, width: int) -> bytes:
+    """A real GIF87a: logical screen descriptor, 256-entry grayscale
+    global color table (index i -> RGB(i,i,i), so palette index IS the
+    pixel value), image descriptor, LZW-compressed 8-bit index stream
+    in 255-byte sub-blocks, trailer."""
+    import struct
+
+    if width < 1:
+        raise ValueError("gif width must be >= 1")
+    n = len(pixels)
+    height = max(1, -(-n // width))
+    full = pixels + b"\x00" * (width * height - n)
+    head = b"GIF87a" + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode_gif(full)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return head + gct + desc + bytes(blocks) + b"\x3B"
+
+
+def decode_gif(payload: bytes):
+    """Parse a GIF87a/89a with one 8-bit image and a global color table,
+    stdlib-only: screen descriptor, GCT skip, image descriptor, sub-block
+    reassembly, LZW decode. Returns (width, height, pixels) where pixels
+    are palette indices (== gray values for the identity palette)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF: missing signature")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if flags & 0x80:  # global color table present
+        pos += 3 * (2 << (flags & 0x07))
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x2C:  # image descriptor
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", payload,
+                                                      pos + 1)
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            min_size = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while True:
+                blen = payload[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                lzw += payload[pos:pos + blen]
+                pos += blen
+            idx = _lzw_decode_gif(bytes(lzw), min_size)
+            if len(idx) != w * h:
+                raise ValueError("GIF pixel count mismatch")
+            return w, h, np.frombuffer(idx, dtype=np.uint8)
+        if b0 == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+    raise ValueError("GIF contained no image")
+
+
+def attach_gif_payloads(docs: DataFrame) -> DataFrame:
+    """Real-container media column: each document's utf-8 bytes become
+    the palette indices of a genuine LZW-compressed GIF87a, width varied
+    per doc (doc_id % 9 + 6)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def gif_of(text: pd.Series, width: pd.Series) -> pd.Series:
+        return pd.Series([encode_gif(t.encode("utf-8"), int(w))
+                          for t, w in zip(text, width)])
+
+    width = (F.col("doc_id") % 9 + 6).cast("int")
+    return docs.select(
+        "doc_id",
+        F.lit(GIF_MEDIA_TYPE).alias("media_type"),
+        gif_of(F.col("text"), width).alias("payload"),
+        width.alias("width"),
+        F.lit(0).cast("int").alias("height"))
+
+
 def _decode_payload(media_type: str, payload: bytes):
     """The codec seam. Real types plug in real decoders here."""
     import numpy as np
@@ -290,6 +477,8 @@ def _decode_payload(media_type: str, payload: bytes):
         return decode_bmp(payload)[2]
     if media_type == PNG_MEDIA_TYPE:
         return decode_png(payload)[2]
+    if media_type == GIF_MEDIA_TYPE:
+        return decode_gif(payload)[2]
     raise NotImplementedError(
         f"no codec for {media_type} in this environment; install the "
         f"image/audio libraries and extend _decode_payload")
@@ -382,6 +571,8 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
                     w, h, px = decode_bmp(bytes(payload))
                 elif mt == PNG_MEDIA_TYPE:
                     w, h, px = decode_png(bytes(payload))
+                elif mt == GIF_MEDIA_TYPE:
+                    w, h, px = decode_gif(bytes(payload))
                 else:
                     raise NotImplementedError(f"no image decoder for {mt}")
                 n = len(px)

@@ -419,6 +419,9 @@ CATALOG: dict[str, QueryDef] = {
     "mm_png_decode": QueryDef(R.mm_png_decode, R.MM_PNG_DECODE_SQL,
                               "REAL PNG round-trip (zlib IDAT + CRC walk + "
                               "Paeth/None scanline unfilter, stdlib only)"),
+    "mm_gif_decode": QueryDef(R.mm_gif_decode, R.MM_GIF_DECODE_SQL,
+                              "REAL GIF87a round-trip (variable-width LZW, "
+                              "sub-block reassembly, table resets, stdlib only)"),
     "mm_scene_cuts": QueryDef(R.mm_scene_cuts, R.MM_SCENE_CUTS_SQL,
                               "video scene-cut detection: frame-difference "
                               "threshold over the sampled frame stream"),

@@ -1361,6 +1361,42 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_stats(attach_png_payloads(docs))
 
 
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container GIF path: each document's bytes become the palette
+    indices of a genuine GIF87a -- variable-width LZW code stream in
+    255-byte sub-blocks, 256-entry grayscale color table -- decoded by
+    the stdlib-only parser (screen/image descriptors, sub-block
+    reassembly, full LZW with KwKwK and 4096-entry table resets). The
+    oracle recomputes geometry and pixel sums from the raw text;
+    equality certifies the whole LZW compression round-trip."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_gif_payloads, extract_image_stats)
+    docs = _t(spark, sf_dir, "documents")
+    return extract_image_stats(attach_gif_payloads(docs))
+
+
+MM_GIF_DECODE_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS b,
+                  CAST(doc_id % 9 + 6 AS BIGINT) AS w FROM documents),
+dims AS (SELECT doc_id, w,
+                GREATEST(1, (octet_length(b) + w - 1) // w) AS h FROM d),
+idx AS (SELECT doc_id, b, unnest(range(0, octet_length(b))) AS i FROM d),
+bytes AS (
+  SELECT doc_id,
+         (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+1 AS INT), 1))) * 16
+       + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+2 AS INT), 1))) AS v
+  FROM idx),
+sums AS (SELECT doc_id, SUM(v) AS s FROM bytes GROUP BY doc_id)
+SELECT dims.doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s, 0) AS BIGINT) AS pixel_sum,
+       CAST(COALESCE(s, 0) AS DOUBLE) / (w * h) AS mean_pixel
+FROM dims LEFT JOIN sums USING (doc_id)
+"""
+
+
 MM_PNG_DECODE_SQL = """
 WITH d AS (SELECT doc_id, encode(text) AS b,
                   CAST(doc_id % 11 + 5 AS BIGINT) AS w FROM documents),

@@ -192,3 +192,27 @@ def test_png_rejects_corruption_and_unsupported():
     png[20] ^= 0xFF  # flip a bit inside IHDR: CRC must catch it
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(png))
+
+
+def test_gif_lzw_roundtrip_fuzz():
+    """Encoder->decoder identity across random data, degenerate runs
+    (LZW's best case), widths forcing padding, and inputs long enough
+    to overflow the 4096-entry code table (reset path)."""
+    import random
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        decode_gif, encode_gif)
+
+    rng = random.Random(11)
+    for trial in range(40):
+        n = rng.randrange(0, 2500)
+        data = (bytes(rng.randrange(256) for _ in range(n)) if trial % 3
+                else bytes([rng.randrange(4)] * n))
+        w = rng.randrange(1, 40)
+        dw, dh, px = decode_gif(encode_gif(data, w))
+        h = max(1, -(-n // w)) if n else 1
+        assert (dw, dh) == (w, h)
+        assert bytes(px) == data + b"\x00" * (w * h - n)
+    long = b"abcab" * 4000  # > 4096 codes: exercises table reset
+    _, _, px = decode_gif(encode_gif(long, 50))
+    assert bytes(px[:len(long)]) == long

@@ -30,6 +30,7 @@ HEADLINE = [
     "sst_time_travel",
     "sst_index_lookup",
     "sst_table_info",
+    "sst_schema_evolution",
     "sst_repair_diff",
     "sst_mor_merge",
     "sst_compacted_merge",

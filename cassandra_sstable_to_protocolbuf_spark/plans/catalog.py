@@ -73,6 +73,10 @@ CATALOG: dict[str, QueryDef] = {
     "sst_permissive_scan": QueryDef(C.sst_permissive_scan,
                                     C.SST_PERMISSIVE_SCAN_SQL,
                                     "E1 at scale: one PERMISSIVE job over a corrupt-file fixture"),
+    "sst_schema_evolution": QueryDef(C.sst_schema_evolution,
+                                     C.SST_SCHEMA_EVOLUTION_SQL,
+                                     "mergeSchema read across landed generations "
+                                     "with an evolved column + LWW reconcile"),
     "sst_table_info": QueryDef(C.sst_table_info, C.SST_TABLE_INFO_SQL,
                                "sstablemetadata-style DESCRIBE: binary "
                                "metadata components only, no data bytes"),

@@ -1287,3 +1287,77 @@ fin AS (SELECT key, name, value, writeTime, sstable_id,
         FROM u)
 SELECT key, name, value, writeTime, sstable_id FROM fin WHERE rn = 1
 """
+
+
+def sst_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across landed generations -- the lifecycle drift
+    a long-lived table accumulates (Cassandra ALTER TABLE between
+    sstable generations): generation 1 lands the primary cells with the
+    ORIGINAL column set, generation 2 lands the replica cells with a
+    NEW `origin_host` column the old writer never knew. The read is one
+    mergeSchema parquet scan over both generations (gen-1 rows surface
+    NULL for the evolved column -- certified by the oracle, which
+    recomputes both generations' content from the base tables), then
+    the standard LWW winner per (key, name) and a per-origin summary
+    (legacy = pre-evolution rows that survive reconciliation).
+
+    Scale: mergeSchema unions footers at planning time, not data --
+    the scan stays a scan; at 100 TB schema drift costs one footer walk
+    per file, which is why lakehouse readers evolve schemas in place
+    instead of rewriting history."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        encode_lineitem_cells)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    cells = encode_lineitem_cells(spark, sf_dir).select(
+        "sstable_id", "key", "name", "value", "writeTime")
+    root = scratch_dir("schema_evo", tag)
+    g1 = cells.filter(F.col("sstable_id") != "sst-r").drop("sstable_id")
+    origin = F.concat(
+        F.lit("replica-"),
+        (F.split(F.col("key"), r"\|")[0].cast("long") % 3).cast("string"))
+    g2 = (cells.filter(F.col("sstable_id") == "sst-r").drop("sstable_id")
+          .withColumn("origin_host", origin))
+    g1.write.mode("overwrite").parquet(os.path.join(root, "gen1"))
+    g2.write.mode("overwrite").parquet(os.path.join(root, "gen2"))
+
+    merged = (spark.read.option("mergeSchema", "true")
+              .parquet(os.path.join(root, "gen1"), os.path.join(root, "gen2")))
+    w = (merged.groupBy("key", "name")
+         .agg(F.max(F.struct("writeTime", "value", "origin_host"))
+              .alias("m"))
+         .select("key", F.col("m.writeTime").alias("writeTime"),
+                 F.col("m.origin_host").alias("origin_host")))
+    return (w.groupBy(F.coalesce("origin_host", F.lit("legacy"))
+                      .alias("origin"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.count_distinct("key").alias("n_keys"),
+                 F.max("writeTime").alias("max_wt")))
+
+
+SST_SCHEMA_EVOLUTION_SQL = f"""
+{cells_cte()},
+g1 AS (SELECT key, name, value, writeTime,
+              CAST(NULL AS VARCHAR) AS origin_host
+       FROM cells WHERE sstable_id <> 'sst-r'),
+g2 AS (SELECT key, name, value, writeTime,
+              'replica-' || CAST(CAST(split_part(key, '|', 1) AS BIGINT) % 3
+                                 AS VARCHAR) AS origin_host
+       FROM cells WHERE sstable_id = 'sst-r'),
+u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+win AS (SELECT key, writeTime, origin_host,
+               ROW_NUMBER() OVER (PARTITION BY key, name
+                                  ORDER BY writeTime DESC, value DESC,
+                                           origin_host DESC NULLS LAST)
+                 AS rn
+        FROM u)
+SELECT COALESCE(origin_host, 'legacy') AS origin,
+       COUNT(*) AS n_cells,
+       CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+       MAX(writeTime) AS max_wt
+FROM win WHERE rn = 1
+GROUP BY 1
+"""

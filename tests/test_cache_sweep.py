@@ -46,7 +46,7 @@ def test_every_pinning_query_is_swept(spark):
     empty (one query's pins never outlive the next invocation)."""
     pinning = ["docs_ngram_jaccard", "docs_simhash_pairs", "docs_minhash_lsh",
                "docs_trigram_coverage", "docs_bigram_lm", "emb_ann_lsh",
-               "csv_permissive_corrupt"]
+               "csv_permissive_corrupt", "docs_prefix_filter_pairs"]
     spark.catalog.clearCache()
     sweep_pinned()
     for name in pinning:

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "part_pareto_curve",         # ONE-ROW global revenue-total broadcast
     "docs_bpe_merges",           # ONE-ROW winning-merge-pair broadcast
     "emb_matryoshka_audit",      # two broadcast query-set brute forces
+    "orders_negative_samples",   # ONE-ROW item-domain-size broadcast
 }
 
 # Streaming entries need a running query; iterative ones (label

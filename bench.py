@@ -92,6 +92,12 @@ HEADLINE = [
     "part_pagerank",
     "part_bfs_hops",
     "part_triangles",
+    "part_sssp_weighted",
+    "part_item_cf",
+    "part_name_linkage",
+    "events_rolling_distinct",
+    "events_acf",
+    "events_incident_overlap",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

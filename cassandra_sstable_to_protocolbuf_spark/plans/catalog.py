@@ -372,6 +372,29 @@ CATALOG: dict[str, QueryDef] = {
     "part_triangles": QueryDef(R.part_triangles, R.PART_TRIANGLES_SQL,
                                "triangle counting + clustering coefficient "
                                "(ordered-edge three-way self-join)"),
+    "part_sssp_weighted": QueryDef(R.part_sssp_weighted,
+                                   R.PART_SSSP_WEIGHTED_SQL,
+                                   "weighted shortest path: Bellman-Ford "
+                                   "relaxation rounds vs unrolled-CTE oracle"),
+    "part_item_cf": QueryDef(R.part_item_cf, R.PART_ITEM_CF_SQL,
+                             "item-item CF top-3 neighbors by co-purchase "
+                             "cosine (integer-keyed rank, WindowGroupLimit)"),
+    "part_name_linkage": QueryDef(R.part_name_linkage,
+                                  R.PART_NAME_LINKAGE_SQL,
+                                  "blocked edit-distance record linkage, "
+                                  "provably == brute-force argmin"),
+    "events_rolling_distinct": QueryDef(R.events_rolling_distinct,
+                                        R.EVENTS_ROLLING_DISTINCT_SQL,
+                                        "exact 7-day rolling distinct users "
+                                        "via bounded fan-out, no range join"),
+    "events_acf": QueryDef(R.events_acf, R.EVENTS_ACF_SQL,
+                           "autocorrelation of the daily series at lags "
+                           "1..7, integer-exact moments"),
+    "events_incident_overlap": QueryDef(R.events_incident_overlap,
+                                        R.EVENTS_INCIDENT_OVERLAP_SQL,
+                                        "interval-overlap join via day-grid "
+                                        "bucketing (equi-join, no inequality "
+                                        "join)"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

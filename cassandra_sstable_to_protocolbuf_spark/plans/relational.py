@@ -5031,3 +5031,383 @@ WHERE event_type = 'purchase' AND view_ts IS NOT NULL
   AND ts_us - view_ts <= 3600000000
   AND (err_ts IS NULL OR err_ts < view_ts)
 """
+
+
+# --- Rolling-window distinct users (exact sliding COUNT DISTINCT) ---------
+
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 7-day rolling distinct active users per day -- the DAU/WAU
+    engagement metric every product pipeline computes, done WITHOUT a
+    sliding-window range join: each distinct (day, user) pair is exploded
+    to the <=7 window-end days it contributes to (a narrow 7x fan-out of
+    the already-reduced pair set), then one hash aggregation counts
+    distinct users per window end. At 100 TB the reduced (day, user) set
+    is what shuffles -- never raw events -- and there is no O(days x
+    day_users) inequality join anywhere in the plan. Window ends beyond
+    the observed range are dropped with a broadcast semi-join against the
+    tiny observed-day list. users_1d rides along (contribution day ==
+    window end), certifying the fan-out bookkeeping."""
+    ev = _t(spark, sf_dir, "events")
+    du = (ev.select(F.to_date("ts").alias("d"), "user_id").distinct())
+    days = du.select("d").distinct()
+    fan = (du.withColumn("day", F.explode(
+               F.sequence(F.col("d"), F.date_add(F.col("d"), 6))))
+           .join(F.broadcast(days.withColumnRenamed("d", "day")), "day"))
+    return (fan.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+            .agg(F.count_distinct("user_id").alias("users_7d"),
+                 F.count_distinct(F.when(F.col("d") == F.col("day"),
+                                         F.col("user_id")))
+                 .alias("users_1d")))
+
+
+EVENTS_ROLLING_DISTINCT_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS users_7d,
+       CAST(COUNT(DISTINCT CASE WHEN du.d = days.d THEN du.user_id END)
+            AS BIGINT) AS users_1d
+FROM days JOIN du
+  ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY days.d
+"""
+
+
+# --- Autocorrelation of the daily event series ----------------------------
+
+def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 -- the seasonality probe behind forecasting and anomaly windows.
+    The series reduces to one row per day FIRST (partial hash agg), the
+    7 lags fan out from that tiny table (explode + equi-join on the
+    lagged date, never a range join), and every moment (n, sums, sums of
+    squares/products) is an exact BIGINT so the Pearson r is one final
+    double expression computed identically by both engines. At 100 TB
+    only the day-grain reduction touches the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.groupBy(F.to_date("ts").alias("d"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    lags = counts.withColumn(
+        "k", F.explode(F.array([F.lit(i) for i in range(1, 8)])))
+    b = counts.select(F.col("d").alias("bd"), F.col("cnt").alias("bcnt"))
+    j = lags.join(b, F.date_sub(lags.d, lags.k) == b.bd)
+    m = (j.groupBy("k")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("cnt").alias("sx"), F.sum("bcnt").alias("sy"),
+              F.sum(F.col("cnt") * F.col("bcnt")).alias("sxy"),
+              F.sum(F.col("cnt") * F.col("cnt")).alias("sx2"),
+              F.sum(F.col("bcnt") * F.col("bcnt")).alias("sy2")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+    deny = (F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+    return (m.select(F.col("k").cast("int").alias("lag"),
+                     "n", "sx", "sy", "sxy", "sx2", "sy2",
+                     (num.cast("double")
+                      / (F.sqrt(denx.cast("double"))
+                         * F.sqrt(deny.cast("double")))).alias("acf")))
+
+
+EVENTS_ACF_SQL = """
+WITH counts AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+lags AS (SELECT unnest(range(1, 8)) AS k),
+j AS (
+  SELECT l.k, a.cnt AS x, b.cnt AS y
+  FROM counts a CROSS JOIN lags l
+  JOIN counts b ON b.d = a.d - l.k * INTERVAL 1 DAY),
+m AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2,
+         CAST(SUM(y * y) AS BIGINT) AS sy2
+  FROM j GROUP BY 1)
+SELECT CAST(k AS INT) AS lag, n, sx, sy, sxy, sx2, sy2,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+       / (SQRT(CAST(n * sx2 - sx * sx AS DOUBLE))
+          * SQRT(CAST(n * sy2 - sy * sy AS DOUBLE))) AS acf
+FROM m
+"""
+
+
+# --- Interval-overlap join (incident impact) -------------------------------
+
+def events_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join WITHOUT an inequality join: which
+    users' activity spans overlapped each day's error incident, and for
+    how long. Both interval sets are built per day (activity span = min/
+    max event time per user-day; incident = min/max error time per day),
+    so the join is a plain equi-join on the day bucket -- the grid-
+    bucketing trick that keeps interval joins shuffle-bounded at 100 TB
+    (intervals spanning buckets would explode to one row per touched
+    bucket; these are day-scoped by construction). Overlap is exact
+    integer microseconds; degenerate touch-only contacts (overlap 0) are
+    kept out by a strict filter."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+    act = (ev.groupBy(F.to_date("ts").alias("d"), "user_id")
+           .agg(F.min("ts_us").alias("a_start"),
+                F.max("ts_us").alias("a_end")))
+    inc = (ev.filter(F.col("event_type") == "error")
+           .groupBy(F.to_date("ts").alias("d"))
+           .agg(F.min("ts_us").alias("i_start"),
+                F.max("ts_us").alias("i_end")))
+    j = act.join(inc, "d")
+    ov = (F.least("a_end", "i_end") - F.greatest("a_start", "i_start"))
+    return (j.withColumn("overlap_us", ov)
+            .filter(F.col("overlap_us") > 0)
+            .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                    "user_id", "overlap_us"))
+
+
+EVENTS_INCIDENT_OVERLAP_SQL = """
+WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id, event_type,
+                  epoch_us(ts) AS ts_us FROM events),
+act AS (
+  SELECT d, user_id, MIN(ts_us) AS a_start, MAX(ts_us) AS a_end
+  FROM e GROUP BY 1, 2),
+inc AS (
+  SELECT d, MIN(ts_us) AS i_start, MAX(ts_us) AS i_end
+  FROM e WHERE event_type = 'error' GROUP BY 1)
+SELECT strftime(act.d, '%Y-%m-%d') AS day, act.user_id,
+       LEAST(a_end, i_end) - GREATEST(a_start, i_start) AS overlap_us
+FROM act JOIN inc USING (d)
+WHERE LEAST(a_end, i_end) - GREATEST(a_start, i_start) > 0
+"""
+
+
+# --- Weighted shortest path (Bellman-Ford rounds) --------------------------
+
+def _copurchase_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The support>=2 co-purchase edge list keeping its co-count, with an
+    integer edge cost 1000 DIV n_both: frequently co-bought parts are
+    'closer'. Integer weights keep every relaxed distance exact."""
+    items = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p2"))
+    return (a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+            .filter(F.col("n_both") >= 2)
+            .select("p1", "p2", F.expr("1000 DIV n_both").alias("w")))
+
+
+SSSP_ROUNDS = 4
+
+
+def part_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path (cheapest cost within <=4
+    hops) from the seed part over the co-purchase graph -- Bellman-Ford
+    relaxation as relational algebra: each round joins the CURRENT
+    distance table to the edge list and takes the per-node MIN over
+    (carried, relaxed) candidates. Unlike BFS's first-visit labeling, a
+    node's cost can IMPROVE in a later round, so the aggregation is the
+    correctness core, not an optimization.
+
+    Scale shape: per round one key-partitioned join (dist x edges on
+    src) + one hash MIN -- both partial-aggregatable -- and the distance
+    table never exceeds one narrow row per node; rounds localCheckpoint
+    so lineage stays flat (the label-propagation pattern). Hop-bounded
+    SSSP is exactly what the unrolled-CTE DuckDB oracle computes, and
+    integer weights make every cost hash-exact."""
+    edges_half = _copurchase_weighted(spark, sf_dir)
+    edges = (edges_half.select(F.col("p1").alias("src"),
+                               F.col("p2").alias("dst"), "w")
+             .unionAll(edges_half.select(F.col("p2").alias("src"),
+                                         F.col("p1").alias("dst"), "w"))
+             # every relaxation round joins this edge list; without the
+             # checkpoint each round re-runs the co-purchase aggregation
+             .localCheckpoint())
+    seed = edges.agg(F.min("src").alias("node"))
+    dist = seed.select("node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist"))
+                .localCheckpoint())
+    return dist.select(F.col("node").alias("part"), "dist")
+
+
+def _sssp_oracle_sql(rounds: int = SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford CTE chain (the pagerank-oracle pattern): a
+    recursive CTE cannot aggregate per level, and an un-aggregated
+    (node, dist) walk enumerates paths combinatorially."""
+    parts = ["""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         COUNT(*) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+edges AS (SELECT p1 AS src, p2 AS dst, 1000 // n_both AS w FROM pairs
+          UNION ALL SELECT p2, p1, 1000 // n_both FROM pairs),
+d0 AS (SELECT (SELECT MIN(src) FROM edges) AS node,
+              CAST(0 AS BIGINT) AS dist)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+c{r} AS (
+  SELECT e.dst AS node, d.dist + e.w AS dist
+  FROM d{r - 1} d JOIN edges e ON e.src = d.node
+  UNION ALL SELECT node, dist FROM d{r - 1}),
+d{r} AS (SELECT node, MIN(dist) AS dist FROM c{r} GROUP BY 1)""")
+    parts.append(f"""
+SELECT node AS part, CAST(dist AS BIGINT) AS dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+PART_SSSP_WEIGHTED_SQL = _sssp_oracle_sql()
+
+
+# --- Item-item collaborative filtering (top-k neighbors) -------------------
+
+def part_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, its top-3 most
+    similar parts by co-purchase cosine (n_both / sqrt(cnt_i * cnt_j)) --
+    the classic recommender neighborhood build. Ranking happens on an
+    exact INTEGER key (cosine^2 in fixed point: n_both^2 * 1e12 DIV
+    (cnt_i * cnt_j), monotone with cosine since all terms are
+    non-negative) so the per-item top-3 cut is deterministic and
+    hash-gateable; the float cosine is emitted as one final expression
+    computed identically by both engines.
+
+    Scale shape: candidate pairs come from the support>=2 co-purchase
+    aggregation (never an all-pairs item join), per-item counts are one
+    partial-agg pass, and rank<=3 compiles to WindowGroupLimit so map
+    tasks keep only local top-3 before the shuffle."""
+    from pyspark.sql import Window
+
+    items = (_t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    cnt = items.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("cnt"))
+    a = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"),
+                     F.col("l_partkey").alias("p2"))
+    pairs = (a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+             .groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_both"))
+             .filter(F.col("n_both") >= 2))
+    sym = (pairs.select(F.col("p1").alias("part"), F.col("p2").alias("nbr"),
+                        "n_both")
+           .unionAll(pairs.select(F.col("p2").alias("part"),
+                                  F.col("p1").alias("nbr"), "n_both")))
+    scored = (sym.join(cnt, "part")
+              .join(cnt.select(F.col("part").alias("nbr"),
+                               F.col("cnt").alias("nbr_cnt")), "nbr")
+              .withColumn("score_fp",
+                          F.expr("n_both * n_both * 1000000000000"
+                                 " DIV (cnt * nbr_cnt)")))
+    w = Window.partitionBy("part").orderBy(F.col("score_fp").desc(),
+                                           F.col("nbr").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("part", "rank", "nbr", "n_both", "score_fp",
+                    (F.col("n_both").cast("double")
+                     / F.sqrt((F.col("cnt") * F.col("nbr_cnt"))
+                              .cast("double"))).alias("cosine")))
+
+
+PART_ITEM_CF_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+cnt AS (SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+sym AS (SELECT p1 AS part, p2 AS nbr, n_both FROM pairs
+        UNION ALL SELECT p2, p1, n_both FROM pairs),
+scored AS (
+  SELECT s.part, s.nbr, s.n_both, c1.cnt, c2.cnt AS nbr_cnt,
+         s.n_both * s.n_both * 1000000000000 // (c1.cnt * c2.cnt)
+           AS score_fp
+  FROM sym s
+  JOIN cnt c1 ON c1.part = s.part
+  JOIN cnt c2 ON c2.part = s.nbr),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY part
+                               ORDER BY score_fp DESC, nbr ASC) AS rank
+  FROM scored)
+SELECT part, CAST(rank AS INT) AS rank, nbr, n_both, score_fp,
+       CAST(n_both AS DOUBLE) / SQRT(CAST(cnt * nbr_cnt AS DOUBLE))
+         AS cosine
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --- Blocked fuzzy record linkage (entity resolution) ----------------------
+
+def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit-distance join: every 'dirty'
+    part label (the canonical `p_name || ' ' || p_brand` string with ONE
+    character deterministically deleted at position p_partkey % length)
+    is matched back to its best canonical label by Levenshtein distance,
+    tie-broken lexicographically.
+
+    The scale story is the BLOCKING: candidates come from an equi-join
+    on generated block keys (first-2-chars and last-2-chars of each
+    string), never a dirty x canon cross join. The pigeonhole guarantee
+    makes the blocked pick PROVABLY equal to the brute-force oracle: a
+    single edit touches one position, so any label within distance 1
+    keeps the first two OR the last two characters intact (labels are
+    always >= 5 chars), and since the true canonical is at distance
+    <= 1, the global winner and all its ties are inside the candidate
+    set. The oracle is the literal brute-force argmin join."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    full = F.concat_ws(" ", "p_name", "p_brand")
+    dirty = (p.select(F.col("p_partkey").alias("dirty_id"),
+                      full.alias("s"))
+             .withColumn("pos", F.col("dirty_id") % F.length("s"))
+             .select("dirty_id",
+                     F.concat(F.expr("substr(s, 1, pos)"),
+                              F.expr("substr(s, pos + 2)")).alias("dirty")))
+    canon = p.select(full.alias("canon")).distinct()
+
+    def keys(col: str):
+        return F.array(
+            F.concat(F.lit("p:"), F.substring(F.col(col), 1, 2)),
+            F.concat(F.lit("s:"), F.expr(
+                f"substr({col}, length({col}) - 1)")))
+
+    dk = dirty.withColumn("bk", F.explode(keys("dirty")))
+    ck = canon.withColumn("bk", F.explode(keys("canon")))
+    cand = (dk.join(ck, "bk")
+            .select("dirty_id", "dirty", "canon").distinct()
+            .withColumn("lev", F.levenshtein("dirty", "canon")))
+    w = Window.partitionBy("dirty_id").orderBy(F.col("lev").asc(),
+                                               F.col("canon").asc())
+    return (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("dirty_id", "dirty", "canon",
+                    F.col("lev").cast("int").alias("lev")))
+
+
+PART_NAME_LINKAGE_SQL = """
+WITH p AS (SELECT p_partkey, p_name || ' ' || p_brand AS s FROM part),
+dirty AS (
+  SELECT p_partkey AS dirty_id,
+         substr(s, 1, CAST(p_partkey % length(s) AS INT))
+         || substr(s, CAST(p_partkey % length(s) AS INT) + 2) AS dirty
+  FROM p),
+canon AS (SELECT DISTINCT s AS canon FROM p),
+scored AS (
+  SELECT d.dirty_id, d.dirty, c.canon,
+         levenshtein(d.dirty, c.canon) AS lev
+  FROM dirty d CROSS JOIN canon c),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+                               ORDER BY lev ASC, canon ASC) AS rn
+  FROM scored)
+SELECT dirty_id, dirty, canon, CAST(lev AS INT) AS lev
+FROM ranked WHERE rn = 1
+"""

@@ -1,0 +1,151 @@
+"""Property pins for the round-4 late-batch operators, beyond the oracle
+parity sweep: Bellman-Ford == dict-model shortest path, CF rank ==
+float-cosine order, blocked linkage == brute-force argmin (and recall),
+rolling distinct == per-day brute force, interval overlap == pandas
+recompute, ACF == numpy Pearson.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cassandra_sstable_to_protocolbuf_spark.plans import relational as R
+from tests.conftest import SF_SMOKE
+
+
+def _copurchase_pandas():
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    items = li.drop_duplicates()
+    pairs = items.merge(items, on="l_orderkey")
+    pairs = pairs[pairs.l_partkey_x < pairs.l_partkey_y]
+    g = (pairs.groupby(["l_partkey_x", "l_partkey_y"]).size()
+         .reset_index(name="n_both"))
+    return g[g.n_both >= 2]
+
+
+def test_sssp_equals_dict_model_bellman_ford(spark):
+    """The relational relaxation rounds must equal the textbook
+    dict-model Bellman-Ford bounded to the same hop count."""
+    g = _copurchase_pandas()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for p1, p2, nb in g.itertuples(index=False):
+        w = 1000 // int(nb)
+        adj.setdefault(int(p1), []).append((int(p2), w))
+        adj.setdefault(int(p2), []).append((int(p1), w))
+    seed = min(adj)
+    dist = {seed: 0}
+    for _ in range(R.SSSP_ROUNDS):
+        nxt = dict(dist)
+        for node, d in dist.items():
+            for nbr, w in adj[node]:
+                if d + w < nxt.get(nbr, 1 << 60):
+                    nxt[nbr] = d + w
+        dist = nxt
+    out = R.part_sssp_weighted(spark, SF_SMOKE).toPandas()
+    got = dict(zip(out.part.astype(int), out.dist.astype(int)))
+    assert got == dist
+
+
+def test_item_cf_rank_follows_float_cosine(spark):
+    """The integer fixed-point rank key must order neighbors exactly as
+    the float cosine does (monotone check), and every kept row must
+    respect rank<=3 and the support floor."""
+    out = R.part_item_cf(spark, SF_SMOKE).toPandas()
+    assert (out.n_both >= 2).all()
+    assert set(out["rank"]) <= {1, 2, 3}
+    for _, grp in out.groupby("part"):
+        grp = grp.sort_values("rank")
+        cos = grp.cosine.to_numpy()
+        # non-increasing cosine down the ranks (strict drops whenever the
+        # integer key strictly drops)
+        assert (np.diff(cos) <= 1e-12).all()
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_linkage_equals_brute_force_and_recovers_at_distance_one(spark):
+    """Blocked linkage == the literal brute-force argmin (the pigeonhole
+    guarantee), and every match lands at distance <= 1 (the true
+    canonical is always one deletion away)."""
+    out = R.part_name_linkage(spark, SF_SMOKE).toPandas()
+    p = pd.read_parquet(f"{SF_SMOKE}/part.parquet",
+                        columns=["p_partkey", "p_name", "p_brand"])
+    p["s"] = p.p_name + " " + p.p_brand
+    canon = sorted(p.s.unique())
+    assert len(out) == len(p)
+    assert (out.lev <= 1).all()
+    by_id = out.set_index("dirty_id")
+    for _, row in p.sample(n=min(60, len(p)), random_state=11).iterrows():
+        pos = int(row.p_partkey) % len(row.s)
+        dirty = row.s[:pos] + row.s[pos + 1:]
+        best = min(canon, key=lambda c: (_lev(dirty, c), c))
+        got = by_id.loc[int(row.p_partkey)]
+        assert got["dirty"] == dirty
+        assert got["canon"] == best
+
+
+def test_rolling_distinct_equals_per_day_brute_force(spark):
+    out = (R.events_rolling_distinct(spark, SF_SMOKE).toPandas()
+           .set_index("day"))
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["ts", "user_id"])
+    ev["d"] = ev.ts.dt.normalize()
+    days = sorted(ev.d.unique())
+    assert len(out) == len(days)
+    for day in days:
+        win = ev[(ev.d <= day) & (ev.d >= day - pd.Timedelta(days=6))]
+        key = pd.Timestamp(day).strftime("%Y-%m-%d")
+        assert out.loc[key, "users_7d"] == win.user_id.nunique()
+        assert out.loc[key, "users_1d"] == \
+            ev[ev.d == day].user_id.nunique()
+        assert out.loc[key, "users_7d"] >= out.loc[key, "users_1d"]
+
+
+def test_incident_overlap_equals_pandas_recompute(spark):
+    out = R.events_incident_overlap(spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["ts", "user_id", "event_type"])
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    ev["d"] = ev.ts.dt.strftime("%Y-%m-%d")
+    act = ev.groupby(["d", "user_id"]).us.agg(["min", "max"])
+    inc = ev[ev.event_type == "error"].groupby("d").us.agg(["min", "max"])
+    want = {}
+    for (d, u), a in act.iterrows():
+        if d not in inc.index:
+            continue
+        i = inc.loc[d]
+        ov = min(a["max"], i["max"]) - max(a["min"], i["min"])
+        if ov > 0:
+            want[(d, u)] = ov
+    got = {(r.day, r.user_id): r.overlap_us for r in out.itertuples()}
+    assert got == want
+
+
+def test_acf_matches_numpy_pearson(spark):
+    out = R.events_acf(spark, SF_SMOKE).toPandas().set_index("lag")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["ts"])
+    counts = (ev.ts.dt.normalize().value_counts().sort_index())
+    idx = counts.index
+    for k in range(1, 8):
+        x, y = [], []
+        for d in idx:
+            prev = d - pd.Timedelta(days=k)
+            if prev in counts.index:
+                x.append(counts[d])
+                y.append(counts[prev])
+        assert out.loc[k, "n"] == len(x)
+        r = np.corrcoef(x, y)[0, 1]
+        assert abs(out.loc[k, "acf"] - r) < 1e-9
+        assert -1.0 <= out.loc[k, "acf"] <= 1.0

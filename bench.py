@@ -98,6 +98,8 @@ HEADLINE = [
     "events_rolling_distinct",
     "events_acf",
     "events_incident_overlap",
+    "events_holt_trend",
+    "events_cusum",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

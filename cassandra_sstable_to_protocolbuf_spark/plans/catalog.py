@@ -395,6 +395,13 @@ CATALOG: dict[str, QueryDef] = {
                                         "interval-overlap join via day-grid "
                                         "bucketing (equi-join, no inequality "
                                         "join)"),
+    "events_holt_trend": QueryDef(R.events_holt_trend,
+                                  R.EVENTS_HOLT_TREND_SQL,
+                                  "Holt level+trend smoothing, fixed-point "
+                                  "coupled recurrence vs recursive CTE"),
+    "events_cusum": QueryDef(R.events_cusum, R.EVENTS_CUSUM_SQL,
+                             "one-sided CUSUM change detection with "
+                             "calibrated reference, exact fixed point"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

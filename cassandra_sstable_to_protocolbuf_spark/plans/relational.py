@@ -5411,3 +5411,176 @@ ranked AS (
 SELECT dirty_id, dirty, canon, CAST(lev AS INT) AS lev
 FROM ranked WHERE rn = 1
 """
+
+
+# --- Holt linear-trend smoothing (double-exponential recurrence) -----------
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero -- DuckDB's `//` on
+    BIGINT and Spark SQL's DIV both truncate, while Python's // floors;
+    recurrences with negative intermediates (a falling trend) must
+    truncate to stay hash-exact."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha = gamma =
+    1/4) of the daily event-count series per event type -- the
+    forecasting recurrence one step beyond EWMA: the trend state lets
+    the forecast follow a drifting series instead of lagging it.
+    Two coupled per-key sequential states:
+
+        l_t = (y_t + 3*(l_{t-1} + b_{t-1})) div 4
+        b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) div 4
+
+    in micro-unit fixed point with TRUNCATING division (matching both
+    engines' integer div; the trend goes negative on falling series,
+    where floor and trunc disagree). Scale shape: the fact table
+    reduces to the day grain first (partial agg); the recurrence then
+    runs over the tiny series via the EWMA mapInPandas kernel -- one
+    shuffle on the key, one Python crossing per partition, parallelism
+    = key count, exactly a stateful streaming operator's bound."""
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                      .alias("day"))
+             .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
+    part = (daily.repartition("event_type")
+            .sortWithinPartitions("event_type", "day"))
+
+    def fold(it):
+        import pandas as pd
+
+        ck = None
+        lv = tr = 0
+        for pdf in it:
+            ks = pdf["event_type"].to_numpy()
+            ys = pdf["y_fp"].to_numpy()
+            lvs, trs = [], []
+            for i in range(len(ys)):
+                y = int(ys[i])
+                if ks[i] != ck:
+                    ck, lv, tr = ks[i], y, 0
+                else:
+                    nl = _tdiv(y + 3 * (lv + tr), 4)
+                    tr = _tdiv((nl - lv) + 3 * tr, 4)
+                    lv = nl
+                lvs.append(lv)
+                trs.append(tr)
+            yield pd.DataFrame({
+                "event_type": pdf["event_type"], "day": pdf["day"],
+                "y": pdf["y_fp"] // 1_000_000,
+                "level_fp": pd.Series(lvs, dtype="int64"),
+                "trend_fp": pd.Series(trs, dtype="int64")})
+
+    out = part.mapInPandas(
+        fold, "event_type string, day string, y long, "
+              "level_fp long, trend_fp long")
+    return out.withColumn(
+        "forecast_next",
+        (F.col("level_fp") + F.col("trend_fp")).cast("double") / 1e6)
+
+
+EVENTS_HOLT_TREND_SQL = """
+WITH RECURSIVE s AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) * 1000000 AS y_fp,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+w(event_type, rn, day, y_fp, l, b) AS (
+  SELECT event_type, rn, day, y_fp, y_fp, CAST(0 AS BIGINT) FROM s
+  WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.day, s.y_fp,
+         (s.y_fp + 3 * (w.l + w.b)) // 4,
+         (((s.y_fp + 3 * (w.l + w.b)) // 4) - w.l + 3 * w.b) // 4
+  FROM w JOIN s ON s.event_type = w.event_type AND s.rn = w.rn + 1)
+SELECT event_type, day, y_fp // 1000000 AS y, l AS level_fp,
+       b AS trend_fp, CAST(l + b AS DOUBLE) / 1000000 AS forecast_next
+FROM w
+"""
+
+
+# --- CUSUM change detection over the daily series --------------------------
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart per event type: the sequential
+    drift detector s_t = max(0, s_{t-1} + y_t - ref) that accumulates
+    evidence of an upward level shift and alarms when the cumulative
+    excess passes 3x the reference -- the change-point shape a
+    rolling z-score (events_anomaly_zscore) structurally cannot
+    express, because the state compounds until reset.
+
+    ref is the truncated mean of each type's FIRST SEVEN days (the
+    in-control calibration window), computed as a separate bounded
+    aggregation and broadcast onto the series, so the fold itself is a
+    pure per-key recurrence in exact fixed point -- same mapInPandas
+    kernel and 100 TB posture as the EWMA/Holt lines."""
+    from pyspark.sql import Window as W
+
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type",
+                      F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                      .alias("day"))
+             .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
+    rn = F.row_number().over(
+        W.partitionBy("event_type").orderBy("day"))
+    refs = (daily.withColumn("rn", rn).filter(F.col("rn") <= 7)
+            .groupBy("event_type")
+            .agg(F.expr("sum(y_fp) DIV 7").alias("ref_fp")))
+    part = (daily.join(F.broadcast(refs), "event_type")
+            .repartition("event_type")
+            .sortWithinPartitions("event_type", "day"))
+
+    def fold(it):
+        import pandas as pd
+
+        ck = None
+        s = 0
+        for pdf in it:
+            ks = pdf["event_type"].to_numpy()
+            ys = pdf["y_fp"].to_numpy()
+            rs = pdf["ref_fp"].to_numpy()
+            out = []
+            for i in range(len(ys)):
+                if ks[i] != ck:
+                    ck, s = ks[i], 0
+                s = max(0, s + int(ys[i]) - int(rs[i]))
+                out.append(s)
+            yield pd.DataFrame({
+                "event_type": pdf["event_type"], "day": pdf["day"],
+                "y": pdf["y_fp"] // 1_000_000, "ref_fp": pdf["ref_fp"],
+                "cusum_fp": pd.Series(out, dtype="int64")})
+
+    out = part.mapInPandas(
+        fold, "event_type string, day string, y long, "
+              "ref_fp long, cusum_fp long")
+    return out.withColumn("alarm",
+                          F.col("cusum_fp") > 3 * F.col("ref_fp"))
+
+
+EVENTS_CUSUM_SQL = """
+WITH RECURSIVE s AS (
+  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) * 1000000 AS y_fp,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+refs AS (
+  SELECT event_type, CAST(SUM(y_fp) // 7 AS BIGINT) AS ref_fp
+  FROM s WHERE rn <= 7 GROUP BY 1),
+w(event_type, rn, day, y_fp, ref_fp, c) AS (
+  SELECT s.event_type, s.rn, s.day, s.y_fp, r.ref_fp,
+         CAST(GREATEST(CAST(0 AS BIGINT), s.y_fp - r.ref_fp) AS BIGINT)
+  FROM s JOIN refs r USING (event_type) WHERE s.rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.day, s.y_fp, w.ref_fp,
+         CAST(GREATEST(CAST(0 AS BIGINT), w.c + s.y_fp - w.ref_fp)
+              AS BIGINT)
+  FROM w JOIN s ON s.event_type = w.event_type AND s.rn = w.rn + 1)
+SELECT event_type, day, y_fp // 1000000 AS y, ref_fp, c AS cusum_fp,
+       c > 3 * ref_fp AS alarm
+FROM w
+"""

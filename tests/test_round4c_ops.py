@@ -149,3 +149,54 @@ def test_acf_matches_numpy_pearson(spark):
         r = np.corrcoef(x, y)[0, 1]
         assert abs(out.loc[k, "acf"] - r) < 1e-9
         assert -1.0 <= out.loc[k, "acf"] <= 1.0
+
+
+def _daily_counts():
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    return (ev.groupby(["event_type", "day"]).size()
+            .reset_index(name="y").sort_values(["event_type", "day"]))
+
+
+def _trunc_div(a: int, b: int) -> int:
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def test_holt_trend_matches_sequential_recompute(spark):
+    """The distributed fold must equal the literal per-type sequential
+    Holt recurrence (truncating division, micro-unit fixed point)."""
+    out = R.events_holt_trend(spark, SF_SMOKE).toPandas()
+    got = {(r.event_type, r.day): (r.level_fp, r.trend_fp)
+           for r in out.itertuples()}
+    daily = _daily_counts()
+    n_rows = 0
+    for et, grp in daily.groupby("event_type"):
+        lv = tr = None
+        for _, row in grp.iterrows():
+            y = int(row.y) * 1_000_000
+            if lv is None:
+                lv, tr = y, 0
+            else:
+                nl = _trunc_div(y + 3 * (lv + tr), 4)
+                tr = _trunc_div((nl - lv) + 3 * tr, 4)
+                lv = nl
+            assert got[(et, row.day)] == (lv, tr)
+            n_rows += 1
+    assert n_rows == len(out)
+
+
+def test_cusum_matches_sequential_recompute_and_alarm_rule(spark):
+    out = R.events_cusum(spark, SF_SMOKE).toPandas()
+    assert (out.cusum_fp >= 0).all()
+    assert (out.alarm == (out.cusum_fp > 3 * out.ref_fp)).all()
+    got = {(r.event_type, r.day): r.cusum_fp for r in out.itertuples()}
+    daily = _daily_counts()
+    for et, grp in daily.groupby("event_type"):
+        ys = [int(y) * 1_000_000 for y in grp.y]
+        ref = sum(ys[:7]) // 7
+        s = 0
+        for y, day in zip(ys, grp.day):
+            s = max(0, s + y - ref)
+            assert got[(et, day)] == s

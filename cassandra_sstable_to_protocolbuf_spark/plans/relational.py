@@ -5352,15 +5352,29 @@ def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     is matched back to its best canonical label by Levenshtein distance,
     tie-broken lexicographically.
 
-    The scale story is the BLOCKING: candidates come from an equi-join
-    on generated block keys (first-2-chars and last-2-chars of each
-    string), never a dirty x canon cross join. The pigeonhole guarantee
-    makes the blocked pick PROVABLY equal to the brute-force oracle: a
-    single edit touches one position, so any label within distance 1
-    keeps the first two OR the last two characters intact (labels are
-    always >= 5 chars), and since the true canonical is at distance
-    <= 1, the global winner and all its ties are inside the candidate
-    set. The oracle is the literal brute-force argmin join."""
+    The scale story is the BLOCKING, the PassJoin segment scheme:
+    every canonical splits into two halves, keyed by (segment id,
+    canonical length, half content). A single edit lies in exactly one
+    half, leaving the OTHER half intact at a predictable offset --
+    before the edit point nothing moves, after it everything shifts by
+    the length delta -- so the dirty side can enumerate, for each
+    candidate canonical length L in {m-1, m, m+1}, the exact prefix
+    (segment 1) and exact suffix (segment 2) a distance-1 canonical
+    must share with it. Every possible winner (the global argmin is
+    always within distance 1: the true canonical is one deletion away)
+    therefore lands in a blocked pair, making the blocked pick PROVABLY
+    equal to the brute-force oracle. Unlike end-char blocking (which
+    went quasi-cartesian on this data's low-entropy first/last words --
+    ~10 adjectives, ~25 brands -- measured 8.2 s at sf0.1), the half
+    content carries the high-entropy middle, so blocks are near
+    singleton and the verify set is near linear (measured 1.4 s).
+    Duplicate candidates from the two segment families are NOT
+    distinct'ed away (that is a full shuffle of the pair set); the
+    argmin row_number picks one copy deterministically since ties order
+    by the same values. The Levenshtein verify is threshold-bounded
+    (band-limited DP returning -1 above the bound; the winner is
+    provably <= 1, so dropping -1 rows removes only non-winners). The
+    oracle is the literal brute-force argmin join."""
     from pyspark.sql import Window
 
     p = _t(spark, sf_dir, "part")
@@ -5373,17 +5387,29 @@ def part_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.expr("substr(s, pos + 2)")).alias("dirty")))
     canon = p.select(full.alias("canon")).distinct()
 
-    def keys(col: str):
-        return F.array(
-            F.concat(F.lit("p:"), F.substring(F.col(col), 1, 2)),
-            F.concat(F.lit("s:"), F.expr(
-                f"substr({col}, length({col}) - 1)")))
-
-    dk = dirty.withColumn("bk", F.explode(keys("dirty")))
-    ck = canon.withColumn("bk", F.explode(keys("canon")))
+    # canonical of length L splits at h = (L+1) DIV 2
+    ck = (canon.withColumn("bk", F.explode(F.array(
+              F.expr("concat('1|', length(canon), '|', "
+                     "substr(canon, 1, (length(canon) + 1) DIV 2))"),
+              F.expr("concat('2|', length(canon), '|', "
+                     "substr(canon, (length(canon) + 1) DIV 2 + 1))"))))
+          .select("bk", "canon"))
+    # dirty of length m probes both segments at each L in {m-1, m, m+1}:
+    # seg1 = its own prefix of h(L) chars, seg2 = its own suffix of
+    # L - h(L) chars
+    seg_keys = []
+    for d in (-1, 0, 1):
+        L = f"(length(dirty) + {d})"
+        h = f"(({L} + 1) DIV 2)"
+        seg_keys.append(F.expr(
+            f"concat('1|', {L}, '|', substr(dirty, 1, {h}))"))
+        seg_keys.append(F.expr(
+            f"concat('2|', {L}, '|', "
+            f"substr(dirty, length(dirty) - ({L} - {h}) + 1))"))
+    dk = dirty.withColumn("bk", F.explode(F.array(*seg_keys)))
     cand = (dk.join(ck, "bk")
-            .select("dirty_id", "dirty", "canon").distinct()
-            .withColumn("lev", F.levenshtein("dirty", "canon")))
+            .withColumn("lev", F.levenshtein("dirty", "canon", 1))
+            .filter(F.col("lev") >= 0))
     w = Window.partitionBy("dirty_id").orderBy(F.col("lev").asc(),
                                                F.col("canon").asc())
     return (cand.withColumn("rn", F.row_number().over(w))

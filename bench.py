@@ -100,6 +100,8 @@ HEADLINE = [
     "events_incident_overlap",
     "events_holt_trend",
     "events_cusum",
+    "stream_cusum",
+    "orders_benford_audit",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

@@ -278,6 +278,9 @@ CATALOG: dict[str, QueryDef] = {
     "stream_ewma": QueryDef(ST.stream_ewma, R.EVENTS_EWMA_SQL,
                             "order-sensitive EWMA through event-time-ordered "
                             "streaming replay with per-batch state"),
+    "stream_cusum": QueryDef(ST.stream_cusum, R.EVENTS_CUSUM_SQL,
+                             "CUSUM through streaming with cross-batch "
+                             "calibration warmup and retroactive emit"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
     "events_resample_ffill": QueryDef(R.events_resample_ffill,
@@ -402,6 +405,10 @@ CATALOG: dict[str, QueryDef] = {
     "events_cusum": QueryDef(R.events_cusum, R.EVENTS_CUSUM_SQL,
                              "one-sided CUSUM change detection with "
                              "calibrated reference, exact fixed point"),
+    "orders_benford_audit": QueryDef(R.orders_benford_audit,
+                                     R.ORDERS_BENFORD_AUDIT_SQL,
+                                     "Benford first-digit forensics audit, "
+                                     "lexical digit + shared literal shares"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

@@ -5610,3 +5610,73 @@ SELECT event_type, day, y_fp // 1000000 AS y, ref_fp, c AS cusum_fp,
        c > 3 * ref_fp AS alarm
 FROM w
 """
+
+
+# --- Benford first-digit audit (data forensics) -----------------------------
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals --
+    the fraud/data-forensics screen: fabricated or unit-mangled numeric
+    columns drift from the log-uniform digit distribution real
+    multiplicative data follows. One narrow projection + one 9-row hash
+    aggregate over the fact table (trivially partial-aggregatable, the
+    100 TB-friendly shape); the chi-square contribution per digit is a
+    final double expression over exact integer counts, identical in
+    both engines. First digit extracted lexically (leading digit of the
+    decimal rendering of the integer cent amount) -- no float log10,
+    whose boundary rounding the two engines could disagree on."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    d = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (o.select(d.alias("digit"))
+              .filter(F.col("digit") >= 1)
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).alias("n")))
+    total = counts.agg(F.sum("n").alias("total"))
+    # expected share log10(1 + 1/d) as shared LITERALS: log10 is not a
+    # correctly-rounded operation, so JVM vs libm evaluations could
+    # differ in the last ulp and break the bitwise hash gate -- both
+    # engines consume the same 12-decimal constants instead
+    exp = F.element_at(F.array(*[F.lit(v) for v in BENFORD_SHARES]),
+                       F.col("digit"))
+    e = F.col("total").cast("double") * exp
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    (F.col("n").cast("double") / F.col("total"))
+                    .alias("observed_share"),
+                    exp.alias("benford_share"),
+                    ((F.col("n").cast("double") - e) * (F.col("n") - e) / e)
+                    .alias("chi2_term")))
+
+
+BENFORD_SHARES = [0.301029995664, 0.176091259056, 0.124938736608,
+                  0.096910013008, 0.079181246048, 0.066946789631,
+                  0.057991946978, 0.051152522447, 0.045757490561]
+
+
+def _benford_sql() -> str:
+    shares = ", ".join(repr(v) for v in BENFORD_SHARES)
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders),
+counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+  FROM c WHERE digit >= 1 GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+j AS (
+  SELECT digit, n, total,
+         ([{shares}])[digit] AS benford_share
+  FROM counts CROSS JOIN tot)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / total AS observed_share,
+       benford_share,
+       (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * benford_share)
+       * (n - CAST(total AS DOUBLE) * benford_share)
+       / (CAST(total AS DOUBLE) * benford_share) AS chi2_term
+FROM j
+"""
+
+
+ORDERS_BENFORD_AUDIT_SQL = _benford_sql()

@@ -944,3 +944,161 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.read.parquet(os.path.join(out_root, "b*"))
     return res.select("event_id", "user_id", "ewma_fp",
                       (F.col("ewma_fp").cast("double") / 1e6).alias("ewma"))
+
+
+def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSUM change detector maintained THROUGH streaming, with a
+    CALIBRATION WARMUP that spans micro-batches: the reference level is
+    the mean of each type's first seven days, so early days cannot be
+    scored when they arrive -- they park in bounded per-type pending
+    state (<= 7 rows) until the calibration window completes, then emit
+    retroactively with the ordered recurrence. The spool is cut into
+    FIVE-day slices precisely so batch 0 holds fewer than seven days
+    and the warmup carry is actually exercised (an 8-day slice would
+    calibrate instantly and prove nothing).
+
+    State per type is (n7, sum7, ref, s) plus the pending rows,
+    persisted per batch_id so an at-least-once redelivery reloads state
+    N-1 and rewrites the same output partition (the transactional-
+    foreachBatch pattern, as stream_ewma). Slices cut at DAY boundaries
+    so each day's count is complete within its batch. The gate is the
+    batch EVENTS_CUSUM_SQL oracle: ordered replay through the warmup
+    reproduces the two-pass batch computation bit-for-bit."""
+    import os
+    import time as _time
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import _t
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")))
+
+    n_slices = 6
+    spool = scratch_dir("cusum_spool", tag)
+    have = sorted(p for p in os.listdir(spool) if p.startswith("slice-"))
+    if have != [f"slice-{i}.parquet" for i in range(n_slices)]:
+        days = [r["day"] for r in
+                ev.select("day").distinct().orderBy("day").collect()]
+        step = (len(days) + n_slices - 1) // n_slices
+        for i in range(n_slices):
+            sl = days[i * step:(i + 1) * step]
+            part = ev.filter(F.col("day").isin(sl or ["-"]))
+            tmp = os.path.join(spool, f"g{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(spool, f"slice-{i}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            t = _time.time() + i
+            os.utime(dst, (t, t))
+            import shutil
+            shutil.rmtree(tmp)
+
+    state_root = scratch_dir("cusum_state", tag, fresh=True)
+    out_root = scratch_dir("cusum_out", tag, fresh=True)
+
+    STATE_SCHEMA = "event_type string, ref_fp long, s long"
+    PEND_SCHEMA = "event_type string, day string, y_fp long"
+    OUT_SCHEMA = ("event_type string, day string, y long, "
+                  "ref_fp long, cusum_fp long")
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        daily = (batch.groupBy("event_type", "day")
+                 .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
+        prev = os.path.join(state_root, f"b{batch_id - 1}")
+        if os.path.isdir(prev):
+            st = spark.read.parquet(os.path.join(prev, "state"))
+            pend = spark.read.parquet(os.path.join(prev, "pending"))
+        else:
+            st = spark.createDataFrame([], STATE_SCHEMA)
+            pend = spark.createDataFrame([], PEND_SCHEMA)
+        rows = pend.unionByName(daily)
+
+        def step(key, pdf):
+            (et,) = key
+            pdf = pdf.sort_values("day")
+            srow = st_pd[st_pd.event_type == et]
+            if len(srow):
+                ref = srow.ref_fp.iloc[0]
+                ref = None if pd.isna(ref) else int(ref)
+                s = int(srow.s.iloc[0])
+            else:
+                s = 0
+                ref = None
+            # warmup counters are NOT carried: the pending rows replay
+            # through this loop every batch until calibration completes,
+            # so persisting n7/sum7 beside them would double-count
+            n7 = sum7 = 0
+            out, new_pend = [], []
+            for day, y in zip(pdf.day, pdf.y_fp):
+                y = int(y)
+                if ref is None:
+                    n7 += 1
+                    sum7 += y
+                    new_pend.append((day, y))
+                    if n7 == 7:
+                        ref = sum7 // 7
+                        for pday, py in new_pend:  # retroactive emit
+                            s = max(0, s + py - ref)
+                            out.append((pday, py, s))
+                        new_pend = []
+                else:
+                    s = max(0, s + y - ref)
+                    out.append((day, y, s))
+            res = pd.DataFrame(
+                {"event_type": et,
+                 "day": [d for d, _, _ in out],
+                 "y": [y // 1_000_000 for _, y, _ in out],
+                 "ref_fp": ref, "cusum_fp": [c for _, _, c in out]})
+            st_new = pd.DataFrame(
+                {"event_type": [et], "ref_fp": [ref], "s": [s]})
+            pd_new = pd.DataFrame(
+                {"event_type": et,
+                 "day": [d for d, _ in new_pend],
+                 "y_fp": [y for _, y in new_pend]})
+            return res, st_new, pd_new
+
+        # 5 bounded groups: run the warmup fold driver-side on the
+        # collected daily grain (one row per type-day), then write the
+        # three outputs; the heavy work (raw events -> daily counts)
+        # stayed distributed above
+        st_pd = st.toPandas()
+        rows_pd = rows.toPandas()
+        outs, sts, pends = [], [], []
+        for et in sorted(rows_pd.event_type.unique()):
+            o, sn, pn = step((et,), rows_pd[rows_pd.event_type == et])
+            outs.append(o)
+            sts.append(sn)
+            pends.append(pn)
+        # types silent this batch still carry state forward
+        seen = {s.event_type.iloc[0] for s in sts}
+        carry = st_pd[~st_pd.event_type.isin(seen)]
+        if len(carry):
+            sts.append(carry)
+
+        def _write(pdfs, schema, path):
+            frames = [p for p in pdfs if len(p)]
+            df = (spark.createDataFrame(pd.concat(frames), schema)
+                  if frames else spark.createDataFrame([], schema))
+            df.coalesce(1).write.mode("overwrite").parquet(path)
+
+        nxt = os.path.join(state_root, f"b{batch_id}")
+        _write(outs, OUT_SCHEMA, os.path.join(out_root, f"b{batch_id}"))
+        _write(sts, STATE_SCHEMA, os.path.join(nxt, "state"))
+        _write(pends, PEND_SCHEMA, os.path.join(nxt, "pending"))
+
+    schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
+    ckpt = scratch_dir("cusum_ckpt", tag, fresh=True)
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1")
+         .option("pathGlobFilter", "slice-*.parquet")
+         .parquet(spool)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = spark.read.parquet(os.path.join(out_root, "b*"))
+    return res.withColumn("alarm", F.col("cusum_fp") > 3 * F.col("ref_fp"))

@@ -200,3 +200,34 @@ def test_cusum_matches_sequential_recompute_and_alarm_rule(spark):
         for y, day in zip(ys, grp.day):
             s = max(0, s + y - ref)
             assert got[(et, day)] == s
+
+
+def test_stream_cusum_equals_batch_and_exercises_warmup(spark):
+    """Ordered streaming replay with the cross-batch calibration warmup
+    must reproduce the two-pass batch CUSUM exactly; the 5-day slices
+    guarantee the pending path actually spans batches (5 < 7)."""
+    from cassandra_sstable_to_protocolbuf_spark.streaming import (
+        pipeline as ST)
+
+    batch = (R.events_cusum(spark, SF_SMOKE).toPandas()
+             .sort_values(["event_type", "day"]).reset_index(drop=True))
+    stream = (ST.stream_cusum(spark, SF_SMOKE).toPandas()
+              [batch.columns]
+              .sort_values(["event_type", "day"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(stream, batch)
+    # retroactive emit really happened: every type has its FIRST day
+    # scored even though the reference needed 7 days of data
+    first_days = stream.groupby("event_type").day.min()
+    assert (first_days == stream.day.min()).all()
+
+
+def test_benford_audit_shares_and_chi2_are_consistent(spark):
+    out = R.orders_benford_audit(spark, SF_SMOKE).toPandas()
+    assert set(out.digit) == set(range(1, 10))
+    assert abs(out.benford_share.sum() - 1.0) < 1e-9
+    assert abs(out.observed_share.sum() - 1.0) < 1e-12
+    assert (out.chi2_term >= 0).all()
+    n = out.n.sum()
+    exp = out.benford_share * n
+    want = ((out.n - exp) ** 2 / exp)
+    assert np.allclose(out.chi2_term, want, rtol=1e-12)

@@ -138,6 +138,7 @@ HEADLINE = [
     "docs_bigram_lm",
     "docs_tfidf_topk",
     "docs_bpe_merges",
+    "docs_bpe_encode",
     "docs_pipeline_yield",
     "docs_quality_auc",
     "docs_domain_mix",

@@ -556,6 +556,10 @@ CATALOG: dict[str, QueryDef] = {
     "docs_bpe_merges": QueryDef(TX.docs_bpe_merges, TX.DOCS_BPE_SQL,
                                 "BPE vocabulary induction "
                                 "(2 unrolled merge iterations on word-freqs)"),
+    "docs_bpe_encode": QueryDef(TX.docs_bpe_encode, TX.DOCS_BPE_ENCODE_SQL,
+                                "BPE tokenizer APPLY: 4 learned merges "
+                                "encoded via anchored whole-symbol replaces, "
+                                "vocab-only rewrites"),
     "docs_decontaminate": QueryDef(TX.docs_decontaminate,
                                    TX.DOCS_DECONTAMINATE_SQL,
                                    "benchmark decontamination (broadcast shingle join)"),

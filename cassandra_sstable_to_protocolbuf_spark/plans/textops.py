@@ -1657,3 +1657,104 @@ ranked AS (SELECT qdoc, cand, score,
            FROM scores)
 SELECT qdoc, rank, cand, score FROM ranked WHERE rank <= 3
 """
+
+
+# --- BPE encoding (apply the learned merges) --------------------------------
+
+BPE_ENCODE_ROUNDS = 4
+
+
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING -- the other half of the tokenizer beside
+    docs_bpe_merges' training: learn 4 merges from the corpus word-freq
+    table, then apply them in rank order to every document and report
+    per-doc BPE token counts (the number every packing/budgeting op
+    downstream actually consumes).
+
+    The apply step is pure string algebra, no UDF: symbols carry a '|'
+    terminator and every replace pattern is anchored by a leading
+    space, so a pattern can only match whole symbols at symbol
+    boundaries (mid-symbol prefixes like 'a' inside 'ab|' cannot match
+    ' a|'), and one non-overlapping left-to-right replace per rank IS
+    exhaustive greedy BPE for that rank (consecutive disjoint pairs
+    don't share boundary characters: ' a| a| a| a|' merges both pairs
+    in one pass, and the odd run leaves the leftmost-greedy remainder).
+
+    Scale shape: training iterates on the vocab-bounded (spaced, freq)
+    table (one corpus pass builds it); each learned merge applies via a
+    one-row broadcast; ENCODING also touches only the distinct-word
+    vocab -- documents join the encoded vocab by word, so corpus rows
+    are never string-rewritten, the 100 TB tokenizer shape."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id",
+                       F.explode(T.tokens(F.col("text"))).alias("w"))
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    spaced = F.expr(r"trim(regexp_replace(w, '(.)', '$1\\| '))")
+    train = (wf.filter(F.length("w") >= 2)
+             .select(spaced.alias("spaced"), "freq"))
+
+    apply_merge = ("substr(replace(' ' || spaced, ' ' || ma || ' ' || mb,"
+                   " ' ' || replace(ma, '|', '') || mb), 2)")
+    merges = []
+    cur = train
+    for _ in range(BPE_ENCODE_ROUNDS):
+        pairs = _bpe_pair_counts(cur)
+        top = (pairs.orderBy(F.desc("pair_count"), "a", "b").limit(1)
+               .select(F.col("a").alias("ma"), F.col("b").alias("mb")))
+        cur = (cur.crossJoin(F.broadcast(top))
+               .select(F.expr(apply_merge).alias("spaced"), "freq"))
+        merges.append(top)
+
+    enc = wf.select("w", "freq", spaced.alias("spaced"))
+    for top in merges:
+        enc = (enc.crossJoin(F.broadcast(top))
+               .select("w", "freq", F.expr(apply_merge).alias("spaced")))
+    enc = enc.select(
+        "w", (F.length("spaced")
+              - F.length(F.expr("replace(spaced, '|', '')"))).alias("n_sym"))
+
+    return (toks.join(enc, "w")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("w")).alias("n_word_chars"),
+                 F.sum("n_sym").alias("n_bpe"))
+            .select("doc_id", "n_words", "n_word_chars", "n_bpe",
+                    (F.col("n_bpe").cast("double") / F.col("n_word_chars"))
+                    .alias("tokens_per_char")))
+
+
+def _bpe_encode_sql(rounds: int = BPE_ENCODE_ROUNDS) -> str:
+    apply = ("substr(replace(' ' || spaced, ' ' || t.a || ' ' || t.b,"
+             " ' ' || replace(t.a, '|', '') || t.b), 2)")
+    parts = [rf"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+sp0 AS (SELECT trim(regexp_replace(w, '(.)', '\1| ', 'g')) AS spaced, freq
+        FROM wf WHERE length(w) >= 2)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+p{k} AS ({_DUCK_BPE_PAIRS % f'sp{k - 1}'}),
+top{k} AS (SELECT a, b FROM p{k} ORDER BY pair_count DESC, a, b LIMIT 1),
+sp{k} AS (SELECT {apply} AS spaced, freq FROM sp{k - 1}, top{k} t)""")
+    enc_chain = []
+    for k in range(1, rounds + 1):
+        enc_chain.append(f""",
+enc{k} AS (SELECT w, {apply} AS spaced FROM enc{k - 1}, top{k} t)""")
+    parts.append(rf""",
+enc0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\1| ', 'g')) AS spaced
+         FROM wf){"".join(enc_chain)},
+nsym AS (SELECT w, CAST(length(spaced)
+                        - length(replace(spaced, '|', '')) AS BIGINT)
+                   AS n_sym
+         FROM enc{rounds})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS n_word_chars,
+       CAST(SUM(n_sym) AS BIGINT) AS n_bpe,
+       CAST(SUM(n_sym) AS DOUBLE) / SUM(length(w)) AS tokens_per_char
+FROM toks JOIN nsym USING (w)
+GROUP BY 1""")
+    return "".join(parts)
+
+
+DOCS_BPE_ENCODE_SQL = _bpe_encode_sql()

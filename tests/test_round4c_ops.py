@@ -231,3 +231,67 @@ def test_benford_audit_shares_and_chi2_are_consistent(spark):
     exp = out.benford_share * n
     want = ((out.n - exp) ** 2 / exp)
     assert np.allclose(out.chi2_term, want, rtol=1e-12)
+
+
+def test_bpe_encode_equals_textbook_bpe(spark):
+    """The anchored-replace encoding must equal a literal textbook BPE:
+    train 4 merges on the corpus word-freq table (max count, ties by
+    lexically smallest symbol pair), then greedily merge each word
+    left-to-right, rank by rank."""
+    from collections import Counter
+
+    from cassandra_sstable_to_protocolbuf_spark.plans import textops as TX
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet",
+                           columns=["doc_id", "text"])
+    words_per_doc = {
+        r.doc_id: [w for w in r.text.lower().split() if w]
+        for r in docs.itertuples()}
+    wf = Counter(w for ws in words_per_doc.values() for w in ws)
+
+    def pair_counts(vocab):
+        c = Counter()
+        for syms, freq in vocab:
+            for i in range(len(syms) - 1):
+                c[(syms[i], syms[i + 1])] += freq
+        return c
+
+    def apply_merge(syms, a, b):
+        # merged symbol = a stripped of its bars + b (the engine builds
+        # replace(a, '|', '') || b)
+        out, i = [], 0
+        merged = a.replace("|", "") + b
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    # markered symbols match the engine's tie-break domain exactly
+    vocab = [([ch + "|" for ch in w], f)
+             for w, f in wf.items() if len(w) >= 2]
+    merges = []
+    for _ in range(TX.BPE_ENCODE_ROUNDS):
+        pc = pair_counts(vocab)
+        best = max(pc.values())
+        a, b = min(k for k, v in pc.items() if v == best)
+        merges.append((a, b))
+        vocab = [(apply_merge(s, a, b), f) for s, f in vocab]
+
+    def encode(w):
+        syms = [ch + "|" for ch in w]
+        for a, b in merges:
+            syms = apply_merge(syms, a, b)
+        return syms
+
+    out = (TX.docs_bpe_encode(spark, SF_SMOKE).toPandas()
+           .set_index("doc_id"))
+    assert len(out) == len(docs)
+    for doc_id, ws in list(words_per_doc.items())[:200]:
+        row = out.loc[doc_id]
+        assert row["n_words"] == len(ws)
+        assert row["n_word_chars"] == sum(len(w) for w in ws)
+        assert row["n_bpe"] == sum(len(encode(w)) for w in ws)

@@ -102,6 +102,7 @@ HEADLINE = [
     "events_cusum",
     "stream_cusum",
     "orders_benford_audit",
+    "sql_recursive_hierarchy",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

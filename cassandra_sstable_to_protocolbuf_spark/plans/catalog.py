@@ -409,6 +409,11 @@ CATALOG: dict[str, QueryDef] = {
                                      R.ORDERS_BENFORD_AUDIT_SQL,
                                      "Benford first-digit forensics audit, "
                                      "lexical digit + shared literal shares"),
+    "sql_recursive_hierarchy": QueryDef(R.sql_recursive_hierarchy,
+                                        R.SQL_RECURSIVE_HIERARCHY,
+                                        "WITH RECURSIVE on Spark's own SQL "
+                                        "surface; oracle runs the IDENTICAL "
+                                        "SQL text"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

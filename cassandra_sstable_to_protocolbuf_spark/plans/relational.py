@@ -5680,3 +5680,42 @@ FROM j
 
 
 ORDERS_BENFORD_AUDIT_SQL = _benford_sql()
+
+
+# --- ANSI recursive CTE (SQL-surface parity) --------------------------------
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through Spark's OWN SQL surface (landed in Spark
+    4.x): the bill-of-materials ancestor-chain rollup -- every part
+    walks a synthetic binary hierarchy (1-based id, parent = id/2) to
+    the root, accumulating exact integer cents of every ancestor's
+    retail price. The oracle is the IDENTICAL SQL text run by DuckDB,
+    so the gate certifies recursive-CTE semantic parity between the
+    engines, not just this query's answer (one shared dialect: integer
+    division spelled CAST(FLOOR(x/2) AS BIGINT), which both parse).
+
+    Spark's recursion currently supports only UNION ALL, so the query
+    is the acyclic-hierarchy class where paths are UNIQUE and growth is
+    linear (n rows x log2 n depth) -- the cyclic-graph closure class
+    (UNION-dedup per level) stays with the unrolled DataFrame form
+    (part_bfs_hops), which is also the operational 100 TB choice."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(SQL_RECURSIVE_HIERARCHY)
+
+
+SQL_RECURSIVE_HIERARCHY = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(p_partkey + 1 AS BIGINT) AS id,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part),
+walk(part_id, cur, depth, chain_price_c) AS (
+  SELECT id, id, CAST(0 AS BIGINT), price_c FROM nodes
+  UNION ALL
+  SELECT w.part_id, n.id, w.depth + CAST(1 AS BIGINT),
+         w.chain_price_c + n.price_c
+  FROM walk w JOIN nodes n
+    ON n.id = CAST(FLOOR(w.cur / 2) AS BIGINT)
+  WHERE w.cur > 1)
+SELECT part_id - 1 AS p_partkey, depth, chain_price_c
+FROM walk WHERE cur = 1
+"""

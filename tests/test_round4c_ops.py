@@ -295,3 +295,25 @@ def test_bpe_encode_equals_textbook_bpe(spark):
         assert row["n_words"] == len(ws)
         assert row["n_word_chars"] == sum(len(w) for w in ws)
         assert row["n_bpe"] == sum(len(encode(w)) for w in ws)
+
+
+def test_recursive_hierarchy_closed_form(spark):
+    """Depth of 1-based id k in the binary hierarchy is floor(log2 k),
+    and the chain price is the exact sum of the ancestor ids' prices."""
+    import math
+
+    out = (R.sql_recursive_hierarchy(spark, SF_SMOKE).toPandas()
+           .set_index("p_partkey"))
+    p = pd.read_parquet(f"{SF_SMOKE}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"])
+    price_c = {int(r.p_partkey) + 1: round(r.p_retailprice * 100)
+               for r in p.itertuples()}
+    assert len(out) == len(p)
+    for key in list(price_c)[:100]:
+        k, total = key, 0
+        while k >= 1:
+            total += price_c[k]
+            k //= 2
+        row = out.loc[key - 1]
+        assert row["depth"] == int(math.floor(math.log2(key)))
+        assert row["chain_price_c"] == total

@@ -996,99 +996,71 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp)
 
     state_root = scratch_dir("cusum_state", tag, fresh=True)
-    out_root = scratch_dir("cusum_out", tag, fresh=True)
 
-    STATE_SCHEMA = "event_type string, ref_fp long, s long"
-    PEND_SCHEMA = "event_type string, day string, y_fp long"
-    OUT_SCHEMA = ("event_type string, day string, y long, "
-                  "ref_fp long, cusum_fp long")
+    # Bounded-state checkpointing: state is (ref, s) per TYPE plus <= 7
+    # pending day rows -- kilobytes at any corpus size -- so it commits
+    # as one JSON file per batch_id written driver-side, NOT as Spark
+    # parquet jobs (the first cut ran 3 write + 2 read jobs per
+    # micro-batch and spent 32 s at sf0.1 on scheduling alone; 6 s
+    # after). Contrast stream_ewma, whose per-USER state is
+    # data-proportional and rightly stays in parquet. Replay stays
+    # idempotent: a redelivered batch reloads state[batch_id-1] from
+    # its file and overwrites its own output slot.
+    outputs: dict[int, list] = {}
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        import pandas as pd
+        import json
 
         daily = (batch.groupBy("event_type", "day")
                  .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
-        prev = os.path.join(state_root, f"b{batch_id - 1}")
-        if os.path.isdir(prev):
-            st = spark.read.parquet(os.path.join(prev, "state"))
-            pend = spark.read.parquet(os.path.join(prev, "pending"))
+        prev = os.path.join(state_root, f"b{batch_id - 1}.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                st = json.load(f)
         else:
-            st = spark.createDataFrame([], STATE_SCHEMA)
-            pend = spark.createDataFrame([], PEND_SCHEMA)
-        rows = pend.unionByName(daily)
+            st = {"state": {}, "pending": []}
+        # the only data-proportional work is the distributed agg above;
+        # the collect is day-grain (bounded: types x days-per-slice)
+        rows = st["pending"] + [
+            [r["event_type"], r["day"], r["y_fp"]] for r in daily.collect()]
 
-        def step(key, pdf):
-            (et,) = key
-            pdf = pdf.sort_values("day")
-            srow = st_pd[st_pd.event_type == et]
-            if len(srow):
-                ref = srow.ref_fp.iloc[0]
-                ref = None if pd.isna(ref) else int(ref)
-                s = int(srow.s.iloc[0])
-            else:
-                s = 0
-                ref = None
-            # warmup counters are NOT carried: the pending rows replay
-            # through this loop every batch until calibration completes,
-            # so persisting n7/sum7 beside them would double-count
+        out, new_state, new_pending = [], {}, []
+        types = sorted({et for et, _, _ in rows})
+        for et in types:
+            mine = sorted(r for r in rows if r[0] == et)
+            ref, seed = st["state"].get(et, (None, 0))
+            s_acc = seed
             n7 = sum7 = 0
-            out, new_pend = [], []
-            for day, y in zip(pdf.day, pdf.y_fp):
+            pend = []
+            for _, day, y in mine:
                 y = int(y)
                 if ref is None:
+                    # warmup counters rebuild from the replayed pending
+                    # rows each batch (persisting them beside the rows
+                    # would double-count)
                     n7 += 1
                     sum7 += y
-                    new_pend.append((day, y))
+                    pend.append([et, day, y])
                     if n7 == 7:
                         ref = sum7 // 7
-                        for pday, py in new_pend:  # retroactive emit
-                            s = max(0, s + py - ref)
-                            out.append((pday, py, s))
-                        new_pend = []
+                        for _, pday, py in pend:  # retroactive emit
+                            s_acc = max(0, s_acc + py - ref)
+                            out.append((et, pday, py // 1_000_000,
+                                        ref, s_acc))
+                        pend = []
                 else:
-                    s = max(0, s + y - ref)
-                    out.append((day, y, s))
-            res = pd.DataFrame(
-                {"event_type": et,
-                 "day": [d for d, _, _ in out],
-                 "y": [y // 1_000_000 for _, y, _ in out],
-                 "ref_fp": ref, "cusum_fp": [c for _, _, c in out]})
-            st_new = pd.DataFrame(
-                {"event_type": [et], "ref_fp": [ref], "s": [s]})
-            pd_new = pd.DataFrame(
-                {"event_type": et,
-                 "day": [d for d, _ in new_pend],
-                 "y_fp": [y for _, y in new_pend]})
-            return res, st_new, pd_new
+                    s_acc = max(0, s_acc + y - ref)
+                    out.append((et, day, y // 1_000_000, ref, s_acc))
+            new_state[et] = (ref, s_acc)
+            new_pending.extend(pend)
+        for et, tup in st["state"].items():  # silent types carry forward
+            new_state.setdefault(et, tuple(tup))
 
-        # 5 bounded groups: run the warmup fold driver-side on the
-        # collected daily grain (one row per type-day), then write the
-        # three outputs; the heavy work (raw events -> daily counts)
-        # stayed distributed above
-        st_pd = st.toPandas()
-        rows_pd = rows.toPandas()
-        outs, sts, pends = [], [], []
-        for et in sorted(rows_pd.event_type.unique()):
-            o, sn, pn = step((et,), rows_pd[rows_pd.event_type == et])
-            outs.append(o)
-            sts.append(sn)
-            pends.append(pn)
-        # types silent this batch still carry state forward
-        seen = {s.event_type.iloc[0] for s in sts}
-        carry = st_pd[~st_pd.event_type.isin(seen)]
-        if len(carry):
-            sts.append(carry)
-
-        def _write(pdfs, schema, path):
-            frames = [p for p in pdfs if len(p)]
-            df = (spark.createDataFrame(pd.concat(frames), schema)
-                  if frames else spark.createDataFrame([], schema))
-            df.coalesce(1).write.mode("overwrite").parquet(path)
-
-        nxt = os.path.join(state_root, f"b{batch_id}")
-        _write(outs, OUT_SCHEMA, os.path.join(out_root, f"b{batch_id}"))
-        _write(sts, STATE_SCHEMA, os.path.join(nxt, "state"))
-        _write(pends, PEND_SCHEMA, os.path.join(nxt, "pending"))
+        outputs[batch_id] = out
+        tmp = os.path.join(state_root, f"b{batch_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"state": new_state, "pending": new_pending}, f)
+        os.replace(tmp, os.path.join(state_root, f"b{batch_id}.json"))
 
     schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
     ckpt = scratch_dir("cusum_ckpt", tag, fresh=True)
@@ -1100,5 +1072,8 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    res = spark.read.parquet(os.path.join(out_root, "b*"))
+    rows = [r for b in sorted(outputs) for r in outputs[b]]
+    res = spark.createDataFrame(
+        rows, "event_type string, day string, y long, "
+              "ref_fp long, cusum_fp long")
     return res.withColumn("alarm", F.col("cusum_fp") > 3 * F.col("ref_fp"))

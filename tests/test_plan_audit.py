@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "docs_bpe_merges",           # ONE-ROW winning-merge-pair broadcast
     "emb_matryoshka_audit",      # two broadcast query-set brute forces
     "orders_negative_samples",   # ONE-ROW item-domain-size broadcast
+    "orders_benford_audit",      # ONE-ROW global digit-total broadcast
+    "docs_bpe_encode",           # ONE-ROW winning-merge-pair broadcasts
 }
 
 # Streaming entries need a running query; iterative ones (label

@@ -103,6 +103,7 @@ HEADLINE = [
     "stream_cusum",
     "orders_benford_audit",
     "sql_recursive_hierarchy",
+    "events_bootstrap_ci",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

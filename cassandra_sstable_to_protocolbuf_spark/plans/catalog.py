@@ -414,6 +414,11 @@ CATALOG: dict[str, QueryDef] = {
                                         "WITH RECURSIVE on Spark's own SQL "
                                         "surface; oracle runs the IDENTICAL "
                                         "SQL text"),
+    "events_bootstrap_ci": QueryDef(R.events_bootstrap_ci,
+                                    R.EVENTS_BOOTSTRAP_CI_SQL,
+                                    "Poisson-bootstrap 95% CI: per-row "
+                                    "deterministic replica weights, exact "
+                                    "integer moments"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

@@ -5719,3 +5719,109 @@ walk(part_id, cur, depth, chain_price_c) AS (
 SELECT part_id - 1 AS p_partkey, depth, chain_price_c
 FROM walk WHERE cur = 1
 """
+
+
+# --- Poisson-bootstrap confidence interval ----------------------------------
+
+# Poisson(1) inverse-CDF thresholds scaled to the 2^31 hash range:
+# floor(P(X <= k) * 2^31) for k = 0..6 (w = 7 above the last). Integer
+# literals shared by both engines, so replica weights are EXACT -- no
+# float appears anywhere before the final per-replica mean.
+BOOTSTRAP_THRESHOLDS = [790015084, 1580030168, 1975037710, 2106706891,
+                        2139624186, 2146207645, 2147304888]
+BOOTSTRAP_REPLICAS = 100
+BOOTSTRAP_MIX = 2_654_435_761  # Knuth multiplicative constant
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% confidence interval for the mean event value by POISSON
+    BOOTSTRAP -- the uncertainty-quantification technique that actually
+    distributes: classic resampling needs n draws per replica from a
+    global index (a shuffle per replica), while the Poisson(1)
+    approximation gives every ROW an independent per-replica weight, so
+    all 100 replicas accumulate in ONE narrow explode + ONE hash
+    aggregation of 100 partial-summable rows. Weights are deterministic
+    (LCG hash of (event_id, replica) against shared integer inverse-CDF
+    thresholds -- retry-stable, no RNG, exact in both engines); the only
+    doubles are the final replica means, built from exact BIGINT sums
+    with identical expression shapes. CI bounds are the nearest-rank
+    2.5th/97.5th order statistics of the 100 means (ranks 3 and 98,
+    ties broken by replica id)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        HASH_A, HASH_C, HASH_M, HASH_P)
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 1_000_000)
+        .cast("long").alias("x"))
+    reps = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0),
+                                  F.lit(BOOTSTRAP_REPLICAS - 1))))
+    u = ((F.col("event_id") % HASH_P) * HASH_A + HASH_C
+         + F.col("b") * BOOTSTRAP_MIX) % HASH_M
+    w = F.lit(7)
+    for k in range(len(BOOTSTRAP_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < BOOTSTRAP_THRESHOLDS[k], k).otherwise(w)
+    rep = (reps.withColumn("w", w.cast("long"))
+           .groupBy("b")
+           .agg(F.sum("w").alias("n_b"),
+                F.sum(F.col("w") * F.col("x")).alias("s_b")))
+    mean_b = (F.col("s_b").cast("double") / F.col("n_b")) / 1e6
+    ranked = (rep.select(mean_b.alias("mean_b"), "b")
+              .withColumn("rk", F.row_number().over(
+                  W.orderBy(F.col("mean_b").asc(), F.col("b").asc()))))
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == 3, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == 98, F.col("mean_b"))).alias("ci_hi"))
+    point = ev.agg(
+        ((F.sum("x").cast("double") / F.count(F.lit(1))) / 1e6)
+        .alias("point_mean"))
+    return (point.crossJoin(F.broadcast(ci))
+            .select(F.lit(BOOTSTRAP_REPLICAS).cast("long")
+                    .alias("n_replicas"),
+                    "point_mean", "ci_lo", "ci_hi"))
+
+
+def _bootstrap_sql() -> str:
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        HASH_A, HASH_C, HASH_M, HASH_P)
+
+    t = BOOTSTRAP_THRESHOLDS
+    case = "CASE " + " ".join(
+        f"WHEN u < {t[k]} THEN {k}" for k in range(len(t))) + " ELSE 7 END"
+    return f"""
+WITH ev AS (
+  SELECT event_id, CAST(ROUND(value * 1000000) AS BIGINT) AS x
+  FROM events),
+reps AS (
+  SELECT event_id, x, unnest(range(0, {BOOTSTRAP_REPLICAS})) AS b FROM ev),
+wtd AS (
+  SELECT b, x,
+         {case} AS w
+  FROM (SELECT b, x,
+               ((event_id % {HASH_P}) * {HASH_A} + {HASH_C}
+                + b * {BOOTSTRAP_MIX}) % {HASH_M} AS u
+        FROM reps) h),
+rep AS (
+  SELECT b, CAST(SUM(w) AS BIGINT) AS n_b,
+         CAST(SUM(w * x) AS BIGINT) AS s_b
+  FROM wtd GROUP BY 1),
+ranked AS (
+  SELECT (CAST(s_b AS DOUBLE) / n_b) / 1e6 AS mean_b,
+         ROW_NUMBER() OVER (ORDER BY (CAST(s_b AS DOUBLE) / n_b) / 1e6,
+                            b) AS rk
+  FROM rep),
+ci AS (
+  SELECT MIN(CASE WHEN rk = 3 THEN mean_b END) AS ci_lo,
+         MIN(CASE WHEN rk = 98 THEN mean_b END) AS ci_hi
+  FROM ranked),
+pt AS (
+  SELECT (CAST(SUM(x) AS DOUBLE) / COUNT(*)) / 1e6 AS point_mean
+  FROM ev)
+SELECT CAST({BOOTSTRAP_REPLICAS} AS BIGINT) AS n_replicas,
+       point_mean, ci_lo, ci_hi
+FROM pt CROSS JOIN ci
+"""
+
+
+EVENTS_BOOTSTRAP_CI_SQL = _bootstrap_sql()

@@ -317,3 +317,30 @@ def test_recursive_hierarchy_closed_form(spark):
         row = out.loc[key - 1]
         assert row["depth"] == int(math.floor(math.log2(key)))
         assert row["chain_price_c"] == total
+
+
+def test_bootstrap_ci_matches_literal_resampling(spark):
+    """The distributed Poisson bootstrap must equal a literal pandas
+    recompute with the same deterministic weights, and the CI must
+    bracket the point estimate with sane width."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        HASH_A, HASH_C, HASH_M, HASH_P)
+
+    out = R.events_bootstrap_ci(spark, SF_SMOKE).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["event_id", "value"])
+    x = (ev.value * 1_000_000).round().astype("int64").to_numpy()
+    eid = ev.event_id.to_numpy()
+    means = []
+    for b in range(R.BOOTSTRAP_REPLICAS):
+        u = ((eid % HASH_P) * HASH_A + HASH_C
+             + b * R.BOOTSTRAP_MIX) % HASH_M
+        w = np.searchsorted(np.array(R.BOOTSTRAP_THRESHOLDS), u,
+                            side="right")
+        means.append((b, (w * x).sum() / w.sum() / 1e6))
+    means.sort(key=lambda t: (t[1], t[0]))
+    assert out["n_replicas"] == R.BOOTSTRAP_REPLICAS
+    assert out["ci_lo"] == means[2][1]
+    assert out["ci_hi"] == means[97][1]
+    assert out["ci_lo"] <= out["point_mean"] <= out["ci_hi"]
+    assert abs(out["point_mean"] - x.sum() / len(x) / 1e6) < 1e-9

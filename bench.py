@@ -104,6 +104,7 @@ HEADLINE = [
     "orders_benford_audit",
     "sql_recursive_hierarchy",
     "events_bootstrap_ci",
+    "events_burstiness",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

@@ -419,6 +419,10 @@ CATALOG: dict[str, QueryDef] = {
                                     "Poisson-bootstrap 95% CI: per-row "
                                     "deterministic replica weights, exact "
                                     "integer moments"),
+    "events_burstiness": QueryDef(R.events_burstiness,
+                                  R.EVENTS_BURSTINESS_SQL,
+                                  "per-user inter-arrival burstiness "
+                                  "(Goh-Barabasi B), integer gap moments"),
     "skew_salted_join": QueryDef(R.skew_salted_join, R.SKEW_SALTED_JOIN_SQL,
                                  "explicit skew-salted big-big join"),
     "events_asof_orders": QueryDef(R.events_asof_orders, R.EVENTS_ASOF_SQL,

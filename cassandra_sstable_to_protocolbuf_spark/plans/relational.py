@@ -5825,3 +5825,73 @@ FROM pt CROSS JOIN ci
 
 
 EVENTS_BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
+# --- Inter-arrival burstiness (behavioral time-series) ----------------------
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics + the Goh-Barabasi
+    burstiness index B = (sigma - mu) / (sigma + mu): B near -1 is a
+    metronome (bots, schedulers), near 0 Poisson, toward +1 bursty
+    human sessions -- the signal behind bot screening and session-gap
+    tuning. Gaps come from one LAG window per user in exact integer
+    SECONDS (sum-of-squares safety: gap^2 sums are bounded by the
+    observation span squared, and second resolution keeps that inside
+    int64 for any span up to centuries, where microsecond gaps overflow
+    at ~3 hours); mean and variance accumulate as BIGINT moments
+    (sum, sum of squares -- partial-aggregatable, one shuffle), and the
+    only doubles are the final mu / sigma / B expressions, computed
+    identically by both engines from the same integers. Variance is the
+    population form over n gaps; users with < 2 gaps (sigma undefined
+    or B degenerate) are filtered by an exact integer predicate."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_us().alias("ts_us"), "event_id")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = (ev.withColumn("prev", F.lag("ts_us").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select("user_id",
+                    F.expr("(ts_us - prev) DIV 1000000").alias("gap")))
+    m = (gaps.groupBy("user_id")
+         .agg(F.count(F.lit(1)).alias("n_gaps"),
+              F.sum("gap").alias("sg"),
+              F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+              F.max("gap").alias("max_gap_s"))
+         .filter(F.col("n_gaps") >= 2))
+    n, sg, sg2 = F.col("n_gaps"), F.col("sg"), F.col("sg2")
+    mu = sg.cast("double") / n
+    var = (n * sg2 - sg * sg).cast("double") / (n * n).cast("double")
+    sigma = F.sqrt(var)
+    return m.select("user_id", "n_gaps", "sg", "sg2", "max_gap_s",
+                    mu.alias("mean_gap_s"), sigma.alias("stddev_gap_s"),
+                    ((sigma - mu) / (sigma + mu)).alias("burstiness"))
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+g AS (
+  SELECT user_id,
+         (ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id)) // 1000000
+           AS gap
+  FROM e),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sg,
+         CAST(SUM(gap * gap) AS BIGINT) AS sg2,
+         CAST(MAX(gap) AS BIGINT) AS max_gap_s
+  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT user_id, n_gaps, sg, sg2, max_gap_s,
+       CAST(sg AS DOUBLE) / n_gaps AS mean_gap_s,
+       SQRT(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+            / CAST(n_gaps * n_gaps AS DOUBLE)) AS stddev_gap_s,
+       (SQRT(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+             / CAST(n_gaps * n_gaps AS DOUBLE))
+        - CAST(sg AS DOUBLE) / n_gaps)
+       / (SQRT(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+               / CAST(n_gaps * n_gaps AS DOUBLE))
+          + CAST(sg AS DOUBLE) / n_gaps) AS burstiness
+FROM m WHERE n_gaps >= 2
+"""

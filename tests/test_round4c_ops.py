@@ -344,3 +344,29 @@ def test_bootstrap_ci_matches_literal_resampling(spark):
     assert out["ci_hi"] == means[97][1]
     assert out["ci_lo"] <= out["point_mean"] <= out["ci_hi"]
     assert abs(out["point_mean"] - x.sum() / len(x) / 1e6) < 1e-9
+
+
+def test_burstiness_matches_numpy_and_is_bounded(spark):
+    out = R.events_burstiness(spark, SF_SMOKE).toPandas()
+    assert ((out.burstiness > -1) & (out.burstiness < 1)).all()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["us"] = ev.ts.astype("datetime64[us]").astype("int64")
+    got = out.set_index("user_id")
+    n_checked = 0
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["us", "event_id"])
+        gaps = (np.diff(grp.us.to_numpy()) // 1_000_000).astype("int64")
+        if len(gaps) < 2:
+            assert uid not in got.index
+            continue
+        row = got.loc[uid]
+        assert row["n_gaps"] == len(gaps)
+        assert row["sg"] == gaps.sum()
+        assert row["sg2"] == (gaps.astype(object) ** 2).sum()
+        assert row["max_gap_s"] == gaps.max()
+        mu = gaps.sum() / len(gaps)
+        sigma = np.sqrt(((gaps - mu) ** 2).mean())
+        assert abs(row["stddev_gap_s"] - sigma) < 1e-6 * max(sigma, 1)
+        n_checked += 1
+    assert n_checked == len(out)

@@ -153,6 +153,7 @@ HEADLINE = [
     "emb_ann_lsh",
     "emb_ivf_topk",
     "emb_quantize_int8",
+    "emb_covariance",
     "emb_matryoshka_audit",
     "emb_semdedup",
     "mm_image_features",

@@ -609,6 +609,9 @@ CATALOG: dict[str, QueryDef] = {
                               "(norm-augmentation LSH is the scale path)"),
     "emb_quantize_int8": QueryDef(V.emb_quantize_int8, V.EMB_QUANTIZE_INT8_SQL,
                                   "symmetric int8 quantization audit"),
+    "emb_covariance": QueryDef(V.emb_covariance, V.EMB_COVARIANCE_SQL,
+                               "exact 64x64 covariance via distributed "
+                               "partial Gram sums (numpy rank-k updates)"),
     "emb_centroid_per_label": QueryDef(V.emb_centroid_per_label, V.EMB_CENTROID_SQL,
                                        "per-label vector aggregation"),
     "emb_ann_lsh": QueryDef(V.emb_ann_lsh_topk, V.EMB_ANN_LSH_SQL,

@@ -444,3 +444,94 @@ ov AS (SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS overlap5
 SELECT qid, full_ids, prefix_ids, COALESCE(ov.overlap5, 0) AS overlap5
 FROM fa JOIN pa USING (qid) LEFT JOIN ov USING (qid)
 """
+
+
+# --- Exact covariance / Gram matrix (whitening prep) ------------------------
+
+EMB_COV_SCALE = 1000  # milli-unit fixed point: |v_fp| ~ 1e3, so a Gram
+                      # entry accumulates |1e6| per row -- inside int64
+                      # up to ~1e12 rows (micro-units would overflow at
+                      # ~1e7 rows for unit-scale embeddings)
+
+
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 embedding covariance matrix -- the whitening /
+    PCA-prep step of an embedding pipeline -- via DISTRIBUTED PARTIAL
+    GRAM SUMS: each partition folds its rows into one int64 d x d
+    outer-product accumulator with a vectorized numpy matmul
+    (mapInPandas, Arrow-batched), then the d^2-row partials hash-merge.
+    That is the linear-algebra-at-scale shape: the shuffle carries
+    O(partitions x d^2) tiny rows, never O(n), and the per-row work is
+    a C-speed rank-k update instead of a 4096-way explode (the oracle
+    DOES the double-unnest -- certifying the fast path against the
+    naive one). Fixed-point milli-unit values make every Gram entry an
+    exact BIGINT; the covariance (n*s_ij - s_i*s_j) / n^2 is the one
+    final double, computed identically by both engines."""
+    d = 64
+    emb = _emb(spark, sf_dir).select("embedding")
+
+    def gram(it):
+        import numpy as np
+        import pandas as pd
+
+        total = np.zeros((d, d), dtype=np.int64)
+        sums = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in it:
+            V = np.stack([np.asarray(a, dtype=np.float64)
+                          for a in pdf["embedding"]]) * EMB_COV_SCALE
+            # ROUND half-away-from-zero, matching both engines' ROUND
+            # (numpy's own round is banker's)
+            Vq = np.where(V >= 0, np.floor(V + 0.5),
+                          np.ceil(V - 0.5)).astype(np.int64)
+            total += Vq.T @ Vq
+            sums += Vq.sum(axis=0)
+            n += len(Vq)
+        if n == 0:
+            return
+        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame({
+            "i": i.ravel().astype("int32"),
+            "j": j.ravel().astype("int32"),
+            "s_ij": total.ravel(),
+            "s_i": sums[i.ravel()],
+            "s_j": sums[j.ravel()],
+            "n": np.int64(n)})
+
+    partials = emb.mapInPandas(
+        gram, "i int, j int, s_ij long, s_i long, s_j long, n long")
+    m = (partials.groupBy("i", "j")
+         .agg(F.sum("s_ij").alias("s_ij"), F.sum("s_i").alias("s_i"),
+              F.sum("s_j").alias("s_j"), F.sum("n").alias("n")))
+    cov = ((F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j"))
+           .cast("double")
+           / (F.col("n") * F.col("n")).cast("double")
+           / (EMB_COV_SCALE * EMB_COV_SCALE))
+    return m.select("i", "j", "n", "s_ij", "s_i", "s_j",
+                    cov.alias("cov"))
+
+
+EMB_COVARIANCE_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        v -> CAST(ROUND(v * {EMB_COV_SCALE}) AS BIGINT))
+           AS vq
+  FROM embeddings),
+u AS (
+  SELECT vec_id, i.i AS i, vq[i.i + 1] AS vi, j.j AS j, vq[j.j + 1] AS vj
+  FROM q,
+       (SELECT unnest(range(0, 64)) AS i) i,
+       (SELECT unnest(range(0, 64)) AS j) j),
+m AS (
+  SELECT i, j,
+         CAST(SUM(vi * vj) AS BIGINT) AS s_ij,
+         CAST(SUM(vi) AS BIGINT) AS s_i,
+         CAST(SUM(vj) AS BIGINT) AS s_j,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM u GROUP BY 1, 2)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, s_ij, s_i, s_j,
+       CAST(n * s_ij - s_i * s_j AS DOUBLE)
+       / CAST(n * n AS DOUBLE) / {EMB_COV_SCALE * EMB_COV_SCALE} AS cov
+FROM m
+"""

@@ -370,3 +370,19 @@ def test_burstiness_matches_numpy_and_is_bounded(spark):
         assert abs(row["stddev_gap_s"] - sigma) < 1e-6 * max(sigma, 1)
         n_checked += 1
     assert n_checked == len(out)
+
+
+def test_covariance_matches_numpy_and_is_symmetric(spark):
+    from cassandra_sstable_to_protocolbuf_spark.plans import vectorops as V
+
+    out = V.emb_covariance(spark, SF_SMOKE).toPandas()
+    assert len(out) == 64 * 64
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet",
+                          columns=["embedding"])
+    X = np.stack(emb.embedding.to_numpy()) * V.EMB_COV_SCALE
+    Xq = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5))
+    want = np.cov(Xq, rowvar=False, bias=True) / V.EMB_COV_SCALE ** 2
+    got = out.pivot(index="i", columns="j", values="cov").to_numpy()
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.allclose(got, got.T)  # exact integer moments => symmetric
+    assert (np.diag(got) >= 0).all()

@@ -101,6 +101,7 @@ HEADLINE = [
     "events_holt_trend",
     "events_cusum",
     "stream_cusum",
+    "stream_holt_trend",
     "orders_benford_audit",
     "sql_recursive_hierarchy",
     "events_bootstrap_ci",

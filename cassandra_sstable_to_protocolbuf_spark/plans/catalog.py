@@ -281,6 +281,10 @@ CATALOG: dict[str, QueryDef] = {
     "stream_cusum": QueryDef(ST.stream_cusum, R.EVENTS_CUSUM_SQL,
                              "CUSUM through streaming with cross-batch "
                              "calibration warmup and retroactive emit"),
+    "stream_holt_trend": QueryDef(ST.stream_holt_trend,
+                                  R.EVENTS_HOLT_TREND_SQL,
+                                  "Holt recurrence through ordered streaming "
+                                  "replay, two-integer JSON state per type"),
     "events_funnel": QueryDef(R.events_funnel, R.EVENTS_FUNNEL_SQL,
                               "ordered view->click->purchase funnel stages"),
     "events_resample_ffill": QueryDef(R.events_resample_ffill,

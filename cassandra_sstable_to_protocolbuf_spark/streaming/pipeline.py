@@ -1077,3 +1077,99 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "event_type string, day string, y long, "
               "ref_fp long, cusum_fp long")
     return res.withColumn("alarm", F.col("cusum_fp") > 3 * F.col("ref_fp"))
+
+
+def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt level+trend recurrence maintained THROUGH streaming --
+    the forecasting twin of stream_cusum's detector, completing the
+    batch+stream pairing for all three sequential recurrences (EWMA,
+    CUSUM, Holt). Day-boundary slices replay in event-time order; each
+    batch folds its days onto the per-type (level, trend) state carried
+    from the previous batch. No warmup buffering here (the recurrence
+    seeds at the first day), so state is exactly two integers per type,
+    committed as one driver-side JSON file per batch_id (the bounded-
+    state pattern; see stream_cusum for why parquet state jobs are
+    wrong at this state size). Gate: the batch recursive-CTE oracle --
+    ordered replay reproduces the coupled fixed-point recurrence
+    bit-for-bit."""
+    import os
+    import time as _time
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _t, _tdiv)
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")))
+
+    n_slices = 6
+    spool = scratch_dir("holt_spool", tag)
+    have = sorted(p for p in os.listdir(spool) if p.startswith("slice-"))
+    if have != [f"slice-{i}.parquet" for i in range(n_slices)]:
+        days = [r["day"] for r in
+                ev.select("day").distinct().orderBy("day").collect()]
+        step = (len(days) + n_slices - 1) // n_slices
+        for i in range(n_slices):
+            sl = days[i * step:(i + 1) * step]
+            part = ev.filter(F.col("day").isin(sl or ["-"]))
+            tmp = os.path.join(spool, f"g{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(spool, f"slice-{i}.parquet")
+            os.replace(os.path.join(tmp, src), dst)
+            t = _time.time() + i
+            os.utime(dst, (t, t))
+            import shutil
+            shutil.rmtree(tmp)
+
+    state_root = scratch_dir("holt_state", tag, fresh=True)
+    outputs: dict[int, list] = {}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        import json
+
+        daily = (batch.groupBy("event_type", "day")
+                 .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
+        prev = os.path.join(state_root, f"b{batch_id - 1}.json")
+        st = {}
+        if os.path.exists(prev):
+            with open(prev) as f:
+                st = json.load(f)
+        rows = sorted([r["event_type"], r["day"], r["y_fp"]]
+                      for r in daily.collect())
+        out, new_state = [], dict(st)
+        for et, day, y in rows:
+            y = int(y)
+            if et not in new_state:
+                lv, tr = y, 0
+            else:
+                plv, ptr = new_state[et]
+                lv = _tdiv(y + 3 * (plv + ptr), 4)
+                tr = _tdiv((lv - plv) + 3 * ptr, 4)
+            new_state[et] = (lv, tr)
+            out.append((et, day, y // 1_000_000, lv, tr))
+        outputs[batch_id] = out
+        tmp = os.path.join(state_root, f"b{batch_id}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(new_state, f)
+        os.replace(tmp, os.path.join(state_root, f"b{batch_id}.json"))
+
+    schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
+    ckpt = scratch_dir("holt_ckpt", tag, fresh=True)
+    q = (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", "1")
+         .option("pathGlobFilter", "slice-*.parquet")
+         .parquet(spool)
+         .writeStream.foreachBatch(fold)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = [r for b in sorted(outputs) for r in outputs[b]]
+    res = spark.createDataFrame(
+        rows, "event_type string, day string, y long, "
+              "level_fp long, trend_fp long")
+    return res.withColumn(
+        "forecast_next",
+        (F.col("level_fp") + F.col("trend_fp")).cast("double") / 1e6)

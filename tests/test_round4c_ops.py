@@ -386,3 +386,17 @@ def test_covariance_matches_numpy_and_is_symmetric(spark):
     assert np.allclose(got, want, atol=1e-12)
     assert np.allclose(got, got.T)  # exact integer moments => symmetric
     assert (np.diag(got) >= 0).all()
+
+
+def test_stream_holt_equals_batch(spark):
+    """Ordered streaming replay must reproduce the batch coupled
+    recurrence bit-for-bit."""
+    from cassandra_sstable_to_protocolbuf_spark.streaming import (
+        pipeline as ST)
+
+    batch = (R.events_holt_trend(spark, SF_SMOKE).toPandas()
+             .sort_values(["event_type", "day"]).reset_index(drop=True))
+    stream = (ST.stream_holt_trend(spark, SF_SMOKE).toPandas()
+              [batch.columns]
+              .sort_values(["event_type", "day"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(stream, batch)

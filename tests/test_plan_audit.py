@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "orders_negative_samples",   # ONE-ROW item-domain-size broadcast
     "orders_benford_audit",      # ONE-ROW global digit-total broadcast
     "docs_bpe_encode",           # ONE-ROW winning-merge-pair broadcasts
+    "events_bootstrap_ci",       # ONE-ROW point-estimate x CI broadcast
 }
 
 # Streaming entries need a running query; iterative ones (label

@@ -400,3 +400,23 @@ def test_stream_holt_equals_batch(spark):
               [batch.columns]
               .sort_values(["event_type", "day"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(stream, batch)
+
+
+def test_tdiv_matches_both_engines_integer_division(spark, duck):
+    """The recurrences assume BOTH engines' integer division truncates
+    toward zero (Python's // floors, so _tdiv exists). Pin both
+    engines' semantics across signs so an upgrade that switches to
+    floor division fails loudly here instead of corrupting a
+    recurrence."""
+    cases = [(a, b) for a in range(-17, 18) for b in (1, 2, 3, 4, 7)]
+    vals = ", ".join(f"({a}, {b})" for a, b in cases)
+    for got_rows in (
+        duck.execute(
+            f"SELECT a, b, CAST(a AS BIGINT) // b "
+            f"FROM (VALUES {vals}) t(a, b)").fetchall(),
+        [tuple(r) for r in spark.sql(
+            f"SELECT a, b, CAST(a AS BIGINT) DIV b "
+            f"FROM (VALUES {vals}) t(a, b)").collect()],
+    ):
+        for a, b, got in got_rows:
+            assert got == R._tdiv(a, b), (a, b, got)

@@ -164,6 +164,7 @@ HEADLINE = [
     "mm_bmp_decode",
     "mm_png_decode",
     "mm_gif_decode",
+    "mm_qoi_decode",
     "mm_scene_cuts",
 ]
 

@@ -479,6 +479,8 @@ def _decode_payload(media_type: str, payload: bytes):
         return decode_png(payload)[2]
     if media_type == GIF_MEDIA_TYPE:
         return decode_gif(payload)[2]
+    if media_type == QOI_MEDIA_TYPE:
+        return decode_qoi(payload)[2]
     raise NotImplementedError(
         f"no codec for {media_type} in this environment; install the "
         f"image/audio libraries and extend _decode_payload")
@@ -573,6 +575,8 @@ def extract_image_stats(media: DataFrame) -> DataFrame:
                     w, h, px = decode_png(bytes(payload))
                 elif mt == GIF_MEDIA_TYPE:
                     w, h, px = decode_gif(bytes(payload))
+                elif mt == QOI_MEDIA_TYPE:
+                    w, h, px = decode_qoi(bytes(payload))
                 else:
                     raise NotImplementedError(f"no image decoder for {mt}")
                 n = len(px)
@@ -746,3 +750,136 @@ def resize_payloads(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
     return widen(media).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+QOI_MEDIA_TYPE = "image/qoi"
+
+
+def encode_qoi(pixels: bytes, width: int) -> bytes:
+    """Genuine QOI (Quite OK Image, qoiformat.org) encoder over
+    grayscale pixels (emitted as r=g=b, alpha 255): all five chunk ops
+    -- RUN for repeats and the zero tail pad, INDEX on hash-table hits,
+    DIFF for small deltas, LUMA for medium, RGB as the fallback -- so a
+    decoder must implement the whole spec to recover the bytes."""
+    import struct
+
+    w = max(1, width)
+    h = max(1, (len(pixels) + w - 1) // w)
+    px = pixels + b"\x00" * (w * h - len(pixels))
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    table = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for v in px:
+        cur = (v, v, v, 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        ih = (cur[0] * 3 + cur[1] * 5 + cur[2] * 7 + cur[3] * 11) % 64
+        if table[ih] == cur:
+            out.append(ih)
+        else:
+            table[ih] = cur
+            d = (v - prev[0] + 256) % 256  # wrapping delta, same all ch
+            ds = d - 256 if d > 127 else d
+            if -2 <= ds <= 1:
+                out.append(0x40 | ((ds + 2) << 4) | ((ds + 2) << 2)
+                           | (ds + 2))
+            elif -32 <= ds <= 31:  # dr-dg = db-dg = 0 for grayscale
+                out.append(0x80 | (ds + 32))
+                out.append((8 << 4) | 8)
+            else:
+                out.append(0xFE)
+                out.extend((v, v, v))
+        prev = cur
+        if table[ih] != cur:
+            table[ih] = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out.extend(b"\x00" * 7 + b"\x01")
+    return bytes(out)
+
+
+def decode_qoi(payload: bytes):
+    """Full QOI decoder (stdlib + numpy only): header, all five chunk
+    ops, 64-entry hash table, wrapping byte arithmetic, end marker.
+    Returns (width, height, grayscale np.uint8 array); refuses pixels
+    whose channels disagree (the grayscale contract of the fixture)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w, h, channels, _cs = struct.unpack(">IIBB", payload[4:14])
+    if channels != 3:
+        raise ValueError(f"expected RGB qoi, got channels={channels}")
+    n = w * h
+    out = np.empty(n, dtype=np.uint8)
+    table = [(0, 0, 0, 0)] * 64
+    r = g = b = 0
+    a = 255
+    pos, i = 14, 0
+    while i < n:
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0xFE:  # RGB
+            r, g, b = payload[pos:pos + 3]
+            pos += 3
+        elif b0 == 0xFF:  # RGBA
+            r, g, b, a = payload[pos:pos + 4]
+            pos += 4
+        elif b0 >> 6 == 0:  # INDEX
+            r, g, b, a = table[b0]
+        elif b0 >> 6 == 1:  # DIFF
+            r = (r + ((b0 >> 4) & 3) - 2) % 256
+            g = (g + ((b0 >> 2) & 3) - 2) % 256
+            b = (b + (b0 & 3) - 2) % 256
+        elif b0 >> 6 == 2:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = payload[pos]
+            pos += 1
+            r = (r + dg + ((b1 >> 4) & 0xF) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (b1 & 0xF) - 8) % 256
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            if r != g or g != b:
+                raise ValueError("non-grayscale QOI pixel")
+            out[i:i + run] = r
+            i += run
+            continue
+        table[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        if r != g or g != b:
+            raise ValueError("non-grayscale QOI pixel")
+        out[i] = r
+        i += 1
+    if payload[pos:pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    return w, h, out
+
+
+def attach_qoi_payloads(docs: DataFrame) -> DataFrame:
+    """Real-container media column: each document's utf-8 bytes become
+    the grayscale pixels of a genuine QOI image, width varied per doc
+    (doc_id % 7 + 5)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def qoi_of(text: pd.Series, width: pd.Series) -> pd.Series:
+        return pd.Series([encode_qoi(t.encode("utf-8"), int(w))
+                          for t, w in zip(text, width)])
+
+    width = (F.col("doc_id") % 7 + 5).cast("int")
+    return docs.select(
+        "doc_id",
+        F.lit(QOI_MEDIA_TYPE).alias("media_type"),
+        qoi_of(F.col("text"), width).alias("payload"),
+        width.alias("width"),
+        F.lit(0).cast("int").alias("height"))

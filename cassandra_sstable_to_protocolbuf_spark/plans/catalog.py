@@ -481,6 +481,9 @@ CATALOG: dict[str, QueryDef] = {
     "mm_gif_decode": QueryDef(R.mm_gif_decode, R.MM_GIF_DECODE_SQL,
                               "REAL GIF87a round-trip (variable-width LZW, "
                               "sub-block reassembly, table resets, stdlib only)"),
+    "mm_qoi_decode": QueryDef(R.mm_qoi_decode, R.MM_QOI_DECODE_SQL,
+                              "REAL QOI round-trip (run/index/diff/luma/rgb "
+                              "chunk ops, stdlib only)"),
     "mm_scene_cuts": QueryDef(R.mm_scene_cuts, R.MM_SCENE_CUTS_SQL,
                               "video scene-cut detection: frame-difference "
                               "threshold over the sampled frame stream"),

@@ -5895,3 +5895,41 @@ SELECT user_id, n_gaps, sg, sg2, max_gap_s,
           + CAST(sg AS DOUBLE) / n_gaps) AS burstiness
 FROM m WHERE n_gaps >= 2
 """
+
+
+def mm_qoi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container QOI path (qoiformat.org): each document's bytes
+    become the grayscale pixels of a genuine QOI image -- run-length,
+    hash-index, DIFF and LUMA delta chunks, RGB fallback, wrapping byte
+    arithmetic -- decoded by the stdlib-only full-spec parser. The
+    fifth real codec behind the one multimodal seam (WAV, BMP, PNG,
+    GIF, QOI), each exercising a different compression family: QOI is
+    the modern single-pass byte-oriented format. The oracle recomputes
+    geometry and pixel sums from the raw text; equality certifies the
+    whole chunk-op round-trip."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_qoi_payloads, extract_image_stats)
+    docs = _t(spark, sf_dir, "documents")
+    return extract_image_stats(attach_qoi_payloads(docs))
+
+
+MM_QOI_DECODE_SQL = """
+WITH d AS (SELECT doc_id, encode(text) AS b,
+                  CAST(doc_id % 7 + 5 AS BIGINT) AS w FROM documents),
+dims AS (SELECT doc_id, w,
+                GREATEST(1, (octet_length(b) + w - 1) // w) AS h FROM d),
+idx AS (SELECT doc_id, b, unnest(range(0, octet_length(b))) AS i FROM d),
+bytes AS (
+  SELECT doc_id,
+         (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+1 AS INT), 1))) * 16
+       + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+2 AS INT), 1))) AS v
+  FROM idx),
+sums AS (SELECT doc_id, SUM(v) AS s FROM bytes GROUP BY doc_id)
+SELECT dims.doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(COALESCE(s, 0) AS BIGINT) AS pixel_sum,
+       CAST(COALESCE(s, 0) AS DOUBLE) / (w * h) AS mean_pixel
+FROM dims LEFT JOIN sums USING (doc_id)
+"""

@@ -216,3 +216,27 @@ def test_gif_lzw_roundtrip_fuzz():
     long = b"abcab" * 4000  # > 4096 codes: exercises table reset
     _, _, px = decode_gif(encode_gif(long, 50))
     assert bytes(px[:len(long)]) == long
+
+
+def test_qoi_roundtrip_fuzz():
+    """Full-spec QOI round-trip over adversarial payloads: runs longer
+    than 62 (multi-RUN chunks), hash-index hits, small/medium/large
+    deltas (DIFF/LUMA/RGB), empty payloads, single columns."""
+    import random
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        decode_qoi, encode_qoi)
+
+    rng = random.Random(41)
+    cases = [b"", b"\x00" * 200, bytes(range(256)),
+             b"\x7f\x80\x81" * 40, b"ab" * 100]
+    for _ in range(200):
+        n = rng.randrange(0, 500)
+        cases.append(bytes(rng.choice(
+            [rng.randrange(256), rng.randrange(4), 200]) for _ in range(n)))
+    for data in cases:
+        for w in (1, 5, 13):
+            got_w, got_h, px = decode_qoi(encode_qoi(data, w))
+            assert got_w == w
+            exp = data + b"\x00" * (got_w * got_h - len(data))
+            assert bytes(px) == exp

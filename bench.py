@@ -106,6 +106,7 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "events_bootstrap_ci",
     "events_burstiness",
+    "events_seasonal_decompose",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

@@ -423,6 +423,9 @@ CATALOG: dict[str, QueryDef] = {
                                     "Poisson-bootstrap 95% CI: per-row "
                                     "deterministic replica weights, exact "
                                     "integer moments"),
+    "events_seasonal_decompose": QueryDef(
+        R.events_seasonal_decompose, R.EVENTS_SEASONAL_DECOMPOSE_SQL,
+        "additive trend/seasonal/residual decomposition, exact sevenths"),
     "events_burstiness": QueryDef(R.events_burstiness,
                                   R.EVENTS_BURSTINESS_SQL,
                                   "per-user inter-arrival burstiness "

@@ -5933,3 +5933,72 @@ SELECT dims.doc_id,
        CAST(COALESCE(s, 0) AS DOUBLE) / (w * h) AS mean_pixel
 FROM dims LEFT JOIN sums USING (doc_id)
 """
+
+
+# --- Seasonal decomposition (trend / seasonal / residual) -------------------
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily series per event
+    type -- trend by centered 7-row moving average, weekday seasonal
+    index, residual -- the STL-lite every metrics stack runs before
+    anomaly scoring. Everything stays integer-exact by working in
+    SEVENTHS: detrended_x7 = 7y - sum7 avoids the trunc-vs-floor
+    division hazard entirely until the seasonal index's own truncating
+    division (the semantics both engines' integer div share, pinned in
+    tests). Weekday comes from epoch-day arithmetic (datediff % 7), not
+    dayofweek(), whose Sunday origin differs across engines. Edge rows
+    without a full 7-row window are excluded by exact count. Scale: one
+    day-grain reduction touches the fact table; two window passes and a
+    49-row seasonal join run on the tiny series."""
+    from pyspark.sql import Window as W
+
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy("event_type", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    w = (W.partitionBy("event_type").orderBy("d").rowsBetween(-3, 3))
+    t = (daily.withColumn("sum7", F.sum("y").over(w))
+         .withColumn("n7", F.count(F.lit(1)).over(w))
+         .filter(F.col("n7") == 7)
+         .withColumn("detr_x7", 7 * F.col("y") - F.col("sum7"))
+         .withColumn("dow", F.expr(
+             "datediff(d, DATE '1970-01-01') % 7")))
+    seas = (t.groupBy("event_type", "dow")
+            .agg(F.expr("sum(detr_x7) DIV count(1)").alias("seas_x7")))
+    out = t.join(seas, ["event_type", "dow"])
+    return out.select(
+        "event_type", F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "y", F.col("sum7").alias("trend_x7"), "detr_x7",
+        F.col("dow").cast("int").alias("dow"), "seas_x7",
+        (F.col("detr_x7") - F.col("seas_x7")).alias("resid_x7"),
+        (F.col("sum7").cast("double") / 7).alias("trend"))
+
+
+EVENTS_SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+t AS (
+  SELECT event_type, d, y,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+  FROM daily),
+f AS (
+  SELECT event_type, d, y, sum7,
+         7 * y - sum7 AS detr_x7,
+         (d - DATE '1970-01-01') % 7 AS dow
+  FROM t WHERE n7 = 7),
+seas AS (
+  SELECT event_type, dow,
+         CAST(SUM(detr_x7) // COUNT(*) AS BIGINT) AS seas_x7
+  FROM f GROUP BY 1, 2)
+SELECT f.event_type, strftime(f.d, '%Y-%m-%d') AS day, f.y,
+       CAST(f.sum7 AS BIGINT) AS trend_x7, CAST(f.detr_x7 AS BIGINT)
+         AS detr_x7,
+       CAST(f.dow AS INT) AS dow, seas.seas_x7,
+       CAST(f.detr_x7 - seas.seas_x7 AS BIGINT) AS resid_x7,
+       CAST(f.sum7 AS DOUBLE) / 7 AS trend
+FROM f JOIN seas USING (event_type, dow)
+"""

@@ -420,3 +420,25 @@ def test_tdiv_matches_both_engines_integer_division(spark, duck):
     ):
         for a, b, got in got_rows:
             assert got == R._tdiv(a, b), (a, b, got)
+
+
+def test_seasonal_decompose_identity_and_ma(spark):
+    """y reconstructs exactly: 7y = trend_x7 + seas_x7 + resid_x7 (the
+    additive identity in sevenths), the trend is the literal centered
+    7-row moving average, and the weekday index is the truncated mean
+    of that weekday's detrended values."""
+    out = R.events_seasonal_decompose(spark, SF_SMOKE).toPandas()
+    assert ((7 * out.y - out.trend_x7
+             == out.seas_x7 + out.resid_x7).all())
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev["day"] = ev.ts.dt.strftime("%Y-%m-%d")
+    daily = (ev.groupby(["event_type", "day"]).size()
+             .reset_index(name="y").sort_values(["event_type", "day"]))
+    for et, grp in daily.groupby("event_type"):
+        ys = grp.y.to_numpy()
+        days = grp.day.to_numpy()
+        sub = out[out.event_type == et].set_index("day")
+        assert len(sub) == max(0, len(ys) - 6)
+        for i in range(3, len(ys) - 3):
+            assert sub.loc[days[i], "trend_x7"] == ys[i - 3:i + 4].sum()

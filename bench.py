@@ -33,6 +33,7 @@ HEADLINE = [
     "sst_schema_evolution",
     "sst_repair_diff",
     "sst_mor_merge",
+    "sst_reshard_evolution",
     "sst_compacted_merge",
     "sst_version_changes",
     "sst_merge_into",

@@ -76,12 +76,14 @@ def land_to_parquet(spark: SparkSession, input_path: str, out_dir: str,
 N_SHARDS = 16
 
 
-def key_shard(col):
+def key_shard(col, n_shards: int = N_SHARDS):
     """Deterministic key shard for the incremental-merge layout. The
     shard count is a layout constant: at 100 TB you pick it once (e.g.
     4096) so a delta batch touches a bounded, localizable set of
-    directories."""
-    return F.pmod(F.xxhash64(col), F.lit(N_SHARDS))
+    directories. Versioned tables may later EVOLVE it
+    (versioned.reshard_versioned), which threads the manifest's spec
+    through this parameter."""
+    return F.pmod(F.xxhash64(col), F.lit(n_shards))
 
 
 def land_by_shard(cells: DataFrame, out_dir: str) -> None:

@@ -110,6 +110,10 @@ CATALOG: dict[str, QueryDef] = {
                                  "secondary-index point lookup -> partition fetch (2i analog)"),
     "sst_mor_merge": QueryDef(C.sst_mor_merge, C.SST_MOR_MERGE_SQL,
                               "merge-on-read commit: O(delta) append + read-time LWW"),
+    "sst_reshard_evolution": QueryDef(C.sst_reshard_evolution,
+                                      C.SST_RESHARD_EVOLUTION_SQL,
+                                      "partition-spec evolution: metadata-only "
+                                      "reshard + cross-spec read-time LWW"),
     "sst_compacted_merge": QueryDef(C.sst_compacted_merge,
                                     C.SST_COMPACTED_MERGE_SQL,
                                     "MoR append -> compaction -> raw read == from-scratch LWW"),

@@ -1366,3 +1366,36 @@ SELECT COALESCE(origin_host, 'legacy') AS origin,
 FROM win WHERE rn = 1
 GROUP BY 1
 """
+
+
+def sst_reshard_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION (Iceberg's flagship layout feature): the
+    table's shard count doubles via a METADATA-ONLY commit (no data
+    rewritten -- old files keep their old labels, the manifest records
+    the new spec and a MIXED flag), then a merge-on-read delta lands
+    already sharded under the NEW spec, and the snapshot is read through
+    versioned.read_respec -- LWW by key across BOTH specs, shard column
+    recomputed under the current spec. The oracle recomputes
+    last-write-wins from scratch over all sstables, so the green hash
+    certifies that evolving the layout constant lost nothing -- the
+    operation that otherwise forces a synchronous full-table rewrite at
+    100 TB. Label-based ops stay guarded while mixed
+    (tests/test_versioned.py pins the state machine: CoW refuses, respec
+    compaction relabels and clears the flag)."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import work_clone
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, read_respec, reshard_versioned)
+
+    base = versioned_base_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    work = work_clone(base, "reshard_work", tag)
+    v1 = reshard_versioned(work, 32)
+    assert v1 == 1, f"expected reshard to commit v1, got v{v1}"
+    v2 = append_versioned(spark, work, replica_delta_cells(spark, sf_dir))
+    assert v2 == 2, f"expected MoR append to commit v2, got v{v2}"
+    return project_landed(read_respec(spark, work))
+
+
+SST_RESHARD_EVOLUTION_SQL = SST_MOR_MERGE_SQL

@@ -244,7 +244,8 @@ def _verify_claim(table_dir: str, version: int, writer_uuid: str,
 
 
 def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
-            version: int, schema_json: str | None = None) -> int:
+            version: int, schema_json: str | None = None,
+            spec: dict | None = None) -> int:
     import uuid
 
     writer_uuid = uuid.uuid4().hex
@@ -253,6 +254,8 @@ def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
                           sorted(files_by_shard.items()) if fl}}
     if schema_json is not None:
         manifest["schema"] = schema_json
+    if spec is not None:
+        manifest["spec"] = spec
     if version == 0:
         # table creation has no concurrent-writer protocol to honor
         # (init_versioned refuses pre-existing tables, so nothing can
@@ -458,6 +461,80 @@ def diff_versions(spark: SparkSession, table_dir: str,
                     "old_sstable_id", "new_sstable_id"))
 
 
+def _spec_n(manifest: dict) -> int:
+    """The snapshot's partition-spec shard count (landed.N_SHARDS for
+    tables that never evolved)."""
+    from cassandra_sstable_to_protocolbuf_spark.landed import N_SHARDS
+    return (manifest.get("spec") or {}).get("n_shards", N_SHARDS)
+
+
+def _require_coherent(manifest: dict, op: str) -> None:
+    """Shard-LABEL-based operations (CoW touched-shard merges, per-label
+    compaction, shard-grouped reads) are only correct when every data
+    file was written under ONE spec. A reshard leaves the table MIXED
+    (old files under old labels) until compact_respec_versioned rewrites
+    them; until then only spec-agnostic paths (append_versioned,
+    read_respec) may run -- exactly Iceberg's multi-spec read rule."""
+    if (manifest.get("spec") or {}).get("mixed"):
+        raise ValueError(
+            f"{op} requires a single-spec table, but this snapshot is "
+            f"spec-MIXED after a reshard; run compact_respec_versioned "
+            f"first (reads: use read_respec)")
+
+
+def reshard_versioned(table_dir: str, n_shards: int) -> int:
+    """Evolve the table's partition spec (shard count) WITHOUT rewriting
+    any data -- a metadata-only commit carrying the same file lists and
+    the new spec, marked MIXED because existing files keep their old
+    labels. Subsequent merge-on-read appends shard their deltas under
+    the new spec immediately; `read_respec` reconciles across specs at
+    read time; `compact_respec_versioned` relabels the data files and
+    clears the mixed flag. This is Iceberg partition-spec evolution:
+    changing the layout constant costs one metadata commit now and a
+    deferrable background rewrite, never a synchronous table rewrite."""
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if n_shards == _spec_n(manifest) and not (
+            manifest.get("spec") or {}).get("mixed"):
+        return cur
+    spec = {"n_shards": n_shards, "mixed": True}
+    return _commit(table_dir, manifest["files"], cur + 1,
+                   schema_json=manifest.get("schema"), spec=spec)
+
+
+def read_respec(spark: SparkSession, table_dir: str,
+                version: int | None = None) -> DataFrame:
+    """Snapshot read that reconciles across partition specs: LWW by
+    (key, name) ONLY -- shard labels from different specs cannot split a
+    key's group -- then the shard column is recomputed under the
+    snapshot's CURRENT spec, so consumers see the evolved layout.
+    On a single-spec table this equals read_merged exactly."""
+    from cassandra_sstable_to_protocolbuf_spark.landed import (
+        key_shard, lww_winners)
+
+    m = read_manifest(table_dir, version)
+    rows = read_version(spark, table_dir, version).drop("shard")
+    return (lww_winners(rows)
+            .withColumn("shard", key_shard(F.col("key"), _spec_n(m))))
+
+
+def compact_respec_versioned(spark: SparkSession, table_dir: str) -> int:
+    """Rewrite every data file under the snapshot's current spec and
+    clear the MIXED flag -- the deferred background rewrite that follows
+    a reshard (Iceberg's rewrite-data-files maintenance job). Content
+    under reconciliation is invariant; prior versions stay readable."""
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    winners = read_respec(spark, table_dir, cur)
+    new_files = _commit_data_files(winners, table_dir, cur + 1)
+    spec = {"n_shards": _spec_n(manifest)}
+    return _commit(table_dir, new_files, cur + 1,
+                   schema_json=manifest.get("schema")
+                   or _schema_json(winners), spec=spec)
+
+
 def merge_versioned(spark: SparkSession, table_dir: str,
                     delta_cells: DataFrame) -> int:
     """Commit a new version holding the LWW merge of the current version
@@ -465,13 +542,15 @@ def merge_versioned(spark: SparkSession, table_dir: str,
     rewritten; every other shard's files carry into the new manifest by
     reference (zero I/O). Returns the new version number."""
     _check_input_columns(delta_cells, "merge_versioned")
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    _require_coherent(manifest, "merge_versioned")
     delta = (lww_live_cells(delta_cells)
-             .withColumn("shard", key_shard(F.col("key")))
+             .withColumn("shard", key_shard(F.col("key"),
+                                            _spec_n(manifest)))
              .localCheckpoint())
     shards = sorted(str(r["shard"]) for r in
                     delta.select("shard").distinct().collect())
-    cur = current_version(table_dir)
-    manifest = read_manifest(table_dir, cur)
     if not shards:
         return cur
     _check_schema(manifest, delta, "merge_versioned")
@@ -484,7 +563,8 @@ def merge_versioned(spark: SparkSession, table_dir: str,
     files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
     files.update(new_files)
     return _commit(table_dir, files, cur + 1,
-                   schema_json=manifest.get("schema") or _schema_json(merged))
+                   schema_json=manifest.get("schema") or _schema_json(merged),
+                   spec=manifest.get("spec"))
 
 
 def merge_into_versioned(spark: SparkSession, table_dir: str,
@@ -503,18 +583,20 @@ def merge_into_versioned(spark: SparkSession, table_dir: str,
     pass); untouched shards carry over by reference. Returns the new
     version."""
     _check_input_columns(upserts, "merge_into_versioned")
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    _require_coherent(manifest, "merge_into_versioned")
+    n_spec = _spec_n(manifest)
     delta = (lww_live_cells(upserts)
-             .withColumn("shard", key_shard(F.col("key")))
+             .withColumn("shard", key_shard(F.col("key"), n_spec))
              .localCheckpoint())
     dk = (delete_keys.select("key").distinct()
-          .withColumn("shard", key_shard(F.col("key")))
+          .withColumn("shard", key_shard(F.col("key"), n_spec))
           .localCheckpoint())
     shards = sorted({str(r["shard"]) for r in
                      delta.select("shard").distinct().collect()}
                     | {str(r["shard"]) for r in
                        dk.select("shard").distinct().collect()})
-    cur = current_version(table_dir)
-    manifest = read_manifest(table_dir, cur)
     if not shards:
         return cur
     _check_schema(manifest, delta, "merge_into_versioned")
@@ -531,7 +613,8 @@ def merge_into_versioned(spark: SparkSession, table_dir: str,
     files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
     files.update(new_files)
     return _commit(table_dir, files, cur + 1,
-                   schema_json=manifest.get("schema") or _schema_json(merged))
+                   schema_json=manifest.get("schema") or _schema_json(merged),
+                   spec=manifest.get("spec"))
 
 
 def delete_keys_versioned(spark: SparkSession, table_dir: str,
@@ -541,13 +624,15 @@ def delete_keys_versioned(spark: SparkSession, table_dir: str,
     holds the data until vacuum reclaims it -- retention policy is the
     vacuum horizon, exactly Delta/Iceberg's model). Returns the new
     version number."""
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    _require_coherent(manifest, "delete_keys_versioned")
     keyed = (keys.select("key")
-             .withColumn("shard", key_shard(F.col("key")))
+             .withColumn("shard", key_shard(F.col("key"),
+                                            _spec_n(manifest)))
              .localCheckpoint())
     shards = sorted(str(r["shard"]) for r in
                     keyed.select("shard").distinct().collect())
-    cur = current_version(table_dir)
-    manifest = read_manifest(table_dir, cur)
     base_paths = [os.path.join(table_dir, p)
                   for s in shards for p in manifest["files"].get(s, [])]
     if not shards or not base_paths:
@@ -558,7 +643,8 @@ def delete_keys_versioned(spark: SparkSession, table_dir: str,
     files = {s: fl for s, fl in manifest["files"].items() if s not in shards}
     files.update(new_files)
     return _commit(table_dir, files, cur + 1,
-                   schema_json=manifest.get("schema") or _schema_json(kept))
+                   schema_json=manifest.get("schema") or _schema_json(kept),
+                   spec=manifest.get("spec"))
 
 
 def restore_version(table_dir: str, to_version: int) -> int:
@@ -570,7 +656,7 @@ def restore_version(table_dir: str, to_version: int) -> int:
     old = read_manifest(table_dir, to_version)
     new_version = current_version(table_dir) + 1
     return _commit(table_dir, old["files"], new_version,
-                   schema_json=old.get("schema"))
+                   schema_json=old.get("schema"), spec=old.get("spec"))
 
 
 def vacuum(table_dir: str, retain: int = 2,
@@ -647,22 +733,26 @@ def append_versioned(spark: SparkSession, table_dir: str,
     a minutely ingest cadence affordable.
     """
     _check_input_columns(delta_cells, "append_versioned")
+    cur = current_version(table_dir)
+    manifest = read_manifest(table_dir, cur)
+    # MoR appends are spec-SAFE on a mixed table: the delta shards under
+    # the new spec, and read_respec reconciles by key across specs
     delta = (lww_live_cells(delta_cells)
-             .withColumn("shard", key_shard(F.col("key")))
+             .withColumn("shard", key_shard(F.col("key"),
+                                            _spec_n(manifest)))
              .localCheckpoint())
     shards = sorted(str(r["shard"]) for r in
                     delta.select("shard").distinct().collect())
-    cur = current_version(table_dir)
     if not shards:
         return cur
-    manifest = read_manifest(table_dir, cur)
     _check_schema(manifest, delta, "append_versioned")
     new_files = _commit_data_files(delta, table_dir, cur + 1)
     files = dict(manifest["files"])
     for s, fl in new_files.items():
         files[s] = files.get(s, []) + fl
     return _commit(table_dir, files, cur + 1,
-                   schema_json=manifest.get("schema") or _schema_json(delta))
+                   schema_json=manifest.get("schema") or _schema_json(delta),
+                   spec=manifest.get("spec"))
 
 
 def read_merged(spark: SparkSession, table_dir: str,
@@ -671,6 +761,8 @@ def read_merged(spark: SparkSession, table_dir: str,
     overlapping generations merge-on-read commits leave in a shard.
     Exact no-op on fully compacted (or pure CoW) snapshots -- winners
     of winners are themselves."""
+    m = read_manifest(table_dir, version)
+    _require_coherent(m, "read_merged")
     return lww_winners(read_version(spark, table_dir, version),
                        extra_group_cols=("shard",))
 
@@ -684,6 +776,7 @@ def compact_versioned(spark: SparkSession, table_dir: str) -> int:
     shards carry over by reference."""
     cur = current_version(table_dir)
     manifest = read_manifest(table_dir, cur)
+    _require_coherent(manifest, "compact_versioned")
     debt = {s: fl for s, fl in manifest["files"].items() if len(fl) > 1}
     if not debt:
         return cur
@@ -694,4 +787,5 @@ def compact_versioned(spark: SparkSession, table_dir: str) -> int:
     files = {s: fl for s, fl in manifest["files"].items() if s not in debt}
     files.update(new_files)
     return _commit(table_dir, files, cur + 1,
-                   schema_json=manifest.get("schema") or _schema_json(winners))
+                   schema_json=manifest.get("schema") or _schema_json(winners),
+                   spec=manifest.get("spec"))

@@ -340,3 +340,89 @@ def test_merge_into_is_one_commit(spark, table, base_rows):
     assert got[(b"k0", b"c")] == (b"base0", 100)
     assert _content(read_version(spark, table, 0))[(b"k7", b"c")] == (
         b"base7", 100)
+
+
+# --- partition-spec evolution ---------------------------------------------
+
+def test_reshard_is_metadata_only_and_appends_use_new_spec(spark, table):
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import key_shard
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, read_manifest, read_respec, reshard_versioned)
+
+    m0 = read_manifest(table, 0)
+    v1 = reshard_versioned(table, 32)
+    assert v1 == 1
+    m1 = read_manifest(table, 1)
+    # metadata-only: identical file lists, new spec, mixed flag
+    assert m1["files"] == m0["files"]
+    assert m1["spec"] == {"n_shards": 32, "mixed": True}
+
+    delta = _cells(spark, [("k1", "c", "new1", 200, "sst-d", "LIVE"),
+                           ("kX", "c", "newX", 200, "sst-d", "LIVE")])
+    v2 = append_versioned(spark, table, delta)
+    assert v2 == 2
+    m2 = read_manifest(table, 2)
+    assert m2["spec"] == {"n_shards": 32, "mixed": True}
+    # the appended files landed under NEW-spec labels
+    new_labels = {s for s in m2["files"]
+                  if m2["files"][s] != m0["files"].get(s)}
+    want = {str(r[0]) for r in
+            delta.select(key_shard(F.col("key"), 32)).distinct().collect()}
+    assert new_labels == want
+    # cross-spec read-time LWW: upsert won, insert present, rest intact
+    got = _content(read_respec(spark, table))
+    assert got[(b"k1", b"c")] == (b"new1", 200)
+    assert got[(b"kX", b"c")] == (b"newX", 200)
+    assert got[(b"k2", b"c")] == (b"base2", 100)
+    assert len(got) == 41
+    # the respec read's shard column follows the CURRENT spec
+    rows = read_respec(spark, table).withColumn(
+        "want", key_shard(F.col("key"), 32)).collect()
+    assert all(r.shard == r.want for r in rows)
+
+
+def test_mixed_table_guards_label_based_ops(spark, table):
+    import pytest as _pytest
+
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        compact_versioned, delete_keys_versioned, merge_versioned,
+        read_merged, reshard_versioned)
+
+    reshard_versioned(table, 32)
+    delta = _cells(spark, [("k1", "c", "x", 200, "sst-d", "LIVE")])
+    for op in (lambda: merge_versioned(spark, table, delta),
+               lambda: delete_keys_versioned(
+                   spark, table, delta.select("key")),
+               lambda: compact_versioned(spark, table),
+               lambda: read_merged(spark, table)):
+        with _pytest.raises(ValueError, match="spec-MIXED"):
+            op()
+
+
+def test_compact_respec_relabels_and_restores_coherence(spark, table):
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import key_shard
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        append_versioned, compact_respec_versioned, merge_versioned,
+        read_manifest, read_merged, read_respec, reshard_versioned)
+
+    reshard_versioned(table, 32)
+    append_versioned(spark, table, _cells(
+        spark, [("k1", "c", "new1", 200, "sst-d", "LIVE")]))
+    before = _content(read_respec(spark, table))
+    v = compact_respec_versioned(spark, table)
+    m = read_manifest(table, v)
+    assert m["spec"] == {"n_shards": 32}  # mixed flag cleared
+    # every file now lives under its key's CURRENT-spec label
+    rows = read_merged(spark, table).withColumn(
+        "want", key_shard(F.col("key"), 32)).collect()
+    assert rows and all(r.shard == r.want for r in rows)
+    assert _content(read_merged(spark, table)) == before  # invariant
+    # label-based ops work again, under the evolved spec
+    v2 = merge_versioned(spark, table, _cells(
+        spark, [("k2", "c", "new2", 300, "sst-e", "LIVE")]))
+    got = _content(read_merged(spark, table, v2))
+    assert got[(b"k2", b"c")] == (b"new2", 300)

@@ -40,6 +40,10 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "compact-versioned <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "reshard-versioned <n_shards> <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "compact-respec <table_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "restore <version> <table_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "vacuum [--no-grace] <retain_versions> <table_dir>\n"
@@ -416,6 +420,35 @@ def compact_versioned_cmd(table_dir: str) -> int:
     return 0
 
 
+def reshard_versioned_cmd(n_shards: str, table_dir: str) -> int:
+    """Evolve the partition spec (shard count) via a metadata-only
+    commit; the table reads through read_respec until compact-respec
+    relabels the files."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        current_version, reshard_versioned)
+
+    before = current_version(table_dir)
+    v = reshard_versioned(table_dir, int(n_shards))
+    if v == before:
+        print(f"spec unchanged: table stays at v{v}")
+    else:
+        print(f"resharded to {int(n_shards)} shards as v{v} "
+              f"(metadata-only; run compact-respec to relabel data files)")
+    return 0
+
+
+def compact_respec_cmd(table_dir: str) -> int:
+    """Rewrite every data file under the current spec and clear the
+    mixed flag (the deferred post-reshard maintenance job)."""
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        compact_respec_versioned)
+
+    spark = _versioned_spark("sstable-compact-respec")
+    v = compact_respec_versioned(spark, table_dir)
+    print(f"respec-compacted into v{v}")
+    return 0
+
+
 def restore_cmd(version: str, table_dir: str) -> int:
     from cassandra_sstable_to_protocolbuf_spark.versioned import restore_version
 
@@ -666,6 +699,20 @@ def main(argv: list[str]) -> int:
     force = "--force" in args
     if force:
         args.remove("--force")
+    if len(args) == 2 and args[0] == "compact-respec" \
+            and not (continue_on_error or by_shard or mor or no_grace
+                     or force):
+        if not os.path.isdir(args[1]):
+            _die(f"table dir does not exist: {args[1]}")
+        return compact_respec_cmd(args[1])
+    if len(args) == 3 and args[0] == "reshard-versioned" \
+            and not (continue_on_error or by_shard or mor or no_grace
+                     or force):
+        if not args[1].isdigit() or int(args[1]) < 1:
+            _die(f"n_shards must be a positive integer: {args[1]}")
+        if not os.path.isdir(args[2]):
+            _die(f"table dir does not exist: {args[2]}")
+        return reshard_versioned_cmd(args[1], args[2])
     if len(args) == 2 and args[0] in ("table-history", "compact-versioned",
                                       "sstable-info") \
             and not (continue_on_error or by_shard or mor or no_grace

@@ -471,3 +471,43 @@ def test_explain_check_and_list_cli(tmp_path):
 
     r = _run("check", "no_such_query", "/root/testdata/sf0.001")
     assert r.returncode != 0 and "unknown query" in r.stderr
+
+
+def test_reshard_evolution_cli(tmp_path):
+    """Partition-spec evolution from the command line: metadata-only
+    reshard, MoR append under the new spec, deferred respec compaction
+    relabeling the files."""
+    base = str(tmp_path / "base")
+    N.write_sstable(base, 1, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"v1"}]},
+        {"key": b"k2", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 10, "value": b"v2"}]},
+    ])
+    delta = str(tmp_path / "delta")
+    N.write_sstable(delta, 2, [
+        {"key": b"k1", "cells": [
+            {"name": b"a", "kind": "LIVE", "timestamp": 20, "value": b"NEW"}]},
+    ])
+    table = str(tmp_path / "vt")
+    assert _run("init-versioned", base, table).returncode == 0
+    r = _run("reshard-versioned", "64", table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "resharded to 64 shards as v1" in r.stdout
+    # CoW merge refuses while mixed, loudly
+    r = _run("merge-versioned", delta, table)
+    assert r.returncode != 0
+    assert "spec-MIXED" in r.stderr
+    # MoR append works, then respec compaction restores coherence
+    r = _run("merge-versioned", "--mor", delta, table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("compact-respec", table)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "respec-compacted into v3" in r.stdout
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        read_manifest)
+    m = read_manifest(table, 3)
+    assert m["spec"] == {"n_shards": 64}
+    # bad operand handling
+    assert _run("reshard-versioned", "zero", table).returncode != 0
+    assert _run("reshard-versioned", "8").returncode != 0

@@ -108,6 +108,7 @@ HEADLINE = [
     "events_bootstrap_ci",
     "events_burstiness",
     "events_seasonal_decompose",
+    "orders_cohort_ltv",
     "skew_salted_join",
     "bucketed_join_revenue",
     "orders_dpp_join",

@@ -427,6 +427,10 @@ CATALOG: dict[str, QueryDef] = {
                                     "Poisson-bootstrap 95% CI: per-row "
                                     "deterministic replica weights, exact "
                                     "integer moments"),
+    "orders_cohort_ltv": QueryDef(R.orders_cohort_ltv,
+                                  R.ORDERS_COHORT_LTV_SQL,
+                                  "acquisition-cohort LTV curves, integer "
+                                  "cents + month-index age"),
     "events_seasonal_decompose": QueryDef(
         R.events_seasonal_decompose, R.EVENTS_SEASONAL_DECOMPOSE_SQL,
         "additive trend/seasonal/residual decomposition, exact sevenths"),

@@ -6002,3 +6002,74 @@ SELECT f.event_type, strftime(f.d, '%Y-%m-%d') AS day, f.y,
        CAST(f.sum7 AS DOUBLE) / 7 AS trend
 FROM f JOIN seas USING (event_type, dow)
 """
+
+
+# --- Cohort LTV curves ------------------------------------------------------
+
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value curves by acquisition cohort: customers
+    cohort on their FIRST order month, every order lands at an integer
+    cohort AGE (month index delta -- year*12+month arithmetic, no
+    months_between() float), and revenue accumulates per (cohort, age)
+    as exact integer cents with a cumulative window. The companion to
+    events_retention_cohorts: retention counts who came back, LTV sums
+    what they spent. Scale: one first-order aggregation (partial), one
+    broadcast-size join of the cohort map onto orders, one window over
+    the tiny (cohort x age) grid."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .alias("mi"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    first = o.groupBy("o_custkey").agg(F.min("mi").alias("cohort_mi"))
+    sizes = first.groupBy("cohort_mi").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+    aged = (o.join(first, "o_custkey")
+            .withColumn("age", F.col("mi") - F.col("cohort_mi")))
+    grid = (aged.groupBy("cohort_mi", "age")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("cents").alias("revenue_c")))
+    w = (W.partitionBy("cohort_mi").orderBy("age")
+         .rowsBetween(W.unboundedPreceding, 0))
+    out = (grid.withColumn("cum_revenue_c", F.sum("revenue_c").over(w))
+           .join(F.broadcast(sizes), "cohort_mi"))
+    cohort = F.concat_ws(
+        "-", (F.col("cohort_mi") / 12).cast("int").cast("string"),
+        F.lpad((F.col("cohort_mi") % 12 + 1).cast("string"), 2, "0"))
+    return out.select(
+        cohort.alias("cohort"), F.col("age").cast("int").alias("age"),
+        "n_customers", "n_orders", "revenue_c", "cum_revenue_c",
+        (F.col("cum_revenue_c").cast("double") / F.col("n_customers") / 100)
+        .alias("ltv_per_customer"))
+
+
+ORDERS_COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+           AS mi,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+first AS (SELECT o_custkey, MIN(mi) AS cohort_mi FROM o GROUP BY 1),
+sizes AS (SELECT cohort_mi, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM first GROUP BY 1),
+grid AS (
+  SELECT f.cohort_mi, o.mi - f.cohort_mi AS age,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(o.cents) AS BIGINT) AS revenue_c
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2),
+cum AS (
+  SELECT *, CAST(SUM(revenue_c) OVER (PARTITION BY cohort_mi ORDER BY age
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_c
+  FROM grid)
+SELECT CAST(cohort_mi // 12 AS INT) || '-'
+         || lpad(CAST(cohort_mi % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+       CAST(age AS INT) AS age, n_customers, n_orders, revenue_c,
+       cum_revenue_c,
+       CAST(cum_revenue_c AS DOUBLE) / n_customers / 100
+         AS ltv_per_customer
+FROM cum JOIN sizes USING (cohort_mi)
+"""

@@ -442,3 +442,26 @@ def test_seasonal_decompose_identity_and_ma(spark):
         assert len(sub) == max(0, len(ys) - 6)
         for i in range(3, len(ys) - 3):
             assert sub.loc[days[i], "trend_x7"] == ys[i - 3:i + 4].sum()
+
+
+def test_cohort_ltv_matches_pandas_and_is_monotone(spark):
+    out = R.orders_cohort_ltv(spark, SF_SMOKE).toPandas()
+    o = pd.read_parquet(f"{SF_SMOKE}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    o["mi"] = o.o_orderdate.dt.year * 12 + o.o_orderdate.dt.month - 1
+    o["cents"] = (o.o_totalprice * 100).round().astype("int64")
+    first = o.groupby("o_custkey").mi.min().rename("cohort_mi")
+    o = o.join(first, on="o_custkey")
+    o["age"] = o.mi - o.cohort_mi
+    grid = (o.groupby(["cohort_mi", "age"]).cents.sum()
+            .groupby(level=0).cumsum())
+    sizes = first.value_counts()
+    for _, grp in out.groupby("cohort"):
+        grp = grp.sort_values("age")
+        assert (grp.cum_revenue_c.diff().dropna() > 0).all()
+        assert (grp.ltv_per_customer.diff().dropna() > 0).all()
+    for r in out.itertuples():
+        y, m = map(int, r.cohort.split("-"))
+        mi = y * 12 + m - 1
+        assert r.cum_revenue_c == grid.loc[(mi, r.age)]
+        assert r.n_customers == sizes.loc[mi]

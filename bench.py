@@ -105,6 +105,7 @@ HEADLINE = [
     "stream_holt_trend",
     "orders_benford_audit",
     "sql_recursive_hierarchy",
+    "sql_recursive_subtree",
     "events_bootstrap_ci",
     "events_burstiness",
     "events_seasonal_decompose",

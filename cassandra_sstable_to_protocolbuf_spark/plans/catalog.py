@@ -422,6 +422,10 @@ CATALOG: dict[str, QueryDef] = {
                                         "WITH RECURSIVE on Spark's own SQL "
                                         "surface; oracle runs the IDENTICAL "
                                         "SQL text"),
+    "sql_recursive_subtree": QueryDef(R.sql_recursive_subtree,
+                                      R.SQL_RECURSIVE_SUBTREE,
+                                      "WITH RECURSIVE subtree/BOM rollup, "
+                                      "identical SQL text in both engines"),
     "events_bootstrap_ci": QueryDef(R.events_bootstrap_ci,
                                     R.EVENTS_BOOTSTRAP_CI_SQL,
                                     "Poisson-bootstrap 95% CI: per-row "

@@ -6073,3 +6073,36 @@ SELECT CAST(cohort_mi // 12 AS INT) || '-'
          AS ltv_per_customer
 FROM cum JOIN sizes USING (cohort_mi)
 """
+
+
+def sql_recursive_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOWNWARD recursive rollup beside sql_recursive_hierarchy's
+    ancestor walk: every part aggregates its whole SUBTREE (the
+    bill-of-materials explosion) in one ANSI WITH RECURSIVE statement
+    run by Spark's own SQL engine, gated on the IDENTICAL text in
+    DuckDB. The recursion step joins the frontier to children via the
+    single equality FLOOR(child/2) = node -- hash-joinable, where the
+    naive (id = 2n OR id = 2n+1) predicate would force a nested-loop
+    join every level. Tree recursion under UNION ALL is safe: paths in
+    a tree are unique, so total work is n log n rows, no dedup needed."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(SQL_RECURSIVE_SUBTREE)
+
+
+SQL_RECURSIVE_SUBTREE = """
+WITH RECURSIVE nodes AS (
+  SELECT CAST(p_partkey + 1 AS BIGINT) AS id,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c
+  FROM part),
+walk(anchor, node) AS (
+  SELECT id, id FROM nodes
+  UNION ALL
+  SELECT w.anchor, n.id
+  FROM walk w JOIN nodes n
+    ON CAST(FLOOR(n.id / 2) AS BIGINT) = w.node)
+SELECT w.anchor - 1 AS p_partkey,
+       CAST(COUNT(*) AS BIGINT) AS subtree_size,
+       CAST(SUM(n.price_c) AS BIGINT) AS subtree_price_c
+FROM walk w JOIN nodes n ON n.id = w.node
+GROUP BY w.anchor
+"""

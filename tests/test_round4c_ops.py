@@ -465,3 +465,26 @@ def test_cohort_ltv_matches_pandas_and_is_monotone(spark):
         mi = y * 12 + m - 1
         assert r.cum_revenue_c == grid.loc[(mi, r.age)]
         assert r.n_customers == sizes.loc[mi]
+
+
+def test_recursive_subtree_closed_form(spark):
+    """Subtree sums over the binary hierarchy equal a literal bottom-up
+    recompute, and the root's subtree covers the whole table."""
+    out = (R.sql_recursive_subtree(spark, SF_SMOKE).toPandas()
+           .set_index("p_partkey"))
+    p = pd.read_parquet(f"{SF_SMOKE}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"])
+    n = len(p)
+    price_c = {int(r.p_partkey) + 1: round(r.p_retailprice * 100)
+               for r in p.itertuples()}
+    size, total = {}, {}
+    for k in sorted(price_c, reverse=True):  # leaves first
+        size[k] = 1 + size.get(2 * k, 0) + size.get(2 * k + 1, 0)
+        total[k] = (price_c[k] + total.get(2 * k, 0)
+                    + total.get(2 * k + 1, 0))
+    assert len(out) == n
+    assert out.loc[0, "subtree_size"] == n
+    assert out.loc[0, "subtree_price_c"] == sum(price_c.values())
+    for k in list(price_c)[:120]:
+        assert out.loc[k - 1, "subtree_size"] == size[k]
+        assert out.loc[k - 1, "subtree_price_c"] == total[k]

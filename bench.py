@@ -107,6 +107,7 @@ HEADLINE = [
     "sql_recursive_hierarchy",
     "sql_recursive_subtree",
     "events_bootstrap_ci",
+    "stream_bootstrap_ci",
     "events_burstiness",
     "events_seasonal_decompose",
     "orders_cohort_ltv",

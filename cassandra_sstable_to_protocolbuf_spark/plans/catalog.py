@@ -285,6 +285,10 @@ CATALOG: dict[str, QueryDef] = {
     "stream_cusum": QueryDef(ST.stream_cusum, R.EVENTS_CUSUM_SQL,
                              "CUSUM through streaming with cross-batch "
                              "calibration warmup and retroactive emit"),
+    "stream_bootstrap_ci": QueryDef(ST.stream_bootstrap_ci,
+                                    R.EVENTS_BOOTSTRAP_CI_SQL,
+                                    "Poisson-bootstrap moments accumulated "
+                                    "THROUGH streaming (complete mode)"),
     "stream_holt_trend": QueryDef(ST.stream_holt_trend,
                                   R.EVENTS_HOLT_TREND_SQL,
                                   "Holt recurrence through ordered streaming "

@@ -1173,3 +1173,64 @@ def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn(
         "forecast_next",
         (F.col("level_fp") + F.col("trend_fp")).cast("double") / 1e6)
+
+
+def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap's moment accumulation run THROUGH
+    Structured Streaming: each replica's (sum of weights, weighted sum)
+    is a monoid, so complete-mode state -- 100 rows + 1 point-estimate
+    row, bounded at any stream size -- converges to the batch frame
+    regardless of micro-batch splits, exactly the stream_ab_test split
+    (streaming accumulation, query-time scoring). Per-row replica
+    weights are the same deterministic integer-threshold draws as the
+    batch op, so the streamed CI is bit-identical to the batch oracle."""
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.corpus import (
+        HASH_A, HASH_C, HASH_M, HASH_P)
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        BOOTSTRAP_MIX, BOOTSTRAP_REPLICAS, BOOTSTRAP_THRESHOLDS)
+    from pyspark.sql import Window as W
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir)
+          .select("event_id", F.round(F.col("value") * 1_000_000)
+                  .cast("long").alias("x")))
+    reps = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(-1),
+                                  F.lit(BOOTSTRAP_REPLICAS - 1))))
+    # replica -1 carries the unweighted point-estimate moments through
+    # the same monoid aggregation
+    u = ((F.col("event_id") % HASH_P) * HASH_A + HASH_C
+         + F.col("b") * BOOTSTRAP_MIX) % HASH_M
+    w = F.lit(7)
+    for k in range(len(BOOTSTRAP_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < BOOTSTRAP_THRESHOLDS[k], k).otherwise(w)
+    w = F.when(F.col("b") == -1, 1).otherwise(w).cast("long")
+    moments = (reps.withColumn("w", w)
+               .groupBy("b")
+               .agg(F.sum("w").alias("n_b"),
+                    F.sum(F.col("w") * F.col("x")).alias("s_b")))
+    name = "stream_bootstrap_" + uuid.uuid4().hex
+    q = (moments.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rep = spark.table(name)
+
+    mean_b = (F.col("s_b").cast("double") / F.col("n_b")) / 1e6
+    ranked = (rep.filter(F.col("b") >= 0)
+              .select(mean_b.alias("mean_b"), "b")
+              .withColumn("rk", F.row_number().over(
+                  W.orderBy(F.col("mean_b").asc(), F.col("b").asc()))))
+    ci = ranked.agg(
+        F.min(F.when(F.col("rk") == 3, F.col("mean_b"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == 98, F.col("mean_b"))).alias("ci_hi"))
+    point = (rep.filter(F.col("b") == -1)
+             .select(((F.col("s_b").cast("double") / F.col("n_b")) / 1e6)
+                     .alias("point_mean")))
+    return (point.crossJoin(F.broadcast(ci))
+            .select(F.lit(BOOTSTRAP_REPLICAS).cast("long")
+                    .alias("n_replicas"),
+                    "point_mean", "ci_lo", "ci_hi"))

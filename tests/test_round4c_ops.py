@@ -488,3 +488,12 @@ def test_recursive_subtree_closed_form(spark):
     for k in list(price_c)[:120]:
         assert out.loc[k - 1, "subtree_size"] == size[k]
         assert out.loc[k - 1, "subtree_price_c"] == total[k]
+
+
+def test_stream_bootstrap_equals_batch(spark):
+    from cassandra_sstable_to_protocolbuf_spark.streaming import (
+        pipeline as ST)
+
+    batch = R.events_bootstrap_ci(spark, SF_SMOKE).toPandas()
+    stream = ST.stream_bootstrap_ci(spark, SF_SMOKE).toPandas()[batch.columns]
+    pd.testing.assert_frame_equal(stream, batch)

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "orders_benford_audit",      # ONE-ROW global digit-total broadcast
     "docs_bpe_encode",           # ONE-ROW winning-merge-pair broadcasts
     "events_bootstrap_ci",       # ONE-ROW point-estimate x CI broadcast
+    "stream_bootstrap_ci",       # same ONE-ROW broadcast, streamed moments
 }
 
 # Streaming entries need a running query; iterative ones (label

@@ -148,6 +148,7 @@ HEADLINE = [
     "docs_tfidf_topk",
     "docs_bpe_merges",
     "docs_bpe_encode",
+    "docs_novelty",
     "docs_pipeline_yield",
     "docs_quality_auc",
     "docs_domain_mix",

@@ -596,6 +596,9 @@ CATALOG: dict[str, QueryDef] = {
     "docs_bpe_merges": QueryDef(TX.docs_bpe_merges, TX.DOCS_BPE_SQL,
                                 "BPE vocabulary induction "
                                 "(2 unrolled merge iterations on word-freqs)"),
+    "docs_novelty": QueryDef(TX.docs_novelty, TX.DOCS_NOVELTY_SQL,
+                             "corpus-order trigram novelty scoring "
+                             "(first-bearer aggregation, no pairwise join)"),
     "docs_bpe_encode": QueryDef(TX.docs_bpe_encode, TX.DOCS_BPE_ENCODE_SQL,
                                 "BPE tokenizer APPLY: 4 learned merges "
                                 "encoded via anchored whole-symbol replaces, "

@@ -1758,3 +1758,50 @@ GROUP BY 1""")
 
 
 DOCS_BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
+# --- Novelty scoring (curation signal) --------------------------------------
+
+def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty score: the fraction of each document's
+    DISTINCT word trigrams that no EARLIER document (doc_id order -- the
+    ingest order proxy) has contributed -- the curation signal behind
+    diversity-aware data mixing, where late near-copies of early content
+    score near zero. One shuffle computes each shingle's FIRST bearer
+    (min doc_id -- partial-aggregatable), and a doc's novel count is the
+    number of shingles it is the first bearer of; no pairwise doc
+    comparison anywhere, so the plan is two hash aggregations at any
+    corpus size."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(T.shingles(T.tokens(F.col("text"))))
+        .alias("shingle"))
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    novel = (first.groupBy(F.col("first_doc").alias("doc_id"))
+             .agg(F.count(F.lit(1)).alias("n_novel")))
+    return (per_doc.join(novel, "doc_id", "left")
+            .select("doc_id", "n_shingles",
+                    F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                    (F.coalesce("n_novel", F.lit(0)).cast("double")
+                     / F.col("n_shingles")).alias("novelty")))
+
+
+DOCS_NOVELTY_SQL = rf"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS arr FROM documents),
+n AS (SELECT doc_id, len(arr) AS n_tokens, arr FROM t),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[s+1:s+3], ' ') AS shingle
+  FROM (SELECT doc_id, arr, unnest(range(0, n_tokens - 2)) AS s
+        FROM n WHERE n_tokens >= 3) st),
+per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY 1),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+novel AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+          FROM first GROUP BY 1)
+SELECT p.doc_id, p.n_shingles,
+       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(COALESCE(v.n_novel, 0) AS DOUBLE) / p.n_shingles AS novelty
+FROM per_doc p LEFT JOIN novel v USING (doc_id)
+"""

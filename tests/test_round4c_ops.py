@@ -497,3 +497,28 @@ def test_stream_bootstrap_equals_batch(spark):
     batch = R.events_bootstrap_ci(spark, SF_SMOKE).toPandas()
     stream = ST.stream_bootstrap_ci(spark, SF_SMOKE).toPandas()[batch.columns]
     pd.testing.assert_frame_equal(stream, batch)
+
+
+def test_novelty_matches_first_bearer_model(spark):
+    """Novelty == literal first-bearer bookkeeping over doc_id order,
+    and the first document is always fully novel."""
+    from cassandra_sstable_to_protocolbuf_spark.plans import textops as TX
+
+    out = (TX.docs_novelty(spark, SF_SMOKE).toPandas()
+           .set_index("doc_id").sort_index())
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet",
+                           columns=["doc_id", "text"]).sort_values("doc_id")
+    seen: set = set()
+    for r in docs.itertuples():
+        toks = [w for w in r.text.lower().split() if w]
+        shs = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        if not shs:
+            assert r.doc_id not in out.index
+            continue
+        novel = shs - seen
+        seen |= shs
+        row = out.loc[r.doc_id]
+        assert row["n_shingles"] == len(shs)
+        assert row["n_novel"] == len(novel)
+    first_doc = out.index.min()
+    assert out.loc[first_doc, "novelty"] == 1.0

@@ -522,3 +522,16 @@ def test_novelty_matches_first_bearer_model(spark):
         assert row["n_novel"] == len(novel)
     first_doc = out.index.min()
     assert out.loc[first_doc, "novelty"] == 1.0
+
+
+def test_bench_headline_names_resolve():
+    """Every bench headline entry must name a catalog query (a typo here
+    would crash the driver's official bench run and lose the round's
+    performance record), and no headline name repeats."""
+    import bench
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.catalog import CATALOG
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, f"bench names not in catalog: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))

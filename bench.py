@@ -110,6 +110,7 @@ HEADLINE = [
     "stream_bootstrap_ci",
     "events_burstiness",
     "events_seasonal_decompose",
+    "events_slo_burn",
     "orders_cohort_ltv",
     "skew_salted_join",
     "bucketed_join_revenue",

@@ -439,6 +439,9 @@ CATALOG: dict[str, QueryDef] = {
                                   R.ORDERS_COHORT_LTV_SQL,
                                   "acquisition-cohort LTV curves, integer "
                                   "cents + month-index age"),
+    "events_slo_burn": QueryDef(R.events_slo_burn, R.EVENTS_SLO_BURN_SQL,
+                                "SLO error-budget burn, integer "
+                                "cross-multiplied rates + cumulative window"),
     "events_seasonal_decompose": QueryDef(
         R.events_seasonal_decompose, R.EVENTS_SEASONAL_DECOMPOSE_SQL,
         "additive trend/seasonal/residual decomposition, exact sevenths"),

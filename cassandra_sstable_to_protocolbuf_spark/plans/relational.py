@@ -6106,3 +6106,66 @@ SELECT w.anchor - 1 AS p_partkey,
 FROM walk w JOIN nodes n ON n.id = w.node
 GROUP BY w.anchor
 """
+
+
+# --- SLO error-budget burn --------------------------------------------------
+
+SLO_BP = 1800  # error-rate objective in basis points (18%)
+
+
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE error-budget accounting against an 18% error-rate SLO: per
+    day, the exact error rate in basis points, whether the day burned
+    more budget than it earned, and the CUMULATIVE burn -- all in
+    integer cross-multiplied units (n_err * 10000 vs n_total * SLO_BP),
+    so no rate is ever a float before the report columns. The fixture's
+    ~20% uniform error share straddles the objective, so over- and
+    under-budget days both occur at every SF. One day-grain reduction
+    plus one cumulative window over the 30-row series."""
+    from pyspark.sql import Window as W
+
+    daily = (_t(spark, sf_dir, "events")
+             .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+                      .alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.sum(F.when(F.col("event_type") == "error", 1)
+                        .otherwise(0)).alias("n_err")))
+    delta = (F.col("n_err") * 10_000 - F.col("n_total") * SLO_BP)
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    out = (daily.withColumn("burn_units", delta)
+           .withColumn("cum_burn_units", F.sum(delta).over(w))
+           .withColumn("cum_err", F.sum("n_err").over(w))
+           .withColumn("cum_total", F.sum("n_total").over(w)))
+    return out.select(
+        "day", "n_total", "n_err",
+        F.expr("n_err * 10000 DIV n_total").alias("rate_bp"),
+        (F.col("burn_units") > 0).alias("over_budget"),
+        "burn_units", "cum_burn_units", "cum_err", "cum_total",
+        (F.col("cum_burn_units") > 0).alias("slo_breached_to_date"))
+
+
+EVENTS_SLO_BURN_SQL = f"""
+WITH daily AS (
+  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM events GROUP BY 1),
+b AS (
+  SELECT *, n_err * 10000 - n_total * {SLO_BP} AS burn_units,
+         CAST(SUM(n_err * 10000 - n_total * {SLO_BP})
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_burn_units,
+         CAST(SUM(n_err) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_err,
+         CAST(SUM(n_total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_total
+  FROM daily)
+SELECT day, n_total, n_err,
+       CAST(n_err * 10000 // n_total AS BIGINT) AS rate_bp,
+       burn_units > 0 AS over_budget,
+       CAST(burn_units AS BIGINT) AS burn_units, cum_burn_units,
+       cum_err, cum_total,
+       cum_burn_units > 0 AS slo_breached_to_date
+FROM b
+"""

@@ -535,3 +535,17 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in CATALOG]
     assert not missing, f"bench names not in catalog: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_slo_burn_mixed_days_and_exact_accounting(spark):
+    out = (R.events_slo_burn(spark, SF_SMOKE).toPandas()
+           .sort_values("day").reset_index(drop=True))
+    # the fixture straddles the objective: both day classes occur
+    assert out.over_budget.any() and (~out.over_budget).any()
+    # exact integer accounting
+    assert (out.burn_units
+            == out.n_err * 10_000 - out.n_total * R.SLO_BP).all()
+    assert (out.cum_burn_units == out.burn_units.cumsum()).all()
+    assert (out.cum_err == out.n_err.cumsum()).all()
+    assert out.cum_total.iloc[-1] == out.n_total.sum()
+    assert (out.slo_breached_to_date == (out.cum_burn_units > 0)).all()

@@ -1,20 +1,25 @@
 """Multimodal column handling: opaque binary payloads + typed metadata,
 processed with Arrow-batched mapInPandas.
 
-Three codecs live behind the `_decode_payload` seam:
+Six codecs live behind the `_decode_payload` seam:
 
 * 'application/x-fake' -- raw bytes, the deterministic synthetic codec
   that keeps every pipeline testable with zero dependencies;
-* 'audio/wav' -- a REAL container format, decoded with the stdlib
-  `wave` module (RIFF header walk, PCM frame extraction);
-* 'image/bmp' -- a REAL container format, decoded with a pure-struct
-  parser (BITMAPFILEHEADER/INFOHEADER, 8-bit palettized pixels,
-  bottom-up rows, 4-byte stride padding).
+* 'audio/wav' -- REAL container, decoded with the stdlib `wave` module
+  (RIFF header walk, PCM frame extraction);
+* 'image/bmp' -- REAL container, pure-struct parser (BITMAPFILEHEADER/
+  INFOHEADER, 8-bit palettized pixels, bottom-up rows, stride padding);
+* 'image/png' -- REAL container: zlib-inflated IDAT, all five scanline
+  filter types reversed (`decode_png`);
+* 'image/gif' -- REAL container: LZW decompression of the first image
+  descriptor, palette lookup (`decode_gif`);
+* 'image/qoi' -- REAL container: full QOI op-stream decoder
+  (`decode_qoi`).
 
-Heavier formats (PNG/JPEG/MP3/MP4) still raise NotImplementedError at
-the same seam, where PIL / torchaudio / ffmpeg would plug in -- the wav
-and bmp paths prove the seam carries real container parsing end-to-end,
-not just a byte passthrough.
+Entropy-coded formats with no stdlib decoder (JPEG/MP3/MP4) raise
+NotImplementedError at the same seam, where PIL / torchaudio / ffmpeg
+would plug in -- the six working paths prove the seam carries real
+container parsing end-to-end, not just a byte passthrough.
 
 Scale notes: payloads never pass through Python row-at-a-time; they move
 as Arrow binary arrays into pandas batches (mapInPandas), the decode is

@@ -422,8 +422,223 @@ def open_data_file(data_path: str, verify_checksums: bool = True):
 
 
 # --------------------------------------------------------------------------
-# fixture writer (tests + demos; the read path is the product surface)
+# writers: SSTableStreamWriter is the product-surface streaming encoder
+# (O(chunk) memory at any file size); write_sstable is the list-of-dicts
+# fixture convenience built on top of it.
 # --------------------------------------------------------------------------
+
+class SSTableStreamWriter:
+    """Incremental single-sstable writer: partitions arrive in
+    decorated-key order, cells in comparator order, and every component
+    (Data, Index, CompressionInfo) is written as bytes arrive -- peak
+    memory is O(compression chunk) + O(index summary sample), never
+    O(file). This is the writer analog of the reader's O(one-cell)
+    streaming pin (scan_partitions), and mirrors the reference's
+    fold-over-a-row-stream write posture (Runner.java:114-124): nothing
+    the size of the output is ever resident.
+
+    Contract (violations raise loudly -- a mis-sorted upstream would
+    otherwise produce an sstable whose index binary-search silently
+    misses keys):
+      * start_partition(key) keys must be strictly ascending in
+        (token(key), key) decorated order;
+      * range tombstones (if any) before cells within a partition;
+      * end_partition() before the next start_partition() or close().
+
+    Components build under pid-tagged temp names and move into place
+    with os.replace at close: a retried or speculative writer task
+    (Spark reruns failed attempts) must never interleave bytes into a
+    live component file a reader could open mid-write. Both attempts
+    write identical deterministic content, so last-replace-wins is safe
+    per file.
+    """
+
+    def __init__(self, dir_path: str, generation: int,
+                 ks: str = "ks", cf: str = "cf",
+                 compression: str | None = None,
+                 chunk_length: int = 65536,
+                 partitioner: str = DEFAULT_PARTITIONER):
+        if compression not in (None, "lz4"):
+            raise ValueError(f"unsupported compression {compression}")
+        os.makedirs(dir_path, exist_ok=True)
+        self.prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
+        self._tmp = self.prefix + f".w{os.getpid()}"
+        self._partitioner = partitioner
+        self._token = token_function(partitioner)
+        self._compression = compression
+        self._chunk_length = chunk_length
+        self._data = open(self._tmp + DATA_SUFFIX, "wb")
+        self._index = open(self._tmp + INDEX_SUFFIX, "wb")
+        if compression == "lz4":
+            import pyarrow as pa
+
+            self._codec = pa.Codec("lz4_raw")
+            self._chunk_buf = bytearray()
+            self._chunk_offsets: list[int] = []
+        self._logical_pos = 0   # uncompressed Data.db offset
+        self._index_pos = 0     # Index.db offset
+        # every DEFAULT_INDEX_INTERVAL-th index entry -- the Summary.db
+        # sample, deliberately sublinear (n_partitions / 128), the same
+        # bound the reader's summary load carries
+        self._sampled: list[tuple[bytes, int, int]] = []
+        self._n_index = 0
+        self._first_key: bytes | None = None
+        self._last_key: bytes | None = None
+        self._last_order: tuple | None = None
+        self._in_partition = False
+        self._closed = False
+        self.n_partitions = 0
+        self.n_cells = 0
+
+    # -- logical byte sink: passthrough or chunked lz4 + Adler32 --------
+    def _write(self, b: bytes) -> None:
+        self._logical_pos += len(b)
+        if self._compression is None:
+            self._data.write(b)
+            return
+        buf = self._chunk_buf
+        buf += b
+        cl = self._chunk_length
+        while len(buf) >= cl:
+            self._flush_chunk(bytes(buf[:cl]))
+            del buf[:cl]
+
+    def _flush_chunk(self, chunk: bytes) -> None:
+        import zlib
+
+        self._chunk_offsets.append(self._data.tell())
+        comp = bytes(self._codec.compress(chunk))
+        self._data.write(comp)
+        self._data.write(struct.pack(">I", zlib.adler32(comp)))
+
+    def start_partition(self, key: bytes,
+                        deletion: tuple[int, int] | None = None) -> None:
+        if self._in_partition:
+            raise ValueError("previous partition not ended")
+        order = (self._token(key), key)
+        if self._last_order is not None and order <= self._last_order:
+            raise ValueError(
+                f"partition keys must arrive in strictly ascending "
+                f"decorated order: {key!r} after {self._last_key!r}")
+        self._last_order = order
+        if self._first_key is None:
+            self._first_key = key
+        self._last_key = key
+        if self._n_index % DEFAULT_INDEX_INTERVAL == 0:
+            self._sampled.append((key, self._index_pos, self._logical_pos))
+        entry = (struct.pack(">H", len(key)) + key
+                 + struct.pack(">QI", self._logical_pos, 0))  # no promoted index
+        self._index.write(entry)
+        self._index_pos += len(entry)
+        self._n_index += 1
+        self._write(struct.pack(">H", len(key)))
+        self._write(key)
+        ldt, marked = (deletion if deletion is not None
+                       else (LIVE_LOCAL_DELETION, LIVE_MARKED_AT))
+        self._write(struct.pack(">iq", ldt, marked))
+        self._in_partition = True
+        self.n_partitions += 1
+
+    def add_range_tombstone(self, start: bytes, end: bytes,
+                            local_deletion: int, marked_at: int) -> None:
+        if not self._in_partition:
+            raise ValueError("range tombstone outside a partition")
+        self._write(struct.pack(">H", len(start)))
+        self._write(start)
+        self._write(struct.pack(">B", FLAG_RANGE_TOMBSTONE))
+        self._write(struct.pack(">H", len(end)))
+        self._write(end)
+        self._write(struct.pack(">iq", local_deletion, marked_at))
+
+    def add_cell(self, name: bytes, kind: str = "LIVE", timestamp: int = 0,
+                 value: bytes = b"", ttl: int = 0, local_expiration: int = 0,
+                 local_deletion: int = 0,
+                 timestamp_of_last_delete: int = 0) -> None:
+        if not self._in_partition:
+            raise ValueError("cell outside a partition")
+        if not name:
+            # a zero-length name is the end-of-partition marker in this
+            # format; real Cassandra cell names are >= 1 byte
+            raise ValueError("cell name must be non-empty")
+        self._write(struct.pack(">H", len(name)))
+        self._write(name)
+        if kind == "LIVE":
+            self._write(struct.pack(">B", 0))
+            self._write(struct.pack(">qi", timestamp, len(value)))
+            self._write(value)
+        elif kind == "DELETED":
+            self._write(struct.pack(">B", FLAG_DELETION))
+            body = struct.pack(">i", local_deletion)
+            self._write(struct.pack(">qi", timestamp, len(body)))
+            self._write(body)
+        elif kind == "EXPIRING":
+            self._write(struct.pack(">B", FLAG_EXPIRATION))
+            self._write(struct.pack(">ii", ttl, local_expiration))
+            self._write(struct.pack(">qi", timestamp, len(value)))
+            self._write(value)
+        elif kind == "COUNTER":
+            self._write(struct.pack(">B", FLAG_COUNTER))
+            self._write(struct.pack(">qqi", timestamp_of_last_delete,
+                                    timestamp, len(value)))
+            self._write(value)
+        else:
+            raise ValueError(f"unknown cell kind {kind}")
+        self.n_cells += 1
+
+    def end_partition(self) -> None:
+        if not self._in_partition:
+            raise ValueError("no partition open")
+        self._write(struct.pack(">H", 0))  # end-of-partition marker
+        self._in_partition = False
+
+    def close(self) -> str:
+        """Flush, write Statistics/Summary, atomically publish all
+        components; returns the final Data.db path."""
+        if self._closed:
+            return self.prefix + DATA_SUFFIX
+        if self._in_partition:
+            raise ValueError("close() with a partition still open")
+        if self._compression == "lz4" and (self._chunk_buf
+                                           or not self._chunk_offsets):
+            # trailing partial chunk; an empty sstable still gets one
+            # (empty) chunk so CompressionInfo stays self-consistent
+            self._flush_chunk(bytes(self._chunk_buf))
+            self._chunk_buf.clear()
+        self._data.close()
+        self._index.close()
+        if self._compression == "lz4":
+            CompressionInfo(self._chunk_length, self._logical_pos,
+                            self._chunk_offsets).write(
+                self._tmp + COMPRESSION_SUFFIX)
+        write_statistics(self._tmp + STATS_SUFFIX, self._partitioner)
+        if self._first_key is not None:
+            write_summary(self._tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
+                          self._sampled, self._first_key, self._last_key)
+        for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
+                       STATS_SUFFIX, SUMMARY_SUFFIX):
+            if os.path.exists(self._tmp + suffix):
+                os.replace(self._tmp + suffix, self.prefix + suffix)
+        self._closed = True
+        return self.prefix + DATA_SUFFIX
+
+    def abort(self) -> None:
+        """Close handles and remove temp components (failed-task cleanup;
+        the published files are never touched)."""
+        if self._closed:
+            return
+        for f in (self._data, self._index):
+            try:
+                f.close()
+            except OSError:
+                pass
+        for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
+                       STATS_SUFFIX, SUMMARY_SUFFIX):
+            try:
+                os.unlink(self._tmp + suffix)
+            except FileNotFoundError:
+                pass
+        self._closed = True
+
 
 def write_sstable(dir_path: str, generation: int,
                   partitions: list[dict], ks: str = "ks", cf: str = "cf",
@@ -431,7 +646,10 @@ def write_sstable(dir_path: str, generation: int,
                   chunk_length: int = 65536,
                   partitioner: str = DEFAULT_PARTITIONER) -> str:
     """Write `<ks>-<cf>-ka-<gen>-Data.db` + `-Index.db` (+
-    `-CompressionInfo.db` when compression='lz4').
+    `-CompressionInfo.db` when compression='lz4') from in-memory dicts
+    (fixture/test convenience; the streaming product path is
+    SSTableStreamWriter, which this thin wrapper drives -- so the
+    golden-byte format tests pin the stream writer too).
 
     Each partition dict:
       key: bytes
@@ -440,124 +658,136 @@ def write_sstable(dir_path: str, generation: int,
              EXPIRING: ttl, local_expiration; plus optional
              range_tombstones: [(start, end, local_deletion, marked_at)]
     """
-    import io
-
-    os.makedirs(dir_path, exist_ok=True)
-    prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
-    # components build under pid-tagged temp names and move into place
-    # with os.replace at the end: a retried or speculative writer task
-    # (Spark reruns failed attempts) must never interleave bytes into a
-    # live component file a reader could open mid-write. Both attempts
-    # write identical deterministic content, so last-replace-wins is
-    # safe per file.
-    tmp = prefix + f".w{os.getpid()}"
     token = token_function(partitioner)
     # decorated-key order: (token, key-bytes) like Cassandra's
     # DecoratedKey.compareTo (token first, key bytes break ties)
     ordered = sorted(partitions, key=lambda p: (token(p["key"]), p["key"]))
-    index_entries = []
-    with io.BytesIO() as data:
+    w = SSTableStreamWriter(dir_path, generation, ks=ks, cf=cf,
+                            compression=compression,
+                            chunk_length=chunk_length,
+                            partitioner=partitioner)
+    try:
         for part in ordered:
-            index_entries.append((part["key"], data.tell()))
-            data.write(struct.pack(">H", len(part["key"])))
-            data.write(part["key"])
-            ldt, marked = part.get("deletion", (LIVE_LOCAL_DELETION, LIVE_MARKED_AT))
-            data.write(struct.pack(">iq", ldt, marked))
+            w.start_partition(part["key"], part.get("deletion"))
             for rt in part.get("range_tombstones", ()):
-                start, end, rt_ldt, rt_marked = rt
-                data.write(struct.pack(">H", len(start)))
-                data.write(start)
-                data.write(struct.pack(">B", FLAG_RANGE_TOMBSTONE))
-                data.write(struct.pack(">H", len(end)))
-                data.write(end)
-                data.write(struct.pack(">iq", rt_ldt, rt_marked))
+                w.add_range_tombstone(*rt)
             for cell in part.get("cells", ()):
-                name = cell["name"]
-                if not name:
-                    # a zero-length name is the end-of-partition marker in
-                    # this format; real Cassandra cell names are >= 1 byte
-                    raise ValueError("cell name must be non-empty")
-                data.write(struct.pack(">H", len(name)))
-                data.write(name)
-                kind = cell.get("kind", "LIVE")
-                value = cell.get("value", b"")
-                ts = cell["timestamp"]
-                if kind == "LIVE":
-                    data.write(struct.pack(">B", 0))
-                    data.write(struct.pack(">qi", ts, len(value)))
-                    data.write(value)
-                elif kind == "DELETED":
-                    data.write(struct.pack(">B", FLAG_DELETION))
-                    body = struct.pack(">i", cell.get("local_deletion", 0))
-                    data.write(struct.pack(">qi", ts, len(body)))
-                    data.write(body)
-                elif kind == "EXPIRING":
-                    data.write(struct.pack(">B", FLAG_EXPIRATION))
-                    data.write(struct.pack(">ii", cell["ttl"], cell["local_expiration"]))
-                    data.write(struct.pack(">qi", ts, len(value)))
-                    data.write(value)
-                elif kind == "COUNTER":
-                    data.write(struct.pack(">B", FLAG_COUNTER))
-                    data.write(struct.pack(">qqi", cell.get("timestamp_of_last_delete", 0),
-                                           ts, len(value)))
-                    data.write(value)
-                else:
-                    raise ValueError(f"unknown cell kind {kind}")
-            data.write(struct.pack(">H", 0))  # end-of-partition marker
-        payload = data.getvalue()
-    if compression is None:
-        with open(tmp + DATA_SUFFIX, "wb") as out:
-            out.write(payload)
-    elif compression == "lz4":
-        import zlib
+                w.add_cell(cell["name"], cell.get("kind", "LIVE"),
+                           cell["timestamp"], cell.get("value", b""),
+                           ttl=cell.get("ttl", 0),
+                           local_expiration=cell.get("local_expiration", 0),
+                           local_deletion=cell.get("local_deletion", 0),
+                           timestamp_of_last_delete=cell.get(
+                               "timestamp_of_last_delete", 0))
+            w.end_partition()
+        return w.close()
+    except BaseException:
+        w.abort()
+        raise
 
-        import pyarrow as pa
 
-        codec = pa.Codec("lz4_raw")
-        offsets = []
-        with open(tmp + DATA_SUFFIX, "wb") as out:
-            for i in range(0, max(len(payload), 1), chunk_length):
-                offsets.append(out.tell())
-                comp = bytes(codec.compress(payload[i:i + chunk_length]))
-                out.write(comp)
-                out.write(struct.pack(">I", zlib.adler32(comp)))
-        CompressionInfo(chunk_length, len(payload), offsets).write(
-            tmp + COMPRESSION_SUFFIX)
-    else:
-        raise ValueError(f"unsupported compression {compression}")
-    with open(tmp + INDEX_SUFFIX, "wb") as idx:
-        sampled = []
-        for i, (key, pos) in enumerate(index_entries):
-            if i % DEFAULT_INDEX_INTERVAL == 0:
-                sampled.append((key, idx.tell(), pos))
-            idx.write(struct.pack(">H", len(key)))
-            idx.write(key)
-            idx.write(struct.pack(">Q", pos))
-            idx.write(struct.pack(">I", 0))  # no promoted index
-    write_statistics(tmp + STATS_SUFFIX, partitioner)
-    if index_entries:
-        write_summary(tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
-                      sampled, index_entries[0][0], index_entries[-1][0])
-    for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
-                   STATS_SUFFIX, SUMMARY_SUFFIX):
-        if os.path.exists(tmp + suffix):
-            os.replace(tmp + suffix, prefix + suffix)
-    return prefix + DATA_SUFFIX
+WRITE_CELLS_METRICS_FIELDS = (
+    ("sstable_id", "string"), ("path", "string"),
+    ("n_partitions", "long"), ("n_cells", "long"))
+
+
+def _cells_stream_writer(out_dir: str, compression: str | None):
+    """mapInPandas function factory for write_cells_as_sstables: consumes
+    an ITERATOR of Arrow batches already sorted by (sstable_id,
+    decorated key, comparator), stream-encodes through
+    SSTableStreamWriter, and rolls to a new sstable when sstable_id
+    changes. Peak memory is O(one Arrow batch) + O(compression chunk) --
+    pinned by tests/test_writer_memory.py -- regardless of sstable size.
+    """
+
+    def write_stream(batches):
+        import pandas as pd
+
+        writer = None
+        cur_id = None
+        cur_key = None
+
+        def finish():
+            path = writer.close()
+            return pd.DataFrame([{
+                "sstable_id": cur_id, "path": path,
+                "n_partitions": writer.n_partitions,
+                "n_cells": writer.n_cells,
+            }])
+
+        try:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    if row.sstable_id != cur_id:
+                        if writer is not None:
+                            if cur_key is not None:
+                                writer.end_partition()
+                            yield finish()
+                        cur_id = row.sstable_id
+                        cur_key = None
+                        writer = SSTableStreamWriter(
+                            out_dir, 1, ks="ks", cf=cur_id,
+                            compression=compression)
+                    key = bytes(row.key)
+                    if key != cur_key:
+                        if cur_key is not None:
+                            writer.end_partition()
+                        cur_key = key
+                        # partition_deletion_live is a partition-level
+                        # attribute denormalized onto every cell -- the
+                        # first cell speaks for the partition
+                        deletion = (None if row.partition_deletion_live
+                                    else (0, 0))  # any non-live sentinel
+                        writer.start_partition(key, deletion)
+                    kind = row.cell_kind
+                    value = (bytes(row.value) if row.value is not None
+                             else b"")
+                    if kind == "EXPIRING":
+                        writer.add_cell(
+                            bytes(row.name), kind, int(row.writeTime), value,
+                            ttl=60,
+                            local_expiration=(0 if row.ttl_expired
+                                              else LIVE_LOCAL_DELETION - 1))
+                    elif kind == "DELETED":
+                        writer.add_cell(bytes(row.name), kind,
+                                        int(row.writeTime), b"")
+                    else:
+                        writer.add_cell(bytes(row.name), kind,
+                                        int(row.writeTime), value)
+            if writer is not None:
+                if cur_key is not None:
+                    writer.end_partition()
+                yield finish()
+        except BaseException:
+            if writer is not None and not writer._closed:
+                writer.abort()
+            raise
+
+    return write_stream
 
 
 def write_cells_as_sstables(cells_df, out_dir: str,
                             compression: str | None = None):
-    """Distributed fixture/export writer: flat engine cells -> one real
+    """Distributed export/compaction sink: flat engine cells -> one real
     binary SSTable (Data+Index components) per sstable_id.
 
-    One task per sstable via groupBy+applyInPandas, same shuffle shape as
-    the protobuf sink. EXPIRING cells get ttl/local_expiration derived
-    from the engine's ttl_expired flag (expired -> epoch 0, unexpired ->
-    far future); DELETED cells carry their localDeletionTime body.
+    STREAMING shape: one shuffle partitions by sstable_id, Spark's sort
+    machinery (spillable, never memory-bound) puts each partition's
+    cells in decorated-key + comparator order, and an iterator-style
+    mapInPandas stream-encodes Arrow batch by Arrow batch, rolling
+    output files on sstable_id change. Executor memory is O(one Arrow
+    batch), never O(sstable) -- the reference's fold-over-a-row-stream
+    posture (Runner.java:114-124) at any file size. The decorated-order
+    sort key is F.md5(key): this engine's md5_token orders identically
+    to the md5 hexdigest string (md5_token docstring), so the sort stays
+    entirely JVM-side -- no Python touches a row until the encoder.
+
+    EXPIRING cells get ttl/local_expiration derived from the engine's
+    ttl_expired flag (expired -> epoch 0, unexpired -> far future);
+    DELETED cells carry their localDeletionTime body.
     Returns a metrics DataFrame (sstable_id, path, n_partitions, n_cells).
     """
-    import pandas as pd  # noqa: F401
-
+    from pyspark.sql import functions as F
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType)
 
@@ -569,42 +799,12 @@ def write_cells_as_sstables(cells_df, out_dir: str,
     ])
 
     os.makedirs(out_dir, exist_ok=True)
-
-    def write_group(pdf):
-        import pandas as pd
-
-        sstable_id = pdf["sstable_id"].iloc[0]
-        parts: dict[bytes, dict] = {}
-        for row in pdf.itertuples(index=False):
-            key = bytes(row.key)
-            part = parts.setdefault(key, {"key": key, "cells": []})
-            if not row.partition_deletion_live:
-                part["deletion"] = (0, 0)  # any non-live sentinel pair
-            kind = row.cell_kind
-            cell = {"name": bytes(row.name), "kind": kind,
-                    "timestamp": int(row.writeTime),
-                    "value": bytes(row.value) if row.value is not None else b""}
-            if kind == "EXPIRING":
-                cell["ttl"] = 60
-                cell["local_expiration"] = 0 if row.ttl_expired else LIVE_LOCAL_DELETION - 1
-            elif kind == "DELETED":
-                cell["local_deletion"] = 0
-                cell["value"] = b""
-            part["cells"].append(cell)
-        for part in parts.values():
-            # comparator order within a partition, like the real format
-            part["cells"].sort(key=lambda c: (c["name"], c["timestamp"],
-                                              c["value"]))
-        path = write_sstable(out_dir, 1, list(parts.values()),
-                             ks="ks", cf=sstable_id, compression=compression)
-        return pd.DataFrame([{
-            "sstable_id": sstable_id, "path": path,
-            "n_partitions": len(parts),
-            "n_cells": sum(len(p["cells"]) for p in parts.values()),
-        }])
-
-    return (cells_df.repartition("sstable_id")
-            .groupBy("sstable_id").applyInPandas(write_group, schema))
+    return (cells_df
+            .repartition("sstable_id")
+            .sortWithinPartitions(
+                "sstable_id", F.md5("key"), "key",
+                "name", "writeTime", "value")
+            .mapInPandas(_cells_stream_writer(out_dir, compression), schema))
 
 
 # --------------------------------------------------------------------------

@@ -5,20 +5,25 @@ The reference serializes each Row with writeDelimitedTo into a
 zstd-compressed stream, one output file per input SSTable, named
 `<src>.proto.zst` (reference: Runner.java:114-156). Here:
 
-* write_rows_pb -- distributed sink: groupBy(sstable_id).applyInPandas,
-  one task per sstable, each task streaming rows through the wire codec
-  into a zstd stream (pyarrow CompressedOutputStream -- standard zstd
-  frames, readable by any zstd tool). Returns the per-file metrics the
-  reference prints (M1: sizes, row counts, wall seconds,
-  Runner.java:88-96) as a DataFrame instead of stdout.
+* write_rows_pb -- distributed STREAMING sink: repartition(sstable_id) +
+  sortWithinPartitions(sstable_id, key), then iterator-style mapInPandas
+  that pushes each Arrow batch through the wire codec into a zstd stream
+  (pyarrow CompressedOutputStream -- standard zstd frames, readable by
+  any zstd tool), rolling output files when sstable_id changes. Executor
+  memory is O(one Arrow batch), never O(file) -- the key-order sort is
+  Spark's spillable sort machinery, not an in-task pandas sort. Returns
+  the per-file metrics the reference prints (M1: sizes, row counts, wall
+  seconds, Runner.java:88-96) as a DataFrame instead of stdout.
 * SSTablePbDataSource -- a Spark 4 Python DataSource ("sstable_pb"
   format) reading those files back: one input partition per file
   (file-parallel scan), lazy streaming decode, nested Row schema.
 
 Scale notes: the sink shuffles once on sstable_id (the one-output-per-
-input contract forces task==file); each task is O(rows of its file) with
-O(1) memory (streaming encode, nothing buffered). Task-retry safety via
-write-to-temp + atomic rename. The source enumerates files driver-side
+input contract forces file==contiguous run within a task); each task
+streams with O(batch) memory -- a 50 GB sstable's rows pass through a
+bounded window, nothing file-sized is ever resident (pinned by
+tests/test_writer_memory.py). Task-retry safety via write-to-temp +
+atomic rename. The source enumerates files driver-side
 but decodes entirely in executors; a 100 TB run gets one task per file
 -- matching the reference's unit of work, but parallel across the
 cluster instead of sequential on one thread (Runner.java:56-59).
@@ -63,55 +68,98 @@ ROW_SCHEMA = StructType([
 ])
 
 
+def _pb_stream_writer(out_dir: str):
+    """mapInPandas function factory: consume an ITERATOR of Arrow batches
+    already sorted by (sstable_id, key), stream-encode delimited-protobuf
+    frames into a zstd stream, and roll to a new `.proto.zst` when
+    sstable_id changes. Peak memory is O(one Arrow batch) + the codec's
+    fixed compression window -- pinned by tests/test_writer_memory.py --
+    regardless of file size; the old applyInPandas shape held one whole
+    sstable's row set per task (flagged weak-at-100x in round 4)."""
+    import pyarrow as pa
+
+    def write_stream(batches):
+        import pandas as pd
+
+        state = None  # open-file state for the current sstable_id
+
+        def open_file(sstable_id):
+            final = os.path.join(out_dir, f"{sstable_id}-Data.db{FILE_SUFFIX}")
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            # compression=None: pa auto-detects .zst extensions and would
+            # double-wrap the explicit codec layer
+            raw_out = pa.output_stream(tmp, compression=None)
+            return {"sstable_id": sstable_id, "final": final, "tmp": tmp,
+                    "raw_out": raw_out,
+                    "zout": pa.CompressedOutputStream(raw_out, "zstd"),
+                    "n_rows": 0, "n_cells": 0, "raw": 0,
+                    "t0": time.perf_counter()}
+
+        def close_file(st):
+            st["zout"].close()
+            st["raw_out"].close()
+            os.replace(st["tmp"], st["final"])
+            return pd.DataFrame([{
+                "sstable_id": st["sstable_id"],
+                "path": st["final"],
+                "n_rows": st["n_rows"],
+                "n_cells": st["n_cells"],
+                "raw_bytes": st["raw"],
+                "compressed_bytes": os.path.getsize(st["final"]),
+                "seconds": f"{time.perf_counter() - st['t0']:.3f}",
+            }])
+
+        try:
+            for pdf in batches:
+                for sstable_id, key, columns in zip(
+                        pdf["sstable_id"], pdf["key"], pdf["columns"]):
+                    if state is None or state["sstable_id"] != sstable_id:
+                        if state is not None:
+                            yield close_file(state)
+                        state = open_file(sstable_id)
+                    cols = [(c["name"], c["value"], c["writeTime"])
+                            for c in columns]
+                    framed = protowire.frame_row(
+                        protowire.encode_row(bytes(key), cols))
+                    state["zout"].write(framed)
+                    state["n_rows"] += 1
+                    state["n_cells"] += len(cols)
+                    state["raw"] += len(framed)
+            if state is not None:
+                yield close_file(state)
+        except BaseException:
+            # failed-task cleanup: drop the temp file; published files
+            # (already atomically renamed) are never touched
+            if state is not None:
+                for h in ("zout", "raw_out"):
+                    try:
+                        state[h].close()
+                    except OSError:
+                        pass
+                try:
+                    os.unlink(state["tmp"])
+                except FileNotFoundError:
+                    pass
+            raise
+
+    return write_stream
+
+
 def write_rows_pb(nested_rows: DataFrame, out_dir: str) -> DataFrame:
     """Write nested rows (sstable_id, key, columns) as one
     `<sstable_id>-Data.db.proto.zst` per sstable_id under out_dir.
 
     Rows are written in ascending key-byte order within each file (the
     reference preserves token order; byte order is this model's analog).
+    The order comes from Spark's spillable sort, not an in-task pandas
+    sort, so the encoder sees a bounded window of rows at a time.
     Returns the metrics DataFrame (collected by the caller as needed).
     """
-    import pyarrow as pa
-
     os.makedirs(out_dir, exist_ok=True)
-
-    def write_group(pdf):
-        import pandas as pd
-
-        t0 = time.perf_counter()
-        sstable_id = pdf["sstable_id"].iloc[0]
-        pdf = pdf.sort_values("key", kind="mergesort")
-        final_path = os.path.join(out_dir, f"{sstable_id}-Data.db{FILE_SUFFIX}")
-        tmp_path = final_path + f".tmp-{uuid.uuid4().hex}"
-        n_rows = 0
-        n_cells = 0
-        raw = 0
-        # compression=None: pa auto-detects .zst extensions and would
-        # double-wrap the explicit codec layer
-        with pa.output_stream(tmp_path, compression=None) as raw_out, \
-                pa.CompressedOutputStream(raw_out, "zstd") as zout:
-            for key, columns in zip(pdf["key"], pdf["columns"]):
-                cols = [(c["name"], c["value"], c["writeTime"]) for c in columns]
-                body = protowire.encode_row(bytes(key), cols)
-                framed = protowire.frame_row(body)
-                zout.write(framed)
-                n_rows += 1
-                n_cells += len(cols)
-                raw += len(framed)
-        os.replace(tmp_path, final_path)
-        return pd.DataFrame([{
-            "sstable_id": sstable_id,
-            "path": final_path,
-            "n_rows": n_rows,
-            "n_cells": n_cells,
-            "raw_bytes": raw,
-            "compressed_bytes": os.path.getsize(final_path),
-            "seconds": f"{time.perf_counter() - t0:.3f}",
-        }])
-
-    return (nested_rows.repartition("sstable_id")
-            .groupBy("sstable_id")
-            .applyInPandas(write_group, WRITE_METRICS_SCHEMA))
+    return (nested_rows
+            .repartition("sstable_id")
+            .sortWithinPartitions("sstable_id", "key")
+            .mapInPandas(_pb_stream_writer(out_dir), WRITE_METRICS_SCHEMA))
 
 
 class _PbFilePartition(InputPartition):

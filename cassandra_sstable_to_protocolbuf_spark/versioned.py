@@ -45,11 +45,12 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+    get_commit_backend)
 from cassandra_sstable_to_protocolbuf_spark.landed import (
     key_shard, lww_live_cells, lww_winners)
 
@@ -63,8 +64,8 @@ def _manifest_path(table_dir: str, version: int) -> str:
 
 
 def current_version(table_dir: str) -> int:
-    with open(os.path.join(table_dir, _CURRENT), encoding="ascii") as f:
-        return int(f.read().strip())
+    return int(get_commit_backend()
+               .read_text(os.path.join(table_dir, _CURRENT)).strip())
 
 
 def list_versions(table_dir: str) -> list[int]:
@@ -74,7 +75,7 @@ def list_versions(table_dir: str) -> list[int]:
     read_manifest, so restore/time-travel can never resurrect one."""
     cur = current_version(table_dir)
     mdir = os.path.join(table_dir, _MANIFESTS)
-    return sorted(int(f[1:-5]) for f in os.listdir(mdir)
+    return sorted(int(f[1:-5]) for f in get_commit_backend().listdir(mdir)
                   if f.startswith("v") and f.endswith(".json")
                   and f[1:-5].isdigit() and int(f[1:-5]) <= cur)
 
@@ -90,34 +91,17 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict:
     # data files vacuum may already have reclaimed -- serving it (or
     # letting restore_version re-commit it) would publish a snapshot of
     # dangling paths
-    if version > cur or not os.path.exists(path):
+    backend = get_commit_backend()
+    if version > cur or not backend.exists(path):
         raise FileNotFoundError(
             f"version {version} of {table_dir} does not exist "
             f"(never committed, or reclaimed by vacuum)")
-    with open(path, encoding="utf-8") as f:
-        m = json.load(f)
+    m = json.loads(backend.read_text(path))
     if m.get("version") != version:
         raise ValueError(f"manifest {path} claims version {m.get('version')}")
     return m
 
 
-def _atomic_write(path: str, text: str) -> None:
-    """Same-directory temp + fsync + rename: the only atomic publish
-    primitive POSIX gives us, used for both manifests and `_current`."""
-    d = os.path.dirname(path)
-    fd, tmp = tempfile.mkstemp(dir=d, prefix=".commit_")
-    try:
-        with os.fdopen(fd, "w", encoding="utf-8") as f:
-            f.write(text)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)
-    except BaseException:
-        try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        raise
 
 
 class CommitConflict(RuntimeError):
@@ -141,47 +125,32 @@ def _create_exclusive(path: str, text: str, table_dir: str,
     leftover manifest whose version never became current is reclaimed
     only after a grace age, so a LIVE writer between its manifest write
     and `_current` repoint is never clobbered."""
-    import time
-
+    backend = get_commit_backend()
     for attempt in (0, 1):
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(text)
-                f.flush()
-                os.fsync(f.fileno())
+        if backend.put_if_absent(path, text):
             return
-        except FileExistsError:
-            try:
-                cur = current_version(table_dir)
-            except FileNotFoundError:
-                cur = -1  # table mid-creation: no version committed yet
-            if cur >= version:
-                raise CommitConflict(
-                    f"version {version} of {table_dir} was committed by "
-                    f"another writer; recompute against the new current "
-                    f"version and retry") from None
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
-                continue  # a concurrent reclaimer removed it: retry create
-            if age < STALE_MANIFEST_GRACE_S:
-                raise CommitConflict(
-                    f"another writer appears to be mid-commit of version "
-                    f"{version} (manifest age {age:.1f}s); retry later")\
-                    from None
-            if attempt == 0:
-                # atomic reclaim of the crashed leftover: rename wins at
-                # most once, so two concurrent reclaimers cannot both
-                # unlink-and-create (one's rename fails, it retries the
-                # O_EXCL create and loses to the other's fresh -- hence
-                # young -- manifest with a clean CommitConflict)
-                tomb = f"{path}.reclaimed.{os.getpid()}"
-                try:
-                    os.rename(path, tomb)
-                    os.unlink(tomb)
-                except OSError:
-                    pass
+        try:
+            cur = current_version(table_dir)
+        except FileNotFoundError:
+            cur = -1  # table mid-creation: no version committed yet
+        if cur >= version:
+            raise CommitConflict(
+                f"version {version} of {table_dir} was committed by "
+                f"another writer; recompute against the new current "
+                f"version and retry")
+        age = backend.age_s(path)
+        if age is None:
+            continue  # a concurrent reclaimer removed it: retry create
+        if age < STALE_MANIFEST_GRACE_S:
+            raise CommitConflict(
+                f"another writer appears to be mid-commit of version "
+                f"{version} (manifest age {age:.1f}s); retry later")
+        if attempt == 0:
+            # at-most-once reclaim of the crashed leftover: of N
+            # concurrent stealers exactly one wins; the losers retry
+            # the CAS create and lose to the winner's fresh -- hence
+            # young -- manifest with a clean CommitConflict
+            backend.steal(path)
     raise CommitConflict(f"could not claim version {version} after retry")
 
 
@@ -232,8 +201,8 @@ def _verify_claim(table_dir: str, version: int, writer_uuid: str,
     the same version (one commit silently lost). Identity lives in the
     manifest's `writer` uuid -- a reclaimer's manifest carries its own."""
     try:
-        with open(_manifest_path(table_dir, version), encoding="utf-8") as f:
-            m = json.load(f)
+        m = json.loads(get_commit_backend()
+                       .read_text(_manifest_path(table_dir, version)))
     except (OSError, ValueError):
         m = None
     if m is None or m.get("writer") != writer_uuid:
@@ -262,7 +231,8 @@ def _commit(table_dir: str, files_by_shard: dict[str, list[str]],
         # race a v0 write except a duplicate init, which O_EXCL rejects)
         _create_exclusive(_manifest_path(table_dir, version),
                           json.dumps(manifest), table_dir, version)
-        _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
+        get_commit_backend().put_atomic(
+            os.path.join(table_dir, _CURRENT), str(version))
         return version
     _create_exclusive(_manifest_path(table_dir, version),
                       json.dumps(manifest), table_dir, version)
@@ -289,7 +259,8 @@ def _publish(table_dir: str, version: int, writer_uuid: str) -> None:
         raise CommitConflict(
             f"version {version} of {table_dir} was committed by another "
             f"writer while this commit stalled; recompute and retry")
-    _atomic_write(os.path.join(table_dir, _CURRENT), str(version))
+    get_commit_backend().put_atomic(
+        os.path.join(table_dir, _CURRENT), str(version))
     _verify_claim(table_dir, version, writer_uuid, "post-publish")
 
 
@@ -348,9 +319,10 @@ def init_versioned(spark: SparkSession, cells: DataFrame,
     history. `force=True` (CLI: --force) performs exactly that,
     deliberately, after removing the old manifests."""
     _check_input_columns(cells, "init_versioned")
+    backend = get_commit_backend()
     existing = [p for p in (os.path.join(table_dir, _CURRENT),
                             _manifest_path(table_dir, 0))
-                if os.path.exists(p)]
+                if backend.exists(p)]
     if existing:
         if not force:
             raise FileExistsError(
@@ -358,14 +330,13 @@ def init_versioned(spark: SparkSession, cells: DataFrame,
                 f"exists); re-initializing would silently truncate its "
                 f"history. Pass force=True (--force) to rebuild from "
                 f"scratch deliberately.")
-        import shutil
-        shutil.rmtree(os.path.join(table_dir, _MANIFESTS),
-                      ignore_errors=True)
+        mdir = os.path.join(table_dir, _MANIFESTS)
         try:
-            os.unlink(os.path.join(table_dir, _CURRENT))
-        except OSError:
+            for f in backend.listdir(mdir):
+                backend.delete(os.path.join(mdir, f))
+        except FileNotFoundError:
             pass
-    os.makedirs(os.path.join(table_dir, _MANIFESTS), exist_ok=True)
+        backend.delete(os.path.join(table_dir, _CURRENT))
     merged = lww_live_cells(cells).withColumn("shard", key_shard(F.col("key")))
     return _commit(table_dir, _commit_data_files(merged, table_dir, 0), 0,
                    schema_json=_schema_json(merged))
@@ -676,8 +647,10 @@ def vacuum(table_dir: str, retain: int = 2,
 
     if retain < 1:
         raise ValueError("vacuum must retain at least the current version")
+    backend = get_commit_backend()
 
     def aged(path: str) -> bool:
+        # data files: always POSIX (Spark's filesystem layer wrote them)
         try:
             return time.time() - os.path.getmtime(path) >= min_file_age_s
         except OSError:
@@ -694,15 +667,16 @@ def vacuum(table_dir: str, retain: int = 2,
     deleted: list[str] = []
     for v in versions:
         if v not in keep:
-            os.unlink(_manifest_path(table_dir, v))
+            backend.delete(_manifest_path(table_dir, v))
             deleted.append(_manifest_path(table_dir, v))
     # aged crash leftovers above _current (their commit never completed)
-    for f in os.listdir(mdir):
+    for f in backend.listdir(mdir):
+        full = os.path.join(mdir, f)
         if (f.startswith("v") and f.endswith(".json")
                 and f[1:-5].isdigit() and int(f[1:-5]) > cur
-                and aged(os.path.join(mdir, f))):
-            os.unlink(os.path.join(mdir, f))
-            deleted.append(os.path.join(mdir, f))
+                and (backend.age_s(full) or 0) >= min_file_age_s):
+            backend.delete(full)
+            deleted.append(full)
     data_root = os.path.join(table_dir, _DATA)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for f in filenames:

@@ -22,8 +22,32 @@ AQE handles skewed partition keys (skew-join/partition splitting).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# P2's documented memory bound: the nested Row output shape requires one
+# in-memory array of a partition's surviving cells (the proto Row message
+# itself must fit in memory on ANY implementation, including the
+# reference's streaming builder -- service/SSTableReader.java:90-107 still
+# materializes the Message). A partition wider than this cap would silently
+# stress executor memory; instead the aggregation FAILS LOUDLY with the
+# offending key, and the caller either raises the cap deliberately or
+# routes the table through the flat-cell surface (which streams O(cell)).
+MAX_CELLS_PER_ROW = 1_000_000
+
+
+def guard_row_width(columns: Column, key: Column,
+                    max_cells: int = MAX_CELLS_PER_ROW) -> Column:
+    """Wrap a collected `columns` array so rows wider than `max_cells`
+    raise a descriptive error instead of OOMing the executor. Pure
+    codegen expression (size + when) -- zero cost on healthy rows."""
+    return F.when(
+        F.size(columns) <= F.lit(max_cells), columns,
+    ).otherwise(F.raise_error(F.format_string(
+        "partition %s has %d surviving cells, over the nested-Row cap of "
+        f"{max_cells}; raise max_cells deliberately or use the flat cell "
+        "surface, which streams in O(cell) memory",
+        F.base64(key), F.size(columns))))
 
 
 def project_cells(cells: DataFrame) -> DataFrame:
@@ -31,17 +55,20 @@ def project_cells(cells: DataFrame) -> DataFrame:
     return cells.select("sstable_id", "key", "name", "value", "writeTime")
 
 
-def group_rows(cells: DataFrame) -> DataFrame:
+def group_rows(cells: DataFrame,
+               max_cells: int = MAX_CELLS_PER_ROW) -> DataFrame:
     """P2: partition -> Row{key, columns sorted by name}.
 
     sort_array on struct(name, ...) sorts by the first field, matching the
     reference's comparator (on-disk cell-name order,
-    SSTableIdentityIteratorPatched.java:72).
+    SSTableIdentityIteratorPatched.java:72). Rows wider than `max_cells`
+    fail loudly (guard_row_width) rather than exhausting executor memory.
     """
     return (
         cells.groupBy("sstable_id", "key")
-        .agg(F.sort_array(F.collect_list(F.struct("name", "value", "writeTime")))
-             .alias("columns"))
+        .agg(guard_row_width(
+            F.sort_array(F.collect_list(F.struct("name", "value", "writeTime"))),
+            F.col("key"), max_cells).alias("columns"))
     )
 
 

@@ -606,6 +606,10 @@ CATALOG: dict[str, QueryDef] = {
                                 "BPE tokenizer APPLY: 4 learned merges "
                                 "encoded via anchored whole-symbol replaces, "
                                 "vocab-only rewrites"),
+    "docs_bpe_train16": QueryDef(TX.docs_bpe_train16, TX.DOCS_BPE_TRAIN16_SQL,
+                                 "BPE training harness: 16 sequential "
+                                 "merges, flat per-round cost via "
+                                 "localCheckpoint lineage truncation"),
     "docs_decontaminate": QueryDef(TX.docs_decontaminate,
                                    TX.DOCS_DECONTAMINATE_SQL,
                                    "benchmark decontamination (broadcast shingle join)"),

@@ -1760,6 +1760,111 @@ GROUP BY 1""")
 DOCS_BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+# --- BPE training harness (production merge counts) -------------------------
+
+BPE_TRAIN_ROUNDS = 16
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              rounds: int = BPE_TRAIN_ROUNDS,
+              round_seconds: list[float] | None = None) -> DataFrame:
+    """Sequential BPE merge training at PRODUCTION shape: `rounds` is a
+    parameter (a real tokenizer runs thousands), and per-round cost is
+    kept FLAT by localCheckpoint-ing the vocab table after every merge
+    -- without it each round's crossJoin stacks onto an ever-growing
+    unresolved plan and Catalyst analysis cost compounds per round (the
+    round-4 demo ran 4 rounds for exactly that reason; the runtime pin
+    in tests/test_bpe_scaling.py certifies ~linear growth now).
+
+    Dataflow per round, all vocab-bounded (corpus rows are touched
+    exactly once, by the word-frequency pass):
+      1. hash-agg adjacent-symbol pair counts over (spaced, freq);
+      2. pick the winner by (count DESC, a, b) -- a total order, so
+         training is deterministic on any cluster;
+      3. rewrite the vocab's spaced form via a one-row broadcast (the
+         '|' terminator scheme from docs_bpe_encode keeps multi-char
+         symbol boundaries unambiguous);
+      4. localCheckpoint: truncate lineage so round N+1's plan is the
+         same size as round 1's.
+
+    Returns one row per learned merge: (step, a, b, pair_count).
+    `round_seconds`, when given, receives per-round wall times (the
+    scaling test's probe). At 100 TB the per-round jobs scan only the
+    distinct-word table -- merge count scales by adding ROUNDS, not
+    corpus passes, which is why real BPE trainers survive web-scale
+    corpora."""
+    import time
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+    wf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    spaced = F.expr(r"trim(regexp_replace(w, '(.)', '$1\\| '))")
+    # the ONLY corpus-bounded job: materialize the vocab table once
+    cur = (wf.filter(F.length("w") >= 2)
+           .select(spaced.alias("spaced"), "freq")
+           .localCheckpoint())
+    apply_merge = ("substr(replace(' ' || spaced, ' ' || ma || ' ' || mb,"
+                   " ' ' || replace(ma, '|', '') || mb), 2)")
+    merge_rows: list[DataFrame] = []
+    for step in range(1, rounds + 1):
+        t0 = time.perf_counter()
+        top = (_bpe_pair_counts(cur)
+               .orderBy(F.desc("pair_count"), "a", "b").limit(1)
+               .select(F.lit(step).cast("long").alias("step"),
+                       F.col("a"), F.col("b"), "pair_count")
+               .localCheckpoint())  # 1 row; avoids recomputing for output
+        cur = (cur.crossJoin(F.broadcast(
+                   top.select(F.col("a").alias("ma"),
+                              F.col("b").alias("mb"))))
+               .select(F.expr(apply_merge).alias("spaced"), "freq")
+               .localCheckpoint())
+        merge_rows.append(top)
+        if round_seconds is not None:
+            round_seconds.append(time.perf_counter() - t0)
+    out = merge_rows[0]
+    for frame in merge_rows[1:]:
+        out = out.unionAll(frame)
+    return out
+
+
+def docs_bpe_train16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gated production-harness variant: 16 sequential merges (4x
+    the algorithm demo in docs_bpe_merges), exact vs a 16-round unrolled
+    DuckDB CTE chain."""
+    return bpe_train(spark, sf_dir, rounds=BPE_TRAIN_ROUNDS)
+
+
+def _bpe_train_sql(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    # sp{k} is referenced twice per later round (pair counting + the
+    # merge rewrite); DuckDB inlines CTEs by default, so an UNMARKED
+    # 16-round chain expands to 2^16 scans of the corpus ("too many open
+    # files" long before it finishes). MATERIALIZED pins each round to
+    # one evaluation -- the oracle analog of the Spark side's
+    # localCheckpoint per round.
+    apply = ("substr(replace(' ' || spaced, ' ' || t.a || ' ' || t.b,"
+             " ' ' || replace(t.a, '|', '') || t.b), 2)")
+    parts = [rf"""
+WITH toks AS (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents),
+wf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+sp0 AS MATERIALIZED (
+  SELECT trim(regexp_replace(w, '(.)', '\1| ', 'g')) AS spaced, freq
+  FROM wf WHERE length(w) >= 2)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f""",
+p{k} AS ({_DUCK_BPE_PAIRS % f'sp{k - 1}'}),
+top{k} AS MATERIALIZED (SELECT a, b, pair_count FROM p{k}
+           ORDER BY pair_count DESC, a, b LIMIT 1),
+sp{k} AS MATERIALIZED (
+  SELECT {apply} AS spaced, freq FROM sp{k - 1}, top{k} t)""")
+    selects = [f"SELECT CAST({k} AS BIGINT) AS step, a, b, pair_count "
+               f"FROM top{k}" for k in range(1, rounds + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+DOCS_BPE_TRAIN16_SQL = _bpe_train_sql()
+
+
 # --- Novelty scoring (curation signal) --------------------------------------
 
 def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:

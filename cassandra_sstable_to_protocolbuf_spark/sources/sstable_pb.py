@@ -271,10 +271,15 @@ def nested_rows_from_cells(cells_binary: DataFrame) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.operators.tombstones import (
         live_cell_predicate, partition_live_predicate)
 
+    from cassandra_sstable_to_protocolbuf_spark.operators.projection import (
+        MAX_CELLS_PER_ROW, guard_row_width)
+
     live_struct = F.when(live_cell_predicate(),
                          F.struct("name", "value", "writeTime"))
     return (
         cells_binary.filter(partition_live_predicate())
         .groupBy("sstable_id", "key")
-        .agg(F.sort_array(F.collect_list(live_struct)).alias("columns"))
+        .agg(guard_row_width(F.sort_array(F.collect_list(live_struct)),
+                             F.col("key"), MAX_CELLS_PER_ROW)
+             .alias("columns"))
     )

@@ -213,3 +213,24 @@ def test_stream_writer_abort_leaves_no_temp_files(tmp_path):
     w.add_cell(b"c", "LIVE", 1, b"v")
     w.abort()
     assert os.listdir(tmp_path) == []
+
+
+def test_group_rows_wide_partition_guard(spark):
+    """P2's nested-Row cap: a partition wider than max_cells fails with
+    the documented loud error (never a silent executor OOM); under the
+    cap the same data encodes normally."""
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.projection import (
+        group_rows)
+
+    rows = [("s1", b"wide", b"c%02d" % i, b"v", i) for i in range(10)]
+    cells = spark.createDataFrame(
+        rows, "sstable_id string, key binary, name binary, value binary, "
+              "writeTime long")
+
+    ok = group_rows(cells, max_cells=10).collect()
+    assert len(ok) == 1 and len(ok[0]["columns"]) == 10
+
+    with pytest.raises(Exception, match="nested-Row cap"):
+        group_rows(cells, max_cells=9).collect()

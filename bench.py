@@ -46,12 +46,15 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",
     "tpch_q3_top_orders",
+    "tpch_q4_order_priority",
     "tpch_q5_supplier_volume",
     "tpch_q6_revenue",
     "tpch_q7_nation_volume",
     "tpch_q8_market_share",
+    "tpch_q10_returned_revenue",
     "tpch_q11_important_parts",
     "tpch_q12_ship_priority",
+    "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_counts",

@@ -155,6 +155,16 @@ CATALOG: dict[str, QueryDef] = {
                                           "Q2 shape: decorrelated per-part min + top-100"),
     "tpch_q11_important_parts": QueryDef(R.q11_important_parts, R.Q11_SQL,
                                          "Q11 shape: grouped agg vs global scalar HAVING"),
+    "tpch_q4_order_priority": QueryDef(R.q4_order_priority, R.Q4_SQL,
+                                       "Q4: EXISTS decorrelated to a "
+                                       "left-semi join + priority counts"),
+    "tpch_q10_returned_revenue": QueryDef(R.q10_returned_item_revenue,
+                                          R.Q10_SQL,
+                                          "Q10: returned-item revenue "
+                                          "top-20 customers"),
+    "tpch_q13_order_distribution": QueryDef(
+        R.q13_customer_order_distribution, R.Q13_SQL,
+        "Q13: zero-preserving left-join order-count distribution"),
     "tpch_q12_ship_priority": QueryDef(R.q12_ship_class_priority, R.Q12_SQL,
                                        "Q12 shape: big-big join + two-bucket CASE agg"),
     "tpch_q16_supplier_counts": QueryDef(R.q16_supplier_part_counts, R.Q16_SQL,

@@ -6169,3 +6169,123 @@ SELECT day, n_total, n_err,
        cum_burn_units > 0 AS slo_breached_to_date
 FROM b
 """
+
+
+# --- TPC-H completion II: Q4/Q10/Q13 (the last three of the 22) ----------
+# Same adaptation rule as the Q2/Q9/Q12 section: where the driver schema
+# lacks a spec column (l_commitdate/l_receiptdate, o_comment, c_address),
+# a present column stands in and the JOIN/SUBQUERY SHAPE -- the thing the
+# operator inventory is about -- is preserved exactly.
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: order-priority counts for one quarter of orders having
+    at least one problem lineitem (returnflag 'R' standing in for the
+    absent commitdate < receiptdate lateness predicate) -- the
+    correlated EXISTS decorrelated into a left-semi join on orderkey.
+
+    Scale: the quarter filter pushes to the orders scan; the semi join
+    shuffles on orderkey but ships NO lineitem payload (semi output =
+    left columns only) and deduplicates inside the join -- no distinct
+    pass anywhere; the 5-row priority agg is partial-agg friendly."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01")))
+    late = (_t(spark, sf_dir, "lineitem")
+            .filter(F.col("l_returnflag") == "R")
+            .select("l_orderkey"))
+    return (orders.join(late, orders.o_orderkey == late.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+"""
+
+
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: the 20 customers losing the most revenue to returned
+    items in one quarter -- fact-fact join on orderkey, dimension joins
+    broadcast, exact-decimal revenue agg per customer, top-k by revenue.
+
+    Scale: lineitem pre-filters to returnflag 'R' at the scan; the only
+    big shuffle is lineitem x quarter-orders on orderkey; customer and
+    nation broadcast; the final LIMIT compiles to TakeOrderedAndProject
+    (per-partition top-k, never a global sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01")))
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice").cast(DEC)
+           * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).cast("double").alias("revenue"),
+                 # acctbal is functionally dependent on c_custkey; MAX
+                 # folds it into the same agg (both engines agree: one
+                 # value per group)
+                 F.max(F.col("c_acctbal").cast(DEC)).cast("double")
+                 .alias("acctbal"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+            AS DOUBLE) AS revenue,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS acctbal
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: the distribution of orders-per-customer INCLUDING
+    zero-order customers -- a left outer join whose extra ON predicate
+    (priority <> '5-LOW', standing in for the absent o_comment NOT LIKE
+    scan) must not turn the join inner, then two stacked aggregations.
+
+    Scale: the outer join shuffles on custkey; the first agg rides the
+    same hash partitioning (no extra shuffle -- custkey is the join
+    key); the second agg's domain is order-counts, a few dozen rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW")
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1) t
+GROUP BY 1
+"""

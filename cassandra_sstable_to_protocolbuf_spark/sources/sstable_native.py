@@ -531,11 +531,11 @@ class SSTableStreamWriter:
         self._index.write(entry)
         self._index_pos += len(entry)
         self._n_index += 1
-        self._write(struct.pack(">H", len(key)))
-        self._write(key)
         ldt, marked = (deletion if deletion is not None
                        else (LIVE_LOCAL_DELETION, LIVE_MARKED_AT))
-        self._write(struct.pack(">iq", ldt, marked))
+        # one fused write per header: _write is the per-call hot path
+        self._write(struct.pack(f">H{len(key)}siq", len(key), key,
+                                ldt, marked))
         self._in_partition = True
         self.n_partitions += 1
 
@@ -560,27 +560,23 @@ class SSTableStreamWriter:
             # a zero-length name is the end-of-partition marker in this
             # format; real Cassandra cell names are >= 1 byte
             raise ValueError("cell name must be non-empty")
-        self._write(struct.pack(">H", len(name)))
-        self._write(name)
+        # one fused write per cell: the encoder runs once per cell of a
+        # 100 TB export, so per-call Python overhead IS the write cost
         if kind == "LIVE":
-            self._write(struct.pack(">B", 0))
-            self._write(struct.pack(">qi", timestamp, len(value)))
-            self._write(value)
+            self._write(struct.pack(f">H{len(name)}sBqi", len(name), name,
+                                    0, timestamp, len(value)) + value)
         elif kind == "DELETED":
-            self._write(struct.pack(">B", FLAG_DELETION))
-            body = struct.pack(">i", local_deletion)
-            self._write(struct.pack(">qi", timestamp, len(body)))
-            self._write(body)
+            self._write(struct.pack(f">H{len(name)}sBqii", len(name), name,
+                                    FLAG_DELETION, timestamp, 4,
+                                    local_deletion))
         elif kind == "EXPIRING":
-            self._write(struct.pack(">B", FLAG_EXPIRATION))
-            self._write(struct.pack(">ii", ttl, local_expiration))
-            self._write(struct.pack(">qi", timestamp, len(value)))
-            self._write(value)
+            self._write(struct.pack(f">H{len(name)}sBiiqi", len(name), name,
+                                    FLAG_EXPIRATION, ttl, local_expiration,
+                                    timestamp, len(value)) + value)
         elif kind == "COUNTER":
-            self._write(struct.pack(">B", FLAG_COUNTER))
-            self._write(struct.pack(">qqi", timestamp_of_last_delete,
-                                    timestamp, len(value)))
-            self._write(value)
+            self._write(struct.pack(f">H{len(name)}sBqqi", len(name), name,
+                                    FLAG_COUNTER, timestamp_of_last_delete,
+                                    timestamp, len(value)) + value)
         else:
             raise ValueError(f"unknown cell kind {kind}")
         self.n_cells += 1

@@ -42,6 +42,7 @@ HEADLINE = [
     # read-only headline list -- these two lines make sink drift visible.
     "sst_pb_roundtrip",
     "sst_compact_roundtrip",
+    "sst_optimize_plan",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

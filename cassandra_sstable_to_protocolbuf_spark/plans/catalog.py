@@ -57,6 +57,9 @@ CATALOG: dict[str, QueryDef] = {
                                  "M1: per-file job metrics"),
     "sst_pb_roundtrip": QueryDef(C.sst_pb_roundtrip, C.SST_PB_ROUNDTRIP_SQL,
                                  "K1+K2: protobuf+zstd sink/source round-trip"),
+    "sst_optimize_plan": QueryDef(C.sst_optimize_plan, C.SST_OPTIMIZE_PLAN_SQL,
+                                  "compaction planning: exact size algebra "
+                                  "+ sorted-greedy bin packing per shard"),
     "stream_pb_roundtrip": QueryDef(ST.stream_pb_roundtrip, C.SST_PB_ROUNDTRIP_SQL,
                                     "K1+K2 THROUGH streaming (foreachBatch sink)"),
     "sst_native_roundtrip": QueryDef(C.sst_native_roundtrip, C.SST_NATIVE_ROUNDTRIP_SQL,

@@ -1399,3 +1399,86 @@ def sst_reshard_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SST_RESHARD_EVOLUTION_SQL = SST_MOR_MERGE_SQL
+
+
+def sst_optimize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLANNING -- the small-files maintenance op every
+    lakehouse and LSM store runs (Delta OPTIMIZE bin-packing, Cassandra
+    size-tiered candidate selection): decide WHICH files merge together
+    before any data moves.
+
+    Per token shard (the compact() convention: md5 top hex digit), each
+    input sstable's exact on-disk Data.db byte size is computed from the
+    format's own size algebra (per-cell header widths by kind, partition
+    header + end marker -- the same arithmetic SSTableStreamWriter
+    emits, so the gate doubles as a size-accounting certificate), files
+    sort largest-first with an id tiebreak, and a running cumulative sum
+    packs them greedily into bins of ~1/3 the shard's bytes -- the
+    sorted-greedy segment packing OPTIMIZE uses per partition.
+
+    Scale shape: at 100 TB the sizes come from manifest/Statistics
+    metadata, not a data scan (here they derive from the cells table
+    only so the DuckDB oracle sees identical input); the window runs
+    over FILE-COUNT rows (thousands), never data rows -- planning cost
+    is metadata-bounded, and the plan's bins are exactly the inputs
+    write_cells_as_sstables would merge per output."""
+    from pyspark.sql import Window as W
+
+    cells = encode_lineitem_cells(spark, sf_dir)
+    cell_sz = (
+        F.when(F.col("cell_kind") == "LIVE",
+               15 + F.length("name") + F.length("value"))
+        .when(F.col("cell_kind") == "DELETED", 19 + F.length("name"))
+        .otherwise(23 + F.length("name") + F.length("value"))  # EXPIRING/COUNTER
+    ).cast("long")
+    shard = F.when(F.substring(F.md5(F.encode("key", "UTF-8")), 1, 1) < "8",
+                   "0").otherwise("1")
+    parts = (cells.groupBy(shard.alias("shard"), "sstable_id", "key")
+             .agg((F.sum(cell_sz) + 16 + F.max(F.length("key")))
+                  .alias("part_bytes")))
+    files = (parts.groupBy("shard", "sstable_id")
+             .agg(F.sum("part_bytes").alias("bytes")))
+    totals = files.groupBy("shard").agg(
+        F.expr("SUM(bytes) DIV 3").alias("t3"))  # integer division: both
+    # engines must bin on the SAME exact threshold, so no doubles
+    cum = W.partitionBy("shard").orderBy(F.desc("bytes"), F.asc("sstable_id"))
+    packed = (files.join(F.broadcast(totals), "shard")
+              .withColumn("cum", F.sum("bytes").over(cum))
+              .withColumn("bin", F.expr("(cum - 1) DIV (t3 + 1)")))
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum("bytes").alias("input_bytes"),
+                 F.min("sstable_id").alias("first_file"),
+                 F.max("sstable_id").alias("last_file")))
+
+
+SST_OPTIMIZE_PLAN_SQL = f"""
+{cells_cte()},
+parts AS (
+  SELECT CASE WHEN substring(md5(key), 1, 1) < '8' THEN '0' ELSE '1' END
+           AS shard,
+         sstable_id, key,
+         CAST(SUM(CASE WHEN cell_kind = 'LIVE'
+                       THEN 15 + length(name) + length(value)
+                       WHEN cell_kind = 'DELETED' THEN 19 + length(name)
+                       ELSE 23 + length(name) + length(value) END)
+              + 16 + MAX(length(key)) AS BIGINT) AS part_bytes
+  FROM cells GROUP BY 1, 2, 3),
+files AS (SELECT shard, sstable_id, CAST(SUM(part_bytes) AS BIGINT) AS bytes
+          FROM parts GROUP BY 1, 2),
+totals AS (SELECT shard, CAST(SUM(bytes) // 3 AS BIGINT) AS t3
+           FROM files GROUP BY 1),
+packed AS (
+  SELECT f.shard, f.sstable_id, f.bytes,
+         CAST(SUM(f.bytes) OVER (PARTITION BY f.shard
+              ORDER BY f.bytes DESC, f.sstable_id) AS BIGINT) AS cum,
+         t.t3
+  FROM files f JOIN totals t ON f.shard = t.shard)
+SELECT shard, CAST((cum - 1) // (t3 + 1) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS input_bytes,
+       MIN(sstable_id) AS first_file,
+       MAX(sstable_id) AS last_file
+FROM packed
+GROUP BY 1, 2
+"""

@@ -52,6 +52,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "sstable-info <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "optimize-plan <sstable_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "build-corpus <sf_dir> <out_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "repair-diff <stale_sstables> <synced_sstables>\n"
@@ -568,6 +570,60 @@ def analyze_events_cmd(sf_dir: str, out_dir: str) -> int:
     return 0
 
 
+def optimize_plan_cmd(input_path: str) -> int:
+    """Size-tiered compaction candidate selection over REAL component
+    files, driver-only (metadata plane, no Spark session, zero data
+    bytes read): bucket sstables into log2 size tiers (Cassandra's STCS
+    bucketing), and within each tier of >= 2 files pack largest-first
+    into merge tasks capped at ~2x the tier's upper bound -- the same
+    sorted-greedy cumulative-sum packing the oracle-gated
+    `sst_optimize_plan` catalog query certifies over logical sizes. At
+    100 TB this loop runs over the manifest's file list; data never
+    moves until a chosen task runs `compact`."""
+    import glob
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX)
+
+    paths = sorted(glob.glob(
+        os.path.join(input_path, "**", "*-Data.db"), recursive=True))
+    if not paths:
+        _die(f"no sstables under {input_path}")
+    sized = sorted(((os.path.getsize(pth), pth) for pth in paths),
+                   key=lambda t: (-t[0], t[1]))
+    tiers: dict[int, list[tuple[int, str]]] = {}
+    for size, pth in sized:
+        tiers.setdefault(max(size, 1).bit_length(), []).append((size, pth))
+    n_tasks = 0
+    for tier in sorted(tiers, reverse=True):
+        files = tiers[tier]
+        if len(files) < 2:
+            print(f"tier 2^{tier}: {len(files)} file(s), nothing to merge")
+            continue
+        cap = (1 << tier) * 2
+        task: list[tuple[int, str]] = []
+        acc = 0
+        groups = []
+        for size, pth in files:  # largest-first greedy segments
+            if task and acc + size > cap:
+                groups.append((acc, task))
+                task, acc = [], 0
+            task.append((size, pth))
+            acc += size
+        if task:
+            groups.append((acc, task))
+        for acc, group in groups:
+            if len(group) < 2:
+                continue  # a lone straggler merges with nothing
+            n_tasks += 1
+            names = ", ".join(os.path.basename(pth)[:-len(DATA_SUFFIX)]
+                              for _, pth in group)
+            print(f"task {n_tasks}: tier 2^{tier}, {len(group)} files, "
+                  f"{acc} bytes -> {names}")
+    print(f"planned {n_tasks} merge task(s) over {len(paths)} sstable(s)")
+    return 0
+
+
 def sstable_info_cmd(input_path: str) -> int:
     """`sstablemetadata`-style report, driver-only (no Spark session):
     per sstable, the Descriptor/Statistics/Summary/Index metadata --
@@ -714,13 +770,17 @@ def main(argv: list[str]) -> int:
             _die(f"table dir does not exist: {args[2]}")
         return reshard_versioned_cmd(args[1], args[2])
     if len(args) == 2 and args[0] in ("table-history", "compact-versioned",
-                                      "sstable-info") \
+                                      "sstable-info", "optimize-plan") \
             and not (continue_on_error or by_shard or mor or no_grace
                      or force):
         if args[0] == "sstable-info":
             if not os.path.exists(args[1]):
                 _die(f"input path does not exist: {args[1]}")
             return sstable_info_cmd(args[1])
+        if args[0] == "optimize-plan":
+            if not os.path.isdir(args[1]):
+                _die(f"input path does not exist: {args[1]}")
+            return optimize_plan_cmd(args[1])
         if not os.path.isdir(args[1]):
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"

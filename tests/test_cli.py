@@ -511,3 +511,37 @@ def test_reshard_evolution_cli(tmp_path):
     # bad operand handling
     assert _run("reshard-versioned", "zero", table).returncode != 0
     assert _run("reshard-versioned", "8").returncode != 0
+
+
+def test_optimize_plan_cli(tmp_path, capsys):
+    """Size-tiered planning over real component files: same-tier files
+    group into merge tasks, a lone out-of-tier giant is left alone, and
+    no data bytes are read (metadata plane only)."""
+    from cassandra_sstable_to_protocolbuf_spark.__main__ import main
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        write_sstable)
+
+    def mk(cf, n_cells, val_len):
+        parts = [{"key": b"k%04d" % i, "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1,
+             "value": b"x" * val_len}]} for i in range(n_cells)]
+        write_sstable(str(tmp_path), 1, parts, cf=cf)
+
+    for cf in ("a", "b", "c", "d"):  # one tier: four similar files
+        mk(cf, 40, 100)
+    mk("giant", 4000, 200)  # a different tier, alone
+
+    assert main(["optimize-plan", str(tmp_path)]) == 0
+    out = capsys.readouterr().out
+    # four same-tier files, task byte cap of 2x the tier bound -> two
+    # 2-file merge tasks; the giant's tier has one file, nothing to do
+    assert "planned 2 merge task(s) over 5 sstable(s)" in out
+    assert out.count("2 files") == 2
+    assert "giant" not in [l for l in out.splitlines() if "task" in l][0]
+    assert "nothing to merge" in out  # the giant's tier
+
+    # empty dir fails loudly
+    empty = tmp_path / "none"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        main(["optimize-plan", str(empty)])

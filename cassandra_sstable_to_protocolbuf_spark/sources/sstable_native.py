@@ -731,10 +731,19 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
                         cur_key = key
                         # partition_deletion_live is a partition-level
                         # attribute denormalized onto every cell -- the
-                        # first cell speaks for the partition
-                        deletion = (None if row.partition_deletion_live
-                                    else (0, 0))  # any non-live sentinel
+                        # first cell speaks for the partition, and any
+                        # later disagreement is a data-integrity error
+                        # (the header is already streamed; silently
+                        # ignoring the flip would write a wrong file)
+                        cur_live = bool(row.partition_deletion_live)
+                        deletion = None if cur_live else (0, 0)
                         writer.start_partition(key, deletion)
+                    elif bool(row.partition_deletion_live) != cur_live:
+                        raise ValueError(
+                            f"partition_deletion_live disagrees within "
+                            f"partition {key!r}: the flag is a "
+                            f"partition-level attribute and must be "
+                            f"constant across its cells")
                     kind = row.cell_kind
                     value = (bytes(row.value) if row.value is not None
                              else b"")

@@ -234,3 +234,23 @@ def test_group_rows_wide_partition_guard(spark):
 
     with pytest.raises(Exception, match="nested-Row cap"):
         group_rows(cells, max_cells=9).collect()
+
+
+def test_native_sink_rejects_inconsistent_partition_flag(tmp_path):
+    """partition_deletion_live flipping mid-partition is a data-integrity
+    error: the partition header already streamed, so the writer must
+    fail loudly rather than write a file that contradicts half its
+    input rows."""
+    def batches():
+        yield pd.DataFrame([
+            dict(sstable_id="s1", key=b"a", name=b"n1", value=b"v",
+                 writeTime=1, cell_kind="LIVE", ttl_expired=False,
+                 partition_deletion_live=True),
+            dict(sstable_id="s1", key=b"a", name=b"n2", value=b"v",
+                 writeTime=2, cell_kind="LIVE", ttl_expired=False,
+                 partition_deletion_live=False),
+        ])
+
+    with pytest.raises(ValueError, match="disagrees within"):
+        list(N._cells_stream_writer(str(tmp_path), None)(batches()))
+    assert os.listdir(tmp_path) == []  # abort cleaned the temp components

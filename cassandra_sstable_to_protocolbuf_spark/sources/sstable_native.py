@@ -713,18 +713,30 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
 
         try:
             for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    if row.sstable_id != cur_id:
+                # plain-list iteration: itertuples builds a namedtuple
+                # per cell (~10% of the encode wall in profiles); tolist
+                # converts each column once in C, and the loop below
+                # runs once per cell of a 100 TB export
+                sids = pdf["sstable_id"].tolist()
+                keys = pdf["key"].tolist()
+                names = pdf["name"].tolist()
+                values = pdf["value"].tolist()
+                wts = pdf["writeTime"].tolist()
+                kinds = pdf["cell_kind"].tolist()
+                ttlx = pdf["ttl_expired"].tolist()
+                lives = pdf["partition_deletion_live"].tolist()
+                for sid, key, name, value, wt, kind, ttl_exp, live in zip(
+                        sids, keys, names, values, wts, kinds, ttlx, lives):
+                    if sid != cur_id:
                         if writer is not None:
                             if cur_key is not None:
                                 writer.end_partition()
                             yield finish()
-                        cur_id = row.sstable_id
+                        cur_id = sid
                         cur_key = None
                         writer = SSTableStreamWriter(
                             out_dir, 1, ks="ks", cf=cur_id,
                             compression=compression)
-                    key = bytes(row.key)
                     if key != cur_key:
                         if cur_key is not None:
                             writer.end_partition()
@@ -735,30 +747,30 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
                         # later disagreement is a data-integrity error
                         # (the header is already streamed; silently
                         # ignoring the flip would write a wrong file)
-                        cur_live = bool(row.partition_deletion_live)
-                        deletion = None if cur_live else (0, 0)
-                        writer.start_partition(key, deletion)
-                    elif bool(row.partition_deletion_live) != cur_live:
+                        cur_live = bool(live)
+                        writer.start_partition(
+                            key, None if cur_live else (0, 0))
+                    elif bool(live) != cur_live:
                         raise ValueError(
                             f"partition_deletion_live disagrees within "
                             f"partition {key!r}: the flag is a "
                             f"partition-level attribute and must be "
                             f"constant across its cells")
-                    kind = row.cell_kind
-                    value = (bytes(row.value) if row.value is not None
-                             else b"")
-                    if kind == "EXPIRING":
+                    if kind == "LIVE":
+                        writer.add_cell(name, kind, wt,
+                                        value if value is not None else b"")
+                    elif kind == "EXPIRING":
                         writer.add_cell(
-                            bytes(row.name), kind, int(row.writeTime), value,
+                            name, kind, wt,
+                            value if value is not None else b"",
                             ttl=60,
-                            local_expiration=(0 if row.ttl_expired
+                            local_expiration=(0 if ttl_exp
                                               else LIVE_LOCAL_DELETION - 1))
                     elif kind == "DELETED":
-                        writer.add_cell(bytes(row.name), kind,
-                                        int(row.writeTime), b"")
+                        writer.add_cell(name, kind, wt, b"")
                     else:
-                        writer.add_cell(bytes(row.name), kind,
-                                        int(row.writeTime), value)
+                        writer.add_cell(name, kind, wt,
+                                        value if value is not None else b"")
             if writer is not None:
                 if cur_key is not None:
                     writer.end_partition()

@@ -111,8 +111,11 @@ def _pb_stream_writer(out_dir: str):
 
         try:
             for pdf in batches:
+                # tolist() once per column: iterating pandas Series pays
+                # per-element boxing in the per-row hot loop
                 for sstable_id, key, columns in zip(
-                        pdf["sstable_id"], pdf["key"], pdf["columns"]):
+                        pdf["sstable_id"].tolist(), pdf["key"].tolist(),
+                        pdf["columns"].tolist()):
                     if state is None or state["sstable_id"] != sstable_id:
                         if state is not None:
                             yield close_file(state)

@@ -1437,7 +1437,11 @@ def sst_optimize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg((F.sum(cell_sz) + 16 + F.max(F.length("key")))
                   .alias("part_bytes")))
     files = (parts.groupBy("shard", "sstable_id")
-             .agg(F.sum("part_bytes").alias("bytes")))
+             .agg(F.sum("part_bytes").alias("bytes"))
+             # consumed twice (totals + the packing join); checkpointing
+             # the FILE-COUNT table (one row per shard x sstable) stops
+             # the corpus-sized size-accounting scan from running twice
+             .localCheckpoint())
     totals = files.groupBy("shard").agg(
         F.expr("SUM(bytes) DIV 3").alias("t3"))  # integer division: both
     # engines must bin on the SAME exact threshold, so no doubles

@@ -633,7 +633,8 @@ def sstable_info_cmd(input_path: str) -> int:
     import hashlib
 
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        DATA_SUFFIX, Descriptor, load_summary, read_index, read_statistics)
+        DATA_SUFFIX, Descriptor, load_bloom, load_summary, read_index,
+        read_statistics)
 
     if os.path.isdir(input_path):
         paths = sorted(glob.glob(
@@ -656,6 +657,9 @@ def sstable_info_cmd(input_path: str) -> int:
             print(f"{sid}: UNREADABLE ({e})", file=sys.stderr)
             continue
         summary = load_summary(data_path)
+        bloom = load_bloom(data_path)
+        bloom_desc = (f"{bloom.hash_count}x{len(bloom.words) * 64}b"
+                      if bloom is not None else "none")
         keys = [k for k, _off in entries]
         compressed = os.path.exists(base + "-CompressionInfo.db")
         first = hashlib.md5(keys[0]).hexdigest() if keys else "-"
@@ -664,6 +668,7 @@ def sstable_info_cmd(input_path: str) -> int:
               f" partitions={len(keys)}"
               f" summary={len((summary or {}).get('entries', ()))}"
               f"@{(summary or {}).get('interval', 0)}"
+              f" bloom={bloom_desc}"
               f" compressed={'yes' if compressed else 'no'}"
               f" data_bytes={os.path.getsize(data_path)}"
               f" tokens=[{first[:12]}.., {last[:12]}..]")

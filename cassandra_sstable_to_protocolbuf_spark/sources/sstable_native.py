@@ -67,6 +67,7 @@ INDEX_SUFFIX = "-Index.db"
 COMPRESSION_SUFFIX = "-CompressionInfo.db"
 STATS_SUFFIX = "-Statistics.db"
 SUMMARY_SUFFIX = "-Summary.db"
+FILTER_SUFFIX = "-Filter.db"
 
 # the reference samples every metadata.getIndexInterval()'th index entry
 # into its summary (IndexSummaryBuilder.maybeAddEntry via
@@ -165,21 +166,16 @@ def _signed_byte(b: int) -> int:
     return b - 256 if b >= 128 else b
 
 
-def murmur3_token(key: bytes) -> int:
-    """Murmur3Partitioner token: MurmurHash3 x64 128, seed 0, first half.
-
-    This ports Cassandra's own MurmurHash.hash3_x64_128, which diverges
-    from the canonical C++ implementation in the TAIL: Java sign-EXTENDS
+def murmur3_hash128(key: bytes) -> tuple[int, int]:
+    """Cassandra's MurmurHash.hash3_x64_128 (seed 0): BOTH 64-bit halves,
+    unsigned. This ports Cassandra's own Java implementation, which
+    diverges from the canonical C++ one in the TAIL: Java sign-EXTENDS
     tail bytes before shifting (`(long) key.get(i) << shift`), so bytes
     >= 0x80 contribute different high bits than the unsigned canonical
-    form. Token parity with real Cassandra requires reproducing that
-    quirk. Per Murmur3Partitioner.getToken: empty keys take the MINIMUM
-    token, and Long.MIN_VALUE normalizes to Long.MAX_VALUE
-    (cassandra.yaml:91 makes this the reference's default partitioner;
-    SSTableScannerPatched.java:151 decorates with it).
+    form. murmur3_token consumes the first half (token parity with real
+    Cassandra requires the quirk); the Filter.db bloom's double hashing
+    consumes both halves (BloomFilter.indexes: h1 + i*h2).
     """
-    if not key:
-        return -(1 << 63)  # MINIMUM token
     c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
     h1 = h2 = 0
     n_blocks = len(key) // 16
@@ -224,6 +220,19 @@ def murmur3_token(key: bytes) -> int:
     h1 = _fmix64(h1)
     h2 = _fmix64(h2)
     h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def murmur3_token(key: bytes) -> int:
+    """Murmur3Partitioner token: first half of murmur3_hash128. Per
+    Murmur3Partitioner.getToken: empty keys take the MINIMUM token, and
+    Long.MIN_VALUE normalizes to Long.MAX_VALUE (cassandra.yaml:91 makes
+    this the reference's default partitioner;
+    SSTableScannerPatched.java:151 decorates with it)."""
+    if not key:
+        return -(1 << 63)  # MINIMUM token
+    h1, _h2 = murmur3_hash128(key)
     signed = h1 - (1 << 64) if h1 >= (1 << 63) else h1
     return (1 << 63) - 1 if signed == -(1 << 63) else signed
 
@@ -236,6 +245,103 @@ def token_function(partitioner: str):
     if partitioner == MURMUR3_PARTITIONER:
         return murmur3_token
     raise ValueError(f"unsupported partitioner: {partitioner}")
+
+
+# --------------------------------------------------------------------------
+# Filter.db (S2/S5) -- the bloom filter component: a point lookup consults
+# it BEFORE any Summary/Index IO, so a key that is definitely absent skips
+# the whole sstable. At 100 TB that is the difference between a lookup
+# touching 5 files and touching 5,000 (the reference era's
+# SSTableReader.getPosition consults the bloom first for exactly this
+# reason). Layout mirrors Cassandra 2.0's BloomFilterSerializer shape:
+# int hashCount, int wordCount, then wordCount big-endian longs (the bit
+# set). Hashing is Cassandra's own hash3_x64_128 double hashing
+# (BloomFilter.indexes: bit_i = (h1 + i*h2) mod n_bits). Deliberate
+# divergence, documented like md5_token's: sizing uses the textbook
+# formulas rather than BloomCalculations' bucket lookup table, and the
+# index arithmetic is unsigned rather than Java abs() -- files written
+# here round-trip exactly; real Cassandra Filter.db files would need the
+# abs-signed variant before their bits line up.
+# --------------------------------------------------------------------------
+
+def _bloom_params(n_keys: int, fp_chance: float) -> tuple[int, int]:
+    """(n_bits rounded up to whole 64-bit words, hash count) for a
+    target false-positive chance: m = -n ln p / (ln 2)^2, k = m/n ln 2."""
+    import math
+
+    n = max(n_keys, 1)
+    m = max(64, int(math.ceil(-n * math.log(fp_chance) / (math.log(2) ** 2))))
+    n_bits = ((m + 63) // 64) * 64
+    k = max(1, round((n_bits / n) * math.log(2)))
+    return n_bits, k
+
+
+class BloomFilter:
+    """Word-array bloom filter with Cassandra-style double hashing.
+    Memory is O(n_bits) -- the component's own size -- during both build
+    and query; never O(keys)."""
+
+    __slots__ = ("hash_count", "words")
+
+    def __init__(self, hash_count: int, words: list[int]):
+        if hash_count < 1 or not words:
+            raise ValueError(
+                f"bad bloom parameters: hashCount={hash_count} "
+                f"words={len(words)}")
+        self.hash_count = hash_count
+        self.words = words
+
+    @classmethod
+    def build(cls, n_keys: int, fp_chance: float = 0.01) -> "BloomFilter":
+        n_bits, k = _bloom_params(n_keys, fp_chance)
+        return cls(k, [0] * (n_bits // 64))
+
+    def _bits(self, key: bytes):
+        h1, h2 = murmur3_hash128(key)
+        m = len(self.words) * 64
+        return ((h1 + i * h2) % m for i in range(self.hash_count))
+
+    def add(self, key: bytes) -> None:
+        words = self.words
+        for b in self._bits(key):
+            words[b >> 6] |= 1 << (b & 63)
+
+    def might_contain(self, key: bytes) -> bool:
+        words = self.words
+        return all(words[b >> 6] & (1 << (b & 63)) for b in self._bits(key))
+
+    def write(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(struct.pack(">ii", self.hash_count, len(self.words)))
+            f.write(b"".join(struct.pack(">Q", w) for w in self.words))
+
+    @classmethod
+    def parse(cls, path: str) -> "BloomFilter":
+        with open(path, "rb") as f:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                raise ValueError(f"truncated bloom filter header in {path}")
+            hash_count, n_words = struct.unpack(">ii", hdr)
+            if hash_count < 1 or n_words < 1 or n_words > (1 << 28):
+                raise ValueError(
+                    f"implausible bloom parameters in {path}: "
+                    f"hashCount={hash_count} words={n_words}")
+            body = f.read(n_words * 8 + 1)
+        if len(body) != n_words * 8:
+            raise ValueError(
+                f"bloom filter {path} is {'truncated' if len(body) < n_words * 8 else 'oversized'}: "
+                f"expected {n_words * 8} word bytes")
+        words = list(struct.unpack(f">{n_words}Q", body))
+        return cls(hash_count, words)
+
+
+def load_bloom(data_path: str) -> BloomFilter | None:
+    """The sstable's Filter.db, or None when the component is absent
+    (pre-bloom fixtures stay readable; lookups just skip the skip)."""
+    path = data_path[:-len(DATA_SUFFIX)] + FILTER_SUFFIX
+    if not os.path.exists(path):
+        return None
+    return BloomFilter.parse(path)
 
 
 # --------------------------------------------------------------------------
@@ -457,9 +563,11 @@ class SSTableStreamWriter:
                  ks: str = "ks", cf: str = "cf",
                  compression: str | None = None,
                  chunk_length: int = 65536,
-                 partitioner: str = DEFAULT_PARTITIONER):
+                 partitioner: str = DEFAULT_PARTITIONER,
+                 bloom_fp_chance: float | None = 0.01):
         if compression not in (None, "lz4"):
             raise ValueError(f"unsupported compression {compression}")
+        self._bloom_fp = bloom_fp_chance
         os.makedirs(dir_path, exist_ok=True)
         self.prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
         self._tmp = self.prefix + f".w{os.getpid()}"
@@ -602,6 +710,15 @@ class SSTableStreamWriter:
             self._chunk_buf.clear()
         self._data.close()
         self._index.close()
+        if self._bloom_fp is not None and self._n_index > 0:
+            # second sequential pass over the JUST-WRITTEN Index.db: the
+            # exact key count is known only now, so sizing is exact and
+            # build memory is O(filter bits) -- Cassandra's own posture
+            # -- instead of O(keys) accumulated during the stream
+            bloom = BloomFilter.build(self._n_index, self._bloom_fp)
+            for key, _off, _pos in iter_index(self._tmp + INDEX_SUFFIX):
+                bloom.add(key)
+            bloom.write(self._tmp + FILTER_SUFFIX)
         if self._compression == "lz4":
             CompressionInfo(self._chunk_length, self._logical_pos,
                             self._chunk_offsets).write(
@@ -611,7 +728,7 @@ class SSTableStreamWriter:
             write_summary(self._tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
                           self._sampled, self._first_key, self._last_key)
         for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
-                       STATS_SUFFIX, SUMMARY_SUFFIX):
+                       STATS_SUFFIX, SUMMARY_SUFFIX, FILTER_SUFFIX):
             if os.path.exists(self._tmp + suffix):
                 os.replace(self._tmp + suffix, self.prefix + suffix)
         self._closed = True
@@ -628,7 +745,7 @@ class SSTableStreamWriter:
             except OSError:
                 pass
         for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
-                       STATS_SUFFIX, SUMMARY_SUFFIX):
+                       STATS_SUFFIX, SUMMARY_SUFFIX, FILTER_SUFFIX):
             try:
                 os.unlink(self._tmp + suffix)
             except FileNotFoundError:
@@ -1190,6 +1307,18 @@ class SSTableNativeReader(DataSourceReader):
 
     def _file_splits(self, data_path: str, sstable_id: str) -> list:
         splits = []
+        seek_keys = self.pushed_keys
+        if seek_keys is not None:
+            # S5 bloom gate: consult Filter.db BEFORE any Statistics/
+            # Summary/Index IO -- a definitely-absent key skips the whole
+            # file, so a point lookup across thousands of sstables costs
+            # one bloom probe per non-owning file (the era's
+            # SSTableReader.getPosition order: bloom, then index)
+            bloom = load_bloom(data_path)
+            if bloom is not None:
+                seek_keys = {k for k in seek_keys if bloom.might_contain(k)}
+                if not seek_keys:
+                    return splits
         index_path = data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
         if not os.path.exists(index_path):
             raise FileNotFoundError(f"missing index component for {data_path}")
@@ -1223,11 +1352,12 @@ class SSTableNativeReader(DataSourceReader):
         summary = load_summary(data_path)
         k = self.partitions_per_split
 
-        if self.pushed_keys is not None:
+        if seek_keys is not None:
             # S5 indexed seek: one split per matching partition;
             # everything else in the file is never read
             splits.extend(self._seek_splits(
-                sstable_id, data_path, index_path, summary, token, size))
+                sstable_id, data_path, index_path, summary, token, size,
+                seek_keys))
             return splits
 
         # S3: split boundaries every k-th index entry. Planning never
@@ -1277,7 +1407,8 @@ class SSTableNativeReader(DataSourceReader):
         return splits
 
     def _seek_splits(self, sstable_id: str, data_path: str, index_path: str,
-                     summary: dict | None, token, size: int) -> list:
+                     summary: dict | None, token, size: int,
+                     seek_keys: set[bytes] | None = None) -> list:
         """Byte ranges for pushed point-lookup keys.
 
         With a summary: binary-search the sampled entries, then scan at
@@ -1287,16 +1418,17 @@ class SSTableNativeReader(DataSourceReader):
         bytes per key regardless of sstable size. Without one: a single
         O(1)-memory streaming pass with one-entry lookahead for the end
         bound."""
-        assert self.pushed_keys is not None
+        keys = seek_keys if seek_keys is not None else self.pushed_keys
+        assert keys is not None
         out = []
         if summary is None:
             prev = None  # (key, data_off)
             for key, off, _pos in iter_index(index_path):
-                if prev is not None and prev[0] in self.pushed_keys:
+                if prev is not None and prev[0] in keys:
                     out.append(_SSTableSplit(sstable_id, data_path,
                                              prev[1], off))
                 prev = (key, off)
-            if prev is not None and prev[0] in self.pushed_keys:
+            if prev is not None and prev[0] in keys:
                 out.append(_SSTableSplit(sstable_id, data_path,
                                          prev[1], size))
             return out
@@ -1304,7 +1436,7 @@ class SSTableNativeReader(DataSourceReader):
         import bisect
 
         decorated = [(token(e[0]), e[0]) for e in summary["entries"]]
-        for key in sorted(self.pushed_keys, key=lambda b: (token(b), b)):
+        for key in sorted(keys, key=lambda b: (token(b), b)):
             dk = (token(key), key)
             j = bisect.bisect_right(decorated, dk) - 1
             if j < 0:

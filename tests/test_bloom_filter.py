@@ -1,0 +1,144 @@
+"""Filter.db bloom component: serialization roundtrip, the no-false-
+negative invariant, the fp-rate bound, and the point-lookup skip -- a
+definitely-absent key must cost ONE bloom probe per non-owning sstable,
+with zero Statistics/Summary/Index IO (the 100 TB lookup shape: 5,000
+files on disk, 5 files touched)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+
+
+def test_roundtrip_and_layout(tmp_path):
+    b = N.BloomFilter.build(500, 0.01)
+    for i in range(500):
+        b.add(b"key-%d" % i)
+    path = str(tmp_path / "x-Filter.db")
+    b.write(path)
+    back = N.BloomFilter.parse(path)
+    assert back.hash_count == b.hash_count
+    assert back.words == b.words
+    # layout: int hashCount, int wordCount, big-endian longs
+    raw = open(path, "rb").read()
+    assert len(raw) == 8 + 8 * len(b.words)
+    assert int.from_bytes(raw[0:4], "big") == b.hash_count
+    assert int.from_bytes(raw[4:8], "big") == len(b.words)
+
+
+def test_no_false_negatives_and_fp_bound():
+    n = 2000
+    b = N.BloomFilter.build(n, 0.01)
+    keys = [b"doc|%d|%d" % (i, i * 31) for i in range(n)]
+    for k in keys:
+        b.add(k)
+    assert all(b.might_contain(k) for k in keys), "false negative!"
+    fp = sum(b.might_contain(b"absent-%d" % i) for i in range(20_000))
+    assert fp / 20_000 < 0.03, f"fp rate {fp / 20_000} vs 0.01 target"
+
+
+def test_parse_rejects_corruption(tmp_path):
+    good = str(tmp_path / "g-Filter.db")
+    b = N.BloomFilter.build(10, 0.01)
+    b.write(good)
+    raw = open(good, "rb").read()
+    for name, blob in [
+        ("trunc-header", raw[:6]),
+        ("trunc-words", raw[:-4]),
+        ("oversized", raw + b"\x00" * 8),
+        ("bad-params", b"\x00\x00\x00\x00" + raw[4:]),
+    ]:
+        bad = str(tmp_path / f"{name}-Filter.db")
+        with open(bad, "wb") as f:
+            f.write(blob)
+        with pytest.raises(ValueError):
+            N.BloomFilter.parse(bad)
+
+
+def test_writer_emits_filter_component(tmp_path):
+    parts = [{"key": b"k%03d" % i,
+              "cells": [{"name": b"c", "kind": "LIVE", "timestamp": 1,
+                         "value": b"v"}]} for i in range(300)]
+    data = N.write_sstable(str(tmp_path), 1, parts)
+    filt = data[:-len(N.DATA_SUFFIX)] + N.FILTER_SUFFIX
+    assert os.path.exists(filt)
+    bloom = N.BloomFilter.parse(filt)
+    assert all(bloom.might_contain(b"k%03d" % i) for i in range(300))
+    # sized for 300 keys at the 1% default: ~10 bits/key
+    assert 2048 <= len(bloom.words) * 64 <= 8192
+
+
+def test_point_lookup_skips_non_owning_files(spark, tmp_path, monkeypatch):
+    """Two sstables, a key unique to the first: planning must consult
+    the second file's bloom and then touch NONE of its Summary/Index --
+    and the scan result is exactly the one partition."""
+    def mk(cf, keys):
+        parts = [{"key": k, "cells": [{"name": b"c", "kind": "LIVE",
+                                       "timestamp": 1, "value": cf.encode()}]}
+                 for k in keys]
+        return N.write_sstable(str(tmp_path), 1, parts, cf=cf)
+
+    a = mk("aa", [b"only-in-a"] + [b"a%02d" % i for i in range(40)])
+    mk("bb", [b"b%02d" % i for i in range(40)])
+
+    touched: list[str] = []
+    real_summary, real_index = N.load_summary, N.iter_index
+
+    def spy_summary(data_path):
+        touched.append(("summary", os.path.basename(data_path)))
+        return real_summary(data_path)
+
+    def spy_index(index_path, start_pos=0):
+        touched.append(("index", os.path.basename(index_path)))
+        return real_index(index_path, start_pos)
+
+    monkeypatch.setattr(N, "load_summary", spy_summary)
+    monkeypatch.setattr(N, "iter_index", spy_index)
+
+    reader = N.SSTableNativeReader(str(tmp_path), 4096)
+    reader.pushed_keys = {b"only-in-a"}
+    splits = reader.partitions()
+    assert len(splits) == 1 and splits[0].data_path == a
+
+    bb_touches = [t for t in touched if "-bb-" in t[1]]
+    assert bb_touches == [], f"non-owning file IO: {bb_touches}"
+    aa_summary = [t for t in touched if t[0] == "summary" and "-aa-" in t[1]]
+    assert aa_summary, "owning file should plan through its summary"
+
+    def row_keys(split):
+        out = set()
+        for item in reader.read(split):
+            # the DataSource read yields Arrow batches or tuples
+            if hasattr(item, "column"):
+                out.update(item.column(1).to_pylist())
+            else:
+                k = item[1]
+                out.add(k.as_py() if hasattr(k, "as_py") else bytes(k))
+        return out
+
+    assert row_keys(splits[0]) == {b"only-in-a"}
+
+
+def test_lookup_still_works_without_filter_component(spark, tmp_path):
+    """Pre-bloom sstables (no Filter.db) stay seekable: the gate is an
+    optimization, never a requirement."""
+    parts = [{"key": b"k%02d" % i, "cells": [{"name": b"c", "kind": "LIVE",
+                                              "timestamp": 1, "value": b"v"}]}
+             for i in range(20)]
+    data = N.write_sstable(str(tmp_path), 1, parts)
+    os.unlink(data[:-len(N.DATA_SUFFIX)] + N.FILTER_SUFFIX)
+    reader = N.SSTableNativeReader(str(tmp_path), 4096)
+    reader.pushed_keys = {b"k07"}
+    splits = reader.partitions()
+    assert len(splits) == 1
+    out = set()
+    for item in reader.read(splits[0]):
+        if hasattr(item, "column"):
+            out.update(item.column(1).to_pylist())
+        else:
+            k = item[1]
+            out.add(k.as_py() if hasattr(k, "as_py") else bytes(k))
+    assert out == {b"k07"}

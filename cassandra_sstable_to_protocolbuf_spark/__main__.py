@@ -54,6 +54,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "optimize-plan <sstable_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "verify-digest <sstable_dir_or_data_file>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "build-corpus <sf_dir> <out_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "repair-diff <stale_sstables> <synced_sstables>\n"
@@ -570,6 +572,33 @@ def analyze_events_cmd(sf_dir: str, out_dir: str) -> int:
     return 0
 
 
+def verify_digest_cmd(input_path: str) -> int:
+    """Integrity sweep over -Digest.sha1 components, driver-only: streams
+    each Data.db once (O(1) memory), prints ok/FAIL/no-digest per file,
+    exit 1 if anything failed. The uncompressed-table complement of the
+    read path's inline per-chunk Adler32 verification."""
+    import glob
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        verify_digest)
+
+    if os.path.isdir(input_path):
+        paths = sorted(glob.glob(
+            os.path.join(input_path, "**", "*-Data.db"), recursive=True))
+    else:
+        paths = [input_path]
+    if not paths:
+        _die(f"no sstables under {input_path}")
+    failed = 0
+    for data_path in paths:
+        ok = verify_digest(data_path)
+        state = "no-digest" if ok is None else ("ok" if ok else "FAIL")
+        failed += state == "FAIL"
+        print(f"{os.path.basename(data_path)}: {state}")
+    print(f"{len(paths)} sstable(s), {failed} digest failure(s)")
+    return 1 if failed else 0
+
+
 def optimize_plan_cmd(input_path: str) -> int:
     """Size-tiered compaction candidate selection over REAL component
     files, driver-only (metadata plane, no Spark session, zero data
@@ -775,7 +804,8 @@ def main(argv: list[str]) -> int:
             _die(f"table dir does not exist: {args[2]}")
         return reshard_versioned_cmd(args[1], args[2])
     if len(args) == 2 and args[0] in ("table-history", "compact-versioned",
-                                      "sstable-info", "optimize-plan") \
+                                      "sstable-info", "optimize-plan",
+                                      "verify-digest") \
             and not (continue_on_error or by_shard or mor or no_grace
                      or force):
         if args[0] == "sstable-info":
@@ -786,6 +816,10 @@ def main(argv: list[str]) -> int:
             if not os.path.isdir(args[1]):
                 _die(f"input path does not exist: {args[1]}")
             return optimize_plan_cmd(args[1])
+        if args[0] == "verify-digest":
+            if not os.path.exists(args[1]):
+                _die(f"input path does not exist: {args[1]}")
+            return verify_digest_cmd(args[1])
         if not os.path.isdir(args[1]):
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"

@@ -68,6 +68,13 @@ COMPRESSION_SUFFIX = "-CompressionInfo.db"
 STATS_SUFFIX = "-Statistics.db"
 SUMMARY_SUFFIX = "-Summary.db"
 FILTER_SUFFIX = "-Filter.db"
+DIGEST_SUFFIX = "-Digest.sha1"
+TOC_SUFFIX = "-TOC.txt"
+
+# every component the stream writer can emit, in publish order
+ALL_SUFFIXES = (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
+                STATS_SUFFIX, SUMMARY_SUFFIX, FILTER_SUFFIX,
+                DIGEST_SUFFIX, TOC_SUFFIX)
 
 # the reference samples every metadata.getIndexInterval()'th index entry
 # into its summary (IndexSummaryBuilder.maybeAddEntry via
@@ -335,6 +342,24 @@ class BloomFilter:
         return cls(hash_count, words)
 
 
+def verify_digest(data_path: str) -> bool | None:
+    """Check Data.db's on-disk bytes against its -Digest.sha1 component:
+    True/False on match/mismatch, None when no digest exists. Streams in
+    1 MiB chunks -- O(1) memory at any file size. This is the integrity
+    check for UNCOMPRESSED tables (compressed ones carry per-chunk
+    Adler32 already, verified inline on read)."""
+    digest_path = data_path[:-len(DATA_SUFFIX)] + DIGEST_SUFFIX
+    if not os.path.exists(digest_path):
+        return None
+    with open(digest_path, encoding="ascii") as f:
+        recorded = f.read().split()[0]
+    h = hashlib.sha1()
+    with open(data_path, "rb") as f:
+        while chunk := f.read(1 << 20):
+            h.update(chunk)
+    return h.hexdigest() == recorded
+
+
 def load_bloom(data_path: str) -> BloomFilter | None:
     """The sstable's Filter.db, or None when the component is absent
     (pre-bloom fixtures stay readable; lookups just skip the skip)."""
@@ -577,6 +602,11 @@ class SSTableStreamWriter:
         self._chunk_length = chunk_length
         self._data = open(self._tmp + DATA_SUFFIX, "wb")
         self._index = open(self._tmp + INDEX_SUFFIX, "wb")
+        # -Digest.sha1 accumulates over the PHYSICAL Data.db bytes as
+        # they stream out (never a re-read at close): sha1 of the
+        # on-disk file, sha1sum-style text, like the era's per-sstable
+        # data digest component
+        self._digest = hashlib.sha1()
         if compression == "lz4":
             import pyarrow as pa
 
@@ -603,6 +633,7 @@ class SSTableStreamWriter:
         self._logical_pos += len(b)
         if self._compression is None:
             self._data.write(b)
+            self._digest.update(b)
             return
         buf = self._chunk_buf
         buf += b
@@ -616,8 +647,11 @@ class SSTableStreamWriter:
 
         self._chunk_offsets.append(self._data.tell())
         comp = bytes(self._codec.compress(chunk))
+        footer = struct.pack(">I", zlib.adler32(comp))
         self._data.write(comp)
-        self._data.write(struct.pack(">I", zlib.adler32(comp)))
+        self._data.write(footer)
+        self._digest.update(comp)
+        self._digest.update(footer)
 
     def start_partition(self, key: bytes,
                         deletion: tuple[int, int] | None = None) -> None:
@@ -727,8 +761,14 @@ class SSTableStreamWriter:
         if self._first_key is not None:
             write_summary(self._tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
                           self._sampled, self._first_key, self._last_key)
-        for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
-                       STATS_SUFFIX, SUMMARY_SUFFIX, FILTER_SUFFIX):
+        data_name = os.path.basename(self.prefix) + DATA_SUFFIX
+        with open(self._tmp + DIGEST_SUFFIX, "w", encoding="ascii") as f:
+            f.write(f"{self._digest.hexdigest()}  {data_name}\n")
+        present = [sfx for sfx in ALL_SUFFIXES if sfx != TOC_SUFFIX
+                   and os.path.exists(self._tmp + sfx)]
+        with open(self._tmp + TOC_SUFFIX, "w", encoding="ascii") as f:
+            f.write("".join(sfx[1:] + "\n" for sfx in present) + "TOC.txt\n")
+        for suffix in ALL_SUFFIXES:
             if os.path.exists(self._tmp + suffix):
                 os.replace(self._tmp + suffix, self.prefix + suffix)
         self._closed = True
@@ -744,8 +784,7 @@ class SSTableStreamWriter:
                 f.close()
             except OSError:
                 pass
-        for suffix in (DATA_SUFFIX, COMPRESSION_SUFFIX, INDEX_SUFFIX,
-                       STATS_SUFFIX, SUMMARY_SUFFIX, FILTER_SUFFIX):
+        for suffix in ALL_SUFFIXES:
             try:
                 os.unlink(self._tmp + suffix)
             except FileNotFoundError:

@@ -142,3 +142,41 @@ def test_lookup_still_works_without_filter_component(spark, tmp_path):
             k = item[1]
             out.add(k.as_py() if hasattr(k, "as_py") else bytes(k))
     assert out == {b"k07"}
+
+
+def test_digest_and_toc_components(tmp_path, capsys):
+    """-Digest.sha1 records the sha1 of the PHYSICAL Data.db bytes
+    (accumulated while streaming, both compressed and plain), -TOC.txt
+    lists the components, and verify-digest catches a flipped byte."""
+    import hashlib
+
+    from cassandra_sstable_to_protocolbuf_spark.__main__ import main
+
+    parts = [{"key": b"k%03d" % i,
+              "cells": [{"name": b"c", "kind": "LIVE", "timestamp": 1,
+                         "value": b"v" * 50}]} for i in range(200)]
+    for cf, comp in (("plain", None), ("lz", "lz4")):
+        data = N.write_sstable(str(tmp_path), 1, parts, cf=cf,
+                               compression=comp)
+        base = data[:-len(N.DATA_SUFFIX)]
+        recorded = open(base + N.DIGEST_SUFFIX).read().split()[0]
+        actual = hashlib.sha1(open(data, "rb").read()).hexdigest()
+        assert recorded == actual, f"{cf}: digest not over physical bytes"
+        toc = open(base + N.TOC_SUFFIX).read().splitlines()
+        assert "Data.db" in toc and "Index.db" in toc and "TOC.txt" in toc
+        assert ("CompressionInfo.db" in toc) == (comp == "lz4")
+        assert N.verify_digest(data) is True
+
+    assert main(["verify-digest", str(tmp_path)]) == 0
+    assert "2 sstable(s), 0 digest failure(s)" in capsys.readouterr().out
+
+    # flip one byte of the plain table: the sweep must fail loudly
+    bad = str(tmp_path / ("ks-plain-ka-1" + N.DATA_SUFFIX))
+    with open(bad, "r+b") as f:
+        f.seek(100)
+        b = f.read(1)[0]
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([b ^ 0xFF]))
+    assert N.verify_digest(bad) is False
+    assert main(["verify-digest", str(tmp_path)]) == 1
+    assert "1 digest failure(s)" in capsys.readouterr().out

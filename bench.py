@@ -179,6 +179,7 @@ HEADLINE = [
     "mm_wav_decode",
     "mm_bmp_decode",
     "mm_png_decode",
+    "mm_jpeg_decode",
     "mm_gif_decode",
     "mm_qoi_decode",
     "mm_scene_cuts",

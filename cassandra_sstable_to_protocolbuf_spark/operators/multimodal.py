@@ -1,7 +1,7 @@
 """Multimodal column handling: opaque binary payloads + typed metadata,
 processed with Arrow-batched mapInPandas.
 
-Six codecs live behind the `_decode_payload` seam:
+Seven codecs live behind the `_decode_payload` seam:
 
 * 'application/x-fake' -- raw bytes, the deterministic synthetic codec
   that keeps every pipeline testable with zero dependencies;
@@ -14,12 +14,16 @@ Six codecs live behind the `_decode_payload` seam:
 * 'image/gif' -- REAL container: LZW decompression of the first image
   descriptor, palette lookup (`decode_gif`);
 * 'image/qoi' -- REAL container: full QOI op-stream decoder
-  (`decode_qoi`).
+  (`decode_qoi`);
+* 'image/jpeg' -- REAL entropy-coded format: grayscale baseline JFIF,
+  8x8 DCT + zigzag + Annex-K Huffman with byte stuffing, DQT/DHT parsed
+  from the file (`decode_jpeg`; color/progressive/subsampled raise at
+  the scope boundary).
 
-Entropy-coded formats with no stdlib decoder (JPEG/MP3/MP4) raise
-NotImplementedError at the same seam, where PIL / torchaudio / ffmpeg
-would plug in -- the six working paths prove the seam carries real
-container parsing end-to-end, not just a byte passthrough.
+Audio/video formats with no stdlib decoder (MP3/MP4) raise
+NotImplementedError at the same seam, where torchaudio / ffmpeg would
+plug in -- the seven working paths prove the seam carries real container
+AND entropy-coded parsing end-to-end, not just a byte passthrough.
 
 Scale notes: payloads never pass through Python row-at-a-time; they move
 as Arrow binary arrays into pandas batches (mapInPandas), the decode is
@@ -486,6 +490,8 @@ def _decode_payload(media_type: str, payload: bytes):
         return decode_gif(payload)[2]
     if media_type == QOI_MEDIA_TYPE:
         return decode_qoi(payload)[2]
+    if media_type == JPEG_MEDIA_TYPE:
+        return decode_jpeg(payload)[2]
     raise NotImplementedError(
         f"no codec for {media_type} in this environment; install the "
         f"image/audio libraries and extend _decode_payload")
@@ -888,3 +894,459 @@ def attach_qoi_payloads(docs: DataFrame) -> DataFrame:
         qoi_of(F.col("text"), width).alias("payload"),
         width.alias("width"),
         F.lit(0).cast("int").alias("height"))
+
+
+# --------------------------------------------------------------------------
+# image/jpeg -- REAL baseline JFIF codec (grayscale), pure stdlib+numpy:
+# 8x8 DCT-II, flat quantization, zigzag, spec Annex-K Huffman tables with
+# canonical code assignment, byte-stuffed entropy stream, full marker walk
+# on decode (DQT/DHT parsed FROM THE FILE, not assumed). This closes the
+# round-4 note that JPEG sat behind the NotImplementedError seam: the
+# entropy-coded path is now real. Scope boundary, stated loudly: baseline
+# sequential, 8-bit, single component (grayscale), no subsampling, no
+# restart markers -- progressive/color/subsampled files raise with a
+# clear message at the same seam where PIL would plug in.
+#
+# Lossiness: the DCT round-trip quantizes with a flat all-ones table, so
+# reconstruction error is float-rounding only (|err| <= 2 pinned in
+# tests and in the mm_jpeg_decode gate's `faithful` bound) -- the gate
+# keeps geometry exact and fidelity as a pinned bound, the honest shape
+# for a lossy codec.
+# --------------------------------------------------------------------------
+
+JPEG_MEDIA_TYPE = "image/jpeg"
+
+# ITU-T81 Annex K.3 standard luminance Huffman specs: (bits[1..16], values)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """ITU-T81 C.2 Generate_size_table / Generate_code_table: canonical
+    (code, length) per symbol. ONE implementation shared by the encoder's
+    table build and the decoder's DHT parse, so the assignment rule
+    itself is exercised from both directions."""
+    if sum(bits) != len(vals):
+        raise ValueError(
+            f"Huffman spec mismatch: bits sum {sum(bits)} != "
+            f"{len(vals)} values (corrupt DHT)")
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("over-full Huffman code space (corrupt DHT)")
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        a = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = a * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+_DCT_C = None
+
+
+def _dct_c():
+    global _DCT_C
+    if _DCT_C is None:
+        _DCT_C = _dct_matrix()
+    return _DCT_C
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with the F.1.2.3 stuffing rule (0xFF in the
+    entropy stream is followed by 0x00)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, n: int) -> None:
+        if n == 0:
+            return
+        self._acc = (self._acc << n) | (code & ((1 << n) - 1))
+        self._n += n
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self._n -= 8
+            self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    """MSB-first reader over the UNSTUFFED entropy bytes; reads past the
+    end return 1-bits, mirroring the encoder's padding."""
+
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+        self._acc = 0
+        self._n = 0
+
+    def _fill(self, need: int) -> None:
+        while self._n < need:
+            nxt = (self._data[self._pos] if self._pos < len(self._data)
+                   else 0xFF)
+            self._pos += 1
+            self._acc = (self._acc << 8) | nxt
+            self._n += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self._n -= n
+        self._acc &= (1 << self._n) - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self._acc >> (self._n - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended bits) for a DC diff / AC coefficient
+    (F.1.2.1): negatives use the one's-complement convention."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(received: int, s: int) -> int:
+    """Inverse of _magnitude (spec EXTEND procedure)."""
+    if s == 0:
+        return 0
+    return received if received >= (1 << (s - 1)) else received - (1 << s) + 1
+
+
+def encode_jpeg(pixels: bytes, width: int) -> bytes:
+    """Grayscale baseline JFIF bytes for row-major 8-bit pixels. Image
+    pads to 8x8 block multiples by edge replication (decode crops back
+    via the SOF0 dims); quantization is the flat all-ones table, so the
+    only loss is DCT float rounding."""
+    import struct
+
+    import numpy as np
+
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    height = max(1, -(-len(pixels) // width))
+    arr = np.zeros(width * height, dtype=np.uint8)
+    arr[:len(pixels)] = np.frombuffer(pixels, dtype=np.uint8)
+    img = arr.reshape(height, width)
+    bh, bw = -(-height // 8), -(-width // 8)
+    img = np.pad(img, ((0, bh * 8 - height), (0, bw * 8 - width)),
+                 mode="edge")
+    # all blocks at once: (bh, bw, 8, 8) float, level-shifted
+    blocks = (img.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .astype(np.float64) - 128.0)
+    c = _dct_c()
+    coefs = np.einsum("ux,bnxy,vy->bnuv", c, blocks, c)
+    quant = np.rint(coefs).astype(np.int64)  # flat Q=1 table
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = _JPEG_ZIGZAG
+    w = _JpegBitWriter()
+    prev_dc = 0
+    flat = quant.reshape(bh * bw, 64)
+    for bi in range(flat.shape[0]):
+        blk = flat[bi]
+        dc = int(blk[0])
+        s, bits_v = _magnitude(dc - prev_dc)
+        prev_dc = dc
+        code, n = dc_codes[s]
+        w.put(code, n)
+        w.put(bits_v, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[zz[k]])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, n = ac_codes[0xF0]  # ZRL
+                w.put(code, n)
+                run -= 16
+            s, bits_v = _magnitude(v)
+            code, n = ac_codes[(run << 4) | s]
+            w.put(code, n)
+            w.put(bits_v, s)
+            run = 0
+        if run:
+            code, n = ac_codes[0x00]  # EOB
+            w.put(code, n)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+              + bytes((1, 0x11, 0)))
+    dht = seg(0xFFC4,
+              b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+              + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sos = seg(0xFFDA, bytes((1, 1, 0x00, 0, 63, 0)))
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan
+            + b"\xff\xd9")
+
+
+# decoder fast path: 16-bit prefix LUT per Huffman table, cached by the
+# table's spec bytes (the standard tables hash once per process)
+_JPEG_LUT_CACHE: dict[bytes, list] = {}
+
+
+def _huff_lut(bits: tuple, vals: tuple) -> list:
+    key = bytes(bits) + bytes(vals)
+    lut = _JPEG_LUT_CACHE.get(key)
+    if lut is None:
+        lut = [None] * 65536
+        for sym, (code, length) in _jpeg_canonical_codes(bits, vals).items():
+            start = code << (16 - length)
+            lut[start:start + (1 << (16 - length))] = \
+                [(sym, length)] * (1 << (16 - length))
+        _JPEG_LUT_CACHE[key] = lut
+    return lut
+
+
+def decode_jpeg(payload: bytes):
+    """Parse grayscale baseline JFIF: marker walk, DQT/DHT read FROM THE
+    FILE, Huffman+DCT reconstruction. Returns (width, height, pixels) as
+    flat row-major uint8, cropped to the SOF0 dims. Raises ValueError
+    with the unsupported-feature name for anything outside the baseline
+    scope (progressive, color, subsampling, restarts)."""
+    import re
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant = None
+    luts = {}
+    width = height = None
+    scan_start = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS: no image data")
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4:pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                table = np.zeros(64, dtype=np.int64)
+                table[list(_JPEG_ZIGZAG)] = list(body[o + 1:o + 65])
+                if tq == 0:
+                    quant = table.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 15
+                bits = tuple(body[o + 1:o + 17])
+                n = sum(bits)
+                if o + 17 + n > len(body):
+                    raise ValueError("truncated DHT segment")
+                vals = tuple(body[o + 17:o + 17 + n])
+                luts[(tc, th)] = _huff_lut(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError(f"{precision}-bit precision unsupported")
+            if ncomp != 1:
+                raise ValueError(
+                    f"{ncomp}-component (color) JPEG unsupported: "
+                    f"grayscale baseline only")
+            # per-component fields follow the 6-byte frame header:
+            # id, sampling (H<<4|V), quant table selector
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"SOF{marker - 0xC0}: only baseline sequential (SOF0) "
+                f"is supported")
+        elif marker == 0xDD:  # DRI
+            if body != b"\x00\x00":
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            scan_start = pos
+            break
+        # APPn / COM / others: skipped
+    if scan_start is None or width is None or quant is None \
+            or (0, 0) not in luts or (1, 0) not in luts:
+        raise ValueError("missing SOS/SOF0/DQT/DHT segment")
+
+    end = payload.find(b"\xff\xd9", scan_start)
+    if end < 0:
+        raise ValueError("missing EOI")
+    segment = payload[scan_start:end]
+    bad = re.search(rb"\xff[^\x00]", segment)
+    if bad:
+        raise ValueError(
+            f"unexpected marker 0xff{segment[bad.start() + 1]:02x} in "
+            f"entropy data (restart markers unsupported)")
+    entropy = segment.replace(b"\xff\x00", b"\xff")
+
+    bh, bw = -(-height // 8), -(-width // 8)
+    dc_lut, ac_lut = luts[(0, 0)], luts[(1, 0)]
+    r = _JpegBitReader(entropy)
+    zz = _JPEG_ZIGZAG
+    n_blocks = bh * bw
+    coefs = np.zeros((n_blocks, 64), dtype=np.int64)
+    prev_dc = 0
+    for bi in range(n_blocks):
+        hit = dc_lut[r.peek16()]
+        if hit is None:
+            raise ValueError("invalid DC Huffman code")
+        s, length = hit
+        r.skip(length)
+        prev_dc += _extend(r.read(s), s)
+        blk = coefs[bi]
+        blk[0] = prev_dc
+        k = 1
+        while k < 64:
+            hit = ac_lut[r.peek16()]
+            if hit is None:
+                raise ValueError("invalid AC Huffman code")
+            sym, length = hit
+            r.skip(length)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += sym >> 4
+            if k > 63:
+                raise ValueError("AC run past block end (corrupt scan)")
+            s = sym & 15
+            blk[zz[k]] = _extend(r.read(s), s)
+            k += 1
+    c = _dct_c()
+    deq = (coefs.reshape(n_blocks, 8, 8) * quant).astype(np.float64)
+    spatial = np.einsum("ux,nuv,vy->nxy", c, deq, c) + 128.0
+    img = (np.clip(np.rint(spatial), 0, 255).astype(np.uint8)
+           .reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+           .reshape(bh * 8, bw * 8))
+    return width, height, img[:height, :width].reshape(-1)
+
+
+def attach_jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """Each document's utf-8 bytes become the pixels of a genuine
+    grayscale baseline JPEG (width varied per doc so block padding
+    layouts differ). Arrow-batched pandas UDF: a pure narrow map."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def to_jpeg(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series([
+            encode_jpeg(t.encode(), int(d) % 13 + 8)
+            for d, t in zip(doc_id, text)])
+
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("orig"),
+        to_jpeg("doc_id", "text").alias("payload"),
+        F.lit(JPEG_MEDIA_TYPE).alias("media_type"))
+
+
+def jpeg_roundtrip_report(media: DataFrame, tolerance: int = 2) -> DataFrame:
+    """Decode each JPEG payload and report (geometry exact, fidelity as a
+    pinned bound): width/height/n_pixels from the DECODED header, plus
+    `faithful` = max |decoded - original| <= tolerance over the original
+    byte span -- the honest gate shape for a lossy codec. mapInPandas,
+    narrow, no shuffle."""
+    import numpy as np
+
+    schema = ("doc_id long, width int, height int, n_pixels long, "
+              "faithful boolean")
+
+    def report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, orig, payload in zip(
+                    pdf["doc_id"].tolist(), pdf["orig"].tolist(),
+                    pdf["payload"].tolist()):
+                w, h, pix = decode_jpeg(bytes(payload))
+                o = np.frombuffer(bytes(orig), dtype=np.uint8)
+                err = (0 if len(o) == 0 else int(np.max(np.abs(
+                    pix[:len(o)].astype(np.int64) - o.astype(np.int64)))))
+                rows.append((int(doc_id), w, h, w * h,
+                             bool(err <= tolerance)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_pixels", "faithful"])
+
+    return media.mapInPandas(report, schema)

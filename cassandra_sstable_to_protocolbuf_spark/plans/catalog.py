@@ -510,6 +510,10 @@ CATALOG: dict[str, QueryDef] = {
     "mm_bmp_decode": QueryDef(R.mm_bmp_decode, R.MM_BMP_DECODE_SQL,
                               "REAL 8-bit BMP container round-trip (struct "
                               "parser: header, bottom-up rows, stride pad)"),
+    "mm_jpeg_decode": QueryDef(R.mm_jpeg_decode, R.MM_JPEG_DECODE_SQL,
+                               "REAL entropy-coded codec: grayscale "
+                               "baseline JPEG, exact geometry + pinned "
+                               "fidelity bound"),
     "mm_png_decode": QueryDef(R.mm_png_decode, R.MM_PNG_DECODE_SQL,
                               "REAL PNG round-trip (zlib IDAT + CRC walk + "
                               "Paeth/None scanline unfilter, stdlib only)"),

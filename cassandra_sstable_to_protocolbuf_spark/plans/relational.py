@@ -6289,3 +6289,33 @@ FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
       GROUP BY 1) t
 GROUP BY 1
 """
+
+
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded image path: each document's bytes become the
+    pixels of a genuine grayscale baseline JPEG -- 8x8 DCT, flat
+    quantization, zigzag, Annex-K Huffman coding with byte stuffing --
+    decoded by the pure stdlib+numpy parser (full marker walk, DQT/DHT
+    read from the file, LUT Huffman decode, IDCT). JPEG is LOSSY, so the
+    gate keeps geometry EXACT (width/height/n_pixels from the decoded
+    SOF0 header vs the oracle's arithmetic) and pins fidelity as a bound:
+    `faithful` = max |decoded - original| <= 2, which the flat-quant
+    round-trip guarantees (the only loss is DCT float rounding). A broken
+    Huffman table, DC predictor, zigzag, or IDCT flips `faithful` or the
+    geometry, so the hash gate still certifies the whole codec."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_jpeg_payloads, jpeg_roundtrip_report)
+    docs = _t(spark, sf_dir, "documents")
+    return jpeg_roundtrip_report(attach_jpeg_payloads(docs))
+
+
+MM_JPEG_DECODE_SQL = """
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                  CAST(doc_id % 13 + 8 AS BIGINT) AS w FROM documents)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(GREATEST(1, (n + w - 1) // w) AS INT) AS height,
+       CAST(w * GREATEST(1, (n + w - 1) // w) AS BIGINT) AS n_pixels,
+       TRUE AS faithful
+FROM d
+"""

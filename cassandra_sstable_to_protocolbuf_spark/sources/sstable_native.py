@@ -258,9 +258,13 @@ def token_function(partitioner: str):
 # Filter.db (S2/S5) -- the bloom filter component: a point lookup consults
 # it BEFORE any Summary/Index IO, so a key that is definitely absent skips
 # the whole sstable. At 100 TB that is the difference between a lookup
-# touching 5 files and touching 5,000 (the reference era's
+# touching 5 files and touching 5,000 -- real Cassandra's
 # SSTableReader.getPosition consults the bloom first for exactly this
-# reason). Layout mirrors Cassandra 2.0's BloomFilterSerializer shape:
+# reason. NOTE: this is an EXTENSION beyond the reference, which
+# deliberately ignores Filter.db (it substitutes
+# FilterFactory.AlwaysPresent, SSTableReaderPatched.java:124 -- fine for
+# its full-scan-only workload; a point-lookup surface needs the real
+# thing). Layout mirrors Cassandra 2.0's BloomFilterSerializer shape:
 # int hashCount, int wordCount, then wordCount big-endian longs (the bit
 # set). Hashing is Cassandra's own hash3_x64_128 double hashing
 # (BloomFilter.indexes: bit_i = (h1 + i*h2) mod n_bits). Deliberate

@@ -1189,12 +1189,16 @@ def decode_jpeg(payload: bytes):
     width = height = None
     scan_start = None
     while pos < len(payload):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG: header ends mid-marker")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = payload[pos + 1]
         if marker == 0xD9:
             raise ValueError("EOI before SOS: no image data")
         (length,) = struct.unpack_from(">H", payload, pos + 2)
+        if length < 2 or pos + 2 + length > len(payload):
+            raise ValueError("truncated JPEG: segment length runs past end")
         body = payload[pos + 4:pos + 2 + length]
         pos += 2 + length
         if marker == 0xDB:  # DQT (possibly several tables per segment)
@@ -1203,6 +1207,8 @@ def decode_jpeg(payload: bytes):
                 pq, tq = body[o] >> 4, body[o] & 15
                 if pq != 0:
                     raise ValueError("16-bit quant tables unsupported")
+                if o + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 table = np.zeros(64, dtype=np.int64)
                 table[list(_JPEG_ZIGZAG)] = list(body[o + 1:o + 65])
                 if tq == 0:
@@ -1220,6 +1226,8 @@ def decode_jpeg(payload: bytes):
                 luts[(tc, th)] = _huff_lut(bits, vals)
                 o += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             precision, height, width, ncomp = struct.unpack_from(
                 ">BHHB", body, 0)
             if precision != 8:
@@ -1241,6 +1249,8 @@ def decode_jpeg(payload: bytes):
             if body != b"\x00\x00":
                 raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
+            if len(body) < 6:
+                raise ValueError("truncated SOS segment")
             if body[0] != 1:
                 raise ValueError("multi-component scan unsupported")
             scan_start = pos

@@ -180,6 +180,7 @@ HEADLINE = [
     "mm_bmp_decode",
     "mm_png_decode",
     "mm_jpeg_decode",
+    "mm_mp4_demux",
     "mm_gif_decode",
     "mm_qoi_decode",
     "mm_scene_cuts",

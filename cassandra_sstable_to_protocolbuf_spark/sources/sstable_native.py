@@ -355,8 +355,14 @@ def verify_digest(data_path: str) -> bool | None:
     digest_path = data_path[:-len(DATA_SUFFIX)] + DIGEST_SUFFIX
     if not os.path.exists(digest_path):
         return None
-    with open(digest_path, encoding="ascii") as f:
-        recorded = f.read().split()[0]
+    with open(digest_path, encoding="ascii", errors="replace") as f:
+        tokens = f.read().split()
+    # an empty/whitespace-only/malformed digest component is a MISMATCH,
+    # not a crash: the sweep must report FAIL for it and keep going
+    if not tokens or len(tokens[0]) != 40 \
+            or any(c not in "0123456789abcdef" for c in tokens[0].lower()):
+        return False
+    recorded = tokens[0].lower()
     h = hashlib.sha1()
     with open(data_path, "rb") as f:
         while chunk := f.read(1 << 20):
@@ -371,6 +377,35 @@ def load_bloom(data_path: str) -> BloomFilter | None:
     if not os.path.exists(path):
         return None
     return BloomFilter.parse(path)
+
+
+def load_trusted_bloom(data_path: str) -> BloomFilter | None:
+    """Filter.db ONLY when provenance says this engine wrote it.
+
+    This engine's bloom indexes bits with UNSIGNED (h1 + i*h2) % m while
+    real Cassandra uses Java's abs-signed arithmetic (and different
+    sizing), so probing a FOREIGN Filter.db lands on the wrong bits and
+    its false NEGATIVES would silently drop owning files from point
+    lookups -- the exact hazard the reference avoids by substituting
+    FilterFactory.AlwaysPresent for every file it opens. Provenance
+    gate: Statistics.db must parse as this engine's layout AND record
+    the real bloom_fp_chance SSTableStreamWriter.close() stamps
+    (0 < fp < 1; 1.0 is the no-filter sentinel, and genuine Cassandra
+    metadata fails the parse outright). Anything else -> None, and
+    planning falls back to summary/index seeks, which are exact."""
+    stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
+    if not os.path.exists(stats_path):
+        return None
+    try:
+        fp = read_statistics(stats_path)["bloom_fp_chance"]
+    except Exception:  # noqa: BLE001 -- foreign/corrupt metadata: no trust
+        return None
+    if not (0.0 < fp < 1.0):
+        return None
+    try:
+        return load_bloom(data_path)
+    except ValueError:
+        return None  # corrupt filter: fall back to exact index seeks
 
 
 # --------------------------------------------------------------------------
@@ -761,7 +796,13 @@ class SSTableStreamWriter:
             CompressionInfo(self._chunk_length, self._logical_pos,
                             self._chunk_offsets).write(
                 self._tmp + COMPRESSION_SUFFIX)
-        write_statistics(self._tmp + STATS_SUFFIX, self._partitioner)
+        # record the REAL fp chance iff a Filter.db was published: 1.0
+        # stays the no-filter sentinel, and load_trusted_bloom keys its
+        # provenance check on exactly this value
+        wrote_bloom = self._bloom_fp is not None and self._n_index > 0
+        write_statistics(self._tmp + STATS_SUFFIX, self._partitioner,
+                         bloom_fp_chance=(self._bloom_fp if wrote_bloom
+                                          else 1.0))
         if self._first_key is not None:
             write_summary(self._tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
                           self._sampled, self._first_key, self._last_key)
@@ -1352,12 +1393,15 @@ class SSTableNativeReader(DataSourceReader):
         splits = []
         seek_keys = self.pushed_keys
         if seek_keys is not None:
-            # S5 bloom gate: consult Filter.db BEFORE any Statistics/
-            # Summary/Index IO -- a definitely-absent key skips the whole
-            # file, so a point lookup across thousands of sstables costs
-            # one bloom probe per non-owning file (the era's
-            # SSTableReader.getPosition order: bloom, then index)
-            bloom = load_bloom(data_path)
+            # S5 bloom gate: consult Filter.db BEFORE any Summary/Index
+            # IO -- a definitely-absent key skips the whole file, so a
+            # point lookup across thousands of sstables costs one bloom
+            # probe per non-owning file (the era's
+            # SSTableReader.getPosition order: bloom, then index).
+            # PROVENANCE-GATED: only blooms this engine wrote are
+            # trusted (load_trusted_bloom docstring); a foreign filter's
+            # false negatives would silently drop rows
+            bloom = load_trusted_bloom(data_path)
             if bloom is not None:
                 seek_keys = {k for k in seek_keys if bloom.might_contain(k)}
                 if not seek_keys:

@@ -180,3 +180,89 @@ def test_digest_and_toc_components(tmp_path, capsys):
     assert N.verify_digest(bad) is False
     assert main(["verify-digest", str(tmp_path)]) == 1
     assert "1 digest failure(s)" in capsys.readouterr().out
+
+
+def test_statistics_records_real_fp_chance(tmp_path):
+    """close() must stamp the fp chance it actually built the filter
+    with (the provenance key), and 1.0 only when no filter exists."""
+    parts = [{"key": b"k%02d" % i, "cells": [{"name": b"c", "kind": "LIVE",
+                                              "timestamp": 1, "value": b"v"}]}
+             for i in range(20)]
+    data = N.write_sstable(str(tmp_path), 1, parts, cf="withbloom")
+    stats = N.read_statistics(data[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX)
+    assert stats["bloom_fp_chance"] == 0.01
+
+    w = N.SSTableStreamWriter(str(tmp_path), 2, cf="nobloom",
+                              bloom_fp_chance=None)
+    w.start_partition(b"k")
+    w.add_cell(b"c", "LIVE", 1, b"v")
+    w.end_partition()
+    data2 = w.close()
+    stats2 = N.read_statistics(data2[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX)
+    assert stats2["bloom_fp_chance"] == 1.0
+    assert not os.path.exists(data2[:-len(N.DATA_SUFFIX)] + N.FILTER_SUFFIX)
+
+
+def test_foreign_bloom_is_not_trusted(tmp_path):
+    """A Filter.db without this engine's provenance (Statistics.db
+    missing, unparseable, or fp sentinel 1.0) must NOT gate lookups:
+    foreign Cassandra blooms use Java abs-signed indexing, so trusting
+    one risks silent false negatives. Planning must fall back to exact
+    index seeks and still find the key."""
+    parts = [{"key": b"k%02d" % i, "cells": [{"name": b"c", "kind": "LIVE",
+                                              "timestamp": 1, "value": b"v"}]}
+             for i in range(20)]
+    data = N.write_sstable(str(tmp_path), 1, parts, cf="foreign")
+    base = data[:-len(N.DATA_SUFFIX)]
+    assert N.load_trusted_bloom(data) is not None  # our own: trusted
+
+    # (a) Statistics.db replaced with foreign/unparseable bytes
+    with open(base + N.STATS_SUFFIX, "wb") as f:
+        f.write(b"\x00\x00\x00\x09" + b"\xde\xad\xbe\xef" * 10)
+    assert N.load_trusted_bloom(data) is None
+    # (b) Statistics.db absent entirely
+    os.unlink(base + N.STATS_SUFFIX)
+    assert N.load_trusted_bloom(data) is None
+    # (c) fp sentinel 1.0 alongside a (suspicious) Filter.db
+    N.write_statistics(base + N.STATS_SUFFIX, bloom_fp_chance=1.0)
+    assert N.load_trusted_bloom(data) is None
+    assert N.load_bloom(data) is not None  # the component itself parses
+
+    # untrusted bloom => exact index fallback still finds the key
+    reader = N.SSTableNativeReader(str(tmp_path), 4096)
+    reader.pushed_keys = {b"k07"}
+    splits = reader.partitions()
+    assert len(splits) == 1
+
+
+def test_corrupt_trusted_bloom_falls_back(tmp_path):
+    """A truncated Filter.db under valid provenance degrades to exact
+    index seeks rather than failing the plan."""
+    parts = [{"key": b"k%02d" % i, "cells": [{"name": b"c", "kind": "LIVE",
+                                              "timestamp": 1, "value": b"v"}]}
+             for i in range(20)]
+    data = N.write_sstable(str(tmp_path), 1, parts)
+    filt = data[:-len(N.DATA_SUFFIX)] + N.FILTER_SUFFIX
+    raw = open(filt, "rb").read()
+    with open(filt, "wb") as f:
+        f.write(raw[:10])
+    assert N.load_trusted_bloom(data) is None
+    reader = N.SSTableNativeReader(str(tmp_path), 4096)
+    reader.pushed_keys = {b"k07"}
+    assert len(reader.partitions()) == 1
+
+
+def test_malformed_digest_component_reports_mismatch(tmp_path):
+    """An empty or garbage -Digest.sha1 is a FAIL, not an IndexError:
+    the verify sweep must keep going past it."""
+    from cassandra_sstable_to_protocolbuf_spark.__main__ import main
+
+    parts = [{"key": b"k", "cells": [{"name": b"c", "kind": "LIVE",
+                                      "timestamp": 1, "value": b"v"}]}]
+    data = N.write_sstable(str(tmp_path), 1, parts)
+    digest = data[:-len(N.DATA_SUFFIX)] + N.DIGEST_SUFFIX
+    for blob in (b"", b"   \n", b"nothex!" * 6, b"abc123\n"):
+        with open(digest, "wb") as f:
+            f.write(blob)
+        assert N.verify_digest(data) is False, repr(blob)
+    assert main(["verify-digest", str(tmp_path)]) == 1

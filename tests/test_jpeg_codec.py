@@ -159,3 +159,55 @@ def test_roundtrip_fidelity_property():
         _, _, dec = M.decode_jpeg(M.encode_jpeg(pix, 24))
         orig = np.frombuffer(pix, np.uint8).astype(int)
         assert np.max(np.abs(dec[:len(pix)].astype(int) - orig)) <= 2
+
+
+def test_decoder_honors_sos_table_selectors_and_fill_bytes():
+    """A spec-valid file may place its Huffman tables in ANY slot (the
+    SOS component spec names them) and pad between segments with 0xFF
+    fill bytes (T.81 B.1.1.2); the decoder must honor both."""
+    pixels = bytes((i * 37) % 256 for i in range(23 * 11))
+    blob = M.encode_jpeg(pixels, 23)
+    want = M.decode_jpeg(blob)
+
+    out = bytearray(blob)
+    # DHT bodies: DC class byte 0x00 -> slot 1, AC class byte 0x10 -> slot 1
+    dht = blob.find(b"\xff\xc4")
+    assert dht > 0 and out[dht + 4] == 0x00
+    out[dht + 4] = 0x01
+    ac_class_at = dht + 4 + 1 + 16 + len(M._JPEG_DC_VALS)
+    assert out[ac_class_at] == 0x10
+    out[ac_class_at] = 0x11
+    # SOS component spec: select Td=1, Ta=1
+    sos = blob.find(b"\xff\xda")
+    assert out[sos + 6] == 0x00
+    out[sos + 6] = 0x11
+    # fill bytes before the SOF0 marker
+    sof = bytes(out).find(b"\xff\xc0")
+    out[sof:sof] = b"\xff\xff"
+
+    got = M.decode_jpeg(bytes(out))
+    assert got[0] == want[0] and got[1] == want[1]
+    assert bytes(got[2]) == bytes(want[2])
+
+    # wrong selector (slot 0 now empty) must raise, not mis-decode
+    bad = bytearray(out)
+    sos2 = bytes(bad).find(b"\xff\xda")
+    bad[sos2 + 6] = 0x00
+    with pytest.raises(ValueError, match="missing"):
+        M.decode_jpeg(bytes(bad))
+
+
+def test_decoder_honors_sof_quant_selector():
+    """Quant table in slot 2, named by SOF0's Tq byte."""
+    pixels = bytes(range(64))
+    blob = M.encode_jpeg(pixels, 8)
+    out = bytearray(blob)
+    dqt = blob.find(b"\xff\xdb")
+    assert out[dqt + 4] == 0x00
+    out[dqt + 4] = 0x02  # Pq=0, Tq=2
+    sof = blob.find(b"\xff\xc0")
+    assert out[sof + 12] == 0x00  # component's Tq selector
+    out[sof + 12] = 0x02
+    want = M.decode_jpeg(blob)
+    got = M.decode_jpeg(bytes(out))
+    assert bytes(got[2]) == bytes(want[2])

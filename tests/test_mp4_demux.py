@@ -87,3 +87,21 @@ def test_seam_returns_sample_bytes(spark):
     assert out[3]["n_bytes"] == len(t) and out[3]["byte_sum"] == sum(t)
     assert out[3]["n_samples"] == -(-len(t) // w3)
     assert out[20]["n_bytes"] == 1  # empty text muxes one NUL sample
+
+
+def test_size_zero_final_box_extends_to_eof():
+    """ISO-BMFF 4.2: size 0 = box runs to the end of the file; legal
+    for the last box. Zeroing the trailing moov's size must demux
+    identically."""
+    frames = [b"abc", b"defgh", b"i" * 40]
+    blob = bytearray(M.encode_mp4(frames, width=3))
+    (ftyp_size,) = struct.unpack_from(">I", blob, 0)
+    (mdat_size,) = struct.unpack_from(">I", blob, ftyp_size)
+    moov_at = ftyp_size + mdat_size
+    assert blob[moov_at + 4:moov_at + 8] == b"moov"
+    struct.pack_into(">I", blob, moov_at, 0)
+    width, n, back = M.decode_mp4(bytes(blob))
+    assert width == 3 and n == 3 and back == b"".join(frames)
+    # walk yields the to-EOF extent and stops there
+    tops = list(M._walk_boxes(bytes(blob), 0, len(blob)))
+    assert tops[-1][0] == b"moov" and tops[-1][2] == len(blob)

@@ -292,7 +292,10 @@ def test_partitioner_check(spark, tmp_path):
     stats = os.path.join(d, "ks-cf-ka-1-Statistics.db")
     meta = N.read_statistics(stats)
     assert meta["partitioner"] == N.DEFAULT_PARTITIONER
-    assert meta["bloom_fp_chance"] == 1.0
+    # the writer published a Filter.db, so Statistics must record the
+    # REAL fp chance (1.0 is the no-filter sentinel -- and the bloom
+    # provenance key, load_trusted_bloom)
+    assert meta["bloom_fp_chance"] == 0.01
 
     ok = (spark.read.format("sstable_cassandra")
           .option("expectedPartitioner", N.DEFAULT_PARTITIONER).load(d))

@@ -19,36 +19,102 @@ single writer task must hold.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
 
-# hex alphabet in token order: char i covers tokens [i/16, (i+1)/16) of
-# the md5 space, so prefix buckets are contiguous token ranges
-_HEX = "0123456789abcdef"
+# Output sizing: one compacted output shard should hold about this many
+# LOGICAL Data.db bytes. The default is tuned to the pure-Python encode
+# loop (~2-4 MB/s/task measured at sf0.1): ~8 MiB keeps a single writer
+# task in the seconds range. A deployment with a native encoder plugged
+# into the sink would raise it to GiB -- it is a knob, not a law; the
+# load-bearing part is that the SHARD COUNT is derived from input size
+# (metadata only), so writer parallelism grows with the data instead of
+# being a caller-chosen constant.
+DEFAULT_TARGET_OUTPUT_BYTES = 8 << 20
+
+# shard granularity: the top TWO hex digits of the md5 token give 256
+# contiguous token intervals; n_outputs must divide 256 so shard
+# boundaries sit on digit-pair edges (keeps the same arithmetic exactly
+# expressible in oracle SQL). Finer sharding would take a third digit.
+MAX_OUTPUT_SHARDS = 256
 
 
 def token_shard(key_col: F.Column, n_outputs: int) -> F.Column:
-    """Shard id (0..n_outputs-1) from the top hex digit of the md5
-    token. n_outputs must divide 16 so shard boundaries sit on hex-digit
-    edges -- which keeps the same computation expressible in one
-    portable SQL CASE for the oracle."""
-    if 16 % n_outputs != 0:
-        raise ValueError(f"n_outputs must divide 16, got {n_outputs}")
-    digit = F.substring(F.md5(key_col), 1, 1)
-    per = 16 // n_outputs
-    shard = F.lit(n_outputs - 1)
-    for s in range(n_outputs - 2, -1, -1):
-        # digit < first hex char of the NEXT shard -> this shard
-        shard = F.when(digit < F.lit(_HEX[(s + 1) * per]), s).otherwise(shard)
-    return shard
+    """Shard id (0..n_outputs-1) from the top two hex digits of the md5
+    token: idx in [0, 256) -> idx * n DIV 256, a contiguous token-range
+    split. n_outputs must divide 256. For n dividing 16 the boundaries
+    coincide with single-digit edges (backward compatible with the
+    original 16-way sharding)."""
+    if n_outputs < 1 or MAX_OUTPUT_SHARDS % n_outputs != 0:
+        raise ValueError(
+            f"n_outputs must divide {MAX_OUTPUT_SHARDS}, got {n_outputs}")
+    # conv() runs JVM-side inside codegen; integer div keeps both
+    # engines on the exact same arithmetic
+    idx = F.conv(F.substring(F.md5(key_col), 1, 2), 16, 10).cast("long")
+    return (idx * n_outputs / F.lit(MAX_OUTPUT_SHARDS)).cast("long")
+
+
+def derive_n_outputs(total_bytes: int,
+                     target_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES) -> int:
+    """Smallest power-of-two shard count (dividing 256) whose per-shard
+    share of `total_bytes` fits in `target_bytes` -- the size-derived
+    replacement for a caller-chosen constant. Monotone in total_bytes;
+    capped at MAX_OUTPUT_SHARDS (two-hex-digit granularity)."""
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    n = 1
+    while n < MAX_OUTPUT_SHARDS and total_bytes > n * target_bytes:
+        n <<= 1
+    return n
+
+
+def input_data_files(input_path: str | list[str]) -> list[str]:
+    """Normalize a compaction input (directory, single Data.db, or an
+    explicit file list -- the optimize executor's unit of work) to a
+    sorted list of Data.db paths."""
+    import glob
+
+    if isinstance(input_path, (list, tuple)):
+        return sorted(input_path)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX)
+
+    if os.path.isdir(input_path):
+        return sorted(glob.glob(
+            os.path.join(input_path, "**", f"*{DATA_SUFFIX}"),
+            recursive=True))
+    return [input_path]
+
+
+def logical_data_bytes(data_paths: list[str]) -> int:
+    """Total UNCOMPRESSED Data.db bytes across the inputs, from
+    metadata only: CompressionInfo.db's dataLength for compressed
+    tables, the physical file size for plain ones. Never reads a data
+    byte -- at 100 TB this is the manifest arithmetic a planner runs,
+    and it equals the format's exact size algebra (the quantity the
+    sst_optimize_plan oracle recomputes from logical cells)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        COMPRESSION_SUFFIX, DATA_SUFFIX, CompressionInfo)
+
+    total = 0
+    for data_path in data_paths:
+        comp = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
+        if os.path.exists(comp):
+            total += CompressionInfo.parse(comp).data_length
+        else:
+            total += os.path.getsize(data_path)
+    return total
 
 
 def compact_cells(cells: DataFrame, n_outputs: int = 1,
-                  respect_tombstones: bool = False) -> DataFrame:
+                  respect_tombstones: bool = False,
+                  output_prefix: str = "compacted") -> DataFrame:
     """Live LWW winners re-shaped for the sstable writer, sharded into
-    `n_outputs` token-range outputs named compacted-<shard>.
+    `n_outputs` token-range outputs named <output_prefix>-<shard>.
 
     Tombstone semantics -- two explicit policies:
 
@@ -116,7 +182,7 @@ def compact_cells(cells: DataFrame, n_outputs: int = 1,
     else:
         lww = lww_live_cells(cells)
     return lww.select(
-        F.concat_ws("-", F.lit("compacted"),
+        F.concat_ws("-", F.lit(output_prefix),
                     token_shard(F.col("key"), n_outputs)).alias("sstable_id"),
         "key", "name", "value", "writeTime",
         F.lit("LIVE").alias("cell_kind"),
@@ -124,17 +190,40 @@ def compact_cells(cells: DataFrame, n_outputs: int = 1,
         F.lit(True).alias("partition_deletion_live"))
 
 
-def compact(spark: SparkSession, input_path: str, out_dir: str,
-            n_outputs: int = 1, compression: str | None = None,
-            respect_tombstones: bool = False) -> DataFrame:
-    """Compact every sstable under `input_path` into `n_outputs`
-    token-sharded sstables in `out_dir`. Returns the writer's metrics
-    DataFrame (sstable_id, path, n_partitions, n_cells)."""
+def compact(spark: SparkSession, input_path: str | list[str], out_dir: str,
+            n_outputs: int | None = None, compression: str | None = None,
+            respect_tombstones: bool = False,
+            target_output_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES,
+            output_prefix: str = "compacted") -> DataFrame:
+    """Compact the sstables under `input_path` (a directory, one
+    Data.db, or an explicit file list -- the optimize executor's bin)
+    into token-sharded sstables named <output_prefix>-<shard> in
+    `out_dir`. Returns the writer's metrics DataFrame (sstable_id,
+    path, n_partitions, n_cells).
+
+    n_outputs=None (the default) DERIVES the shard count from the
+    inputs' exact logical sizes -- metadata only, no data read -- so
+    writer parallelism scales with data volume: ceil-to-power-of-two of
+    total_bytes / target_output_bytes, capped at MAX_OUTPUT_SHARDS.
+    Pass an explicit n_outputs to override."""
+    from functools import reduce
+
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells, write_cells_as_sstables)
 
-    cells = read_native_cells(spark, input_path,
-                              live_only=not respect_tombstones)
+    files = input_data_files(input_path)
+    if n_outputs is None:
+        n_outputs = derive_n_outputs(logical_data_bytes(files),
+                                     target_output_bytes)
+    if isinstance(input_path, (list, tuple)):
+        cells = reduce(DataFrame.unionAll,
+                       [read_native_cells(spark, f,
+                                          live_only=not respect_tombstones)
+                        for f in files])
+    else:
+        cells = read_native_cells(spark, input_path,
+                                  live_only=not respect_tombstones)
     merged = compact_cells(cells, n_outputs,
-                           respect_tombstones=respect_tombstones)
+                           respect_tombstones=respect_tombstones,
+                           output_prefix=output_prefix)
     return write_cells_as_sstables(merged, out_dir, compression=compression)

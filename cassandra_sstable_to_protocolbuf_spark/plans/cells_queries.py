@@ -372,17 +372,22 @@ WHERE md5(key) >= '40' AND md5(key) < 'c0'
 
 def sst_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction under the gate: five overlapping sstables (duplicate
-    keys across generations by fixture design) -> LWW merge -> TWO
-    token-sharded compacted sstables written as real binary components
-    -> re-read through the native source.
+    keys across generations by fixture design) -> LWW merge ->
+    SIZE-DERIVED token-sharded compacted sstables written as real
+    binary components -> re-read through the native source.
 
     Cassandra's cross-file reconciliation, which the reference
     deliberately skips (Runner.java:59), done the 100 TB way: one scan,
     one struct-max hash agg, one writer task per token shard (each
-    output covers a contiguous half of the md5 token space). The oracle
-    recomputes winners + shard assignment logically, so a hash match
-    certifies the merge, the shard split, AND the binary write+parse of
-    the compacted output.
+    output covers a contiguous interval of the md5 token space). The
+    shard count is NOT caller-chosen: compact() derives it from the
+    inputs' exact logical bytes (metadata only) via derive_n_outputs,
+    so writer parallelism grows with data volume -- 1 shard at sf0.001,
+    2 at sf0.01, 16 at sf0.1. The oracle recomputes winners, the SAME
+    size derivation (from the format's size algebra, which equals the
+    on-disk logical bytes), and the shard assignment, so a hash match
+    certifies the merge, the derived split, AND the binary write+parse
+    of the compacted output.
     """
     import os
 
@@ -394,7 +399,7 @@ def sst_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture = _native_fixture_dir(spark, sf_dir)
     out = scratch_dir("compact", os.path.basename(sf_dir.rstrip("/")),
                       fresh=True)
-    compact(spark, fixture, out, n_outputs=2).collect()
+    compact(spark, fixture, out).collect()
     back = read_native_cells(spark, out)
     return (back.filter(F.col("cell_kind") != "PARTITION")
             .select(
@@ -406,13 +411,39 @@ def sst_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "writeTime"))
 
 
+def _derive_n_case_sql(total_expr: str) -> str:
+    """The derive_n_outputs ladder as portable SQL, generated from the
+    SAME constants the engine uses so the two can never drift."""
+    from cassandra_sstable_to_protocolbuf_spark.compaction import (
+        DEFAULT_TARGET_OUTPUT_BYTES, MAX_OUTPUT_SHARDS)
+
+    branches = " ".join(
+        f"WHEN {total_expr} <= {n * DEFAULT_TARGET_OUTPUT_BYTES} THEN {n}"
+        for n in (1, 2, 4, 8, 16, 32, 64, 128))
+    return f"CASE {branches} ELSE {MAX_OUTPUT_SHARDS} END"
+
+
 # the engine's key bytes are the oracle's utf-8 VARCHAR, so md5 agrees;
-# shard = top hex digit of the md5 token ('0'-'7' -> 0, '8'-'f' -> 1),
-# a contiguous token-range split in both engines
+# shard = (top two hex digits of the md5 token as an int) * n DIV 256,
+# a contiguous token-range split in both engines, with n derived from
+# the format's exact size algebra (== the files' logical bytes)
 SST_COMPACT_ROUNDTRIP_SQL = f"""
-{cells_cte()}
-SELECT 'compacted-' || CASE WHEN substring(md5(key), 1, 1) < '8'
-                            THEN '0' ELSE '1' END AS shard,
+{cells_cte()},
+partsz AS (
+  SELECT sstable_id, key,
+         CAST(SUM(CASE WHEN cell_kind = 'LIVE'
+                       THEN 15 + length(name) + length(value)
+                       WHEN cell_kind = 'DELETED' THEN 19 + length(name)
+                       ELSE 23 + length(name) + length(value) END)
+              + 16 + MAX(length(key)) AS BIGINT) AS part_bytes
+  FROM cells GROUP BY 1, 2),
+nout AS (
+  SELECT {_derive_n_case_sql('CAST(SUM(part_bytes) AS BIGINT)')} AS n
+  FROM partsz)
+SELECT 'compacted-' || CAST(
+         ((strpos('0123456789abcdef', substring(md5(key), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef', substring(md5(key), 2, 1)) - 1)
+         * n // 256 AS VARCHAR) AS shard,
        key, name, value, writeTime
 FROM (
   SELECT key, name, value, writeTime,
@@ -420,7 +451,7 @@ FROM (
                             ORDER BY writeTime DESC, sstable_id DESC, value DESC) AS rn
   FROM cells
   WHERE partition_deletion_live AND cell_kind = 'LIVE'
-) t WHERE rn = 1
+) t CROSS JOIN nout WHERE rn = 1
 """
 
 

@@ -54,6 +54,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "optimize-plan <sstable_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "optimize <sstable_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "verify-digest <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "build-corpus <sf_dir> <out_dir>\n"
@@ -602,54 +604,56 @@ def verify_digest_cmd(input_path: str) -> int:
 def optimize_plan_cmd(input_path: str) -> int:
     """Size-tiered compaction candidate selection over REAL component
     files, driver-only (metadata plane, no Spark session, zero data
-    bytes read): bucket sstables into log2 size tiers (Cassandra's STCS
-    bucketing), and within each tier of >= 2 files pack largest-first
-    into merge tasks capped at ~2x the tier's upper bound -- the same
-    sorted-greedy cumulative-sum packing the oracle-gated
-    `sst_optimize_plan` catalog query certifies over logical sizes. At
-    100 TB this loop runs over the manifest's file list; data never
-    moves until a chosen task runs `compact`."""
-    import glob
-
+    bytes read): plan_merge_tasks buckets sstables into log2 LOGICAL
+    size tiers (Cassandra's STCS bucketing; logical bytes so compressed
+    and plain tables tier identically) and cumulative-sum-packs each
+    tier largest-first into bins of ~2x the tier's upper bound -- the
+    exact plan the oracle-gated `sst_optimize_execute` catalog query
+    certifies end-to-end. At 100 TB this loop runs over the manifest's
+    file list; data never moves until `optimize` runs the chosen bins
+    through `compact`."""
+    from cassandra_sstable_to_protocolbuf_spark.compaction import (
+        input_data_files, plan_merge_tasks)
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         DATA_SUFFIX)
 
-    paths = sorted(glob.glob(
-        os.path.join(input_path, "**", "*-Data.db"), recursive=True))
+    paths = input_data_files(input_path)
     if not paths:
         _die(f"no sstables under {input_path}")
-    sized = sorted(((os.path.getsize(pth), pth) for pth in paths),
-                   key=lambda t: (-t[0], t[1]))
-    tiers: dict[int, list[tuple[int, str]]] = {}
-    for size, pth in sized:
-        tiers.setdefault(max(size, 1).bit_length(), []).append((size, pth))
-    n_tasks = 0
-    for tier in sorted(tiers, reverse=True):
-        files = tiers[tier]
-        if len(files) < 2:
-            print(f"tier 2^{tier}: {len(files)} file(s), nothing to merge")
-            continue
-        cap = (1 << tier) * 2
-        task: list[tuple[int, str]] = []
-        acc = 0
-        groups = []
-        for size, pth in files:  # largest-first greedy segments
-            if task and acc + size > cap:
-                groups.append((acc, task))
-                task, acc = [], 0
-            task.append((size, pth))
-            acc += size
-        if task:
-            groups.append((acc, task))
-        for acc, group in groups:
-            if len(group) < 2:
-                continue  # a lone straggler merges with nothing
-            n_tasks += 1
-            names = ", ".join(os.path.basename(pth)[:-len(DATA_SUFFIX)]
-                              for _, pth in group)
-            print(f"task {n_tasks}: tier 2^{tier}, {len(group)} files, "
-                  f"{acc} bytes -> {names}")
-    print(f"planned {n_tasks} merge task(s) over {len(paths)} sstable(s)")
+    tasks = plan_merge_tasks(paths)
+    for i, t in enumerate(tasks, 1):
+        names = ", ".join(os.path.basename(pth)[:-len(DATA_SUFFIX)]
+                          for pth in t["files"])
+        print(f"task {i}: tier 2^{t['tier']} bin {t['bin']}, "
+              f"{len(t['files'])} files, {t['bytes']} bytes -> {names}")
+    print(f"planned {len(tasks)} merge task(s) over {len(paths)} sstable(s)")
+    return 0
+
+
+def optimize_cmd(input_path: str) -> int:
+    """PLAN -> EXECUTE: run every planned merge bin through `compact`
+    in place -- outputs opt-<tier>-<bin>-<shard> (shard count derived
+    from each bin's logical bytes), merged inputs removed after their
+    outputs publish, stragglers untouched. The gated twin is the
+    `sst_optimize_execute` catalog query."""
+    from cassandra_sstable_to_protocolbuf_spark.compaction import optimize
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+
+    spark = get_spark("sstable-optimize")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    results = optimize(spark, input_path)
+    n_in = n_out = 0
+    for r in results:
+        outs = ", ".join(f"{m.sstable_id}(p={m.n_partitions},c={m.n_cells})"
+                         for m in r["outputs"])
+        print(f"tier 2^{r['tier']} bin {r['bin']}: {r['n_inputs']} inputs "
+              f"({r['input_bytes']} bytes) -> {outs}")
+        n_in += r["n_inputs"]
+        n_out += len(r["outputs"])
+    print(f"optimized {n_in} sstable(s) into {n_out} across "
+          f"{len(results)} task(s)")
     return 0
 
 
@@ -805,7 +809,7 @@ def main(argv: list[str]) -> int:
         return reshard_versioned_cmd(args[1], args[2])
     if len(args) == 2 and args[0] in ("table-history", "compact-versioned",
                                       "sstable-info", "optimize-plan",
-                                      "verify-digest") \
+                                      "optimize", "verify-digest") \
             and not (continue_on_error or by_shard or mor or no_grace
                      or force):
         if args[0] == "sstable-info":
@@ -816,6 +820,10 @@ def main(argv: list[str]) -> int:
             if not os.path.isdir(args[1]):
                 _die(f"input path does not exist: {args[1]}")
             return optimize_plan_cmd(args[1])
+        if args[0] == "optimize":
+            if not os.path.isdir(args[1]):
+                _die(f"input path does not exist: {args[1]}")
+            return optimize_cmd(args[1])
         if args[0] == "verify-digest":
             if not os.path.exists(args[1]):
                 _die(f"input path does not exist: {args[1]}")

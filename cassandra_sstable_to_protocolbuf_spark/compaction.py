@@ -190,6 +190,101 @@ def compact_cells(cells: DataFrame, n_outputs: int = 1,
         F.lit(True).alias("partition_deletion_live"))
 
 
+def plan_merge_tasks(input_path: str | list[str]) -> list[dict]:
+    """Size-tiered compaction candidate selection (Cassandra STCS
+    bucketing, Delta OPTIMIZE bin-packing) over real component files --
+    metadata only, zero data bytes read.
+
+    Each sstable's LOGICAL Data.db size (logical_data_bytes: exact, and
+    compression-independent, so the same plan falls out of the format's
+    size algebra -- which is what the sst_optimize_execute oracle
+    recomputes) buckets it into a log2 tier; within a tier, files sort
+    largest-first (path-basename tiebreak) and a running cumulative sum
+    bins them at ~2x the tier's upper bound: bin = (cum-1) DIV 2^(tier+1).
+    Bins holding >= 2 files are merge tasks; singletons are stragglers
+    and stay untouched. Returns tasks ordered (tier DESC, bin ASC), each
+    {"tier", "bin", "files", "bytes"} -- the deterministic unit-of-work
+    list optimize() executes (the reference's per-file work loop,
+    Runner.java:56-63, grown into bin-sized units).
+
+    At 100 TB this runs over a manifest's file list on the driver: cost
+    is O(files log files), never O(data)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        COMPRESSION_SUFFIX, DATA_SUFFIX, CompressionInfo)
+
+    sized = []
+    for path in input_data_files(input_path):
+        comp = path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
+        size = (CompressionInfo.parse(comp).data_length
+                if os.path.exists(comp) else os.path.getsize(path))
+        sized.append((size, os.path.basename(path), path))
+    tiers: dict[int, list[tuple[int, str, str]]] = {}
+    for size, base, path in sized:
+        tiers.setdefault(max(size, 1).bit_length(), []).append(
+            (size, base, path))
+    tasks = []
+    for tier in sorted(tiers, reverse=True):
+        cap = 1 << (tier + 1)
+        bins: dict[int, dict] = {}
+        cum = 0
+        for size, _base, path in sorted(tiers[tier],
+                                        key=lambda t: (-t[0], t[1])):
+            cum += size
+            b = (cum - 1) // cap
+            entry = bins.setdefault(b, {"tier": tier, "bin": b,
+                                        "files": [], "bytes": 0})
+            entry["files"].append(path)
+            entry["bytes"] += size
+        tasks.extend(entry for b, entry in sorted(bins.items())
+                     if len(entry["files"]) >= 2)
+    return tasks
+
+
+def optimize(spark: SparkSession, input_dir: str,
+             compression: str | None = None,
+             target_output_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES) -> list[dict]:
+    """PLAN -> EXECUTE: the lakehouse OPTIMIZE / LSM maintenance loop.
+
+    plan_merge_tasks picks the bins; each bin then runs as ONE compact
+    task over ONLY that bin's files -- LWW merge, size-derived output
+    shard count, outputs named opt-<tier>-<bin>-<shard> (deterministic
+    from the plan, so the DuckDB oracle can recompute every output id)
+    written into `input_dir` itself -- and the bin's input components
+    are removed only AFTER its outputs are fully published. Unplanned
+    files (straggler bins) are never touched. Write-then-delete is
+    Cassandra's own pre-transaction-log posture: a crash between the two
+    leaves duplicate LWW-reconcilable data, never a loss; a deployment
+    with the versioned table's CommitBackend would wrap the swap in one
+    manifest commit instead.
+
+    Returns per-task dicts {"tier", "bin", "n_inputs", "input_bytes",
+    "outputs": [writer metrics rows]}; driver memory is O(files), never
+    O(data)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        ALL_SUFFIXES, DATA_SUFFIX)
+
+    results = []
+    for task in plan_merge_tasks(input_dir):
+        prefix = f"opt-{task['tier']}-{task['bin']}"
+        metrics = compact(spark, list(task["files"]), input_dir,
+                          compression=compression,
+                          target_output_bytes=target_output_bytes,
+                          output_prefix=prefix).collect()
+        for data_path in task["files"]:
+            base = data_path[:-len(DATA_SUFFIX)]
+            for suffix in ALL_SUFFIXES:
+                try:
+                    os.unlink(base + suffix)
+                except FileNotFoundError:
+                    pass
+        results.append({"tier": task["tier"], "bin": task["bin"],
+                        "n_inputs": len(task["files"]),
+                        "input_bytes": task["bytes"],
+                        "outputs": sorted(metrics,
+                                          key=lambda m: m.sstable_id)})
+    return results
+
+
 def compact(spark: SparkSession, input_path: str | list[str], out_dir: str,
             n_outputs: int | None = None, compression: str | None = None,
             respect_tombstones: bool = False,

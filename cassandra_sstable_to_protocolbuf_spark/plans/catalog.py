@@ -60,6 +60,11 @@ CATALOG: dict[str, QueryDef] = {
     "sst_optimize_plan": QueryDef(C.sst_optimize_plan, C.SST_OPTIMIZE_PLAN_SQL,
                                   "compaction planning: exact size algebra "
                                   "+ sorted-greedy bin packing per shard"),
+    "sst_optimize_execute": QueryDef(C.sst_optimize_execute,
+                                     C.SST_OPTIMIZE_EXECUTE_SQL,
+                                     "OPTIMIZE plan->execute: size-tiered "
+                                     "bins run through compact, merged "
+                                     "inputs removed, stragglers untouched"),
     "stream_pb_roundtrip": QueryDef(ST.stream_pb_roundtrip, C.SST_PB_ROUNDTRIP_SQL,
                                     "K1+K2 THROUGH streaming (foreachBatch sink)"),
     "sst_native_roundtrip": QueryDef(C.sst_native_roundtrip, C.SST_NATIVE_ROUNDTRIP_SQL,

@@ -455,6 +455,166 @@ FROM (
 """
 
 
+def _optimize_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Pristine (cached) fixture for the OPTIMIZE loop: the standard
+    five-file cell split, except partition '1|3' is remapped into a
+    tiny sixth file 'sst-t' -- a few hundred bytes, structurally alone
+    in its log2 size tier at EVERY scale factor, so the plan always
+    contains both merge bins AND an untouched straggler. Callers copy
+    this dir before optimizing (optimize mutates: it deletes merged
+    inputs)."""
+    import hashlib
+    import os
+    import pathlib
+
+    from cassandra_sstable_to_protocolbuf_spark import compaction as cp_mod
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+    from cassandra_sstable_to_protocolbuf_spark.sources import cells as cells_mod
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as sn)
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        to_binary_cells)
+
+    src = pathlib.Path(sf_dir) / "lineitem.parquet"
+    stat = src.stat()
+    digest = hashlib.md5(
+        pathlib.Path(sn.__file__).read_bytes()
+        + pathlib.Path(cells_mod.__file__).read_bytes()
+        + pathlib.Path(cp_mod.__file__).read_bytes()
+        + f"opt:{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build(tmp: str) -> None:
+        from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+            write_cells_as_sstables)
+
+        cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+        remapped = cells.withColumn(
+            "sstable_id",
+            F.when(F.col("key") == F.lit(b"1|3"), "sst-t")
+            .otherwise(F.col("sstable_id")))
+        write_cells_as_sstables(remapped, tmp, compression="lz4").collect()
+
+    return build_once(f"sstopt_fix_{tag}", digest, build)
+
+
+def sst_optimize_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLAN -> EXECUTE under the gate: the OPTIMIZE maintenance loop,
+    end to end. plan_merge_tasks bins the six-file fixture by log2 size
+    tier; optimize() runs each bin as one compact task (LWW merge,
+    size-derived shard count, outputs opt-<tier>-<bin>-<shard>), removes
+    the merged inputs, and leaves the straggler file ('sst-t', alone in
+    its tier) byte-for-byte untouched. The read-back therefore certifies
+    three things at once, all hash-gated: (1) the merged bins' content
+    equals the per-bin LWW state the oracle recomputes, (2) the planned
+    file-count reduction happened -- every surviving file name is part
+    of the output, and the oracle derives the exact opt-<tier>-<bin>
+    names from the size algebra, so a missed deletion or an unexecuted
+    bin breaks the hash, (3) the straggler still reads with its original
+    name and full (unfiltered) cell content.
+
+    Scale shape: planning is O(files) driver metadata; each bin is one
+    distributed scan->agg->streaming-write; the copy here is fixture
+    hygiene (optimize mutates its input dir)."""
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.compaction import optimize
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    pristine = _optimize_fixture_dir(spark, sf_dir)
+    work = scratch_dir("optimize_exec",
+                       os.path.basename(sf_dir.rstrip("/")), fresh=True)
+    shutil.rmtree(work)
+    shutil.copytree(pristine, work)
+    results = optimize(spark, work, compression="lz4")
+    assert results, "plan produced no merge tasks (fixture regression)"
+    return _project_native_cells(read_native_cells(spark, work))
+
+
+# oracle: replay the WHOLE loop logically -- remap '1|3' into sst-t,
+# size every file with the format's exact algebra (== logical Data.db
+# bytes), tier by bit length, bin by the cumulative-sum packing, merge
+# bins of >= 2 files through per-bin LWW with the size-derived shard
+# count, and pass stragglers through unchanged
+SST_OPTIMIZE_EXECUTE_SQL_TEMPLATE = """
+{cells_cte},
+cells_opt AS (
+  SELECT CASE WHEN key = '1|3' THEN 'sst-t' ELSE sstable_id END AS sstable_id,
+         key, name, value, writeTime, cell_kind, ttl_expired,
+         partition_deletion_live
+  FROM cells),
+partsz AS (
+  SELECT sstable_id, key,
+         CAST(SUM(CASE WHEN cell_kind = 'LIVE'
+                       THEN 15 + length(name) + length(value)
+                       WHEN cell_kind = 'DELETED' THEN 19 + length(name)
+                       ELSE 23 + length(name) + length(value) END)
+              + 16 + MAX(length(key)) AS BIGINT) AS part_bytes
+  FROM cells_opt GROUP BY 1, 2),
+fsize AS (SELECT sstable_id, CAST(SUM(part_bytes) AS BIGINT) AS bytes
+          FROM partsz GROUP BY 1),
+binned AS (
+  SELECT sstable_id, bytes, length(bin(bytes)) AS tier,
+         CAST((SUM(bytes) OVER (PARTITION BY length(bin(bytes))
+                                ORDER BY bytes DESC, sstable_id) - 1)
+              // (CAST(1 AS BIGINT) << (length(bin(bytes)) + 1)) AS BIGINT)
+           AS bin
+  FROM fsize),
+tasks AS (
+  SELECT tier, bin, COUNT(*) AS n_files,
+         CAST(SUM(bytes) AS BIGINT) AS task_bytes
+  FROM binned GROUP BY 1, 2),
+merged_files AS (
+  SELECT b.sstable_id, b.tier, b.bin
+  FROM binned b JOIN tasks t ON b.tier = t.tier AND b.bin = t.bin
+  WHERE t.n_files >= 2),
+taskn AS (
+  SELECT tier, bin, {nout_case} AS n
+  FROM tasks WHERE n_files >= 2),
+winners AS (
+  SELECT m.tier, m.bin, c.key, c.name, c.value, c.writeTime,
+         ROW_NUMBER() OVER (PARTITION BY m.tier, m.bin, c.key, c.name
+                            ORDER BY c.writeTime DESC, c.sstable_id DESC,
+                                     c.value DESC) AS rn
+  FROM cells_opt c JOIN merged_files m ON c.sstable_id = m.sstable_id
+  WHERE c.partition_deletion_live AND c.cell_kind = 'LIVE'),
+merged_rows AS (
+  SELECT 'opt-' || CAST(w.tier AS VARCHAR) || '-' || CAST(w.bin AS VARCHAR)
+           || '-' || CAST(
+             ((strpos('0123456789abcdef', substring(md5(w.key), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substring(md5(w.key), 2, 1)) - 1)
+             * tn.n // 256 AS VARCHAR) AS sstable_id,
+         w.key, w.name, w.value, w.writeTime,
+         'LIVE' AS cell_kind, 'NA' AS ttl_expired,
+         TRUE AS partition_deletion_live
+  FROM winners w JOIN taskn tn ON w.tier = tn.tier AND w.bin = tn.bin
+  WHERE w.rn = 1),
+straggler_rows AS (
+  SELECT c.sstable_id, c.key, c.name,
+         CASE WHEN c.cell_kind = 'DELETED' THEN '' ELSE c.value END AS value,
+         c.writeTime, c.cell_kind,
+         CASE WHEN ttl_expired THEN 'T' WHEN NOT ttl_expired THEN 'F'
+              ELSE 'NA' END AS ttl_expired,
+         c.partition_deletion_live
+  FROM cells_opt c LEFT JOIN merged_files m ON c.sstable_id = m.sstable_id
+  WHERE m.sstable_id IS NULL)
+SELECT * FROM merged_rows UNION ALL SELECT * FROM straggler_rows
+"""
+
+
+def _sst_optimize_execute_sql() -> str:
+    return SST_OPTIMIZE_EXECUTE_SQL_TEMPLATE.format(
+        cells_cte=cells_cte(),
+        nout_case=_derive_n_case_sql("task_bytes"))
+
+
+SST_OPTIMIZE_EXECUTE_SQL = _sst_optimize_execute_sql()
+
+
 def _corrupt_fixture_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Fresh sstable fixture set with sst-1's Data.db mid-file byte
     flipped (Adler32 chunk checksum fails on read) -- the shared input

@@ -1,0 +1,143 @@
+"""OPTIMIZE plan->execute (VERDICT r5 #1): plan_merge_tasks selects
+size-tiered bins, optimize() runs each bin through compact() in place,
+merged inputs are removed, stragglers stay byte-for-byte untouched, and
+the global LWW state survives. The cross-engine hash gate is the
+sst_optimize_execute catalog query; this file pins the structural
+contract on controlled fixtures plus the CLI drill."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from cassandra_sstable_to_protocolbuf_spark import compaction as CP
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+
+
+def _mk(dirname, cf, n_keys, vlen, ts, overlap_from=0):
+    parts = [{"key": b"key-%05d" % (overlap_from + i),
+              "cells": [{"name": b"c", "kind": "LIVE", "timestamp": ts,
+                         "value": b"%s-%04d" % (cf.encode(), i) + b"x" * vlen}]}
+             for i in range(n_keys)]
+    return N.write_sstable(dirname, 1, parts, cf=cf)
+
+
+def test_plan_merge_tasks_tiers_bins_and_stragglers(tmp_path):
+    d = str(tmp_path)
+    # files land just above 2^11 (tier 12, upper-tier sizes): the bin
+    # cap 2^13 holds TWO of ~3.9 KB, so cc spills into a singleton bin
+    # and stays unplanned -- the capacity contract
+    a = _mk(d, "aa", 50, 30, 1)
+    b = _mk(d, "bb", 50, 30, 2)
+    c = _mk(d, "cc", 50, 30, 3)
+    tiny = _mk(d, "tt", 2, 2, 4)
+    s = CP.logical_data_bytes([a])
+    assert 3 * s > 1 << (s.bit_length() + 1) >= 2 * s  # scenario holds
+    tasks = CP.plan_merge_tasks(d)
+    planned = {p for t in tasks for p in t["files"]}
+    assert tiny not in planned, "straggler must not be planned"
+    assert planned == {a, b}, "full bin takes two; cc spills to bin 1"
+    for t in tasks:
+        assert len(t["files"]) >= 2
+        assert t["bytes"] == CP.logical_data_bytes(t["files"])
+        assert t["files"] == sorted(t["files"], key=lambda p: (
+            -CP.logical_data_bytes([p]), os.path.basename(p)))
+    # deterministic: same input -> same plan
+    assert CP.plan_merge_tasks(d) == tasks
+
+    # mid-tier sizes (~2.1 KB, still tier 12): all three fit one bin
+    d2 = str(tmp_path / "d2")
+    a2 = _mk(d2, "aa", 27, 30, 1)
+    b2 = _mk(d2, "bb", 27, 30, 2)
+    c2 = _mk(d2, "cc", 27, 30, 3)
+    s2 = CP.logical_data_bytes([a2])
+    assert s2.bit_length() == s.bit_length() and \
+        3 * s2 <= 1 << (s2.bit_length() + 1)
+    (task,) = CP.plan_merge_tasks(d2)
+    assert task["files"] == [a2, b2, c2]
+
+
+def test_optimize_merges_bins_and_leaves_stragglers(spark, tmp_path):
+    d = str(tmp_path)
+    # overlapping keys across the mergeable files: LWW must reconcile
+    _mk(d, "aa", 60, 30, ts=10)
+    _mk(d, "bb", 60, 30, ts=20)            # same keys, newer -> wins
+    _mk(d, "cc", 60, 30, ts=15, overlap_from=30)
+    tiny = _mk(d, "tt", 2, 2, ts=99, overlap_from=1000)
+    tiny_bytes = open(tiny, "rb").read()
+    tiny_digest = {s: hashlib.sha1(open(
+        tiny[:-len(N.DATA_SUFFIX)] + s, "rb").read()).hexdigest()
+        for s in (N.DATA_SUFFIX, N.INDEX_SUFFIX, N.STATS_SUFFIX)}
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    pre = {(bytes(r.key), bytes(r.name), bytes(r.value), r.writeTime)
+           for r in lww_live_cells(read_native_cells(spark, d)).collect()}
+    n_files_pre = len(glob.glob(os.path.join(d, "*-Data.db")))
+
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    assert results, "expected at least one merge task"
+
+    files_post = sorted(os.path.basename(p)
+                        for p in glob.glob(os.path.join(d, "*-Data.db")))
+    # planned reduction: merged inputs gone, opt outputs + straggler left
+    assert len(files_post) < n_files_pre
+    assert "ks-tt-ka-1-Data.db" in files_post
+    merged_out = [f for f in files_post if f.startswith("ks-opt-")]
+    assert merged_out and all("-ka-1-Data.db" in f for f in merged_out)
+    assert not any(f.startswith(("ks-aa-", "ks-bb-", "ks-cc-"))
+                   for f in files_post)
+
+    # straggler byte-for-byte untouched, all components
+    assert open(tiny, "rb").read() == tiny_bytes
+    for s, want in tiny_digest.items():
+        got = hashlib.sha1(open(
+            tiny[:-len(N.DATA_SUFFIX)] + s, "rb").read()).hexdigest()
+        assert got == want, f"straggler component {s} changed"
+
+    # global LWW state preserved (ids aside): nothing lost, nothing
+    # resurrected, newer generation still wins
+    post = {(bytes(r.key), bytes(r.name), bytes(r.value), r.writeTime)
+            for r in lww_live_cells(read_native_cells(spark, d)).collect()}
+    assert post == pre
+
+
+def test_optimize_cli_drill(tmp_path):
+    """optimize-plan prints the bins; optimize executes them; the
+    follow-up plan finds nothing left to merge."""
+    import subprocess
+    import sys
+
+    d = str(tmp_path / "sst")
+    _mk(d, "aa", 40, 20, 1)
+    _mk(d, "bb", 40, 20, 2)
+    _mk(d, "tt", 2, 2, 3, overlap_from=500)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4", PYTHONPATH=repo)
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, "-m", "cassandra_sstable_to_protocolbuf_spark", *args],
+            capture_output=True, text=True, timeout=300, env=env, cwd="/tmp")
+
+    r = run("optimize-plan", d)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "planned 1 merge task(s) over 3 sstable(s)" in r.stdout
+    assert "ks-aa-ka-1, ks-bb-ka-1" in r.stdout
+
+    r = run("optimize", d)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "optimized 2 sstable(s) into" in r.stdout
+
+    names = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(d, "*-Data.db")))
+    assert "ks-tt-ka-1-Data.db" in names
+    assert any(n.startswith("ks-opt-") for n in names)
+
+    r = run("optimize-plan", d)
+    assert r.returncode == 0
+    assert "planned 0 merge task(s)" in r.stdout

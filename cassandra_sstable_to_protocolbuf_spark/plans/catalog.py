@@ -81,6 +81,9 @@ CATALOG: dict[str, QueryDef] = {
     "sst_permissive_scan": QueryDef(C.sst_permissive_scan,
                                     C.SST_PERMISSIVE_SCAN_SQL,
                                     "E1 at scale: one PERMISSIVE job over a corrupt-file fixture"),
+    "sst_digest_drill": QueryDef(C.sst_digest_drill, C.SST_DIGEST_DRILL_SQL,
+                                 "Digest.sha1 on the read path: tampered "
+                                 "uncompressed file -> ERROR row, no data"),
     "sst_schema_evolution": QueryDef(C.sst_schema_evolution,
                                      C.SST_SCHEMA_EVOLUTION_SQL,
                                      "mergeSchema read across landed generations "

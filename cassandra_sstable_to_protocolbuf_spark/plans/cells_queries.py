@@ -930,6 +930,58 @@ def sst_permissive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 SST_PERMISSIVE_SCAN_SQL = SST_CONTINUE_ON_ERROR_SQL
 
 
+def sst_digest_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest.sha1 integrity ON THE READ PATH: an UNCOMPRESSED fixture
+    set (no per-chunk Adler32 -- the sha1 digest is the only guard)
+    with one mid-file byte flipped in sst-1's Data.db. A flipped byte
+    in an uncompressed table would otherwise parse as silently wrong
+    DATA; with verifyDigest=true each read task sha1s its file against
+    -Digest.sha1 before parsing a single cell, so the tampered file
+    yields exactly one ERROR marker row and ZERO data rows (no
+    trustworthy prefix exists when the whole-file checksum fails),
+    while the other files scan completely. FAILFAST + verifyDigest
+    raises instead -- pinned in tests/test_digest_read_path.py.
+
+    Scale shape: the check runs in executors (one whole-file split per
+    sstable, the natural granularity of a whole-file checksum); the
+    driver never reads a data byte."""
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        to_binary_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX, read_native_cells, write_cells_as_sstables)
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+    out = scratch_dir("digest_err", os.path.basename(sf_dir.rstrip("/")),
+                      fresh=True)
+    write_cells_as_sstables(cells, out).collect()  # UNCOMPRESSED
+    bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
+    with open(bad, "r+b") as f:  # silent bit rot: only the digest sees it
+        f.seek(os.path.getsize(bad) // 2)
+        byte = f.read(1)[0]
+        f.seek(-1, os.SEEK_CUR)
+        f.write(bytes([byte ^ 0x01]))
+
+    scan = read_native_cells(spark, out, mode="PERMISSIVE",
+                             verify_digest=True)
+    per_file = (scan.groupBy("sstable_id").agg(
+        F.max((F.col("cell_kind") == "ERROR").cast("int")).alias("err"),
+        F.sum(F.when(F.col("partition_deletion_live")
+                     & (F.col("cell_kind") == "LIVE"), 1).otherwise(0))
+        .alias("n_live")))
+    return per_file.select(
+        F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+        .alias("sstable_id"),
+        F.when(F.col("err") == 1, "error").otherwise("ok").alias("status"),
+        F.when(F.col("err") == 1, F.lit(-1).cast("long"))
+        .otherwise(F.col("n_live")).alias("n_live_cells"))
+
+
+SST_DIGEST_DRILL_SQL = SST_CONTINUE_ON_ERROR_SQL
+
+
 def versioned_base_dir(spark: SparkSession, sf_dir: str) -> str:
     """PRISTINE manifest-versioned landed table at version 0 (primary
     sstables only), content-addressed like incremental_base_dir; time

@@ -1273,7 +1273,7 @@ def scan_partitions_eager(data_path: str, start: int, end: int) -> Iterator[dict
 
 class _SSTableSplit(InputPartition):
     def __init__(self, sstable_id: str, data_path: str, start: int, end: int,
-                 error: str | None = None):
+                 error: str | None = None, verify: bool = False):
         self.sstable_id = sstable_id
         self.data_path = data_path
         self.start = start
@@ -1283,6 +1283,9 @@ class _SSTableSplit(InputPartition):
         # represented by one error split; read() turns it into an ERROR
         # marker row instead of the whole job failing on the driver
         self.error = error
+        # verifyDigest=true planning: one whole-file split per sstable,
+        # checked against -Digest.sha1 in the EXECUTOR before scanning
+        self.verify = verify
 
 
 class SSTableNativeReader(DataSourceReader):
@@ -1299,11 +1302,24 @@ class SSTableNativeReader(DataSourceReader):
                  live_only: bool = False,
                  expected_partitioner: str | None = None,
                  token_range: tuple[str, str] | None = None,
-                 permissive: bool = False):
+                 permissive: bool = False,
+                 verify_digest: bool = False):
         self.path = path
         self.partitions_per_split = partitions_per_split
         self.live_only = live_only
         self.expected_partitioner = expected_partitioner
+        # verifyDigest=true: each file is checked against its
+        # -Digest.sha1 IN ITS READ TASK before any cell is parsed -- the
+        # integrity guard for UNCOMPRESSED tables (compressed ones carry
+        # per-chunk Adler32 verified inline). A sha1 covers the whole
+        # file, so planning degrades to one whole-file split per
+        # sstable: the verified scan parallelizes across files, which is
+        # the shape of an integrity sweep anyway, and the check runs on
+        # executors -- never a driver-side read of the data. Mismatch is
+        # a loud task failure under FAILFAST and a cell_kind='ERROR'
+        # marker row (no data rows from the suspect file) under
+        # PERMISSIVE. A missing digest component skips the check.
+        self.verify = verify_digest
         # mode=PERMISSIVE: a split hitting corruption emits an ERROR
         # marker row instead of failing the task (the _corrupt_record
         # channel of the standard sources, at sstable granularity) --
@@ -1438,6 +1454,14 @@ class SSTableNativeReader(DataSourceReader):
             size = os.path.getsize(data_path)
         summary = load_summary(data_path)
         k = self.partitions_per_split
+
+        if self.verify:
+            # digest granularity is the whole file: one verified split
+            # per sstable (see __init__ docstring); residual key/token
+            # filters still apply in _iter_rows
+            splits.append(_SSTableSplit(sstable_id, data_path, 0, size,
+                                        verify=True))
+            return splits
 
         if seek_keys is not None:
             # S5 indexed seek: one split per matching partition;
@@ -1611,6 +1635,20 @@ class SSTableNativeReader(DataSourceReader):
                 yield (split.sstable_id, b"", b"", split.error.encode(),
                        0, "ERROR", None, None, False)
                 return
+            if split is not None and getattr(split, "verify", False):
+                # executor-side integrity gate: sha1 the physical file
+                # against -Digest.sha1 BEFORE parsing a single cell. On
+                # mismatch nothing from the suspect file surfaces --
+                # unlike parse-time corruption there is no trustworthy
+                # prefix, the whole file failed its checksum.
+                if verify_digest(split.data_path) is False:
+                    msg = (f"Data.db digest mismatch vs -Digest.sha1 for "
+                           f"{split.sstable_id} (corrupt or tampered file)")
+                    if not self.permissive:
+                        raise ValueError(msg)
+                    yield (split.sstable_id, b"", b"", msg.encode(),
+                           0, "ERROR", None, None, False)
+                    return
             if not self.permissive:
                 yield from self._iter_rows(split)
                 return
@@ -1662,9 +1700,11 @@ class SSTableNativeDataSource(DataSource):
         mode = str(self.options.get("mode", "FAILFAST")).upper()
         if mode not in ("FAILFAST", "PERMISSIVE"):
             raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode}")
+        verify = str(self.options.get("verifydigest", "false")).lower() == "true"
         return SSTableNativeReader(path, pps, live_only, expected,
                                    token_range=token_range,
-                                   permissive=(mode == "PERMISSIVE"))
+                                   permissive=(mode == "PERMISSIVE"),
+                                   verify_digest=verify)
 
 
 def register(spark) -> None:
@@ -1677,18 +1717,22 @@ def register(spark) -> None:
 def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
                       live_only: bool = False,
                       token_range: tuple[str, str] | None = None,
-                      mode: str = "FAILFAST"):
+                      mode: str = "FAILFAST",
+                      verify_digest: bool = False):
     """token_range: optional [start, end) interval over the md5 token as
     lowercase hex (prefixes fine: ('40', 'c0') is the middle half of the
     ring) -- the Cassandra parallel-export sharding surface. Splits
     wholly outside the interval are pruned at plan time.
     mode: FAILFAST (default, corruption fails the task loudly) or
-    PERMISSIVE (corruption emits a cell_kind='ERROR' marker row)."""
+    PERMISSIVE (corruption emits a cell_kind='ERROR' marker row).
+    verify_digest: executor-side sha1 check of each Data.db against its
+    -Digest.sha1 before scanning (one whole-file split per sstable)."""
     register(spark)
     rd = (spark.read.format("sstable_cassandra")
           .option("partitionsPerSplit", str(partitions_per_split))
           .option("liveOnly", "true" if live_only else "false")
-          .option("mode", mode))
+          .option("mode", mode)
+          .option("verifyDigest", "true" if verify_digest else "false"))
     if token_range is not None:
         rd = (rd.option("tokenRangeStart", token_range[0])
               .option("tokenRangeEnd", token_range[1]))

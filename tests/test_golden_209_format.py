@@ -208,3 +208,109 @@ def test_golden_jb_through_spark_source(spark, golden_jb, tmp_path):
     assert keys == {KEY_A}
     live = [r for r in rows if r.cell_kind == "LIVE"]
     assert [(bytes(r.name), bytes(r.value)) for r in live] == [(b"col1", b"hello")]
+
+
+# --------------------------------------------------------------------------
+# Promoted-index-bearing Index.db (VERDICT r5 #5): real Cassandra 2.0
+# files carry a non-zero promoted (row-level) index blob after each
+# entry's position field -- this repo's writer always emits
+# promoted_len=0, so these fixtures hand-assemble the blob to exercise
+# the reader's skip on the real-interop path: streaming iteration,
+# summary-directed seeks, split planning, and full scans through Spark.
+# --------------------------------------------------------------------------
+
+def _inject_promoted_index(data_path: str) -> int:
+    """Rewrite the sstable's Index.db with a deterministic junk promoted
+    blob after every entry (varied lengths incl. 0), and rebuild
+    Summary.db so its index_pos samples point at the REWRITTEN entry
+    offsets. Returns the number of entries."""
+    base = data_path[:-len(N.DATA_SUFFIX)]
+    entries = list(N.iter_index(base + N.INDEX_SUFFIX))
+    blob_parts = []
+    sampled = []
+    pos = 0
+    for j, (key, offset, _old_pos) in enumerate(entries):
+        plen = (j * 7) % 64  # varied, some zero
+        promoted = bytes((j + k) % 256 for k in range(plen))
+        entry = (struct.pack(">H", len(key)) + key
+                 + struct.pack(">QI", offset, plen) + promoted)
+        if j % N.DEFAULT_INDEX_INTERVAL == 0:
+            sampled.append((key, pos, offset))
+        blob_parts.append(entry)
+        pos += len(entry)
+    with open(base + N.INDEX_SUFFIX, "wb") as f:
+        f.write(b"".join(blob_parts))
+    N.write_summary(base + N.SUMMARY_SUFFIX, N.DEFAULT_INDEX_INTERVAL,
+                    sampled, entries[0][0], entries[-1][0])
+    return len(entries)
+
+
+def _promoted_fixture(tmp_path, n=300):
+    d = str(tmp_path / "promoted")
+    parts = [{"key": b"pk%04d" % i,
+              "cells": [{"name": b"c%d" % (i % 3), "kind": "LIVE",
+                         "timestamp": i, "value": b"v%04d" % i}]}
+             for i in range(n)]
+    data = N.write_sstable(d, 1, parts)
+    n_entries = _inject_promoted_index(data)
+    assert n_entries == n
+    return d, data
+
+
+def test_promoted_index_streaming_iteration(tmp_path):
+    d, data = _promoted_fixture(tmp_path)
+    base = data[:-len(N.DATA_SUFFIX)]
+    entries = list(N.iter_index(base + N.INDEX_SUFFIX))
+    assert len(entries) == 300
+    assert [k for k, _o, _p in entries] == sorted(
+        (b"pk%04d" % i for i in range(300)),
+        key=lambda k: (N.md5_token(k), k))
+    # offsets still strictly ascending (promoted blob skipped, not read)
+    offs = [o for _k, o, _p in entries]
+    assert offs == sorted(offs) and len(set(offs)) == 300
+
+
+def test_promoted_index_full_scan_through_spark(spark, tmp_path):
+    d, _data = _promoted_fixture(tmp_path)
+    rows = N.read_native_cells(spark, d, partitions_per_split=128).collect()
+    live = [(bytes(r.key), bytes(r.value)) for r in rows
+            if r.cell_kind == "LIVE"]
+    assert sorted(live) == [(b"pk%04d" % i, b"v%04d" % i)
+                            for i in range(300)]
+
+
+def test_promoted_index_seek_paths(spark, tmp_path):
+    """Point lookups must seek THROUGH promoted blobs on both planning
+    paths: summary-directed (binary search + bounded index walk) and
+    the summary-less streaming fallback."""
+    d, data = _promoted_fixture(tmp_path)
+    base = data[:-len(N.DATA_SUFFIX)]
+
+    def lookup():
+        reader = N.SSTableNativeReader(d, 4096)
+        reader.pushed_keys = {b"pk0042", b"pk0257"}
+        got = set()
+        for split in reader.partitions():
+            for item in reader.read(split):
+                got.update(bytes(k) for k in item.column(1).to_pylist())
+        return got
+
+    assert lookup() == {b"pk0042", b"pk0257"}  # summary-directed
+    os.unlink(base + N.SUMMARY_SUFFIX)
+    assert lookup() == {b"pk0042", b"pk0257"}  # streaming fallback
+
+
+def test_promoted_index_corrupt_length_still_refused(tmp_path):
+    """The bounds check survives the rewrite: a promoted length running
+    past EOF raises instead of masquerading as clean EOF."""
+    d, data = _promoted_fixture(tmp_path, n=5)
+    base = data[:-len(N.DATA_SUFFIX)]
+    raw = bytearray(open(base + N.INDEX_SUFFIX, "rb").read())
+    # last entry: key pk0004 -- set its plen field to a huge value
+    # (the final 4 bytes before its promoted blob); easier: truncate the
+    # file mid-blob of the last entry that has plen > 0
+    raw = raw[:-1]
+    with open(base + N.INDEX_SUFFIX, "wb") as f:
+        f.write(bytes(raw))
+    with pytest.raises(ValueError, match="promoted index|truncated"):
+        list(N.iter_index(base + N.INDEX_SUFFIX))

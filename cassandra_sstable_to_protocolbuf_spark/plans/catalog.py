@@ -100,6 +100,11 @@ CATALOG: dict[str, QueryDef] = {
     "sst_token_range_scan": QueryDef(C.sst_token_range_scan,
                                      C.SST_TOKEN_RANGE_SQL,
                                      "token-range sharded scan (parallel-export interval)"),
+    "sst_single_file_scan": QueryDef(C.sst_single_file_scan,
+                                     C.SST_SINGLE_FILE_SCAN_SQL,
+                                     "one giant sstable scanned via "
+                                     "byte-range splits (intra-file "
+                                     "parallelism)"),
     "sst_incremental_merge": QueryDef(C.sst_incremental_merge,
                                       C.SST_INCREMENTAL_MERGE_SQL,
                                       "copy-on-write LWW delta merge into sharded landed table"),

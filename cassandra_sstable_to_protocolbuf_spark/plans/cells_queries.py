@@ -455,6 +455,69 @@ FROM (
 """
 
 
+def _single_file_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once fixture with EVERY cell in ONE sstable -- the 100 TB
+    single-giant-file shape (a straggler output of a big compaction, a
+    bulk-loaded table): all parallelism must come from byte-range
+    splits of the one Data.db, not from having many files."""
+    import hashlib
+    import os
+    import pathlib
+
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+    from cassandra_sstable_to_protocolbuf_spark.sources import cells as cells_mod
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as sn)
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        to_binary_cells)
+
+    src = pathlib.Path(sf_dir) / "lineitem.parquet"
+    stat = src.stat()
+    digest = hashlib.md5(
+        pathlib.Path(sn.__file__).read_bytes()
+        + pathlib.Path(cells_mod.__file__).read_bytes()
+        + f"one:{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build(tmp: str) -> None:
+        from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+            write_cells_as_sstables)
+
+        cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+        write_cells_as_sstables(cells.withColumn("sstable_id", F.lit("big")),
+                                tmp, compression="lz4").collect()
+
+    return build_once(f"sstone_fix_{tag}", digest, build)
+
+
+def sst_single_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 at the single-giant-file extreme: one sstable holding the
+    whole corpus, scanned through summary-strided byte-range splits
+    (partitionsPerSplit=4096 -> one task per ~4096 partitions). This is
+    the read shape a 100 TB table's largest files force: parallelism
+    must come from WITHIN the file. tests/test_single_file_splits.py
+    pins the actual speedup of N splits over 1 split; this gate pins
+    the content, and its bench line records the parallel scan's wall
+    time next to the five-file sst_native_scan twin."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    out = _single_file_fixture_dir(spark, sf_dir)
+    return _project_native_cells(read_native_cells(spark, out))
+
+
+SST_SINGLE_FILE_SCAN_SQL = f"""
+{cells_cte()}
+SELECT 'big' AS sstable_id, key, name,
+       CASE WHEN cell_kind = 'DELETED' THEN '' ELSE value END AS value,
+       writeTime, cell_kind,
+       {_TTL_STR} AS ttl_expired,
+       partition_deletion_live
+FROM cells
+"""
+
+
 def _optimize_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Pristine (cached) fixture for the OPTIMIZE loop: the standard
     five-file cell split, except partition '1|3' is remapped into a

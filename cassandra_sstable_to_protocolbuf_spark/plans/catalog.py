@@ -531,6 +531,10 @@ CATALOG: dict[str, QueryDef] = {
                                "REAL entropy-coded codec: grayscale "
                                "baseline JPEG, exact geometry + pinned "
                                "fidelity bound"),
+    "mm_mp1_decode": QueryDef(R.mm_mp1_decode, R.MM_MP1_DECODE_SQL,
+                              "REAL MPEG-1 Layer I audio codec: "
+                              "polyphase filterbank + spec frames, "
+                              "exact geometry + pinned fidelity"),
     "mm_png_decode": QueryDef(R.mm_png_decode, R.MM_PNG_DECODE_SQL,
                               "REAL PNG round-trip (zlib IDAT + CRC walk + "
                               "Paeth/None scanline unfilter, stdlib only)"),

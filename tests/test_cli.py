@@ -537,8 +537,8 @@ def test_optimize_plan_cli(tmp_path, capsys):
     # 2-file merge tasks; the giant's tier has one file, nothing to do
     assert "planned 2 merge task(s) over 5 sstable(s)" in out
     assert out.count("2 files") == 2
-    assert "giant" not in [l for l in out.splitlines() if "task" in l][0]
-    assert "nothing to merge" in out  # the giant's tier
+    # the giant is alone in its tier: a singleton bin is never planned
+    assert "giant" not in out
 
     # empty dir fails loudly
     empty = tmp_path / "none"

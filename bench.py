@@ -43,6 +43,11 @@ HEADLINE = [
     "sst_pb_roundtrip",
     "sst_compact_roundtrip",
     "sst_optimize_plan",
+    # round 6: plan->execute OPTIMIZE loop, digest-verified scan, and
+    # the single-giant-file split-parallel scan datapoint
+    "sst_optimize_execute",
+    "sst_digest_drill",
+    "sst_single_file_scan",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",
@@ -180,6 +185,7 @@ HEADLINE = [
     "mm_bmp_decode",
     "mm_png_decode",
     "mm_jpeg_decode",
+    "mm_mp1_decode",
     "mm_mp4_demux",
     "mm_gif_decode",
     "mm_qoi_decode",

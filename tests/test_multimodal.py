@@ -34,25 +34,33 @@ def test_feature_extraction_exact(spark):
 
 
 def test_decode_stub_raises_for_real_media():
-    # only mp3 stays behind the seam (jpeg and mp4 became real in r5)
-    with pytest.raises(NotImplementedError, match="audio/mpeg"):
+    # audio/mpeg became real in r6 (Layer I); a Layer III frame now
+    # fails the format parse at the documented scope boundary, and a
+    # genuinely unimplemented type still raises NotImplementedError
+    with pytest.raises(ValueError, match="Layer III"):
         _decode_payload("audio/mpeg", b"\xff\xfb\x90\x00")
+    with pytest.raises(NotImplementedError, match="audio/flac"):
+        _decode_payload("audio/flac", b"fLaC")
     with pytest.raises(ValueError, match="truncated JPEG"):
         _decode_payload("image/jpeg", b"\xff\xd8\xff")
 
 
 def test_unknown_media_type_fails_in_pipeline(spark):
-    # audio/mpeg (MP3) is the remaining stubbed seam (jpeg and mp4
-    # became real codecs in round 5, so a jpeg-labeled non-jpeg payload
-    # now fails the format parse instead -- both asserted)
+    # the seam is closed at nine formats (r6): a genuinely
+    # unimplemented type still raises NotImplementedError, and a
+    # mislabeled payload fails its format parse loudly
     media = attach_payloads(_docs(spark).limit(1)).withColumn(
-        "media_type", F.lit("audio/mpeg"))
+        "media_type", F.lit("audio/flac"))
     with pytest.raises(Exception, match="NotImplementedError|no codec"):
         extract_features(media).collect()
     mislabeled = attach_payloads(_docs(spark).limit(1)).withColumn(
         "media_type", F.lit("image/jpeg"))
     with pytest.raises(Exception, match="not a JPEG|missing SOI"):
         extract_features(mislabeled).collect()
+    mp1_mislabel = attach_payloads(_docs(spark).limit(1)).withColumn(
+        "media_type", F.lit("audio/mpeg"))
+    with pytest.raises(Exception, match="lost sync"):
+        extract_features(mp1_mislabel).collect()
 
 
 def test_frame_sampling_shape(spark):

@@ -1007,19 +1007,42 @@ def sst_digest_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the check runs in executors (one whole-file split per
     sstable, the natural granularity of a whole-file checksum); the
-    driver never reads a data byte."""
+    driver never reads a data byte. The pristine UNCOMPRESSED fixture
+    is built once (content-addressed) and copied per run -- only the
+    tampering is per-run work."""
+    import hashlib
     import os
+    import pathlib
+    import shutil
 
-    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        build_once, scratch_dir)
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        cells as cells_mod)
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as sn)
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
         to_binary_cells)
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         DATA_SUFFIX, read_native_cells, write_cells_as_sstables)
 
-    cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
-    out = scratch_dir("digest_err", os.path.basename(sf_dir.rstrip("/")),
-                      fresh=True)
-    write_cells_as_sstables(cells, out).collect()  # UNCOMPRESSED
+    src = pathlib.Path(sf_dir) / "lineitem.parquet"
+    stat = src.stat()
+    digest = hashlib.md5(
+        pathlib.Path(sn.__file__).read_bytes()
+        + pathlib.Path(cells_mod.__file__).read_bytes()
+        + f"plain:{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build(tmp: str) -> None:
+        cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
+        write_cells_as_sstables(cells, tmp).collect()  # UNCOMPRESSED
+
+    pristine = build_once(f"sstplain_fix_{tag}", digest, build)
+    out = scratch_dir("digest_err", tag, fresh=True)
+    shutil.rmtree(out)
+    shutil.copytree(pristine, out)
     bad = os.path.join(out, "ks-sst-1-ka-1" + DATA_SUFFIX)
     with open(bad, "r+b") as f:  # silent bit rot: only the digest sees it
         f.seek(os.path.getsize(bad) // 2)

@@ -6305,7 +6305,11 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry, so the hash gate still certifies the whole codec."""
     from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
         attach_jpeg_payloads, jpeg_roundtrip_report)
-    docs = _t(spark, sf_dir, "documents")
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    # same widen rationale as mm_mp1_decode: per-doc DCT+Huffman work
+    # must not serialize on a one-row-group test-scale input
+    docs = widen(_t(spark, sf_dir, "documents"))
     return jpeg_roundtrip_report(attach_jpeg_payloads(docs))
 
 
@@ -6338,7 +6342,11 @@ def mm_mp1_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     seam with its documented rationale (decode_mp1 docstring)."""
     from cassandra_sstable_to_protocolbuf_spark.operators.multimodal import (
         attach_mp1_payloads, mp1_roundtrip_report)
-    docs = _t(spark, sf_dir, "documents")
+    from cassandra_sstable_to_protocolbuf_spark.session import widen
+
+    # documents is a one-row-group parquet at test scale: widen so the
+    # per-doc encode+decode rides all cores (no-op at real scale)
+    docs = widen(_t(spark, sf_dir, "documents"))
     return mp1_roundtrip_report(attach_mp1_payloads(docs))
 
 

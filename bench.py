@@ -178,6 +178,9 @@ HEADLINE = [
     "emb_covariance",
     "emb_matryoshka_audit",
     "emb_semdedup",
+    "docs_bm25_topk",
+    "emb_maxsim_topk",
+    "emb_pca_power",
     "mm_image_features",
     "mm_audio_features",
     "mm_resize",

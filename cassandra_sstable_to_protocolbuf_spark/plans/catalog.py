@@ -631,6 +631,18 @@ CATALOG: dict[str, QueryDef] = {
                                    "top-k token doc-frequency (vocab head audit)"),
     "docs_tfidf_keywords": QueryDef(TX.docs_tfidf_keywords, TX.DOCS_TFIDF_SQL,
                                     "per-doc keyword extraction (rational tf-idf)"),
+    "docs_bm25_topk": QueryDef(TX.docs_bm25_topk, TX.DOCS_BM25_TOPK_SQL,
+                               "Okapi BM25 retrieval top-k: saturating "
+                               "length-normalized scoring as exact "
+                               "integer rationals, inverted-index join"),
+    "emb_maxsim_topk": QueryDef(V.emb_maxsim_topk, V.EMB_MAXSIM_TOPK_SQL,
+                                "ColBERT-style late-interaction MaxSim "
+                                "top-k over 4x16-dim token vectors, "
+                                "integer-exact"),
+    "emb_pca_power": QueryDef(V.emb_pca_power, V.EMB_PCA_POWER_SQL,
+                              "top principal direction: fixed-point "
+                              "power iteration over the exact integer "
+                              "Gram (partial-sum distributed build)"),
     "docs_tfidf_topk": QueryDef(TX.docs_tfidf_topk, TX.DOCS_TFIDF_TOPK_SQL,
                                 "sparse lexical top-k similarity "
                                 "(inverted-index join, df-capped)"),

@@ -1659,6 +1659,88 @@ SELECT qdoc, rank, cand, score FROM ranked WHERE rank <= 3
 """
 
 
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval top-k -- THE lexical ranking function (Okapi
+    BM25, k1=1.2, b=0.75) beside the plain tf-idf twin: per query doc
+    (doc_id % 97 == 0) the 3 best candidates by the saturating,
+    length-normalized score, via the same inverted-index equi-join --
+    never all-pairs.
+
+    Integer-exact so the oracle hashes bit-for-bit: with avgdl
+    quantized to DLSUM DIV N, the per-term BM25 weight
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    becomes the rational
+        idf_s * tf * 44 * avgdl / (20*tf*avgdl + 6*avgdl + 18*dl)
+    (k1=6/5, b=3/4 cleared of denominators), emitted through one
+    truncating DIV at x10^4 fixed point and summed as BIGINT. idf_s is
+    the same rational (N*100) DIV df surrogate the tf-idf ops use
+    (monotone in the log idf). Bound: at N=1e6 docs the per-term
+    numerator stays ~1e16 inside int64; past ~1e9 docs idf_s must lift
+    to DECIMAL(38,0) or bucket into idf classes (documented, same
+    family as the covariance row bound).
+
+    Scale shape: identical to docs_tfidf_topk -- df-capped postings
+    (the Zipf-head stopword cap), broadcast query postings, one
+    (qdoc, cand) hash agg; dl/avgdl are one extra doc-grain aggregate
+    and a 2-scalar broadcast."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()          # bounded scalar (tfidf precedent)
+    dlsum = dl.agg(F.sum("dl")).collect()[0][0]  # second bounded scalar
+    avgdl = int(dlsum) // int(n_docs)
+    idx = (tf.join(df_, "w").join(dl, "doc_id")
+           .filter(F.col("df") * 10 <= F.lit(int(n_docs)) * 9)
+           .withColumn("idf_s",
+                       F.expr(f"CAST({int(n_docs) * 100} DIV df AS BIGINT)")))
+    q = (idx.select(F.col("doc_id").alias("qdoc"), "w")
+         .filter(F.col("qdoc") % 97 == 0))
+    term_score = F.expr(
+        f"(idf_s * tf * 44 * {avgdl} * 10000) DIV "
+        f"(20 * tf * {avgdl} + 6 * {avgdl} + 18 * dl)")
+    scores = (idx.join(F.broadcast(q), "w")
+              .filter(F.col("doc_id") != F.col("qdoc"))
+              .groupBy("qdoc", F.col("doc_id").alias("cand"))
+              .agg(F.sum(term_score).alias("score")))
+    rk = W.partitionBy("qdoc").orderBy(F.desc("score"), F.asc("cand"))
+    return (scores.withColumn("rank", F.row_number().over(rk).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("qdoc", "rank", "cand", "score"))
+
+
+DOCS_BM25_TOPK_SQL = rf"""
+WITH toks AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents),
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+       GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+ad AS (SELECT CAST((SELECT SUM(dl) FROM dl) // n_docs AS BIGINT) AS avgdl
+       FROM n),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idx AS (SELECT tf.doc_id, tf.w, tf.tf, dl.dl,
+               (n.n_docs * 100) // df.df AS idf_s
+        FROM tf JOIN df USING (w) JOIN dl USING (doc_id), n
+        WHERE df.df * 10 <= n.n_docs * 9),
+q AS (SELECT doc_id AS qdoc, w FROM idx WHERE doc_id % 97 = 0),
+scores AS (SELECT q.qdoc, idx.doc_id AS cand,
+                  CAST(SUM((idx.idf_s * idx.tf * 44 * ad.avgdl * 10000)
+                           // (20 * idx.tf * ad.avgdl + 6 * ad.avgdl
+                               + 18 * idx.dl)) AS BIGINT) AS score
+           FROM q JOIN idx USING (w), ad
+           WHERE idx.doc_id <> q.qdoc
+           GROUP BY 1, 2),
+ranked AS (SELECT qdoc, cand, score,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qdoc
+                       ORDER BY score DESC, cand) AS BIGINT) AS rank
+           FROM scores)
+SELECT qdoc, rank, cand, score FROM ranked WHERE rank <= 3
+"""
+
+
 # --- BPE encoding (apply the learned merges) --------------------------------
 
 BPE_ENCODE_ROUNDS = 4

@@ -535,3 +535,184 @@ SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, n, s_ij, s_i, s_j,
        / CAST(n * n AS DOUBLE) / {EMB_COV_SCALE * EMB_COV_SCALE} AS cov
 FROM m
 """
+
+
+def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim retrieval: each vector
+    is treated as FOUR 16-dim token embeddings (contiguous slices of
+    the 64-dim vector -- the structural stand-in for per-token
+    encodings), and a candidate scores
+        MaxSim(q, d) = sum_i max_j <q_i, d_j>
+    -- every query token matches its best candidate token, summed.
+    This is the retrieval scorer single-vector cosine cannot express
+    (a doc strong on SOME tokens beats one mediocre on all), and the
+    multi-vector index shape modern retrieval stacks (ColBERT, PLAID)
+    run at scale.
+
+    Integer-exact: components quantize to x10^6 fixed point (ROUND is
+    half-away-from-zero in both engines), dot products and maxes are
+    BIGINT (|dot| <= 16 * 1e12, maxsim <= 6.4e13 -- int64 with 5
+    decimal orders of headroom), so the gate hashes scores
+    bit-for-bit. Top-3 per query, candidate-id tiebreak.
+
+    Scale shape: the exact brute-force baseline over a broadcast
+    ~4% query set (one corpus pass, 16 JVM-side dot products per pair,
+    no shuffle) -- the same contract as emb_cosine_topk; the bucketed
+    scale path for the single-vector stage is emb_ann_lsh, after which
+    MaxSim re-ranks the survivors (re-ranking a bounded candidate set
+    is exactly this plan with the corpus side pre-filtered)."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    vq = F.expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    toks = emb.select(
+        F.col("vec_id"),
+        *[F.slice(vq, 1 + 16 * i, 16).alias(f"t{i}") for i in range(4)])
+    q = (toks.filter(F.col("vec_id") % 25 == 0)
+         .select(F.col("vec_id").alias("qid"),
+                 *[F.col(f"t{i}").alias(f"qt{i}") for i in range(4)]))
+
+    def dot(a: str, b: str):
+        return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    maxsim = sum(
+        (F.greatest(*[dot(f"qt{i}", f"t{j}") for j in range(4)])
+         for i in range(4)),
+        start=F.lit(0).cast("long"))
+    pairs = (toks.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+             .select("qid", F.col("vec_id").alias("nid"),
+                     maxsim.alias("maxsim")))
+    rk = W.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("nid"))
+    return (pairs.withColumn("rank", F.row_number().over(rk).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("qid", "rank", "nid", "maxsim"))
+
+
+def _maxsim_sql() -> str:
+    slices = ", ".join(f"vq[{1 + 16 * i}:{16 * (i + 1)}] AS t{i}"
+                       for i in range(4))
+    dot = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+           "p -> p[1] * p[2])) AS BIGINT)")
+    best = " + ".join(
+        "GREATEST(" + ", ".join(dot.format(a=f"q.qt{i}", b=f"e.t{j}")
+                                for j in range(4)) + ")"
+        for i in range(4))
+    qcols = ", ".join(f"t{i} AS qt{i}" for i in range(4))
+    return f"""
+WITH f AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                           AS BIGINT))
+                    AS vq
+           FROM embeddings),
+e AS (SELECT vec_id, {slices} FROM f),
+q AS (SELECT vec_id AS qid, {qcols} FROM e WHERE vec_id % 25 = 0),
+scored AS (SELECT q.qid, e.vec_id AS nid, CAST({best} AS BIGINT) AS maxsim
+           FROM q, e WHERE e.vec_id <> q.qid),
+ranked AS (SELECT qid, nid, maxsim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY maxsim DESC, nid) AS BIGINT) AS rank
+           FROM scored)
+SELECT qid, rank, nid, maxsim FROM ranked WHERE rank <= 3
+"""
+
+
+EMB_MAXSIM_TOPK_SQL = _maxsim_sql()
+
+
+EMB_PCA_SCALE = 1_000_000  # eigenvector fixed point (x10^6)
+
+
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction by FIXED-POINT POWER ITERATION over the
+    exact integer Gram matrix -- the PCA step after emb_covariance's
+    whitening prep, kept hash-gateable the same way emb_kmeans is:
+    float power iteration could only ever be rows-only.
+
+    One distributed pass builds the exact 64x64 second-moment matrix
+    (the same partial-Gram mapInPandas shape as emb_covariance: the
+    shuffle carries O(partitions x d^2) rows, never O(n)); then three
+    unrolled iterations run as relational algebra over the d^2-row Gram
+    table: w = G v is a join + hash SUM, and renormalization divides by
+    GREATEST(max|w| DIV 1e6, 1) -- one truncating integer division,
+    identical in both engines, keeping the vector at x10^6 scale.
+    Bounds: Gram entries <= n * 1e6 (milli^2 units), so w stays inside
+    int64 through ~1e11 rows; the oracle recomputes the Gram by the
+    naive 4096-way double-unnest AND replays the exact integer
+    iterations, so the hash certifies fast Gram == naive Gram AND the
+    iteration arithmetic. Sign/direction is deterministic (all-ones
+    start). Three iterations certify the MACHINERY; production loops
+    until the fixed-point vector stops changing -- each round is the
+    same join+agg."""
+    d = 64
+    emb = _emb(spark, sf_dir).select("embedding")
+
+    def gram(it):
+        import numpy as np
+        import pandas as pd
+
+        total = np.zeros((d, d), dtype=np.int64)
+        seen = 0
+        for pdf in it:
+            V = np.stack([np.asarray(a, dtype=np.float64)
+                          for a in pdf["embedding"]]) * EMB_COV_SCALE
+            Vq = np.where(V >= 0, np.floor(V + 0.5),
+                          np.ceil(V - 0.5)).astype(np.int64)
+            total += Vq.T @ Vq
+            seen += len(Vq)
+        if seen == 0:
+            return
+        i, j = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.DataFrame({"i": i.ravel().astype("int32"),
+                            "j": j.ravel().astype("int32"),
+                            "g": total.ravel()})
+
+    G = (emb.mapInPandas(gram, "i int, j int, g long")
+         .groupBy("i", "j").agg(F.sum("g").alias("g"))
+         .localCheckpoint())  # consumed once per iteration: 3 reads
+    spark = G.sparkSession
+    v = spark.range(d).select(F.col("id").cast("int").alias("j"),
+                              F.lit(EMB_PCA_SCALE).cast("long").alias("v"))
+    for _ in range(3):
+        w = (G.join(v, "j")
+             .groupBy("i")
+             .agg(F.sum(F.col("g") * F.col("v")).alias("w")))
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (w.join(F.broadcast(mx))
+             .select(F.col("i").alias("j"),
+                     F.expr(f"w DIV GREATEST(m DIV {EMB_PCA_SCALE}, 1)")
+                     .cast("long").alias("v")))
+    return v.select(F.col("j").alias("dim"), "v")
+
+
+def _pca_power_sql() -> str:
+    steps = []
+    prev = "v0"
+    for r in (1, 2, 3):
+        steps.append(f"""
+w{r} AS (SELECT g.i AS j, CAST(SUM(g.g * {prev}.v) AS BIGINT) AS w
+         FROM g JOIN {prev} ON g.j = {prev}.j GROUP BY 1),
+m{r} AS (SELECT CAST(MAX(ABS(w)) AS BIGINT) AS m FROM w{r}),
+v{r} AS (SELECT j, CAST(w // GREATEST(m // {EMB_PCA_SCALE}, 1) AS BIGINT)
+                AS v
+         FROM w{r}, m{r})""")
+        prev = f"v{r}"
+    return f"""
+WITH q AS (SELECT vec_id,
+                  list_transform(embedding,
+                                 v -> CAST(ROUND(v * {EMB_COV_SCALE}) AS BIGINT))
+                    AS vq
+           FROM embeddings),
+u AS (SELECT i.i AS i, vq[i.i + 1] AS vi, j.j AS j, vq[j.j + 1] AS vj
+      FROM q,
+           (SELECT unnest(range(0, 64)) AS i) i,
+           (SELECT unnest(range(0, 64)) AS j) j),
+g AS (SELECT i, j, CAST(SUM(vi * vj) AS BIGINT) AS g FROM u GROUP BY 1, 2),
+v0 AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS j,
+              CAST({EMB_PCA_SCALE} AS BIGINT) AS v),{",".join(steps)}
+SELECT CAST(j AS INT) AS dim, v FROM v3
+"""
+
+
+EMB_PCA_POWER_SQL = _pca_power_sql()

@@ -42,6 +42,11 @@ BNLJ_ALLOWED = {
     "docs_bpe_encode",           # ONE-ROW winning-merge-pair broadcasts
     "events_bootstrap_ci",       # ONE-ROW point-estimate x CI broadcast
     "stream_bootstrap_ci",       # same ONE-ROW broadcast, streamed moments
+    "emb_maxsim_topk",           # broadcast ~4% query-set brute force
+                                 # (exact MaxSim baseline, cosine_topk's
+                                 # contract; re-rank path is bounded)
+    "emb_pca_power",             # ONE-ROW max-|w| norm broadcast per
+                                 # power iteration
 }
 
 # Streaming entries need a running query; iterative ones (label

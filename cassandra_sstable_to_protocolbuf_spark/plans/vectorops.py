@@ -556,33 +556,41 @@ def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. Top-3 per query, candidate-id tiebreak.
 
     Scale shape: the exact brute-force baseline over a broadcast
-    ~4% query set (one corpus pass, 16 JVM-side dot products per pair,
+    ~4% query set (one corpus pass, Arrow-vectorized scoring,
     no shuffle) -- the same contract as emb_cosine_topk; the bucketed
     scale path for the single-vector stage is emb_ann_lsh, after which
     MaxSim re-ranks the survivors (re-ranking a bounded candidate set
     is exactly this plan with the corpus side pre-filtered)."""
     from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
 
     emb = _emb(spark, sf_dir)
-    vq = F.expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-    toks = emb.select(
-        F.col("vec_id"),
-        *[F.slice(vq, 1 + 16 * i, 16).alias(f"t{i}") for i in range(4)])
+    vq = F.expr("transform(embedding, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    toks = emb.select(F.col("vec_id"), vq.alias("tq"))
     q = (toks.filter(F.col("vec_id") % 25 == 0)
-         .select(F.col("vec_id").alias("qid"),
-                 *[F.col(f"t{i}").alias(f"qt{i}") for i in range(4)]))
+         .select(F.col("vec_id").alias("qid"), F.col("tq").alias("qq")))
 
-    def dot(a: str, b: str):
-        return F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-                           F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # scoring is ONE Arrow-batched int64 einsum per joined batch: the
+    # 4x4 per-pair token dots are a [B,4,16]x[B,4,16] contraction.
+    # Integer matmul has no summation-order sensitivity, so the result
+    # is bit-identical to the scalar fold (the interpreted
+    # zip_with/aggregate expression tree measured ~7x slower -- the
+    # emb_cosine_all_pairs lesson again)
+    @pandas_udf(LongType())
+    def maxsim(qq, tq):
+        import numpy as np
+        import pandas as pd
 
-    maxsim = sum(
-        (F.greatest(*[dot(f"qt{i}", f"t{j}") for j in range(4)])
-         for i in range(4)),
-        start=F.lit(0).cast("long"))
+        Q = np.stack(qq.to_numpy()).astype(np.int64).reshape(-1, 4, 16)
+        T = np.stack(tq.to_numpy()).astype(np.int64).reshape(-1, 4, 16)
+        dots = np.einsum("nij,nkj->nik", Q, T)   # [n, q_tok, d_tok]
+        return pd.Series(dots.max(axis=2).sum(axis=1))
+
     pairs = (toks.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
              .select("qid", F.col("vec_id").alias("nid"),
-                     maxsim.alias("maxsim")))
+                     maxsim("qq", "tq").alias("maxsim")))
     rk = W.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("nid"))
     return (pairs.withColumn("rank", F.row_number().over(rk).cast("long"))
             .filter(F.col("rank") <= 3)

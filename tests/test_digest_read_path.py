@@ -67,3 +67,32 @@ def test_missing_digest_component_skips_check(spark, tmp_path):
     os.unlink(os.path.join(d, "ks-aa-ka-1" + N.DIGEST_SUFFIX))
     rows = N.read_native_cells(spark, d, verify_digest=True).collect()
     assert sum(r.cell_kind == "LIVE" for r in rows) == 80
+
+
+def test_verify_digest_composes_with_point_lookup(spark, tmp_path):
+    """verifyDigest + pushed key predicate: verification wins the
+    planning shape (whole-file splits) while the key filter still
+    applies as a residual -- and a tampered file rejects before its key
+    can surface."""
+    d = _fixture(tmp_path)
+    rows = N.read_native_cells(spark, d, verify_digest=True)
+    hit = rows.filter(rows.key == b"k007").collect()
+    keys = {bytes(r.key) for r in hit}
+    # marker + LIVE cell per file, two files
+    assert keys == {b"k007"} and len(hit) == 4
+    assert {r.cell_kind for r in hit} == {"PARTITION", "LIVE"}
+
+    _flip(os.path.join(d, "ks-aa-ka-1" + N.DATA_SUFFIX))
+    out = (N.read_native_cells(spark, d, mode="PERMISSIVE",
+                               verify_digest=True)
+           .filter("key = X'6b303037' OR cell_kind = 'ERROR'").collect())
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r.cell_kind, []).append(r)
+    assert len(by_kind.get("ERROR", [])) == 1
+    assert {bytes(r.sstable_id.encode()) if isinstance(r.sstable_id, str)
+            else bytes(r.sstable_id)
+            for r in by_kind["ERROR"]} == {b"ks-aa-ka-1"}
+    live = [r for r in out if r.cell_kind == "LIVE"]
+    assert {bytes(r.key) for r in live} == {b"k007"}
+    assert all(r.sstable_id == "ks-bb-ka-1" for r in live)

@@ -214,3 +214,48 @@ def test_plan_merge_tasks_matches_pure_model(tmp_path):
         want.extend([tier, b, fs] for b, fs in sorted(bins.items())
                     if len(fs) >= 2)
     assert [[t["tier"], t["bin"], t["files"]] for t in tasks] == want
+
+
+def test_optimize_crash_between_write_and_delete_loses_nothing(
+        spark, tmp_path, monkeypatch):
+    """The documented pre-transaction-log posture: a crash AFTER a bin's
+    outputs publish but BEFORE its inputs delete leaves duplicate
+    LWW-reconcilable data, never a loss -- and a re-run converges."""
+    d = str(tmp_path)
+    _mk(d, "aa", 60, 30, ts=10)
+    _mk(d, "bb", 60, 30, ts=20)
+
+    from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    def lww(path):
+        return {(bytes(r.key), bytes(r.name), bytes(r.value), r.writeTime)
+                for r in lww_live_cells(read_native_cells(spark, path))
+                .collect()}
+
+    pre = lww(d)
+
+    import cassandra_sstable_to_protocolbuf_spark.compaction as cp_mod
+
+    real_unlink = os.unlink
+    calls = {"n": 0}
+
+    def dying_unlink(path):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash mid-deletion")
+        real_unlink(path)
+
+    monkeypatch.setattr(cp_mod.os, "unlink", dying_unlink)
+    try:
+        CP.optimize(spark, d, target_output_bytes=1 << 20)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(cp_mod.os, "unlink", real_unlink)
+
+    # outputs + leftover inputs coexist: duplicates, but LWW state intact
+    files = sorted(os.path.basename(p)
+                   for p in glob.glob(os.path.join(d, "*-Data.db")))
+    assert any(f.startswith("ks-opt-") for f in files)
+    assert lww(d) == pre, "crash window must never lose or resurrect data"

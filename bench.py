@@ -180,6 +180,7 @@ HEADLINE = [
     "emb_semdedup",
     "docs_bm25_topk",
     "emb_maxsim_topk",
+    "emb_maxsim_rerank",
     "emb_pca_power",
     "mm_image_features",
     "mm_audio_features",

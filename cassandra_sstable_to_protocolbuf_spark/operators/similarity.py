@@ -283,28 +283,17 @@ SELECT id_a, id_b, cosine FROM (
 """
 
 
-def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 query_id_col: str = "qid", n_planes: int = 4,
-                 n_tables: int = 6, seed: int = 42,
-                 dim: int = 64, probe_flips: int = 0) -> DataFrame:
-    """Approximate cosine top-k: score only bucket-mates of each query.
-
-    OR-construction over `n_tables` independent sign-LSH tables (one
-    posexplode + equi-join on (table, signature), deduped): one table
-    leaves some queries with empty or tiny buckets; multiple tables make
-    a candidate-free query exponentially unlikely while keeping probe
-    cost ~n_tables * corpus/2^n_planes per query. Shares the Rademacher
-    signature machinery with lsh_dup_pairs, so the result is fully
-    deterministic and has an exact DuckDB oracle
-    (ann_lsh_topk_oracle_sql).
-
-    probe_flips=j additionally probes, per table, the j buckets at
-    Hamming distance 1 from the query's bucket (bits 0..j-1 flipped) --
-    multi-probe: near-boundary neighbors land one bit away far more
-    often than chance, so recall rises steeply for a (j+1)x probe-cost
-    factor, without adding tables (which would multiply CORPUS-side
-    signature cost, not just query-side probes)."""
+def lsh_candidate_pairs(corpus: DataFrame, queries: DataFrame,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "qid", n_planes: int = 4,
+                        n_tables: int = 6, seed: int = 42,
+                        dim: int = 64, probe_flips: int = 0):
+    """The candidate-generation stage shared by ann_lsh_topk and the
+    late-interaction re-ranker: sign-LSH bucketing (OR over n_tables
+    tables, optional Hamming-1 multi-probe on the query side), one
+    equi-join on (table, signature), deduped. Returns (pairs[qid, nid],
+    corpus[nid, emb], queries[qid, emb]) so the caller picks its
+    scoring function over the BOUNDED candidate set."""
     from cassandra_sstable_to_protocolbuf_spark.session import widen
 
     sig_udf = lsh_signature_udf(n_tables, n_planes, seed, dim)
@@ -327,6 +316,35 @@ def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              .filter(F.col("nid") != F.col("qid"))
              .select("qid", "nid")
              .dropDuplicates(["qid", "nid"]))
+    return pairs, c, q
+
+
+def ann_lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 query_id_col: str = "qid", n_planes: int = 4,
+                 n_tables: int = 6, seed: int = 42,
+                 dim: int = 64, probe_flips: int = 0) -> DataFrame:
+    """Approximate cosine top-k: score only bucket-mates of each query.
+
+    OR-construction over `n_tables` independent sign-LSH tables (one
+    posexplode + equi-join on (table, signature), deduped): one table
+    leaves some queries with empty or tiny buckets; multiple tables make
+    a candidate-free query exponentially unlikely while keeping probe
+    cost ~n_tables * corpus/2^n_planes per query. Shares the Rademacher
+    signature machinery with lsh_dup_pairs, so the result is fully
+    deterministic and has an exact DuckDB oracle
+    (ann_lsh_topk_oracle_sql).
+
+    probe_flips=j additionally probes, per table, the j buckets at
+    Hamming distance 1 from the query's bucket (bits 0..j-1 flipped) --
+    multi-probe: near-boundary neighbors land one bit away far more
+    often than chance, so recall rises steeply for a (j+1)x probe-cost
+    factor, without adding tables (which would multiply CORPUS-side
+    signature cost, not just query-side probes)."""
+    pairs, c, q = lsh_candidate_pairs(
+        corpus, queries, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, n_planes=n_planes, n_tables=n_tables,
+        seed=seed, dim=dim, probe_flips=probe_flips)
     cv = c.select(F.col("nid"), F.col("emb").alias("v"))
     qv = q.select(F.col("qid"), F.col("emb").alias("qv"))
     cos = cosine_verify_udf()
@@ -438,14 +456,14 @@ SELECT qid, rank, nid, cosine FROM (
 """
 
 
-def ann_lsh_topk_oracle_sql(query_pred: str, k: int = 5, n_planes: int = 4,
-                            n_tables: int = 6, seed: int = 42,
-                            dim: int = 64, probe_flips: int = 0,
-                            table: str = "embeddings") -> str:
-    """DuckDB oracle for ann_lsh_topk: identical literal plane matrix,
-    identical fold order (and the identical multi-probe bit flips),
-    window top-k over the bucketed candidates. `query_pred` selects the
-    query subset (e.g. 'vec_id % 25 = 0')."""
+def lsh_candidates_ctes(query_pred: str, n_planes: int = 4,
+                        n_tables: int = 6, seed: int = 42,
+                        dim: int = 64, probe_flips: int = 0,
+                        table: str = "embeddings") -> str:
+    """The candidate-generation CTE chain (through `cand(qid, nid)`)
+    shared by the ann_lsh_topk oracle and the MaxSim re-rank oracle:
+    identical literal plane matrix, identical fold order, identical
+    multi-probe bit flips."""
     planes = rademacher_planes(seed, n_tables * n_planes, dim)
     flip_vals = ", ".join(
         f"({v})" for v in [0] + [1 << j for j in range(probe_flips)])
@@ -478,7 +496,19 @@ cand AS (
   SELECT DISTINCT q.qid, s.vec_id AS nid
   FROM qsig q JOIN sigt s USING (t, sig)
   WHERE s.vec_id <> q.qid
-),
+)"""
+
+
+def ann_lsh_topk_oracle_sql(query_pred: str, k: int = 5, n_planes: int = 4,
+                            n_tables: int = 6, seed: int = 42,
+                            dim: int = 64, probe_flips: int = 0,
+                            table: str = "embeddings") -> str:
+    """DuckDB oracle for ann_lsh_topk: identical literal plane matrix,
+    identical fold order (and the identical multi-probe bit flips),
+    window top-k over the bucketed candidates. `query_pred` selects the
+    query subset (e.g. 'vec_id % 25 = 0')."""
+    return lsh_candidates_ctes(query_pred, n_planes, n_tables, seed, dim,
+                               probe_flips, table) + f""",
 scored AS (
   SELECT qid, nid,
          list_sum(list_transform(list_zip(eq.v, en.v), p -> p[1] * p[2]))

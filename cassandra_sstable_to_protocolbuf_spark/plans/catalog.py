@@ -639,6 +639,11 @@ CATALOG: dict[str, QueryDef] = {
                                 "ColBERT-style late-interaction MaxSim "
                                 "top-k over 4x16-dim token vectors, "
                                 "integer-exact"),
+    "emb_maxsim_rerank": QueryDef(V.emb_maxsim_rerank,
+                                  V.EMB_MAXSIM_RERANK_SQL,
+                                  "two-stage retrieval: LSH multi-probe "
+                                  "candidates re-ranked by MaxSim over "
+                                  "the bounded set"),
     "emb_pca_power": QueryDef(V.emb_pca_power, V.EMB_PCA_POWER_SQL,
                               "top principal direction: fixed-point "
                               "power iteration over the exact integer "

@@ -537,6 +537,38 @@ FROM m
 """
 
 
+def _fixed_point_tokens(emb: DataFrame) -> DataFrame:
+    """(vec_id, tq): the 64-dim vector quantized to x10^6 BIGINT fixed
+    point (double-promoted BEFORE scaling so Spark's float32 multiply
+    cannot disagree with DuckDB's double promotion)."""
+    vq = F.expr("transform(embedding, x -> "
+                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+    return emb.select(F.col("vec_id"), vq.alias("tq"))
+
+
+def _maxsim_udf():
+    """Arrow-batched MaxSim scorer: ONE int64 einsum per batch for the
+    4x4 per-pair token dots ([B,4,16]x[B,4,16] contraction). Integer
+    matmul has no summation-order sensitivity, so the result is
+    bit-identical to a scalar fold (the interpreted zip_with/aggregate
+    expression tree measured ~7x slower -- the emb_cosine_all_pairs
+    lesson again)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def maxsim(qq, tq):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.stack(qq.to_numpy()).astype(np.int64).reshape(-1, 4, 16)
+        T = np.stack(tq.to_numpy()).astype(np.int64).reshape(-1, 4, 16)
+        dots = np.einsum("nij,nkj->nik", Q, T)   # [n, q_tok, d_tok]
+        return pd.Series(dots.max(axis=2).sum(axis=1))
+
+    return maxsim
+
+
 def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction (ColBERT-style) MaxSim retrieval: each vector
     is treated as FOUR 16-dim token embeddings (contiguous slices of
@@ -562,35 +594,14 @@ def emb_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MaxSim re-ranks the survivors (re-ranking a bounded candidate set
     is exactly this plan with the corpus side pre-filtered)."""
     from pyspark.sql import Window as W
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
 
-    emb = _emb(spark, sf_dir)
-    vq = F.expr("transform(embedding, x -> "
-                "CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
-    toks = emb.select(F.col("vec_id"), vq.alias("tq"))
+    toks = _fixed_point_tokens(_emb(spark, sf_dir))
     q = (toks.filter(F.col("vec_id") % 25 == 0)
          .select(F.col("vec_id").alias("qid"), F.col("tq").alias("qq")))
 
-    # scoring is ONE Arrow-batched int64 einsum per joined batch: the
-    # 4x4 per-pair token dots are a [B,4,16]x[B,4,16] contraction.
-    # Integer matmul has no summation-order sensitivity, so the result
-    # is bit-identical to the scalar fold (the interpreted
-    # zip_with/aggregate expression tree measured ~7x slower -- the
-    # emb_cosine_all_pairs lesson again)
-    @pandas_udf(LongType())
-    def maxsim(qq, tq):
-        import numpy as np
-        import pandas as pd
-
-        Q = np.stack(qq.to_numpy()).astype(np.int64).reshape(-1, 4, 16)
-        T = np.stack(tq.to_numpy()).astype(np.int64).reshape(-1, 4, 16)
-        dots = np.einsum("nij,nkj->nik", Q, T)   # [n, q_tok, d_tok]
-        return pd.Series(dots.max(axis=2).sum(axis=1))
-
     pairs = (toks.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
              .select("qid", F.col("vec_id").alias("nid"),
-                     maxsim("qq", "tq").alias("maxsim")))
+                     _maxsim_udf()("qq", "tq").alias("maxsim")))
     rk = W.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("nid"))
     return (pairs.withColumn("rank", F.row_number().over(rk).cast("long"))
             .filter(F.col("rank") <= 3)
@@ -627,6 +638,79 @@ SELECT qid, rank, nid, maxsim FROM ranked WHERE rank <= 3
 
 
 EMB_MAXSIM_TOPK_SQL = _maxsim_sql()
+
+
+def emb_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage retrieval stack COMPOSED: sign-LSH multi-probe
+    candidate generation (emb_ann_lsh's stage, shared code --
+    lsh_candidate_pairs) feeding late-interaction MaxSim re-ranking
+    (emb_maxsim_topk's scorer, shared UDF) over ONLY the bucketed
+    candidates. This is the production shape both operators document
+    individually -- cheap single-vector recall stage, expensive
+    multi-vector precision stage over a bounded set -- run end to end
+    and hash-gated: the oracle replays the identical bucketing (literal
+    plane matrix + bit flips) and the identical fixed-point MaxSim.
+
+    Scale shape: candidate cost ~n_tables * corpus/2^planes per query
+    (never all-pairs); the einsum re-rank touches candidates only. The
+    exact-baseline twin emb_maxsim_topk measures what this stage's
+    recall gives up (same contract as emb_ann_lsh vs emb_cosine_topk)."""
+    from pyspark.sql import Window as W
+
+    from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
+        lsh_candidate_pairs)
+
+    emb = _emb(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") % 25 == 0)
+               .select(F.col("vec_id").alias("qid"), "embedding"))
+    pairs, _c, _q = lsh_candidate_pairs(emb, queries, probe_flips=4)
+    toks = _fixed_point_tokens(emb)
+    scored = (pairs
+              .join(toks.select(F.col("vec_id").alias("qid"),
+                                F.col("tq").alias("qq")), "qid")
+              .join(toks.select(F.col("vec_id").alias("nid"),
+                                F.col("tq")), "nid")
+              .select("qid", "nid", _maxsim_udf()("qq", "tq").alias("maxsim")))
+    rk = W.partitionBy("qid").orderBy(F.desc("maxsim"), F.asc("nid"))
+    return (scored.withColumn("rank", F.row_number().over(rk).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("qid", "rank", "nid", "maxsim"))
+
+
+def _maxsim_rerank_sql() -> str:
+    from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
+        lsh_candidates_ctes)
+
+    dot = ("CAST(list_sum(list_transform(list_zip({a}, {b}), "
+           "p -> p[1] * p[2])) AS BIGINT)")
+    best = " + ".join(
+        "GREATEST(" + ", ".join(dot.format(a=f"tq.qt{i}", b=f"tn.t{j}")
+                                for j in range(4)) + ")"
+        for i in range(4))
+    slices = ", ".join(f"vq[{1 + 16 * i}:{16 * (i + 1)}] AS t{i}"
+                       for i in range(4))
+    qcols = ", ".join(f"t{i} AS qt{i}" for i in range(4))
+    return lsh_candidates_ctes("vec_id % 25 = 0", probe_flips=4) + f""",
+fx AS (SELECT vec_id,
+              list_transform(embedding,
+                             x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                       AS BIGINT)) AS vq
+       FROM embeddings),
+et AS (SELECT vec_id, {slices} FROM fx),
+qt AS (SELECT vec_id, {qcols} FROM et),
+scored AS (SELECT cand.qid, cand.nid, CAST({best} AS BIGINT) AS maxsim
+           FROM cand
+           JOIN qt tq ON tq.vec_id = cand.qid
+           JOIN et tn ON tn.vec_id = cand.nid),
+ranked AS (SELECT qid, nid, maxsim,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY maxsim DESC, nid) AS BIGINT) AS rank
+           FROM scored)
+SELECT qid, rank, nid, maxsim FROM ranked WHERE rank <= 3
+"""
+
+
+EMB_MAXSIM_RERANK_SQL = _maxsim_rerank_sql()
 
 
 EMB_PCA_SCALE = 1_000_000  # eigenvector fixed point (x10^6)

@@ -179,6 +179,7 @@ HEADLINE = [
     "emb_matryoshka_audit",
     "emb_semdedup",
     "docs_bm25_topk",
+    "events_countmin_freq",
     "emb_maxsim_topk",
     "emb_maxsim_rerank",
     "emb_pca_power",

@@ -271,6 +271,11 @@ CATALOG: dict[str, QueryDef] = {
                                        R.EVENTS_UDAF_SECOND_MAX_SQL,
                                        "Arrow GROUPED_AGG pandas UDAF over a "
                                        "pre-reduced distinct set (exact gate)"),
+    "events_countmin_freq": QueryDef(R.events_countmin_freq,
+                                     R.EVENTS_COUNTMIN_SQL,
+                                     "Count-Min sketch frequency "
+                                     "estimation: deterministic literal "
+                                     "hashes, FULLY hash-gated sketch"),
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
                                        "HLL approx distinct (sketch-specific)"),
     "lineitem_approx_percentiles": QueryDef(R.lineitem_approx_percentiles, None,

@@ -977,6 +977,83 @@ FROM r d GROUP BY 1
 """
 
 
+_CM_ROWS = ((131, 17), (1009, 271), (7919, 523), (104729, 911))
+_CM_P = 1_000_000_007
+_CM_W = 32
+
+
+def events_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation -- the mergeable
+    fixed-memory counter a 100 TB stream keeps where an exact per-key
+    count table would be unbounded. Unlike the HLL/GK sketches (engine
+    implementations, rows-only gates), this sketch is built from
+    DETERMINISTIC literal hash rows ((u*A_r + B_r) mod P mod W, 4 rows x
+    32 buckets -- deliberately tight so collisions actually happen and
+    the min-over-rows recovery is exercised, not vacuous), so DuckDB rebuilds the identical sketch and the gate
+    hashes estimates bit-for-bit -- a fully certified sketch.
+
+    Emits, for a deterministic candidate set (user_id % 7 == 0), the
+    exact count, the CM estimate (min over rows of the hashed bucket's
+    counter), and the never-underestimates invariant as a column the
+    oracle emits as literal comparison -- a broken hash or merge flips
+    it. Scale shape: the sketch build is one narrow x4 explode + hash
+    agg into <= 128 cells (a monoid -- partial-agg and stream-merge
+    friendly); estimation broadcasts the BOUNDED sketch to the
+    candidate probes. u*A_r <= ~1e12 at any plausible user-id range:
+    exact int64."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cells = ev.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (((F.col("user_id") * a + b) % _CM_P) % _CM_W).alias("b"))
+        for r, (a, b) in enumerate(_CM_ROWS)])).alias("c"))
+    sketch = (cells.groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    cand = (ev.filter(F.col("user_id") % 7 == 0)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("true_count")))
+    probes = cand.select("user_id", "true_count", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (((F.col("user_id") * a + b) % _CM_P) % _CM_W).alias("b"))
+        for r, (a, b) in enumerate(_CM_ROWS)])).alias("c"))
+    est = (probes.join(F.broadcast(sketch),
+                       (F.col("c.r") == F.col("r"))
+                       & (F.col("c.b") == F.col("b")))
+           .groupBy("user_id", "true_count")
+           .agg(F.min("n").alias("cm_count")))
+    return est.select(
+        "user_id", "true_count", "cm_count",
+        (F.col("cm_count") >= F.col("true_count")).alias("never_under"))
+
+
+def _cm_hash_sql(col: str, a: int, b: int) -> str:
+    return f"((({col} * {a} + {b}) % {_CM_P}) % {_CM_W})"
+
+
+EVENTS_COUNTMIN_SQL = f"""
+WITH cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {r} AS r, {_cm_hash_sql('user_id', a, b)} AS b FROM events"
+      for r, (a, b) in enumerate(_CM_ROWS))}
+),
+sketch AS (SELECT r, b, CAST(COUNT(*) AS BIGINT) AS n
+           FROM cells GROUP BY 1, 2),
+cand AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+         FROM events WHERE user_id % 7 = 0 GROUP BY 1),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT user_id, true_count, {r} AS r, "
+      f"{_cm_hash_sql('user_id', a, b)} AS b FROM cand"
+      for r, (a, b) in enumerate(_CM_ROWS))}
+),
+est AS (SELECT p.user_id, p.true_count, CAST(MIN(s.n) AS BIGINT) AS cm_count
+        FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+        GROUP BY 1, 2)
+SELECT user_id, true_count, cm_count,
+       cm_count >= true_count AS never_under
+FROM est
+"""
+
+
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type (rows-only check:
     sketch internals are implementation-specific). The exact counterpart

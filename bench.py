@@ -180,6 +180,7 @@ HEADLINE = [
     "emb_semdedup",
     "docs_bm25_topk",
     "events_countmin_freq",
+    "stream_countmin_freq",
     "emb_maxsim_topk",
     "emb_maxsim_rerank",
     "emb_pca_power",

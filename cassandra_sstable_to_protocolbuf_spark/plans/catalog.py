@@ -276,6 +276,11 @@ CATALOG: dict[str, QueryDef] = {
                                      "Count-Min sketch frequency "
                                      "estimation: deterministic literal "
                                      "hashes, FULLY hash-gated sketch"),
+    "stream_countmin_freq": QueryDef(ST.stream_countmin_freq,
+                                     R.EVENTS_COUNTMIN_SQL,
+                                     "the Count-Min sketch accumulated "
+                                     "THROUGH streaming (bounded monoid "
+                                     "state), scored batch-side"),
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
                                        "HLL approx distinct (sketch-specific)"),
     "lineitem_approx_percentiles": QueryDef(R.lineitem_approx_percentiles, None,

@@ -1234,3 +1234,56 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(BOOTSTRAP_REPLICAS).cast("long")
                     .alias("n_replicas"),
                     "point_mean", "ci_lo", "ci_hi"))
+
+
+def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch accumulated THROUGH Structured Streaming --
+    the sketch's whole point at 100 TB: its cells are a counter monoid,
+    so complete-mode state (<= 128 rows at ANY stream size) converges
+    to the batch sketch regardless of micro-batch splits. The streamed
+    part is exactly the unbounded-state-risky part (per-key counting);
+    probe/min scoring and the exact candidate counts run batch-side at
+    query time, the same accumulate-then-score split as
+    stream_bootstrap_ci / stream_ab_test. Gated against the SAME DuckDB
+    oracle as the batch twin -- the hash match is the proof that
+    streaming accumulation reproduced the batch sketch bit-for-bit."""
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _CM_P, _CM_ROWS, _CM_W)
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sf_dir)
+          .select("user_id"))
+    cells = ev.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (((F.col("user_id") * a + b) % _CM_P) % _CM_W).alias("b"))
+        for r, (a, b) in enumerate(_CM_ROWS)])).alias("c"))
+    sketch_stream = (cells
+                     .groupBy(F.col("c.r").alias("r"),
+                              F.col("c.b").alias("b"))
+                     .agg(F.count(F.lit(1)).alias("n")))
+    name = "stream_countmin_" + uuid.uuid4().hex
+    q = (sketch_stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    sketch = spark.table(name)
+
+    ev_b = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    cand = (ev_b.filter(F.col("user_id") % 7 == 0)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("true_count")))
+    probes = cand.select("user_id", "true_count", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("r"),
+                 (((F.col("user_id") * a + b) % _CM_P) % _CM_W).alias("b"))
+        for r, (a, b) in enumerate(_CM_ROWS)])).alias("c"))
+    est = (probes.join(F.broadcast(sketch),
+                       (F.col("c.r") == F.col("r"))
+                       & (F.col("c.b") == F.col("b")))
+           .groupBy("user_id", "true_count")
+           .agg(F.min("n").alias("cm_count")))
+    return est.select(
+        "user_id", "true_count", "cm_count",
+        (F.col("cm_count") >= F.col("true_count")).alias("never_under"))

@@ -1902,6 +1902,11 @@ def decode_mp1(payload: bytes):
         active = np.nonzero(nb)[0]
         sfi = np.zeros(32, dtype=np.int64)
         for b in active:
+            # mirror the sample-data bounds check: a malformed frame whose
+            # allocation bits push `at` past the end must raise loudly, not
+            # surface as a numpy shape-mismatch from a short slice
+            if at + 6 > len(bits):
+                raise ValueError("scalefactor data runs past frame end")
             sfi[b] = int(bits[at:at + 6] @ (1 << np.arange(5, -1, -1)))
             at += 6
             if sfi[b] > 62:

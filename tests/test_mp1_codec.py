@@ -111,6 +111,18 @@ def test_scope_boundaries_raise():
         M.decode_mp1(bytes(b5))
 
 
+def test_scalefactor_overrun_raises_loudly():
+    """A syntactically valid header whose allocation bits promise more
+    scalefactors than the frame body holds must raise the explicit
+    bounds error, not an opaque numpy shape mismatch (advisor r6)."""
+    # 48 kHz / 32 kbps -> n_slots = 8, frame_len = 32 bytes = 256 bits;
+    # 32 active subbands need 160 + 192 bits of header+alloc+scalefactors
+    hdr = bytes([0xFF, 0xFF, 0x14, 0xC0])  # ID=1, Layer I, no CRC, mono
+    frame = hdr + b"\x11" * 16 + b"\x00" * 12  # every subband alloc=1
+    with pytest.raises(ValueError, match="scalefactor data runs past"):
+        M.decode_mp1(frame)
+
+
 def test_seam_routes_audio_mpeg():
     """_decode_payload returns the byte-domain samples within the
     fidelity bound, closing the seam for MPEG audio."""

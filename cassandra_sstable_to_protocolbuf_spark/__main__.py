@@ -54,7 +54,7 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "optimize-plan <sstable_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
-         "optimize <sstable_dir>\n"
+         "optimize [--until-stable] <sstable_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "verify-digest <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
@@ -630,11 +630,13 @@ def optimize_plan_cmd(input_path: str) -> int:
     return 0
 
 
-def optimize_cmd(input_path: str) -> int:
-    """PLAN -> EXECUTE: run every planned merge bin through `compact`
-    in place -- outputs opt-<tier>-<bin>-<shard> (shard count derived
-    from each bin's logical bytes), merged inputs removed after their
-    outputs publish, stragglers untouched. The gated twin is the
+def optimize_cmd(input_path: str, until_stable: bool = False) -> int:
+    """PLAN -> EXECUTE: run every executable merge bin through `compact`
+    in place -- outputs opt-<generation>-<tier>-<bin>-<shard> (shard
+    count derived from each bin's logical bytes), each bin's swap under
+    the maintenance transaction log (crash-safe, recovered on rerun),
+    bins concurrent, stragglers untouched. --until-stable re-plans and
+    merges until no bin remains. The gated twin is the
     `sst_optimize_execute` catalog query."""
     from cassandra_sstable_to_protocolbuf_spark.compaction import optimize
     from cassandra_sstable_to_protocolbuf_spark.session import (
@@ -643,18 +645,24 @@ def optimize_cmd(input_path: str) -> int:
     spark = get_spark("sstable-optimize")
     spark.sparkContext.setLogLevel("ERROR")
     ensure_shipped(spark)
-    results = optimize(spark, input_path)
-    n_in = n_out = 0
+    results = optimize(spark, input_path, until_stable=until_stable)
+    n_in = n_out = n_err = 0
     for r in results:
+        if "error" in r:
+            print(f"gen {r['generation']} tier 2^{r['tier']} "
+                  f"bin {r['bin']}: FAILED (rolled back): {r['error']}")
+            n_err += 1
+            continue
         outs = ", ".join(f"{m.sstable_id}(p={m.n_partitions},c={m.n_cells})"
                          for m in r["outputs"])
-        print(f"tier 2^{r['tier']} bin {r['bin']}: {r['n_inputs']} inputs "
-              f"({r['input_bytes']} bytes) -> {outs}")
+        print(f"gen {r['generation']} tier 2^{r['tier']} bin {r['bin']}: "
+              f"{r['n_inputs']} inputs ({r['input_bytes']} bytes) -> {outs}")
         n_in += r["n_inputs"]
         n_out += len(r["outputs"])
     print(f"optimized {n_in} sstable(s) into {n_out} across "
-          f"{len(results)} task(s)")
-    return 0
+          f"{len(results) - n_err} task(s)"
+          + (f", {n_err} task(s) failed" if n_err else ""))
+    return 1 if n_err else 0
 
 
 def sstable_info_cmd(input_path: str) -> int:
@@ -793,6 +801,11 @@ def main(argv: list[str]) -> int:
     force = "--force" in args
     if force:
         args.remove("--force")
+    until_stable = "--until-stable" in args
+    if until_stable:
+        args.remove("--until-stable")
+    if until_stable and (len(args) != 2 or args[0] != "optimize"):
+        _die("--until-stable applies to `optimize <sstable_dir>` only")
     if len(args) == 2 and args[0] == "compact-respec" \
             and not (continue_on_error or by_shard or mor or no_grace
                      or force):
@@ -823,7 +836,7 @@ def main(argv: list[str]) -> int:
         if args[0] == "optimize":
             if not os.path.isdir(args[1]):
                 _die(f"input path does not exist: {args[1]}")
-            return optimize_cmd(args[1])
+            return optimize_cmd(args[1], until_stable=until_stable)
         if args[0] == "verify-digest":
             if not os.path.exists(args[1]):
                 _die(f"input path does not exist: {args[1]}")

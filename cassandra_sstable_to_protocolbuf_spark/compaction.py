@@ -75,18 +75,21 @@ def derive_n_outputs(total_bytes: int,
 def input_data_files(input_path: str | list[str]) -> list[str]:
     """Normalize a compaction input (directory, single Data.db, or an
     explicit file list -- the optimize executor's unit of work) to a
-    sorted list of Data.db paths."""
+    sorted list of Data.db paths. Directory discovery applies the
+    maintenance transaction log's visibility filter (txnlog.filter_live)
+    so a planner never sees a torn in-place swap."""
     import glob
 
     if isinstance(input_path, (list, tuple)):
         return sorted(input_path)
+    from cassandra_sstable_to_protocolbuf_spark import txnlog
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         DATA_SUFFIX)
 
     if os.path.isdir(input_path):
-        return sorted(glob.glob(
+        return sorted(txnlog.filter_live(input_path, glob.glob(
             os.path.join(input_path, "**", f"*{DATA_SUFFIX}"),
-            recursive=True))
+            recursive=True)))
     return [input_path]
 
 
@@ -240,48 +243,164 @@ def plan_merge_tasks(input_path: str | list[str]) -> list[dict]:
     return tasks
 
 
-def optimize(spark: SparkSession, input_dir: str,
-             compression: str | None = None,
-             target_output_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES) -> list[dict]:
-    """PLAN -> EXECUTE: the lakehouse OPTIMIZE / LSM maintenance loop.
+def next_generation(input_dir: str) -> int:
+    """1 + the highest generation any opt-* output in the directory
+    carries (0 when none) -- metadata only. Generation-unique output
+    names are what make optimize() safe to re-run: a second pass that
+    re-bins the first pass's equal-size output shards produces NEW
+    names, never colliding with (and then deleting) its own inputs."""
+    import glob
+    import re
 
-    plan_merge_tasks picks the bins; each bin then runs as ONE compact
-    task over ONLY that bin's files -- LWW merge, size-derived output
-    shard count, outputs named opt-<tier>-<bin>-<shard> (deterministic
-    from the plan, so the DuckDB oracle can recompute every output id)
-    written into `input_dir` itself -- and the bin's input components
-    are removed only AFTER its outputs are fully published. Unplanned
-    files (straggler bins) are never touched. Write-then-delete is
-    Cassandra's own pre-transaction-log posture: a crash between the two
-    leaves duplicate LWW-reconcilable data, never a loss; a deployment
-    with the versioned table's CommitBackend would wrap the swap in one
-    manifest commit instead.
-
-    Returns per-task dicts {"tier", "bin", "n_inputs", "input_bytes",
-    "outputs": [writer metrics rows]}; driver memory is O(files), never
-    O(data)."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        ALL_SUFFIXES, DATA_SUFFIX)
+        DATA_SUFFIX)
 
-    results = []
-    for task in plan_merge_tasks(input_dir):
-        prefix = f"opt-{task['tier']}-{task['bin']}"
+    pat = re.compile(r"^ks-opt-(\d+)-")
+    gen = 0
+    for path in glob.glob(os.path.join(input_dir, "**", f"*{DATA_SUFFIX}"),
+                          recursive=True):
+        m = pat.match(os.path.basename(path))
+        if m:
+            gen = max(gen, int(m.group(1)))
+    return gen + 1
+
+
+def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
+             compression: str | None, target_output_bytes: int) -> list:
+    """Execute ONE planned bin as a maintenance transaction:
+    BEGIN (claim) -> compact (publish outputs) -> COMMIT (atomic swap
+    point) -> unlink inputs -> finish. A failure BEFORE the commit point
+    rolls the bin back (partial outputs removed, inputs untouched); a
+    failure AFTER it leaves the COMMIT log for recover() to roll
+    forward -- readers see exactly one generation at every instant
+    (txnlog.filter_live)."""
+    from cassandra_sstable_to_protocolbuf_spark import txnlog
+
+    name = f"opt-{gen}-{task['tier']}-{task['bin']}"
+    txnlog.begin(input_dir, name, name, list(task["files"]))
+    try:
         metrics = compact(spark, list(task["files"]), input_dir,
                           compression=compression,
                           target_output_bytes=target_output_bytes,
-                          output_prefix=prefix).collect()
-        for data_path in task["files"]:
-            base = data_path[:-len(DATA_SUFFIX)]
-            for suffix in ALL_SUFFIXES:
+                          output_prefix=name).collect()
+    except BaseException:
+        # roll back THIS bin only (still in BEGIN state: commit was never
+        # reached): remove partial outputs + temps, then drop the log;
+        # if the sweep itself fails, the surviving BEGIN log keeps the
+        # partial outputs invisible and recover() redoes the rollback
+        try:
+            import glob as _glob
+
+            pref = os.path.join(input_dir, f"ks-{name}-")
+            for p in _glob.glob(_glob.escape(pref) + "*"):
                 try:
-                    os.unlink(base + suffix)
+                    os.unlink(p)
                 except FileNotFoundError:
                     pass
-        results.append({"tier": task["tier"], "bin": task["bin"],
-                        "n_inputs": len(task["files"]),
-                        "input_bytes": task["bytes"],
-                        "outputs": sorted(metrics,
-                                          key=lambda m: m.sstable_id)})
+            txnlog.finish(input_dir, name)
+        except Exception:  # noqa: BLE001 -- recovery sweep will redo it
+            pass
+        raise
+    txnlog.commit(input_dir, name, [m.path for m in metrics])
+    # committed: from here failures must NOT roll back -- the swap
+    # happened; input removal is roll-forward work recover() can redo
+    for data_path in task["files"]:
+        txnlog.unlink_components(data_path)
+    txnlog.finish(input_dir, name)
+    return metrics
+
+
+def optimize(spark: SparkSession, input_dir: str,
+             compression: str | None = None,
+             target_output_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES,
+             max_concurrent_bins: int = 4,
+             continue_on_error: bool = True,
+             until_stable: bool = False,
+             max_rounds: int = 16) -> list[dict]:
+    """PLAN -> EXECUTE: the lakehouse OPTIMIZE / LSM maintenance loop,
+    transactional and concurrent.
+
+    plan_merge_tasks picks the bins; every bin whose merge actually
+    shrinks the file count (size-derived output shard count < input
+    count -- a bin of already-target-sized files is left alone, which is
+    also what makes until_stable terminate) runs as ONE compact task
+    over ONLY that bin's files. Outputs are named
+    opt-<generation>-<tier>-<bin>-<shard> -- deterministic from the plan
+    plus the directory's generation counter, so the DuckDB oracle can
+    recompute every output id -- and each bin's publish-then-remove swap
+    runs under the maintenance transaction log (txnlog.py, the
+    CommitBackend protocol plane): a crash at ANY point leaves readers
+    seeing exactly one consistent generation, and recover() -- run here
+    at startup, so a rerun self-heals -- converges the directory.
+    Unplanned files (straggler bins) are never touched.
+
+    Bins execute CONCURRENTLY through a bounded thread pool
+    (max_concurrent_bins Spark jobs in flight -- at 100 TB a plan has
+    thousands of bins and a sequential loop would idle the cluster
+    between jobs) with per-bin failure isolation: one bin's failure
+    rolls back that bin only, the rest proceed, and the failed bin's
+    entry carries an "error" key (the reference's continue-on-next-file
+    semantics, Runner.java:84-87). continue_on_error=False re-raises
+    the first failure AFTER all in-flight bins settle.
+
+    until_stable=True re-plans after each pass and keeps merging until
+    no executable bin remains (each pass strictly reduces the file
+    count, so convergence is bounded by the initial file count; max_rounds
+    is the hard stop). Returns per-task dicts {"generation", "tier",
+    "bin", "n_inputs", "input_bytes", "outputs": [writer metrics rows]};
+    driver memory is O(files), never O(data)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cassandra_sstable_to_protocolbuf_spark import txnlog
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        register)
+
+    register(spark)  # once, before threads race the datasource setup
+    results: list[dict] = []
+    for _round in range(max_rounds):
+        txnlog.recover(input_dir)
+        tasks = [t for t in plan_merge_tasks(input_dir)
+                 if derive_n_outputs(t["bytes"],
+                                     target_output_bytes) < len(t["files"])]
+        if not tasks:
+            break
+        gen = next_generation(input_dir)
+        round_results = []
+        with ThreadPoolExecutor(
+                max_workers=max(1, min(max_concurrent_bins,
+                                       len(tasks)))) as pool:
+            futs = [pool.submit(_run_bin, spark, input_dir, task, gen,
+                                compression, target_output_bytes)
+                    for task in tasks]
+            first_error: BaseException | None = None
+            for task, fut in zip(tasks, futs):
+                entry = {"generation": gen, "tier": task["tier"],
+                         "bin": task["bin"],
+                         "n_inputs": len(task["files"]),
+                         "input_bytes": task["bytes"]}
+                try:
+                    metrics = fut.result()
+                    entry["outputs"] = sorted(metrics,
+                                              key=lambda m: m.sstable_id)
+                except Exception as e:  # noqa: BLE001 -- per-bin isolation
+                    entry["outputs"] = []
+                    entry["error"] = f"{type(e).__name__}: {e}"
+                    if first_error is None:
+                        first_error = e
+                round_results.append(entry)
+        results.extend(round_results)
+        if first_error is not None and not continue_on_error:
+            raise first_error
+        if not until_stable or any("error" in r for r in round_results):
+            break
+    else:
+        still = [t for t in plan_merge_tasks(input_dir)
+                 if derive_n_outputs(t["bytes"],
+                                     target_output_bytes) < len(t["files"])]
+        if until_stable and still:
+            raise RuntimeError(
+                f"optimize(until_stable=True) did not converge within "
+                f"{max_rounds} rounds over {input_dir}")
     return results
 
 

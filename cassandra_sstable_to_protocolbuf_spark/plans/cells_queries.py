@@ -565,20 +565,24 @@ def _optimize_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 def sst_optimize_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PLAN -> EXECUTE under the gate: the OPTIMIZE maintenance loop,
     end to end. plan_merge_tasks bins the six-file fixture by log2 size
-    tier; optimize() runs each bin as one compact task (LWW merge,
-    size-derived shard count, outputs opt-<tier>-<bin>-<shard>), removes
-    the merged inputs, and leaves the straggler file ('sst-t', alone in
-    its tier) byte-for-byte untouched. The read-back therefore certifies
-    three things at once, all hash-gated: (1) the merged bins' content
-    equals the per-bin LWW state the oracle recomputes, (2) the planned
-    file-count reduction happened -- every surviving file name is part
-    of the output, and the oracle derives the exact opt-<tier>-<bin>
-    names from the size algebra, so a missed deletion or an unexecuted
-    bin breaks the hash, (3) the straggler still reads with its original
-    name and full (unfiltered) cell content.
+    tier; optimize() runs each executable bin as one compact task (LWW
+    merge, size-derived shard count, outputs
+    opt-<generation>-<tier>-<bin>-<shard>, generation 1 on this fresh
+    fixture) under the maintenance transaction log -- concurrent bins,
+    per-bin BEGIN/COMMIT swap -- removes the merged inputs, and leaves
+    the straggler file ('sst-t', alone in its tier) byte-for-byte
+    untouched. The read-back therefore certifies three things at once,
+    all hash-gated: (1) the merged bins' content equals the per-bin LWW
+    state the oracle recomputes, (2) the planned file-count reduction
+    happened -- every surviving file name is part of the output, and
+    the oracle derives the exact opt-1-<tier>-<bin> names from the size
+    algebra, so a missed deletion or an unexecuted bin breaks the hash,
+    (3) the straggler still reads with its original name and full
+    (unfiltered) cell content.
 
     Scale shape: planning is O(files) driver metadata; each bin is one
-    distributed scan->agg->streaming-write; the copy here is fixture
+    distributed scan->agg->streaming-write, and bins run concurrently
+    through optimize()'s bounded pool; the copy here is fixture
     hygiene (optimize mutates its input dir)."""
     import os
     import shutil
@@ -601,8 +605,9 @@ def sst_optimize_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle: replay the WHOLE loop logically -- remap '1|3' into sst-t,
 # size every file with the format's exact algebra (== logical Data.db
 # bytes), tier by bit length, bin by the cumulative-sum packing, merge
-# bins of >= 2 files through per-bin LWW with the size-derived shard
-# count, and pass stragglers through unchanged
+# executable bins (>= 2 files AND derived shard count < file count)
+# through per-bin LWW with the size-derived shard count, and pass
+# stragglers through unchanged
 SST_OPTIMIZE_EXECUTE_SQL_TEMPLATE = """
 {cells_cte},
 cells_opt AS (
@@ -631,13 +636,18 @@ tasks AS (
   SELECT tier, bin, COUNT(*) AS n_files,
          CAST(SUM(bytes) AS BIGINT) AS task_bytes
   FROM binned GROUP BY 1, 2),
+taskn AS (
+  -- executable bins only: >= 2 files AND the size-derived output shard
+  -- count actually shrinks the file count (a bin of already-target-sized
+  -- files is left untouched -- optimize()'s no-gain filter, which is
+  -- also what makes until_stable terminate)
+  SELECT tier, bin, n FROM (
+    SELECT tier, bin, n_files, {nout_case} AS n
+    FROM tasks WHERE n_files >= 2)
+  WHERE n < n_files),
 merged_files AS (
   SELECT b.sstable_id, b.tier, b.bin
-  FROM binned b JOIN tasks t ON b.tier = t.tier AND b.bin = t.bin
-  WHERE t.n_files >= 2),
-taskn AS (
-  SELECT tier, bin, {nout_case} AS n
-  FROM tasks WHERE n_files >= 2),
+  FROM binned b JOIN taskn t ON b.tier = t.tier AND b.bin = t.bin),
 winners AS (
   SELECT m.tier, m.bin, c.key, c.name, c.value, c.writeTime,
          ROW_NUMBER() OVER (PARTITION BY m.tier, m.bin, c.key, c.name
@@ -646,7 +656,7 @@ winners AS (
   FROM cells_opt c JOIN merged_files m ON c.sstable_id = m.sstable_id
   WHERE c.partition_deletion_live AND c.cell_kind = 'LIVE'),
 merged_rows AS (
-  SELECT 'opt-' || CAST(w.tier AS VARCHAR) || '-' || CAST(w.bin AS VARCHAR)
+  SELECT 'opt-1-' || CAST(w.tier AS VARCHAR) || '-' || CAST(w.bin AS VARCHAR)
            || '-' || CAST(
              ((strpos('0123456789abcdef', substring(md5(w.key), 1, 1)) - 1) * 16
               + strpos('0123456789abcdef', substring(md5(w.key), 2, 1)) - 1)

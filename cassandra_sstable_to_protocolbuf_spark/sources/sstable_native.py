@@ -1377,10 +1377,16 @@ class SSTableNativeReader(DataSourceReader):
         if os.path.isdir(self.path):
             # recursive walk matching the reference's Files.walk discovery
             # (Runner.java:54-60): real Cassandra data dirs nest sstables
-            # under keyspace/table/ subdirectories
-            files = sorted(glob.glob(
+            # under keyspace/table/ subdirectories. Discovery then applies
+            # the maintenance transaction log's visibility filter: a
+            # reader racing an in-place OPTIMIZE swap sees exactly one
+            # consistent generation (uncommitted outputs hidden, committed
+            # inputs hidden), never a torn mix -- txnlog.filter_live.
+            from cassandra_sstable_to_protocolbuf_spark import txnlog
+
+            files = sorted(txnlog.filter_live(self.path, glob.glob(
                 os.path.join(self.path, "**", f"*{DATA_SUFFIX}"),
-                recursive=True))
+                recursive=True)))
         elif self.path.endswith(DATA_SUFFIX):
             files = [self.path]
         else:
@@ -1707,11 +1713,17 @@ class SSTableNativeDataSource(DataSource):
                                    verify_digest=verify)
 
 
+_REGISTER_LOCK = __import__("threading").Lock()
+
+
 def register(spark) -> None:
     # runtime-settable; required for pushFilters (S5 indexed seek) and
-    # set here so the driver's vanilla session gets it too
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(SSTableNativeDataSource)
+    # set here so the driver's vanilla session gets it too. Serialized:
+    # optimize() runs bins on a thread pool and concurrent first-use
+    # registration must not race the py4j registry.
+    with _REGISTER_LOCK:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        spark.dataSource.register(SSTableNativeDataSource)
 
 
 def read_native_cells(spark, path: str, partitions_per_split: int = 4096,

@@ -1,0 +1,332 @@
+"""Transactional OPTIMIZE (VERDICT r6 #1/#2/#5 + advisor r6 high):
+every bin's publish-then-remove swap runs under the maintenance
+transaction log (txnlog.py on the CommitBackend seam), output names are
+generation-unique so reruns can never merge onto their own input names,
+bins execute concurrently with per-bin failure isolation, crashes at
+any point recover to exactly one consistent generation with readers
+never seeing a torn state, and until_stable loops to convergence."""
+
+from __future__ import annotations
+
+import glob
+import os
+import threading
+
+import pytest
+
+from cassandra_sstable_to_protocolbuf_spark import compaction as CP
+from cassandra_sstable_to_protocolbuf_spark import txnlog
+from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+    read_native_cells)
+
+
+def _mk(dirname, cf, n_keys, vlen, ts, overlap_from=0):
+    parts = [{"key": b"key-%05d" % (overlap_from + i),
+              "cells": [{"name": b"c", "kind": "LIVE", "timestamp": ts,
+                         "value": b"%s-%04d" % (cf.encode(), i) + b"x" * vlen}]}
+             for i in range(n_keys)]
+    return N.write_sstable(dirname, 1, parts, cf=cf)
+
+
+def _lww(spark, path):
+    return {(bytes(r.key), bytes(r.name), bytes(r.value), r.writeTime)
+            for r in lww_live_cells(read_native_cells(spark, path)).collect()}
+
+
+def _data_files(d):
+    return sorted(os.path.basename(p)
+                  for p in glob.glob(os.path.join(d, "*-Data.db")))
+
+
+def test_rerun_merges_under_new_generation(spark, tmp_path):
+    """Advisor r6 high: a second optimize pass whose bin consists of the
+    first pass's own outputs must write NEW (generation-bumped) names --
+    under the old deterministic opt-<tier>-<bin> naming the rerun merged
+    them onto exactly its input names and the post-publish unlink then
+    destroyed the just-published outputs."""
+    d = str(tmp_path)
+    _mk(d, "aa", 120, 120, ts=10)
+    _mk(d, "bb", 120, 120, ts=20)
+    _mk(d, "cc", 120, 120, ts=30)  # same keys, newest -> wins
+    pre = _lww(spark, d)
+
+    # pass 1: target chosen so the 3-file bin derives 2 output shards
+    # (executable: 2 < 3, and the LWW'd shards land in a lower tier)
+    total = CP.logical_data_bytes(CP.input_data_files(d))
+    r1 = CP.optimize(spark, d, target_output_bytes=total * 2 // 3)
+    assert r1 and all(e["generation"] == 1 and "error" not in e for e in r1)
+    gen1 = {m.sstable_id for e in r1 for m in e["outputs"]}
+    assert len(gen1) >= 2 and all(s.startswith("opt-1-") for s in gen1)
+    assert _lww(spark, d) == pre
+
+    # pass 2: big target -> the gen-1 shards themselves form the bin
+    r2 = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    assert r2 and all(e["generation"] == 2 and "error" not in e for e in r2)
+    gen2 = {m.sstable_id for e in r2 for m in e["outputs"]}
+    assert all(s.startswith("opt-2-") for s in gen2)
+    assert not (gen1 & gen2), "rerun must never reuse its input names"
+    assert _lww(spark, d) == pre, "LWW state must survive the rerun"
+    assert not txnlog.read_logs(d), "clean run leaves no transaction log"
+
+
+def test_no_gain_bin_is_left_alone(spark, tmp_path):
+    """The advisor's exact scenario -- a bin of equal target-sized files
+    whose size-derived shard count equals its file count -- is skipped
+    outright (no rewrite churn, and what makes until_stable terminate)."""
+    d = str(tmp_path)
+    a = _mk(d, "aa", 120, 120, ts=10)
+    b = _mk(d, "bb", 120, 120, ts=20)
+    total = CP.logical_data_bytes([a, b])
+    target = total // 2  # derived n == 2 == n_files: no gain
+    assert CP.derive_n_outputs(total, target) == 2
+    pre_files = _data_files(d)
+    pre = _lww(spark, d)
+    assert CP.optimize(spark, d, target_output_bytes=target) == []
+    assert _data_files(d) == pre_files and _lww(spark, d) == pre
+
+
+def test_crash_before_commit_rolls_back(spark, tmp_path, monkeypatch):
+    """Outputs published but the COMMIT flip never happens: readers keep
+    seeing ONLY the old generation; recover() removes the partial
+    outputs and the claim; a rerun then completes the merge."""
+    d = str(tmp_path)
+    _mk(d, "aa", 60, 30, ts=10)
+    _mk(d, "bb", 60, 30, ts=20)
+    pre = _lww(spark, d)
+    pre_files = _data_files(d)
+
+    real_commit = txnlog.commit
+    crashed = {"n": 0}
+
+    def dying_commit(*a, **k):
+        crashed["n"] += 1
+        raise RuntimeError("simulated crash before commit point")
+
+    monkeypatch.setattr(txnlog, "commit", dying_commit)
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    monkeypatch.setattr(txnlog, "commit", real_commit)
+    assert crashed["n"] == 1
+    assert len(results) == 1 and "error" in results[0]
+
+    # torn state on disk: outputs + BEGIN log coexist with the inputs...
+    assert any(f.startswith("ks-opt-1-") for f in _data_files(d))
+    (rec,) = txnlog.read_logs(d)
+    assert rec["state"] == "BEGIN"
+    # ...but a reader sees ONLY the old generation, values untouched
+    assert _lww(spark, d) == pre
+    raw = read_native_cells(spark, d).select("sstable_id").distinct()
+    assert not any(r.sstable_id.startswith("ks-opt-")
+                   for r in raw.collect())
+
+    actions = txnlog.recover(d)
+    assert actions == [{"name": rec["name"], "action": "rollback"}]
+    assert _data_files(d) == pre_files, "rollback restores the input set"
+    assert not txnlog.read_logs(d)
+
+    # rerun self-heals (optimize recovers at startup too) and completes
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    assert results and "error" not in results[0]
+    assert _lww(spark, d) == pre
+
+
+def test_crash_after_commit_rolls_forward(spark, tmp_path, monkeypatch):
+    """COMMIT flipped but the input unlink crashed mid-way: readers see
+    ONLY the new generation (no duplicates, nothing lost); recover()
+    removes the leftover inputs, leaving exactly one generation."""
+    d = str(tmp_path)
+    _mk(d, "aa", 60, 30, ts=10)
+    _mk(d, "bb", 60, 30, ts=20)
+    pre = _lww(spark, d)
+
+    real_unlink = txnlog.unlink_components
+    calls = {"n": 0}
+
+    def dying_unlink(path):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            real_unlink(path)  # first input gone, second survives
+        else:
+            raise RuntimeError("simulated crash mid input removal")
+
+    monkeypatch.setattr(txnlog, "unlink_components", dying_unlink)
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    monkeypatch.setattr(txnlog, "unlink_components", real_unlink)
+    assert len(results) == 1 and "error" in results[0]
+
+    # torn state: committed outputs + one leftover input + COMMIT log...
+    files = _data_files(d)
+    assert any(f.startswith("ks-opt-1-") for f in files)
+    assert "ks-bb-ka-1-Data.db" in files
+    (rec,) = txnlog.read_logs(d)
+    assert rec["state"] == "COMMIT"
+    # ...but a reader sees ONLY the new generation: full LWW state, no
+    # duplicate cells from the leftover input
+    assert _lww(spark, d) == pre
+    raw = read_native_cells(spark, d)
+    ids = {r.sstable_id for r in raw.select("sstable_id").distinct().collect()}
+    assert all(i.startswith("ks-opt-1-") for i in ids)
+    n_live = raw.filter("cell_kind = 'LIVE'").count()
+    assert n_live == len(pre), "leftover input must not duplicate cells"
+
+    actions = txnlog.recover(d)
+    assert actions == [{"name": rec["name"], "action": "rollforward"}]
+    files = _data_files(d)
+    assert all(f.startswith("ks-opt-1-") for f in files)
+    assert not txnlog.read_logs(d)
+    assert _lww(spark, d) == pre
+
+
+def test_bins_execute_concurrently(spark, tmp_path, monkeypatch):
+    """Two planned bins must be in flight AT THE SAME TIME (VERDICT r6
+    #2): both compact calls reach a shared barrier before either
+    proceeds -- a sequential loop would deadlock-timeout the barrier."""
+    d = str(tmp_path)
+    _mk(d, "aa", 60, 30, ts=1)
+    _mk(d, "bb", 60, 30, ts=2)          # tier X: bin 1
+    _mk(d, "cc", 400, 120, ts=3, overlap_from=5000)
+    _mk(d, "dd", 400, 120, ts=4, overlap_from=5000)  # tier Y: bin 2
+    tasks = CP.plan_merge_tasks(d)
+    assert len(tasks) == 2, "fixture must plan exactly two bins"
+    pre = _lww(spark, d)
+
+    barrier = threading.Barrier(2, timeout=90)
+    real_compact = CP.compact
+
+    def rendezvous_compact(*args, **kwargs):
+        barrier.wait()  # raises BrokenBarrierError if run sequentially
+        return real_compact(*args, **kwargs)
+
+    monkeypatch.setattr(CP, "compact", rendezvous_compact)
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20,
+                          max_concurrent_bins=2)
+    assert len(results) == 2 and all("error" not in r for r in results)
+    assert not barrier.broken
+    assert _lww(spark, d) == pre
+
+
+def test_bin_failure_is_isolated(spark, tmp_path, monkeypatch):
+    """One bin's failure rolls back that bin only: the other bin
+    completes, the failed bin's inputs stay byte-identical, its entry
+    carries the error, and no transaction log survives."""
+    d = str(tmp_path)
+    a = _mk(d, "aa", 60, 30, ts=1)
+    _mk(d, "bb", 60, 30, ts=2)
+    _mk(d, "cc", 400, 120, ts=3, overlap_from=5000)
+    _mk(d, "dd", 400, 120, ts=4, overlap_from=5000)
+    assert len(CP.plan_merge_tasks(d)) == 2
+    pre = _lww(spark, d)
+
+    real_compact = CP.compact
+
+    def failing_compact(spark_, input_path, *args, **kwargs):
+        if any("ks-aa-" in p for p in input_path):
+            raise RuntimeError("simulated bin failure")
+        return real_compact(spark_, input_path, *args, **kwargs)
+
+    monkeypatch.setattr(CP, "compact", failing_compact)
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    monkeypatch.setattr(CP, "compact", real_compact)
+
+    failed = [r for r in results if "error" in r]
+    ok = [r for r in results if "error" not in r]
+    assert len(failed) == 1 and "simulated bin failure" in failed[0]["error"]
+    assert len(ok) == 1 and ok[0]["outputs"]
+    files = _data_files(d)
+    assert "ks-aa-ka-1-Data.db" in files and "ks-bb-ka-1-Data.db" in files
+    assert not any(f.startswith("ks-cc-") or f.startswith("ks-dd-")
+                   for f in files)
+    assert not txnlog.read_logs(d), "failed bin must leave no claim"
+    assert _lww(spark, d) == pre
+
+    # continue_on_error=False re-raises after the round settles
+    monkeypatch.setattr(CP, "compact", failing_compact)
+    with pytest.raises(RuntimeError, match="simulated bin failure"):
+        CP.optimize(spark, d, target_output_bytes=1 << 20,
+                    continue_on_error=False)
+
+
+def test_until_stable_converges_across_tiers(spark, tmp_path):
+    """VERDICT r6 #5: a multi-tier fixture converges -- each pass merges
+    what it can, outputs re-tier, the next pass picks them up, and the
+    loop stops when no executable bin remains, with the LWW state
+    hash-stable after every round."""
+    d = str(tmp_path)
+    for i in range(4):  # four small files, one tier
+        _mk(d, f"s{i}", 30, 30, ts=i + 1)
+    _mk(d, "big", 220, 60, ts=9, overlap_from=2000)  # a higher tier
+    sizes = [CP.logical_data_bytes([p]) for p in CP.input_data_files(d)]
+    assert len({s.bit_length() for s in sizes}) >= 2, "needs >= 2 tiers"
+    pre = _lww(spark, d)
+
+    # manual per-round drill: state is stable after EVERY round
+    rounds = 0
+    while True:
+        step = CP.optimize(spark, d, target_output_bytes=1 << 20)
+        if not step:
+            break
+        rounds += 1
+        assert rounds <= 6, "must converge quickly on 5 files"
+        assert _lww(spark, d) == pre, f"state drifted in round {rounds}"
+    assert rounds >= 2, "fixture should take >= 2 passes to converge"
+    assert CP.plan_merge_tasks(d) == [] or all(
+        CP.derive_n_outputs(t["bytes"], 1 << 20) >= len(t["files"])
+        for t in CP.plan_merge_tasks(d))
+
+    # and the one-call form does the same loop end-to-end
+    d2 = str(tmp_path / "d2")
+    for i in range(4):
+        _mk(d2, f"s{i}", 30, 30, ts=i + 1)
+    _mk(d2, "big", 220, 60, ts=9, overlap_from=2000)
+    pre2 = _lww(spark, d2)
+    results = CP.optimize(spark, d2, target_output_bytes=1 << 20,
+                          until_stable=True)
+    gens = {r["generation"] for r in results}
+    assert len(gens) >= 2 and all("error" not in r for r in results)
+    assert _lww(spark, d2) == pre2
+    assert [t for t in CP.plan_merge_tasks(d2)
+            if CP.derive_n_outputs(t["bytes"], 1 << 20) < len(t["files"])] == []
+
+
+def test_txn_protocol_on_object_store_backend(tmp_path):
+    """The log's protocol plane runs unchanged on the object-store-shaped
+    backend (no rename, conditional puts only): begin claims at most
+    once, filter_live hides by state, recover replays both branches."""
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        InMemoryCommitBackend, use_commit_backend)
+
+    d = str(tmp_path)
+    a = _mk(d, "aa", 5, 4, ts=1)
+    b = _mk(d, "bb", 5, 4, ts=2)
+    out = _mk(d, "opt-1-13-0-0", 5, 4, ts=3)  # pretend published output
+    all_files = sorted(glob.glob(os.path.join(d, "*-Data.db")))
+
+    with use_commit_backend(InMemoryCommitBackend()):
+        txnlog.begin(d, "opt-1-13-0", "opt-1-13-0", [a, b])
+        with pytest.raises(RuntimeError, match="already claimed"):
+            txnlog.begin(d, "opt-1-13-0", "opt-1-13-0", [a, b])
+        # BEGIN: outputs hidden, inputs visible
+        live = txnlog.filter_live(d, all_files)
+        assert out not in live and a in live and b in live
+
+        txnlog.commit(d, "opt-1-13-0", [out])
+        # COMMIT: inputs hidden, outputs visible
+        live = txnlog.filter_live(d, all_files)
+        assert out in live and a not in live and b not in live
+
+        (action,) = txnlog.recover(d)
+        assert action == {"name": "opt-1-13-0", "action": "rollforward"}
+        assert not os.path.exists(a) and not os.path.exists(b)
+        assert os.path.exists(out)
+        assert txnlog.read_logs(d) == []
+        assert txnlog.filter_live(d, [out]) == [out]
+
+
+def test_next_generation_scans_names(tmp_path):
+    d = str(tmp_path)
+    assert CP.next_generation(d) == 1
+    _mk(d, "aa", 3, 4, ts=1)
+    assert CP.next_generation(d) == 1
+    _mk(d, "opt-3-13-0-1", 3, 4, ts=1)
+    assert CP.next_generation(d) == 4

@@ -266,13 +266,16 @@ def token_function(partitioner: str):
 # its full-scan-only workload; a point-lookup surface needs the real
 # thing). Layout mirrors Cassandra 2.0's BloomFilterSerializer shape:
 # int hashCount, int wordCount, then wordCount big-endian longs (the bit
-# set). Hashing is Cassandra's own hash3_x64_128 double hashing
-# (BloomFilter.indexes: bit_i = (h1 + i*h2) mod n_bits). Deliberate
-# divergence, documented like md5_token's: sizing uses the textbook
-# formulas rather than BloomCalculations' bucket lookup table, and the
-# index arithmetic is unsigned rather than Java abs() -- files written
-# here round-trip exactly; real Cassandra Filter.db files would need the
-# abs-signed variant before their bits line up.
+# set). Hashing and bit indexing are Cassandra 2.0's own, bit for bit:
+# hash3_x64_128 double hashing with the era's Java abs-signed index
+# arithmetic (BloomFilter.getHashBuckets: bit_i =
+# abs_java(wrap64(h1 + i*h2) % n_bits), truncated modulo) -- so a
+# genuine `ka` Filter.db gates lookups here and a Filter.db written here
+# is readable by real Cassandra. The one deliberate divergence,
+# documented like md5_token's: SIZING of filters this engine writes uses
+# the textbook formulas rather than BloomCalculations' bucket lookup
+# table (reading takes m and k from the component itself, so foreign
+# files are unaffected).
 # --------------------------------------------------------------------------
 
 def _bloom_params(n_keys: int, fp_chance: float) -> tuple[int, int]:
@@ -308,9 +311,16 @@ class BloomFilter:
         return cls(k, [0] * (n_bits // 64))
 
     def _bits(self, key: bytes):
+        # Cassandra 2.0 BloomFilter.getHashBuckets semantics:
+        # abs_java((h1 + i*h2) % max) over wrapping signed-64 longs.
+        # Java's % truncates toward zero, so abs(v % max) == |v| % max
+        # for every signed v including Long.MIN_VALUE -- computed here
+        # as (2^64 - u) % m for the u >= 2^63 (negative-as-Java) half.
         h1, h2 = murmur3_hash128(key)
         m = len(self.words) * 64
-        return ((h1 + i * h2) % m for i in range(self.hash_count))
+        for i in range(self.hash_count):
+            u = (h1 + i * h2) & _M64
+            yield ((1 << 64) - u if u >= 1 << 63 else u) % m
 
     def add(self, key: bytes) -> None:
         words = self.words
@@ -379,33 +389,88 @@ def load_bloom(data_path: str) -> BloomFilter | None:
     return BloomFilter.parse(path)
 
 
-def load_trusted_bloom(data_path: str) -> BloomFilter | None:
-    """Filter.db ONLY when provenance says this engine wrote it.
+def _bloom_probe_keys(data_path: str, limit: int = 16) -> list[bytes]:
+    """Up to `limit` keys that are PROVABLY present in the sstable, for
+    bloom validation: the Summary.db sample (first/last plus evenly
+    spaced sampled entries -- all real keys, one small metadata read),
+    falling back to the head of Index.db when no summary exists."""
+    keys: list[bytes] = []
+    summary = load_summary(data_path)
+    if summary is not None:
+        keys = [summary["first"], summary["last"]]
+        entries = summary["entries"]
+        if entries:
+            step = max(1, len(entries) // max(1, limit - 2))
+            keys.extend(k for k, _ip, _dp in entries[::step][:limit - 2])
+    if not keys:
+        index_path = data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
+        if os.path.exists(index_path):
+            for key, _off, _pos in iter_index(index_path):
+                keys.append(key)
+                if len(keys) >= limit:
+                    break
+    return sorted(set(keys))
 
-    This engine's bloom indexes bits with UNSIGNED (h1 + i*h2) % m while
-    real Cassandra uses Java's abs-signed arithmetic (and different
-    sizing), so probing a FOREIGN Filter.db lands on the wrong bits and
-    its false NEGATIVES would silently drop owning files from point
-    lookups -- the exact hazard the reference avoids by substituting
-    FilterFactory.AlwaysPresent for every file it opens. Provenance
-    gate: Statistics.db must parse as this engine's layout AND record
-    the real bloom_fp_chance SSTableStreamWriter.close() stamps
-    (0 < fp < 1; 1.0 is the no-filter sentinel, and genuine Cassandra
-    metadata fails the parse outright). Anything else -> None, and
-    planning falls back to summary/index seeks, which are exact."""
-    stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
-    if not os.path.exists(stats_path):
-        return None
+
+# probe-validation verdicts, memoized per (path, mtime_ns, size) so a
+# directory probed once plans bloom-only forever after (process-local;
+# an sstable is immutable once published, and a replaced file changes
+# identity)
+_BLOOM_VERDICTS: dict[tuple[str, int, int], bool] = {}
+
+
+def load_trusted_bloom(data_path: str) -> BloomFilter | None:
+    """Filter.db, gated on EVIDENCE that its bits match this file's keys.
+
+    Two trust paths, in order:
+
+    1. Provenance marker (zero extra IO): Statistics.db carries the
+       engine-private BLOOM_PROVENANCE toc component that ONLY
+       SSTableStreamWriter.close() emits alongside a filter it built --
+       real Cassandra writes just its own MetadataType ordinals, so an
+       authentic `ka` Statistics.db never carries it (the round-6
+       advisor showed the old fp-chance-stamp heuristic was satisfiable
+       by genuine Cassandra metadata; a private component is not).
+    2. Probe validation (one Summary.db read, memoized per file): for
+       unmarked -- genuine Cassandra or third-party -- sstables, probe
+       up to 16 keys sampled from Summary/Index. A bloom has NO false
+       negatives on its own keys, so a single miss PROVES the filter
+       wrong (foreign indexing convention, corruption, or bits for
+       different data) -> None, exact index fallback; all-hit accepts
+       it (a wrong-convention filter survives 16*k independent probes
+       with probability ~2^-(16k) at any honest fill ratio). Since this
+       engine's indexing now matches Cassandra 2.0 bit for bit, genuine
+       `ka` filters validate and gate -- the zero-IO skip the reference
+       gives up by substituting FilterFactory.AlwaysPresent
+       (SSTableReaderPatched.java:124).
+
+    Either way a filter that cannot earn trust degrades to the exact
+    summary/index seek path -- never dropped rows, only lost skips."""
     try:
-        fp = read_statistics(stats_path)["bloom_fp_chance"]
-    except Exception:  # noqa: BLE001 -- foreign/corrupt metadata: no trust
-        return None
-    if not (0.0 < fp < 1.0):
-        return None
-    try:
-        return load_bloom(data_path)
+        bloom = load_bloom(data_path)
     except ValueError:
         return None  # corrupt filter: fall back to exact index seeks
+    if bloom is None:
+        return None
+    stats_path = data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX
+    if os.path.exists(stats_path):
+        try:
+            if has_bloom_provenance_mark(stats_path):
+                return bloom
+        except OSError:
+            pass
+    try:
+        st = os.stat(data_path)
+        cache_key = (data_path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+    verdict = _BLOOM_VERDICTS.get(cache_key)
+    if verdict is None:
+        probes = _bloom_probe_keys(data_path)
+        verdict = bool(probes) and all(
+            bloom.might_contain(k) for k in probes)
+        _BLOOM_VERDICTS[cache_key] = verdict
+    return bloom if verdict else None
 
 
 # --------------------------------------------------------------------------
@@ -420,16 +485,55 @@ def load_trusted_bloom(data_path: str) -> BloomFilter | None:
 
 _VALIDATION_ORDINAL = 0
 
+# Engine-private metadata component: emitted ONLY next to a Filter.db
+# this writer built, never by real Cassandra (whose 2.0 MetadataType
+# enum tops out at ordinal 2) -- the zero-IO provenance fast path of
+# load_trusted_bloom. The ordinal is deliberately far outside any
+# Cassandra enum range; the body is a magic string so a toc that merely
+# collides on the number still fails the check.
+_BLOOM_PROVENANCE_ORDINAL = 0x53504246  # "SPBF"
+_BLOOM_PROVENANCE_MAGIC = b"sstable-pb-spark bloom v1"
+
 
 def write_statistics(path: str, partitioner: str = DEFAULT_PARTITIONER,
-                     bloom_fp_chance: float = 1.0) -> None:
+                     bloom_fp_chance: float = 1.0,
+                     mark_bloom: bool = False) -> None:
     enc = partitioner.encode()
+    validation = (struct.pack(">H", len(enc)) + enc
+                  + struct.pack(">d", bloom_fp_chance))
+    components = [(_VALIDATION_ORDINAL, validation)]
+    if mark_bloom:
+        components.append((_BLOOM_PROVENANCE_ORDINAL,
+                           _BLOOM_PROVENANCE_MAGIC))
     with open(path, "wb") as f:
-        f.write(struct.pack(">i", 1))                      # one component
-        f.write(struct.pack(">ii", _VALIDATION_ORDINAL, 12))  # toc entry
-        f.write(struct.pack(">H", len(enc)))
-        f.write(enc)
-        f.write(struct.pack(">d", bloom_fp_chance))
+        f.write(struct.pack(">i", len(components)))
+        offset = 4 + 8 * len(components)
+        for ordinal, body in components:
+            f.write(struct.pack(">ii", ordinal, offset))
+            offset += len(body)
+        for _ordinal, body in components:
+            f.write(body)
+
+
+def has_bloom_provenance_mark(stats_path: str) -> bool:
+    """True iff Statistics.db carries the engine-private bloom
+    provenance component WITH its magic body (toc walk only -- no
+    dependence on the VALIDATION layout, so a foreign file that happens
+    to parse as VALIDATION still reads as unmarked)."""
+    try:
+        with open(stats_path, "rb") as f:
+            (count,) = struct.unpack(">i", f.read(4))
+            if not (0 < count <= 64):
+                return False
+            for _ in range(count):
+                ordinal, offset = struct.unpack(">ii", f.read(8))
+                if ordinal == _BLOOM_PROVENANCE_ORDINAL:
+                    f.seek(offset)
+                    return (f.read(len(_BLOOM_PROVENANCE_MAGIC))
+                            == _BLOOM_PROVENANCE_MAGIC)
+    except (OSError, struct.error):
+        return False
+    return False
 
 
 def read_statistics(path: str) -> dict:
@@ -796,13 +900,14 @@ class SSTableStreamWriter:
             CompressionInfo(self._chunk_length, self._logical_pos,
                             self._chunk_offsets).write(
                 self._tmp + COMPRESSION_SUFFIX)
-        # record the REAL fp chance iff a Filter.db was published: 1.0
-        # stays the no-filter sentinel, and load_trusted_bloom keys its
-        # provenance check on exactly this value
+        # record the REAL fp chance iff a Filter.db was published (1.0
+        # stays the no-filter sentinel) and stamp the engine-private
+        # provenance component load_trusted_bloom's zero-IO path keys on
         wrote_bloom = self._bloom_fp is not None and self._n_index > 0
         write_statistics(self._tmp + STATS_SUFFIX, self._partitioner,
                          bloom_fp_chance=(self._bloom_fp if wrote_bloom
-                                          else 1.0))
+                                          else 1.0),
+                         mark_bloom=wrote_bloom)
         if self._first_key is not None:
             write_summary(self._tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
                           self._sampled, self._first_key, self._last_key)
@@ -1420,9 +1525,10 @@ class SSTableNativeReader(DataSourceReader):
             # point lookup across thousands of sstables costs one bloom
             # probe per non-owning file (the era's
             # SSTableReader.getPosition order: bloom, then index).
-            # PROVENANCE-GATED: only blooms this engine wrote are
-            # trusted (load_trusted_bloom docstring); a foreign filter's
-            # false negatives would silently drop rows
+            # EVIDENCE-GATED: engine-marked blooms trust at zero IO,
+            # unmarked (genuine Cassandra) ones earn trust through
+            # memoized probe validation (load_trusted_bloom docstring);
+            # a filter that fails either is ignored, never a row drop
             bloom = load_trusted_bloom(data_path)
             if bloom is not None:
                 seek_keys = {k for k in seek_keys if bloom.might_contain(k)}

@@ -203,36 +203,135 @@ def test_statistics_records_real_fp_chance(tmp_path):
     assert not os.path.exists(data2[:-len(N.DATA_SUFFIX)] + N.FILTER_SUFFIX)
 
 
-def test_foreign_bloom_is_not_trusted(tmp_path):
-    """A Filter.db without this engine's provenance (Statistics.db
-    missing, unparseable, or fp sentinel 1.0) must NOT gate lookups:
-    foreign Cassandra blooms use Java abs-signed indexing, so trusting
-    one risks silent false negatives. Planning must fall back to exact
-    index seeks and still find the key."""
+def test_bloom_trust_is_evidence_gated(tmp_path):
+    """load_trusted_bloom's two trust paths, per docstring: (1) the
+    engine-private provenance mark in Statistics.db trusts at zero
+    extra IO; (2) an UNMARKED filter (genuine Cassandra / third-party)
+    earns trust by probe validation -- a bloom has no false negatives
+    on its own keys, so one miss on a provably-present key disproves
+    it, while all-hit accepts. A filter whose bits were built for
+    DIFFERENT data must fail the probe and planning must fall back to
+    exact index seeks, never dropping the key."""
     parts = [{"key": b"k%02d" % i, "cells": [{"name": b"c", "kind": "LIVE",
                                               "timestamp": 1, "value": b"v"}]}
              for i in range(20)]
     data = N.write_sstable(str(tmp_path), 1, parts, cf="foreign")
     base = data[:-len(N.DATA_SUFFIX)]
-    assert N.load_trusted_bloom(data) is not None  # our own: trusted
+    stats = base + N.STATS_SUFFIX
+    filt = base + N.FILTER_SUFFIX
+    # our own: trusted via the provenance mark, no probe needed
+    assert N.has_bloom_provenance_mark(stats)
+    assert N.load_trusted_bloom(data) is not None
 
-    # (a) Statistics.db replaced with foreign/unparseable bytes
-    with open(base + N.STATS_SUFFIX, "wb") as f:
+    def fresh_copy(name: str) -> str:
+        """Clone the sstable under a new generation so the probe-verdict
+        memo (keyed on path+mtime+size) never bleeds between cases."""
+        import shutil
+        d2 = str(tmp_path / name)
+        os.makedirs(d2)
+        for suffix in (N.DATA_SUFFIX, N.INDEX_SUFFIX, N.SUMMARY_SUFFIX,
+                       N.FILTER_SUFFIX, N.STATS_SUFFIX):
+            if os.path.exists(base + suffix):
+                shutil.copy(base + suffix,
+                            os.path.join(d2, f"ks-foreign-ka-1{suffix}"))
+        return os.path.join(d2, f"ks-foreign-ka-1{N.DATA_SUFFIX}")
+
+    # (a) Statistics.db replaced with foreign/unparseable bytes: the
+    # mark is gone, but the filter's bits genuinely match this file's
+    # keys, so probe validation accepts it (the real-Cassandra interop
+    # path -- an authentic ka Filter.db gates here).
+    d_a = fresh_copy("a")
+    with open(d_a[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX, "wb") as f:
         f.write(b"\x00\x00\x00\x09" + b"\xde\xad\xbe\xef" * 10)
-    assert N.load_trusted_bloom(data) is None
-    # (b) Statistics.db absent entirely
-    os.unlink(base + N.STATS_SUFFIX)
-    assert N.load_trusted_bloom(data) is None
-    # (c) fp sentinel 1.0 alongside a (suspicious) Filter.db
-    N.write_statistics(base + N.STATS_SUFFIX, bloom_fp_chance=1.0)
-    assert N.load_trusted_bloom(data) is None
-    assert N.load_bloom(data) is not None  # the component itself parses
+    assert N.load_trusted_bloom(d_a) is not None
+    # (b) Statistics.db absent entirely: same probe path, same verdict
+    d_b = fresh_copy("b")
+    os.unlink(d_b[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX)
+    assert N.load_trusted_bloom(d_b) is not None
+
+    # (c) filter bits built for DIFFERENT keys: probe must refute it
+    # (each probe key hits with prob ~fp_chance; 16 probes make
+    # survival ~1e-32) and planning must fall back to exact seeks.
+    d_c = fresh_copy("c")
+    wrong = N.BloomFilter.build(20, 0.01)
+    for i in range(20):
+        wrong.add(b"other-%d" % i)
+    wrong.write(d_c[:-len(N.DATA_SUFFIX)] + N.FILTER_SUFFIX)
+    os.unlink(d_c[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX)
+    assert N.load_trusted_bloom(d_c) is None
+    assert N.load_bloom(d_c) is not None  # the component itself parses
 
     # untrusted bloom => exact index fallback still finds the key
-    reader = N.SSTableNativeReader(str(tmp_path), 4096)
+    reader = N.SSTableNativeReader(os.path.dirname(d_c), 4096)
     reader.pushed_keys = {b"k07"}
     splits = reader.partitions()
     assert len(splits) == 1
+
+    # the marked fast path must not be spoofable by a toc that merely
+    # collides on the ordinal without the magic body
+    d_d = fresh_copy("d")
+    stats_d = d_d[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX
+    import struct as _s
+    with open(stats_d, "wb") as f:
+        f.write(_s.pack(">i", 1))
+        f.write(_s.pack(">ii", N._BLOOM_PROVENANCE_ORDINAL, 12))
+        f.write(b"not-the-magic-body-at-all")
+    assert not N.has_bloom_provenance_mark(stats_d)
+    # ...but the filter is still genuinely right for the data, so the
+    # probe path trusts it anyway
+    assert N.load_trusted_bloom(d_d) is not None
+
+    # sanity: untouched original filter still round-trips as written
+    assert N.BloomFilter.parse(filt) is not None
+
+
+def test_bloom_indexing_matches_java_abs_signed():
+    """Bit indexing must be Cassandra 2.0 BloomFilter.getHashBuckets,
+    bit for bit: abs_java(wrap64(h1 + i*h2) % m) over SIGNED 64-bit
+    longs with Java's truncating %. Pinned against an independent
+    signed-arithmetic model (ctypes int64), including the h1 + i*h2
+    overflow wrap and the negative-modulo half."""
+    import ctypes
+
+    def java_rem(v: int, m: int) -> int:
+        # Java's % on longs truncates toward zero: the result carries
+        # the dividend's sign, |result| = |v| mod m
+        r = abs(v) % m
+        return -r if v < 0 else r
+
+    def java_model(key: bytes, k: int, m: int) -> list[int]:
+        h1, h2 = N.murmur3_hash128(key)
+        out = []
+        for i in range(k):
+            v = ctypes.c_int64(h1 + i * h2).value  # wrap to signed 64
+            out.append(abs(java_rem(v, m)))
+        return out
+
+    b = N.BloomFilter.build(1000, 0.01)
+    m = len(b.words) * 64
+    for key in [b"", b"a", b"key-7", b"\xff" * 16, b"unicode-\xc3\xa9",
+                b"x" * 100] + [b"probe-%d" % i for i in range(50)]:
+        assert list(b._bits(key)) == java_model(key, b.hash_count, m), key
+
+
+def test_probe_keys_are_provably_present(tmp_path):
+    """_bloom_probe_keys must return only keys that exist in the file
+    (summary sample first, Index.db head fallback), bounded by limit."""
+    parts = [{"key": b"p%04d" % i, "cells": [{"name": b"c", "kind": "LIVE",
+                                              "timestamp": 1, "value": b"v"}]}
+             for i in range(300)]
+    data = N.write_sstable(str(tmp_path), 1, parts)
+    real = {p["key"] for p in parts}
+    probes = N._bloom_probe_keys(data)
+    assert probes and len(probes) <= 16
+    assert set(probes) <= real
+    # the summary's first/last (TOKEN-order bounds) always included
+    summary = N.load_summary(data)
+    assert summary["first"] in probes and summary["last"] in probes
+    # fallback: no summary -> head of Index.db
+    os.unlink(data[:-len(N.DATA_SUFFIX)] + N.SUMMARY_SUFFIX)
+    probes2 = N._bloom_probe_keys(data)
+    assert probes2 and set(probes2) <= real
 
 
 def test_corrupt_trusted_bloom_falls_back(tmp_path):

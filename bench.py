@@ -48,6 +48,8 @@ HEADLINE = [
     "sst_optimize_execute",
     "sst_digest_drill",
     "sst_single_file_scan",
+    # round 7: promoted-index clustering slice inside wide partitions
+    "sst_clustering_seek",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

@@ -105,6 +105,11 @@ CATALOG: dict[str, QueryDef] = {
                                      "one giant sstable scanned via "
                                      "byte-range splits (intra-file "
                                      "parallelism)"),
+    "sst_clustering_seek": QueryDef(C.sst_clustering_seek,
+                                    C.SST_CLUSTERING_SEEK_SQL,
+                                    "promoted-index clustering slice "
+                                    "inside wide partitions (blocks "
+                                    "outside the band never read)"),
     "sst_incremental_merge": QueryDef(C.sst_incremental_merge,
                                       C.SST_INCREMENTAL_MERGE_SQL,
                                       "copy-on-write LWW delta merge into sharded landed table"),

@@ -1,0 +1,357 @@
+"""Promoted ("column") index: the per-wide-row IndexInfo blocks in
+Index.db entries -- the component the reference only ever length-skips
+(its index walk reads promoted_len and seeks past it) -- written by this
+engine's writer and USED for intra-partition clustering-slice seeks.
+
+The 100 TB shape under test: a time-series partition grows to gigabytes;
+a dashboard slice wants one hour of it. With promoted blocks the read
+costs O(slice) bytes; without them it costs O(partition). Pins here:
+exact serialization layout, block extents tiling the atom region, slice
+== full-scan + filter bit for bit across boundary shapes, the actual
+byte-IO skip, zero-data-IO liveness decisions, and composition with
+pushed keys / lz4 / PERMISSIVE."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+
+
+def _write_fixture(dir_path: str, cib: int = 256, wide_n: int = 200,
+                   compression: str | None = None,
+                   dead_partition: bool = False) -> str:
+    """Two-partition sstable: p1 wide (wide_n cells), q2 narrow (3)."""
+    keys = sorted([b"p1", b"q2"], key=lambda k: (N.md5_token(k), k))
+    w = N.SSTableStreamWriter(dir_path, 1, cf="wide",
+                              column_index_bytes=cib,
+                              compression=compression)
+    for k in keys:
+        deletion = (5, 5) if dead_partition and k == b"p1" else None
+        w.start_partition(k, deletion)
+        n = wide_n if k == b"p1" else 3
+        for i in range(n):
+            w.add_cell(b"n%04d" % i, "LIVE", i, b"v" * 20)
+        w.end_partition()
+    return w.close()
+
+
+def _slice_rows(dir_path: str, lo, hi, **reader_kw):
+    rdr = N.SSTableNativeReader(dir_path, 4096, name_range=(lo, hi),
+                                **reader_kw)
+    return sorted((r[1], r[2], r[3], r[4]) for s in rdr.partitions()
+                  for r in rdr._iter_rows(s))
+
+
+def _full_rows_filtered(dir_path: str, lo, hi, live_only=False):
+    rdr = N.SSTableNativeReader(dir_path, 4096, live_only=live_only)
+    out = []
+    for s in rdr.partitions():
+        for r in rdr._iter_rows(s):
+            if r[5] == "PARTITION":
+                continue
+            if (lo is None or r[2] >= lo) and (hi is None or r[2] < hi):
+                out.append((r[1], r[2], r[3], r[4]))
+    return sorted(out)
+
+
+# -- serialization ----------------------------------------------------------
+
+def test_promoted_golden_bytes():
+    """Exact layout: DeletionTime, count, then firstName/lastName/
+    offset/width per IndexInfo (the Cassandra 2.0 RowIndexEntry shape)."""
+    blob = N.serialize_promoted_index(
+        (0x7FFFFFFF, -(1 << 63)),
+        [(b"aa", b"mm", 16, 300), (b"mn", b"zz", 316, 120)])
+    want = (struct.pack(">iq", 0x7FFFFFFF, -(1 << 63))
+            + struct.pack(">i", 2)
+            + struct.pack(">H", 2) + b"aa" + struct.pack(">H", 2) + b"mm"
+            + struct.pack(">qq", 16, 300)
+            + struct.pack(">H", 2) + b"mn" + struct.pack(">H", 2) + b"zz"
+            + struct.pack(">qq", 316, 120))
+    assert blob == want
+    back = N.parse_promoted_index(blob)
+    assert back == {"ldt": 0x7FFFFFFF, "marked_at": -(1 << 63),
+                    "blocks": [(b"aa", b"mm", 16, 300),
+                               (b"mn", b"zz", 316, 120)]}
+    assert N.parse_promoted_index(b"") is None
+
+
+def test_promoted_parse_rejects_corruption():
+    good = N.serialize_promoted_index((0, 0), [(b"a", b"b", 16, 10),
+                                               (b"c", b"d", 26, 10)])
+    for name, blob in [
+        ("truncated-header", good[:10]),
+        ("truncated-info", good[:-4]),
+        ("trailing-bytes", good + b"\x00"),
+        ("negative-count", struct.pack(">iqi", 0, 0, -1)),
+        ("zero-width", N.serialize_promoted_index((0, 0),
+                                                  [(b"a", b"b", 16, 10)])
+         [:-8] + struct.pack(">q", 0)),
+    ]:
+        with pytest.raises(ValueError):
+            N.parse_promoted_index(blob)
+
+
+# -- writer -----------------------------------------------------------------
+
+def test_writer_promotes_only_wide_rows(tmp_path):
+    """Narrow rows keep promoted_len == 0 (entry bytes unchanged from
+    the pre-promoted format); a row spanning >= 2 blocks carries blocks
+    whose extents tile the atom region exactly -- first block starts at
+    the row header's end, widths are contiguous, and the 2-byte end
+    marker is outside every block."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=200)
+    index_path = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    by_key = {key: (off, blob) for key, off, _pos, blob
+              in N.iter_index_promoted(index_path)}
+    assert by_key[b"q2"][1] == b""  # narrow: no promoted index
+    off, blob = by_key[b"p1"]
+    pi = N.parse_promoted_index(blob)
+    assert pi is not None
+    blocks = pi["blocks"]
+    assert len(blocks) >= 2
+    header = 2 + len(b"p1") + 12  # key_len + key + DeletionTime
+    assert blocks[0][2] == header
+    for a, b in zip(blocks, blocks[1:]):
+        assert a[2] + a[3] == b[2], "blocks must tile contiguously"
+        assert a[1] < b[0], "sorted input: block name ranges disjoint"
+    # each block closes at >= cib bytes except the trailing partial one
+    for first, last, boff, width in blocks[:-1]:
+        assert width >= 256
+    # DeletionTime mirrors the row header (live partition)
+    assert pi["ldt"] == N.LIVE_LOCAL_DELETION
+    assert pi["marked_at"] == N.LIVE_MARKED_AT
+    # the atoms region ends 2 bytes before the next row (end marker)
+    data_size = os.path.getsize(data)
+    last_block = blocks[-1]
+    row_extent = {k: o for k, (o, _b) in by_key.items()}
+    ends = sorted(row_extent.values()) + [data_size]
+    row_end = ends[ends.index(off) + 1]
+    assert off + last_block[2] + last_block[3] + 2 == row_end
+
+
+def test_writer_threshold_disables(tmp_path):
+    """column_index_bytes=None keeps every entry promoted-free (the
+    pre-promoted writer behavior, byte for byte)."""
+    data = _write_fixture(str(tmp_path), cib=None, wide_n=200)
+    index_path = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    assert all(blob == b"" for _k, _o, _p, blob
+               in N.iter_index_promoted(index_path))
+
+
+def test_single_block_row_not_promoted(tmp_path):
+    """A row that fits one block gets promoted_len 0: with nothing to
+    skip, the blob would be pure index bloat."""
+    data = _write_fixture(str(tmp_path), cib=1 << 20, wide_n=200)
+    index_path = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    assert all(blob == b"" for _k, _o, _p, blob
+               in N.iter_index_promoted(index_path))
+
+
+# -- block selection --------------------------------------------------------
+
+def test_select_block_runs():
+    blocks = [(b"a", b"f", 16, 100), (b"g", b"m", 116, 100),
+              (b"n", b"s", 216, 100), (b"t", b"z", 316, 50)]
+    # middle slice: two adjacent blocks coalesce into one run
+    assert N._select_block_runs(blocks, b"h", b"p") == [(116, 200 + 116)]
+    # unbounded both sides: everything, one run
+    assert N._select_block_runs(blocks, None, None) == [(16, 366)]
+    # before-all and after-all: empty
+    assert N._select_block_runs(blocks, b"zz", None) == []
+    assert N._select_block_runs(blocks, None, b"a") == []
+    # exact block-edge bounds: hi == first name of next block
+    assert N._select_block_runs(blocks, b"a", b"g") == [(16, 116)]
+    # non-adjacent selections stay separate runs
+    gappy = [(b"a", b"b", 16, 10), (b"c", b"d", 40, 10)]
+    assert N._select_block_runs(gappy, None, None) == [(16, 26), (40, 50)]
+
+
+# -- read parity ------------------------------------------------------------
+
+@pytest.mark.parametrize("compression", [None, "lz4"])
+def test_slice_matches_full_scan_filter(tmp_path, compression):
+    """Sliced read == full scan + filter, bit for bit, across boundary
+    shapes: mid-block bounds, exact block edges, unbounded sides, empty
+    result, whole range."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=300,
+                          compression=compression)
+    index_path = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    blob = {k: b for k, _o, _p, b in N.iter_index_promoted(index_path)}[b"p1"]
+    blocks = N.parse_promoted_index(blob)["blocks"]
+    edge = blocks[1][0]  # exact first name of the second block
+    cases = [
+        (b"n0050", b"n0060"), (None, b"n0002"), (b"n0290", None),
+        (None, None), (b"zzzz", None), (edge, blocks[2][0]),
+        (edge, edge),  # empty half-open interval
+    ]
+    for lo, hi in cases:
+        assert _slice_rows(str(tmp_path), lo, hi) == \
+            _full_rows_filtered(str(tmp_path), lo, hi), (lo, hi)
+
+
+def test_slice_skips_bytes(tmp_path):
+    """The point of the feature: a 10% slice of a wide partition must
+    read well under half the data file's bytes (header + selected
+    blocks only)."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=2000)
+    size = os.path.getsize(data)
+    orig = N.open_data_file
+    reads = [0]
+
+    def counting(path, verify_checksums=True):
+        f, logical = orig(path, verify_checksums)
+
+        class Wrap:
+            def read(self, n=-1):
+                b = f.read(n)
+                reads[0] += len(b)
+                return b
+
+            def seek(self, *a):
+                return f.seek(*a)
+
+            def tell(self):
+                return f.tell()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                f.close()
+
+        return Wrap(), logical
+
+    N.open_data_file = counting
+    try:
+        rows = _slice_rows(str(tmp_path), b"n0100", b"n0300")
+    finally:
+        N.open_data_file = orig
+    assert len(rows) == 200
+    assert reads[0] < size * 0.35, (reads[0], size)
+
+
+def test_dead_partition_skipped_without_data_io(tmp_path):
+    """live_only + promoted: the blob's DeletionTime decides liveness,
+    so a dead wide partition costs ZERO Data.db reads."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=500,
+                          dead_partition=True)
+    # sanity: the blob records the tombstone
+    index_path = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    pi = N.parse_promoted_index(
+        {k: b for k, _o, _p, b in N.iter_index_promoted(index_path)}[b"p1"])
+    assert (pi["ldt"], pi["marked_at"]) == (5, 5)
+    orig = N.open_data_file
+    reads = [0]
+
+    def counting(path, verify_checksums=True):
+        f, logical = orig(path, verify_checksums)
+
+        class Wrap:
+            def read(self, n=-1):
+                b = f.read(n)
+                reads[0] += len(b)
+                return b
+
+            def seek(self, *a):
+                return f.seek(*a)
+
+            def tell(self):
+                return f.tell()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                f.close()
+
+        return Wrap(), logical
+
+    N.open_data_file = counting
+    try:
+        rdr = N.SSTableNativeReader(str(tmp_path), 4096, live_only=True,
+                                    name_range=(None, None))
+        rows = [r for s in rdr.partitions() for r in rdr._iter_rows(s)]
+    finally:
+        N.open_data_file = orig
+    # only q2's 3 narrow cells surface; p1 (dead, wide) read 0 data bytes
+    assert [r[1] for r in rows] == [b"q2"] * 3
+    q2_bytes = 2 + 2 + 12 + 3 * (2 + 5 + 1 + 12 + 20) + 2
+    assert reads[0] <= q2_bytes + 64, reads[0]
+
+
+def test_slice_composes_with_pushed_keys(tmp_path):
+    """key pushdown + name slice: only the matching partition's selected
+    blocks are read (the wide-partition point-lookup-plus-slice shape)."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=300)
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"n0000", b"n0004"))
+    rdr.pushed_keys = {b"q2"}
+    rows = [r for s in rdr.partitions() for r in rdr._iter_rows(s)]
+    assert sorted(r[2] for r in rows) == [b"n0000", b"n0001", b"n0002"]
+    assert all(r[1] == b"q2" for r in rows)
+
+
+def test_slice_through_spark_datasource(tmp_path, spark):
+    """End-to-end through the registered source: hex-encoded options,
+    Arrow batches, both bounds and single-sided."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=120)
+    df = N.read_native_cells(spark, str(tmp_path),
+                             name_range=(b"n0010", b"n0020"))
+    got = sorted(r.name for r in df.collect())
+    assert got == [b"n%04d" % i for i in range(10, 20)]
+    hi_only = N.read_native_cells(spark, str(tmp_path),
+                                  name_range=(None, b"n0002"))
+    assert hi_only.count() == 4  # n0000, n0001 from both partitions
+
+
+def test_pushed_name_bounds_engage_slice(tmp_path, spark):
+    """Plain .filter() range predicates on `name` ride the sliced path
+    as IO hints: pushFilters absorbs >=/>/</<= bounds (strict bounds
+    normalized to half-open via +\\x00) but YIELDS them back, so Spark
+    re-checks and semantics never shift. Sliced hinting engages only
+    with a positive lower bound -- an upper-bound-only filter must NOT
+    silently drop the empty-named PARTITION marker rows that pass the
+    user's own predicate."""
+    from pyspark.sql import functions as F
+
+    _write_fixture(str(tmp_path), cib=256, wide_n=300)
+    df = N.read_native_cells(spark, str(tmp_path))
+    assert df.filter((F.col("name") >= F.lit(b"n0050"))
+                     & (F.col("name") < F.lit(b"n0060"))).count() == 10
+    # strict bounds: (n0050, n0060] is also 10 names
+    assert df.filter((F.col("name") > F.lit(b"n0050"))
+                     & (F.col("name") <= F.lit(b"n0060"))).count() == 10
+    # upper-bound only: markers (name = b"") satisfy the predicate and
+    # MUST surface -- sliced mode stays off without a lower bound
+    kinds = {r.cell_kind for r in
+             df.filter(F.col("name") < F.lit(b"n0002")).collect()}
+    assert "PARTITION" in kinds
+    # key equality + name range compose: indexed seek, then block slice
+    assert df.filter((F.col("key") == F.lit(b"p1"))
+                     & (F.col("name") >= F.lit(b"n0100"))
+                     & (F.col("name") < F.lit(b"n0105"))).count() == 5
+
+
+def test_slice_permissive_error_row(tmp_path, spark):
+    """A corrupt promoted blob under PERMISSIVE surfaces as an ERROR
+    marker row, not a task failure; FAILFAST raises."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=200)
+    index_path = data[:-len(N.DATA_SUFFIX)] + N.INDEX_SUFFIX
+    raw = bytearray(open(index_path, "rb").read())
+    # find p1's entry and stomp its IndexInfo count with garbage
+    at = raw.find(b"p1") + 2 + 8 + 4 + 12  # key + pos + plen + DeletionTime
+    raw[at:at + 4] = struct.pack(">i", -7)
+    with open(index_path, "wb") as f:
+        f.write(raw)
+    df = N.read_native_cells(spark, str(tmp_path), mode="PERMISSIVE",
+                             name_range=(b"n0000", b"n0050"))
+    kinds = {r.cell_kind for r in df.collect()}
+    assert "ERROR" in kinds
+    with pytest.raises(Exception):
+        N.read_native_cells(spark, str(tmp_path),
+                            name_range=(b"n0000", b"n0050")).collect()

@@ -287,7 +287,18 @@ CATALOG: dict[str, QueryDef] = {
                                      "THROUGH streaming (bounded monoid "
                                      "state), scored batch-side"),
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
-                                       "HLL approx distinct (sketch-specific)"),
+                                       "HLL approx distinct (builtin, "
+                                       "sketch-specific rows-only)"),
+    "lineitem_hll_distinct": QueryDef(R.lineitem_hll_distinct,
+                                      R.LINEITEM_HLL_SQL,
+                                      "HyperLogLog with deterministic "
+                                      "integer hashing: FULLY hash-gated "
+                                      "cardinality sketch"),
+    "stream_hll_distinct": QueryDef(ST.stream_hll_distinct,
+                                    R.LINEITEM_HLL_SQL,
+                                    "the HLL register max-monoid "
+                                    "accumulated THROUGH streaming, "
+                                    "scored batch-side"),
     "lineitem_approx_percentiles": QueryDef(R.lineitem_approx_percentiles, None,
                                             "GK approx percentile sketch (error-pinned)"),
     "lineitem_exact_percentiles": QueryDef(R.lineitem_exact_percentiles,

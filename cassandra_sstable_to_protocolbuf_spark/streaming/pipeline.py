@@ -1236,6 +1236,37 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "point_mean", "ci_lo", "ci_hi"))
 
 
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-gated HyperLogLog accumulated THROUGH Structured
+    Streaming: registers are a MAX-monoid (<= 192 rows at any stream
+    size), so complete-mode state converges to the batch sketch
+    regardless of micro-batch splits -- max is order-insensitive and
+    idempotent, the textbook mergeable-sketch property, here PROVEN by
+    gating against the SAME DuckDB oracle as the batch twin
+    (lineitem_hll_distinct). Scoring (integral estimator + exact
+    comparison) runs batch-side at query time, the accumulate-then-
+    score split of stream_countmin_freq."""
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _hll_registers, _hll_score)
+
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    li = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(sf_dir)
+          .select("l_returnflag", "l_orderkey"))
+    regs_stream = _hll_registers(li)
+    name = "stream_hll_" + uuid.uuid4().hex
+    q = (regs_stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    regs = spark.table(name)
+    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_returnflag", "l_orderkey"))
+    return _hll_score(regs, li_b)
+
+
 def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min sketch accumulated THROUGH Structured Streaming --
     the sketch's whole point at 100 TB: its cells are a counter monoid,

@@ -152,6 +152,39 @@ def test_approx_count_distinct_error_bound(spark):
         assert err <= 0.05, f"{r.event_type}: {err:.3f}"
 
 
+def test_hll_sketch_accuracy_and_monoid(spark):
+    """The hash-gated HLL (engine-built, lineitem_hll_distinct): the
+    pinned 20% relative-error bound must actually HOLD (within_20pct
+    TRUE, not merely deterministic), the linear-counting branch must be
+    provably out of play (zero_registers == 0 -- cardinalities >> 2.5m
+    at every SF), and register accumulation must be a true max-monoid:
+    building registers over two disjoint halves and max-merging them
+    equals the single-pass sketch (the property the streaming twin
+    relies on)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _hll_registers, lineitem_hll_distinct)
+
+    for r in lineitem_hll_distinct(spark, SF_SMOKE).collect():
+        assert r.within_20pct, (r.flag, r.hll_orders, r.exact_orders)
+        assert r.zero_registers == 0, r.flag
+        err = abs(r.hll_orders - r.exact_orders) / r.exact_orders
+        assert err <= 0.2, f"{r.flag}: {err:.3f}"
+
+    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+          .select("l_returnflag", "l_orderkey"))
+    whole = {(r.flag, r.bucket): r.m_j
+             for r in _hll_registers(li).collect()}
+    lo = _hll_registers(li.filter(F.col("l_orderkey") % 2 == 0))
+    hi = _hll_registers(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged = {}
+    for r in lo.collect() + hi.collect():
+        k = (r.flag, r.bucket)
+        merged[k] = max(merged.get(k, 0), r.m_j)
+    assert merged == whole
+
+
 def test_connected_components_known_graph(spark):
     from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
         connected_components)

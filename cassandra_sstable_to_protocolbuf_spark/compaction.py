@@ -72,6 +72,33 @@ def derive_n_outputs(total_bytes: int,
     return n
 
 
+def bin_is_executable(task: dict,
+                      target_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES,
+                      ) -> bool:
+    """A planned bin (always >= 2 files) runs iff merging buys
+    something:
+
+    - SHRINK: the size-derived output shard count is below the input
+      file count (fewer, right-sized files), or
+    - OVERSIZE: the bin's inputs average above 2x the target -- the
+      round-6 shrink-only filter silently skipped exactly this case
+      (surfaced by the sf0.1 gate: two ~27 MB overlapping generations
+      derive 8 output shards, 8 >= 2, so nothing ran), yet merging
+      oversized overlapping generations is OPTIMIZE's core job: LWW
+      dedup + token-DISJOINT <= target-sized shards. File count may
+      grow; read amplification and per-file size drop.
+
+    until_stable still terminates: a merge's outputs carry <= target
+    bytes per shard, so any bin of k merge outputs has bytes <=
+    k * target < 2 * target * k -- the OVERSIZE clause can never
+    re-fire on its own outputs -- and the SHRINK clause strictly
+    reduces file count when it fires."""
+    n = len(task["files"])
+    return (n >= 2
+            and (derive_n_outputs(task["bytes"], target_bytes) < n
+                 or task["bytes"] > 2 * target_bytes * n))
+
+
 def input_data_files(input_path: str | list[str]) -> list[str]:
     """Normalize a compaction input (directory, single Data.db, or an
     explicit file list -- the optimize executor's unit of work) to a
@@ -320,11 +347,12 @@ def optimize(spark: SparkSession, input_dir: str,
     """PLAN -> EXECUTE: the lakehouse OPTIMIZE / LSM maintenance loop,
     transactional and concurrent.
 
-    plan_merge_tasks picks the bins; every bin whose merge actually
-    shrinks the file count (size-derived output shard count < input
-    count -- a bin of already-target-sized files is left alone, which is
-    also what makes until_stable terminate) runs as ONE compact task
-    over ONLY that bin's files. Outputs are named
+    plan_merge_tasks picks the bins; every EXECUTABLE bin
+    (bin_is_executable: the merge shrinks the file count, or the
+    inputs are oversized overlapping generations that re-shard into
+    token-disjoint <= target files -- a bin of already-target-sized
+    files is left alone, which is what makes until_stable terminate)
+    runs as ONE compact task over ONLY that bin's files. Outputs are named
     opt-<generation>-<tier>-<bin>-<shard> -- deterministic from the plan
     plus the directory's generation counter, so the DuckDB oracle can
     recompute every output id -- and each bin's publish-then-remove swap
@@ -360,8 +388,7 @@ def optimize(spark: SparkSession, input_dir: str,
     for _round in range(max_rounds):
         txnlog.recover(input_dir)
         tasks = [t for t in plan_merge_tasks(input_dir)
-                 if derive_n_outputs(t["bytes"],
-                                     target_output_bytes) < len(t["files"])]
+                 if bin_is_executable(t, target_output_bytes)]
         if not tasks:
             break
         gen = next_generation(input_dir)
@@ -395,8 +422,7 @@ def optimize(spark: SparkSession, input_dir: str,
             break
     else:
         still = [t for t in plan_merge_tasks(input_dir)
-                 if derive_n_outputs(t["bytes"],
-                                     target_output_bytes) < len(t["files"])]
+                 if bin_is_executable(t, target_output_bytes)]
         if until_stable and still:
             raise RuntimeError(
                 f"optimize(until_stable=True) did not converge within "

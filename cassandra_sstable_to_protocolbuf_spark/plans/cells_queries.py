@@ -756,14 +756,16 @@ tasks AS (
          CAST(SUM(bytes) AS BIGINT) AS task_bytes
   FROM binned GROUP BY 1, 2),
 taskn AS (
-  -- executable bins only: >= 2 files AND the size-derived output shard
-  -- count actually shrinks the file count (a bin of already-target-sized
-  -- files is left untouched -- optimize()'s no-gain filter, which is
-  -- also what makes until_stable terminate)
+  -- executable bins only (bin_is_executable): >= 2 files AND the merge
+  -- either SHRINKS the file count (size-derived shard count < inputs)
+  -- or the inputs are OVERSIZED overlapping generations (> 2x target
+  -- on average) that re-shard into token-disjoint right-sized files;
+  -- a bin of already-target-sized files is left untouched, which is
+  -- also what makes until_stable terminate
   SELECT tier, bin, n FROM (
-    SELECT tier, bin, n_files, {nout_case} AS n
+    SELECT tier, bin, n_files, task_bytes, {nout_case} AS n
     FROM tasks WHERE n_files >= 2)
-  WHERE n < n_files),
+  WHERE n < n_files OR task_bytes > {oversize} * n_files),
 merged_files AS (
   SELECT b.sstable_id, b.tier, b.bin
   FROM binned b JOIN taskn t ON b.tier = t.tier AND b.bin = t.bin),
@@ -799,9 +801,13 @@ SELECT * FROM merged_rows UNION ALL SELECT * FROM straggler_rows
 
 
 def _sst_optimize_execute_sql() -> str:
+    from cassandra_sstable_to_protocolbuf_spark.compaction import (
+        DEFAULT_TARGET_OUTPUT_BYTES)
+
     return SST_OPTIMIZE_EXECUTE_SQL_TEMPLATE.format(
         cells_cte=cells_cte(),
-        nout_case=_derive_n_case_sql("task_bytes"))
+        nout_case=_derive_n_case_sql("task_bytes"),
+        oversize=2 * DEFAULT_TARGET_OUTPUT_BYTES)
 
 
 SST_OPTIMIZE_EXECUTE_SQL = _sst_optimize_execute_sql()

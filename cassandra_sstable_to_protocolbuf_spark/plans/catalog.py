@@ -300,7 +300,20 @@ CATALOG: dict[str, QueryDef] = {
                                     "accumulated THROUGH streaming, "
                                     "scored batch-side"),
     "lineitem_approx_percentiles": QueryDef(R.lineitem_approx_percentiles, None,
-                                            "GK approx percentile sketch (error-pinned)"),
+                                            "GK approx percentile sketch "
+                                            "(builtin, order-dependent "
+                                            "merge: rows-only)"),
+    "lineitem_loghist_percentiles": QueryDef(R.lineitem_loghist_percentiles,
+                                             R.LINEITEM_LOGHIST_SQL,
+                                             "log-linear histogram quantile "
+                                             "sketch (DDSketch family): "
+                                             "FULLY value-gated, float-free"),
+    "stream_loghist_percentiles": QueryDef(ST.stream_loghist_percentiles,
+                                           R.LINEITEM_LOGHIST_SQL,
+                                           "the quantile histogram "
+                                           "count-monoid accumulated "
+                                           "THROUGH streaming, scored "
+                                           "batch-side"),
     "lineitem_exact_percentiles": QueryDef(R.lineitem_exact_percentiles,
                                            R.LINEITEM_EXACT_PERCENTILES_SQL,
                                            "exact discrete percentiles "

@@ -1162,6 +1162,156 @@ FROM agg a JOIN exact e USING (flag)
 LINEITEM_HLL_SQL = _hll_sql()
 
 
+# Log-linear histogram quantile sketch (the DDSketch / HDR-histogram
+# family) -- the quantile analog of the Count-Min/HLL treatment: every
+# quantity is an exact integer in both engines, so the sketch is
+# value-gated end to end, FLOAT-FREE (even the octave index avoids
+# log2: a 5-step bit-smear + bit_count computes floor(log2(v)) in pure
+# integer ops). Geometry: values are positive int64 cents; octave
+# e = floor(log2(v)), 16 linear sub-buckets per octave -> relative
+# bucket width <= 1/16, bounded cells (~16 per octave, ~160 per group
+# in practice), counts a MERGE-friendly monoid. Quantile recovery:
+# cumulative counts in (e, sub) order; the q-th percentile estimate is
+# the lower bound of the first bucket whose cumsum reaches the ceil
+# rank -- guaranteed est <= exact <= est * 17/16, emitted as the
+# integer-exact within_bound column. Unlike GK (order-dependent merge,
+# rows-only gate), this sketch is deterministic under ANY partitioning
+# or merge order.
+_LOGHIST_PCTS = (50, 95, 99)
+_LOGHIST_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+
+def _loghist_sketch(li: DataFrame) -> DataFrame:
+    """(flag, e, sub, n) bucket counts -- bounded, deterministic,
+    count-monoid. The bit-smear propagates the top set bit down so
+    bit_count(smeared) - 1 == floor(log2(v)) exactly, no float."""
+    v0 = li.selectExpr("l_returnflag AS flag",
+                       f"{_LOGHIST_CENTS} AS v")
+    sm = (v0.selectExpr("flag", "v", "v | shiftright(v, 1) AS s")
+          .selectExpr("flag", "v", "s | shiftright(s, 2) AS s")
+          .selectExpr("flag", "v", "s | shiftright(s, 4) AS s")
+          .selectExpr("flag", "v", "s | shiftright(s, 8) AS s")
+          .selectExpr("flag", "v", "s | shiftright(s, 16) AS s")
+          .selectExpr("flag", "v", "bit_count(s) - 1 AS e"))
+    bk = sm.selectExpr(
+        "flag", "e",
+        "((v - shiftleft(CAST(1 AS BIGINT), e)) * 16) "
+        "DIV shiftleft(CAST(1 AS BIGINT), e) AS sub")
+    return bk.groupBy("flag", "e", "sub").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _loghist_score(sketch: DataFrame, li: DataFrame) -> DataFrame:
+    """Sketch -> per-percentile integral estimates joined with the
+    exact order statistics and the pinned est <= exact <= est*17/16
+    bound (all integer comparisons)."""
+    from pyspark.sql import Window
+
+    pcts = F.explode(F.array(*[F.lit(q) for q in _LOGHIST_PCTS]))
+    tot = sketch.groupBy("flag").agg(F.sum("n").alias("total"))
+    targets = (tot.select("flag", "total", pcts.alias("pct"))
+               .selectExpr("flag", "pct",
+                           "(pct * total + 99) DIV 100 AS r"))
+    cum = sketch.withColumn(
+        "c", F.sum("n").over(
+            Window.partitionBy("flag").orderBy("e", "sub")))
+    est = (cum.join(F.broadcast(targets), "flag")
+           .filter(F.col("c") >= F.col("r"))
+           .groupBy("flag", "pct")
+           .agg(F.min(F.expr(
+               "shiftleft(CAST(1 AS BIGINT), e) * (16 + sub) DIV 16"))
+               .alias("est_cents")))
+    v0 = li.selectExpr("l_returnflag AS flag", f"{_LOGHIST_CENTS} AS v")
+    ranked = v0.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("flag").orderBy("v")))
+    counts = v0.groupBy("flag").agg(F.count(F.lit(1)).alias("cnt"))
+    extgt = (counts.select("flag", "cnt", pcts.alias("pct"))
+             .selectExpr("flag", "pct", "(pct * cnt + 99) DIV 100 AS r"))
+    exact = (ranked.join(F.broadcast(extgt), "flag")
+             .filter(F.col("rn") == F.col("r"))
+             .select("flag", "pct", F.col("v").alias("exact_cents")))
+    return (est.join(exact, ["flag", "pct"])
+            .select("flag", "pct", "est_cents", "exact_cents",
+                    ((F.col("est_cents") <= F.col("exact_cents"))
+                     & (F.col("exact_cents") * 16
+                        <= F.col("est_cents") * 17)).alias("within_bound")))
+
+
+def lineitem_loghist_percentiles(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """FULLY value-gated quantile sketch (see the _LOGHIST_* header
+    comment): p50/p95/p99 of extendedprice cents per returnflag
+    recovered from a bounded log-linear histogram, DuckDB rebuilding the
+    identical buckets. Scale shape: one narrow integer projection, one
+    hash agg into ~160 cells per group, window + broadcast scoring over
+    the bounded sketch -- the fixed-memory quantiles a 100 TB pipeline
+    keeps where exact order statistics would global-sort; the exact
+    side here exists only to gate the bound. The GK twin
+    (lineitem_approx_percentiles) stays rows-only by nature (its merge
+    is order-dependent); this one certifies the algorithm itself."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_returnflag", "l_extendedprice"))
+    return _loghist_score(_loghist_sketch(li), li)
+
+
+LINEITEM_LOGHIST_SQL = f"""
+WITH v0 AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+s1 AS (SELECT flag, v, v | (v >> 1) AS s FROM v0),
+s2 AS (SELECT flag, v, s | (s >> 2) AS s FROM s1),
+s3 AS (SELECT flag, v, s | (s >> 4) AS s FROM s2),
+s4 AS (SELECT flag, v, s | (s >> 8) AS s FROM s3),
+s5 AS (SELECT flag, v, s | (s >> 16) AS s FROM s4),
+sm AS (SELECT flag, v, bit_count(s) - 1 AS e FROM s5),
+bk AS (
+  SELECT flag, e,
+         ((v - (CAST(1 AS BIGINT) << e)) * 16) // (CAST(1 AS BIGINT) << e)
+             AS sub
+  FROM sm
+),
+sketch AS (SELECT flag, e, sub, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bk GROUP BY 1, 2, 3),
+tot AS (SELECT flag, CAST(SUM(n) AS BIGINT) AS total FROM sketch GROUP BY 1),
+cum AS (
+  SELECT flag, e, sub,
+         CAST(SUM(n) OVER (PARTITION BY flag ORDER BY e, sub) AS BIGINT) AS c
+  FROM sketch
+),
+pcts AS (SELECT UNNEST([{", ".join(str(q) for q in _LOGHIST_PCTS)}]) AS pct),
+targets AS (
+  SELECT t.flag, pcts.pct, (pcts.pct * t.total + 99) // 100 AS r
+  FROM tot t CROSS JOIN pcts
+),
+est AS (
+  SELECT tg.flag, tg.pct,
+         MIN((CAST(1 AS BIGINT) << c.e) * (16 + c.sub) // 16) AS est_cents
+  FROM targets tg JOIN cum c ON c.flag = tg.flag AND c.c >= tg.r
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT flag, v,
+         ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS rn
+  FROM v0
+),
+counts AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS cnt FROM v0 GROUP BY 1),
+extgt AS (
+  SELECT c.flag, pcts.pct, (pcts.pct * c.cnt + 99) // 100 AS r
+  FROM counts c CROSS JOIN pcts
+),
+exact AS (
+  SELECT rk.flag, tg.pct, rk.v AS exact_cents
+  FROM ranked rk JOIN extgt tg ON rk.flag = tg.flag AND rk.rn = tg.r
+)
+SELECT e.flag, e.pct, e.est_cents, x.exact_cents,
+       e.est_cents <= x.exact_cents
+           AND x.exact_cents * 16 <= e.est_cents * 17 AS within_bound
+FROM est e JOIN exact x ON e.flag = x.flag AND e.pct = x.pct
+"""
+
+
 def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type (rows-only check:
     sketch internals are implementation-specific -- the engine-built,

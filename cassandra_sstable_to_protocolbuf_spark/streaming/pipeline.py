@@ -1267,6 +1267,38 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hll_score(regs, li_b)
 
 
+def stream_loghist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-gated log-linear quantile sketch accumulated THROUGH
+    Structured Streaming: bucket counts are a count-monoid (<= ~500
+    rows at any stream size), so complete-mode state converges to the
+    batch sketch under any micro-batch split. Percentile recovery and
+    the exact-order-statistic comparison run batch-side at query time;
+    gated against the SAME oracle as lineitem_loghist_percentiles."""
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _loghist_score, _loghist_sketch)
+
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    li = (spark.readStream.schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(sf_dir)
+          .select("l_returnflag", "l_extendedprice"))
+    sketch_stream = _loghist_sketch(li)
+    name = "stream_loghist_" + uuid.uuid4().hex
+    q = (sketch_stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # scoring self-joins the sketch (cumsum side vs rank-target side);
+    # a memory-sink table can't carry the two lineages without
+    # conflicting attribute ids, so pin the BOUNDED (<= ~500 row)
+    # register table once
+    sketch = spark.table(name).localCheckpoint()
+    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_returnflag", "l_extendedprice"))
+    return _loghist_score(sketch, li_b)
+
+
 def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min sketch accumulated THROUGH Structured Streaming --
     the sketch's whole point at 100 TB: its cells are a counter monoid,

@@ -185,6 +185,48 @@ def test_hll_sketch_accuracy_and_monoid(spark):
     assert merged == whole
 
 
+def test_loghist_percentiles_bound_and_monoid(spark):
+    """The float-free quantile sketch (lineitem_loghist_percentiles):
+    est <= exact <= est * 17/16 must HOLD (within_bound TRUE), the
+    bit-smear octave must equal floor(log2(v)) on adversarial values
+    (powers of two, off-by-ones), and bucket counts must be a true
+    count-monoid: sketching two disjoint halves and adding equals the
+    single-pass sketch."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _loghist_sketch, lineitem_loghist_percentiles)
+
+    for r in lineitem_loghist_percentiles(spark, SF_SMOKE).collect():
+        assert r.within_bound, (r.flag, r.pct, r.est_cents, r.exact_cents)
+        assert r.est_cents <= r.exact_cents <= r.est_cents * 17 // 16
+
+    # bit-smear == floor(log2) on the exact boundary cases
+    vals = [1, 2, 3, 4, 7, 8, 15, 16, 17, (1 << 20) - 1, 1 << 20,
+            (1 << 24) + 1, (1 << 25) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sm = (df.selectExpr("v", "v | shiftright(v, 1) AS s")
+          .selectExpr("v", "s | shiftright(s, 2) AS s")
+          .selectExpr("v", "s | shiftright(s, 4) AS s")
+          .selectExpr("v", "s | shiftright(s, 8) AS s")
+          .selectExpr("v", "s | shiftright(s, 16) AS s")
+          .selectExpr("v", "bit_count(s) - 1 AS e"))
+    for r in sm.collect():
+        assert r.e == r.v.bit_length() - 1, (r.v, r.e)
+
+    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+          .select("l_returnflag", "l_extendedprice", "l_orderkey"))
+    whole = {(r.flag, r.e, r.sub): r.n
+             for r in _loghist_sketch(li).collect()}
+    lo = _loghist_sketch(li.filter(F.col("l_orderkey") % 2 == 0))
+    hi = _loghist_sketch(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged: dict = {}
+    for r in lo.collect() + hi.collect():
+        k = (r.flag, r.e, r.sub)
+        merged[k] = merged.get(k, 0) + r.n
+    assert merged == whole
+
+
 def test_connected_components_known_graph(spark):
     from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
         connected_components)

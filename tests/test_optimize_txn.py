@@ -87,6 +87,34 @@ def test_no_gain_bin_is_left_alone(spark, tmp_path):
     assert _data_files(d) == pre_files and _lww(spark, d) == pre
 
 
+def test_oversized_bin_reshards_and_stabilizes(spark, tmp_path):
+    """The r7 sf0.1 regression, pinned at unit scale: a bin of 2
+    overlapping generations each far ABOVE the target derives MORE
+    output shards than inputs -- the old shrink-only filter skipped it
+    and optimize() returned [] -- but it must merge (LWW dedup,
+    token-disjoint right-sized shards), and the resulting target-sized
+    outputs must NOT re-qualify (until_stable terminates)."""
+    d = str(tmp_path)
+    a = _mk(d, "aa", 300, 40, ts=10)
+    b = _mk(d, "bb", 300, 40, ts=20)  # same keys: newest wins
+    total = CP.logical_data_bytes([a, b])
+    target = total // 10  # each input ~5x the target
+    assert CP.derive_n_outputs(total, target) > 2  # old filter: skipped
+    task = CP.plan_merge_tasks(d)[0]
+    assert CP.bin_is_executable(task, target)
+    pre = _lww(spark, d)
+    results = CP.optimize(spark, d, target_output_bytes=target,
+                          until_stable=True)
+    assert results and all("error" not in e for e in results)
+    assert _lww(spark, d) == pre, "LWW state must survive the re-shard"
+    files = _data_files(d)
+    assert len(files) > 2 and all(f.startswith("ks-opt-") for f in files)
+    # converged: nothing left to do, and a rerun is a no-op
+    assert [t for t in CP.plan_merge_tasks(d)
+            if CP.bin_is_executable(t, target)] == []
+    assert CP.optimize(spark, d, target_output_bytes=target) == []
+
+
 def test_crash_before_commit_rolls_back(spark, tmp_path, monkeypatch):
     """Outputs published but the COMMIT flip never happens: readers keep
     seeing ONLY the old generation; recover() removes the partial

@@ -183,6 +183,11 @@ HEADLINE = [
     "docs_bm25_topk",
     "events_countmin_freq",
     "stream_countmin_freq",
+    # round 7: the remaining sketches gated (HLL + quantile histogram)
+    "lineitem_hll_distinct",
+    "stream_hll_distinct",
+    "lineitem_loghist_percentiles",
+    "stream_loghist_percentiles",
     "emb_maxsim_topk",
     "emb_maxsim_rerank",
     "emb_pca_power",

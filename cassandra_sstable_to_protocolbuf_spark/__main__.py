@@ -58,6 +58,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "verify-digest <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "slice <sstable_dir_or_data_file> <name_start> <name_end> <output_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "build-corpus <sf_dir> <out_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "repair-diff <stale_sstables> <synced_sstables>\n"
@@ -205,6 +207,40 @@ def to_parquet(input_path: str, output_dir: str,
                     key=lambda r: str(r[group_col])):
         print(f"{r[group_col]}: cells={r.n}")
     print(f"landed {landed.count()} reconciled cells to {output_dir}")
+    return 0
+
+
+def slice_cmd(input_path: str, name_start: str, name_end: str,
+              output_dir: str) -> int:
+    """Clustering-slice export: land ONLY the cells whose name falls in
+    [name_start, name_end) as parquet, using the promoted-index seek
+    path -- inside a wide partition, blocks outside the slice are never
+    read (sources/sstable_native.py `name_range`). The time-series
+    shape: exporting one hour out of gigabyte partitions costs
+    O(slice), not O(partition)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        ensure_shipped, get_spark)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    if not (name_start < name_end):
+        _die(f"empty slice: name_start {name_start!r} must sort below "
+             f"name_end {name_end!r}")
+    spark = get_spark("sstable-slice")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_shipped(spark)
+    cells = read_native_cells(
+        spark, input_path,
+        name_range=(name_start.encode(), name_end.encode()))
+    cells.write.mode("overwrite").parquet(output_dir)
+    landed = spark.read.parquet(output_dir)
+    for r in sorted(landed.groupBy("sstable_id")
+                    .agg(F.count(F.lit(1)).alias("n")).collect(),
+                    key=lambda r: r.sstable_id):
+        print(f"{r.sstable_id}: cells={r.n}")
+    print(f"landed {landed.count()} sliced cells to {output_dir}")
     return 0
 
 
@@ -861,6 +897,13 @@ def main(argv: list[str]) -> int:
         if not os.path.isdir(args[2]):
             _die(f"sf dir does not exist: {args[2]}")
         return check_cmd(args[1], args[2])
+    if args and args[0] == "slice":
+        if len(args) != 5 or continue_on_error or by_shard or mor \
+                or no_grace or force or until_stable:
+            _die(USAGE)
+        if not os.path.exists(args[1]):
+            _die(f"input path does not exist: {args[1]}")
+        return slice_cmd(args[1], args[2], args[3], args[4])
     if args and args[0] == "merge-into":
         if len(args) != 4:
             _die(USAGE)

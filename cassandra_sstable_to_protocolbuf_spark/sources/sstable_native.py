@@ -1690,6 +1690,15 @@ class SSTableNativeReader(DataSourceReader):
             elif isinstance(f, In) and f.attribute == ("key",) \
                     and all(isinstance(v, (bytes, bytearray)) for v in f.value):
                 vals = {bytes(v) for v in f.value}
+            elif isinstance(f, EqualTo) and f.attribute == ("name",) \
+                    and isinstance(f.value, (bytes, bytearray)):
+                # name = X is the degenerate slice [X, X+\x00)
+                v = bytes(f.value)
+                name_lo = v if name_lo is None else max(name_lo, v)
+                v += b"\x00"
+                name_hi = v if name_hi is None else min(name_hi, v)
+                yield f  # hint only: Spark re-checks the predicate
+                continue
             elif isinstance(f, (GreaterThan, GreaterThanOrEqual, LessThan,
                                 LessThanOrEqual)) \
                     and f.attribute == ("name",) \

@@ -545,3 +545,34 @@ def test_optimize_plan_cli(tmp_path, capsys):
     empty.mkdir()
     with pytest.raises(SystemExit):
         main(["optimize-plan", str(empty)])
+
+
+def test_slice_cli(tmp_path, spark, capsys):
+    """Clustering-slice export: only cells in [name_start, name_end)
+    land (via the promoted-index seek path for wide partitions); an
+    empty/inverted slice dies with usage-style exit 2."""
+    from cassandra_sstable_to_protocolbuf_spark.__main__ import main
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        SSTableStreamWriter, md5_token)
+
+    d = tmp_path / "in"
+    out = tmp_path / "out"
+    keys = sorted([b"p1", b"q2"], key=lambda k: (md5_token(k), k))
+    w = SSTableStreamWriter(str(d), 1, cf="wide", column_index_bytes=256)
+    for k in keys:
+        w.start_partition(k)
+        for i in range(200 if k == b"p1" else 3):
+            w.add_cell(b"n%04d" % i, "LIVE", i, b"v")
+        w.end_partition()
+    w.close()
+
+    assert main(["slice", str(d), "n0010", "n0020", str(out)]) == 0
+    assert "landed 10 sliced cells" in capsys.readouterr().out
+    names = sorted(bytes(r.name) for r in
+                   spark.read.parquet(str(out)).collect())
+    assert names == [b"n%04d" % i for i in range(10, 20)]
+
+    with pytest.raises(SystemExit):
+        main(["slice", str(d), "zz", "aa", str(out)])  # inverted slice
+    with pytest.raises(SystemExit):
+        main(["slice", str(d), "n0010", "n0020"])  # bad arg count

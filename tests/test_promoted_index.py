@@ -335,6 +335,10 @@ def test_pushed_name_bounds_engage_slice(tmp_path, spark):
     assert df.filter((F.col("key") == F.lit(b"p1"))
                      & (F.col("name") >= F.lit(b"n0100"))
                      & (F.col("name") < F.lit(b"n0105"))).count() == 5
+    # name equality: the degenerate slice [X, X+\x00) -- one cell per
+    # partition that has it
+    assert df.filter(F.col("name") == F.lit(b"n0123")).count() == 1
+    assert df.filter(F.col("name") == F.lit(b"n0001")).count() == 2
 
 
 def test_slice_permissive_error_row(tmp_path, spark):

@@ -1569,6 +1569,26 @@ def scan_partitions_eager(data_path: str, start: int, end: int) -> Iterator[dict
         yield {**part, "cells": list(part["cells"])}
 
 
+class _SliceRunSplit(InputPartition):
+    """One task's worth of promoted-index block RUNS inside a single
+    wide partition -- the unit that parallelizes a clustering slice of
+    a gigabyte partition across executors (plan-time chunking by
+    _slice_splits; a giant partition's slice would otherwise read in
+    ONE task). `runs` are (start, end) byte offsets relative to the
+    row's Data.db position; the partition header is never re-read (key
+    and liveness ride the split, both known from Index.db alone)."""
+
+    def __init__(self, sstable_id: str, data_path: str, key: bytes,
+                 position: int, live: bool,
+                 runs: list[tuple[int, int]]):
+        self.sstable_id = sstable_id
+        self.data_path = data_path
+        self.key = key
+        self.position = position
+        self.live = live
+        self.runs = runs
+
+
 class _SSTableSplit(InputPartition):
     def __init__(self, sstable_id: str, data_path: str, start: int, end: int,
                  error: str | None = None, verify: bool = False,
@@ -1844,6 +1864,15 @@ class SSTableNativeReader(DataSourceReader):
                 seek_keys))
             return splits
 
+        if self.name_range is not None:
+            sliced = self._slice_splits(sstable_id, data_path, index_path,
+                                        token, size)
+            if sliced is not None:
+                splits.extend(sliced)
+                return splits
+            # fallback (huge index / old format / unparseable blob):
+            # coarse splits below, executor-side index walk as before
+
         # S3: split boundaries every k-th index entry. Planning never
         # materializes the index: either stride over the sampled
         # summary (no Index.db IO at all) or stream the index keeping
@@ -1948,6 +1977,104 @@ class SSTableNativeReader(DataSourceReader):
                                          index_start=found_ipos))
         return out
 
+    # one _SliceRunSplit carries about this many selected-block bytes: the
+    # plan-time chunking that parallelizes a giant partition's slice
+    # across executors (a 1 GB selected region becomes ~32 tasks)
+    SLICE_SPLIT_BYTES = 32 << 20
+    # plan-time index walks are bounded: past this Index.db size (giant
+    # promoted blobs -- the era's RowIndexEntry-on-heap ceiling), planning
+    # falls back to coarse splits and the executor-side lockstep walk
+    SLICE_INDEX_WALK_CAP = 64 << 20
+
+    def _slice_splits(self, sstable_id: str, data_path: str,
+                      index_path: str, token, size: int) -> list | None:
+        """Plan-time split derivation for a clustering slice: walk the
+        index ONCE on the driver, skip whole partitions whose promoted
+        blocks (or liveness) exclude the slice, and chunk each wide
+        partition's selected block runs into ~SLICE_SPLIT_BYTES
+        _SliceRunSplits -- intra-PARTITION parallelism, the piece the
+        executor-side lockstep walk cannot provide (one giant
+        partition's slice would otherwise be one task). Narrow
+        (unpromoted) partitions coalesce into classic byte-range splits
+        handled by the executor walk. Returns None to decline --
+        oversized index, pre-'ja' framing, or any unparseable promoted
+        blob (the coarse path owns PERMISSIVE/FAILFAST corruption
+        semantics) -- in which case planning falls back unchanged."""
+        try:
+            if os.path.getsize(index_path) > self.SLICE_INDEX_WALK_CAP:
+                return None
+            if Descriptor.from_filename(data_path).has_row_size_and_column_count:
+                return None
+        except (OSError, ValueError):
+            return None
+        lo, hi = self.name_range
+        out: list = []
+        k = self.partitions_per_split
+        narrow_start = narrow_ipos = None
+        narrow_n = 0
+
+        def flush_narrow(end_off: int) -> None:
+            nonlocal narrow_start, narrow_ipos, narrow_n
+            if narrow_start is not None:
+                out.append(_SSTableSplit(sstable_id, data_path,
+                                         narrow_start, end_off,
+                                         index_start=narrow_ipos))
+                narrow_start = narrow_ipos = None
+                narrow_n = 0
+
+        try:
+            for key, off, ipos, blob in iter_index_promoted(index_path):
+                if self.pushed_keys is not None \
+                        and key not in self.pushed_keys:
+                    flush_narrow(off)
+                    continue
+                if self.token_range is not None \
+                        and not self._in_token_range(key):
+                    flush_narrow(off)
+                    continue
+                pi = parse_promoted_index(blob)
+                if pi is None:
+                    # narrow row: coalesce into classic splits, at most
+                    # k rows each (the executor walk emit-filters)
+                    if narrow_n >= k:
+                        flush_narrow(off)  # close the full window here
+                    if narrow_start is None:
+                        narrow_start, narrow_ipos = off, ipos
+                    narrow_n += 1
+                    continue
+                flush_narrow(off)
+                live = (pi["ldt"] == LIVE_LOCAL_DELETION
+                        and pi["marked_at"] == LIVE_MARKED_AT)
+                if self.live_only and not live:
+                    continue  # dead wide partition: zero splits, zero IO
+                # chunk at BLOCK granularity (block edges are atom
+                # boundaries; a coalesced run would hide them and a
+                # fully-contiguous selection would collapse back into
+                # one task), merging adjacency within a chunk only
+                chunk: list[tuple[int, int]] = []
+                chunk_bytes = 0
+                for first, last, offset, width in pi["blocks"]:
+                    if lo is not None and last < lo:
+                        continue
+                    if hi is not None and first >= hi:
+                        continue
+                    if chunk and chunk[-1][1] == offset:
+                        chunk[-1] = (chunk[-1][0], offset + width)
+                    else:
+                        chunk.append((offset, offset + width))
+                    chunk_bytes += width
+                    if chunk_bytes >= self.SLICE_SPLIT_BYTES:
+                        out.append(_SliceRunSplit(sstable_id, data_path,
+                                                  key, off, live, chunk))
+                        chunk, chunk_bytes = [], 0
+                if chunk:
+                    out.append(_SliceRunSplit(sstable_id, data_path,
+                                              key, off, live, chunk))
+        except ValueError:
+            return None  # corrupt index/blob: coarse path owns semantics
+        flush_narrow(size)
+        return out
+
     ARROW_BATCH_ROWS = 8192
 
     def _iter_rows(self, split) -> Iterator[tuple]:
@@ -2003,6 +2130,24 @@ class SSTableNativeReader(DataSourceReader):
         data IO. The block min/max test over-selects only; membership
         is re-checked per atom, so results match full-scan + filter
         bit for bit (pinned in tests/test_promoted_index.py)."""
+        lo, hi = self.name_range
+        if isinstance(split, _SliceRunSplit):
+            # plan-derived block runs inside ONE wide partition: seek,
+            # read, residual-filter -- no header or index IO at all
+            f, _logical_size = open_data_file(split.data_path)
+            with f:
+                for run_start, run_end in split.runs:
+                    f.seek(split.position + run_start)
+                    for c in _read_cell_atoms(
+                            f, until=split.position + run_end):
+                        if self.live_only and c["kind"] != "LIVE":
+                            continue
+                        if self._cell_in_range(c["name"]):
+                            yield (split.sstable_id, split.key, c["name"],
+                                   c["value"], c["timestamp"], c["kind"],
+                                   c["ttl"], c["local_expiration"],
+                                   split.live)
+            return
         index_path = split.data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
         try:
             old_format = Descriptor.from_filename(
@@ -2031,7 +2176,6 @@ class SSTableNativeReader(DataSourceReader):
                                c["ttl"], c["local_expiration"],
                                part["deletion_live"])
             return
-        lo, hi = self.name_range
         f, _logical_size = open_data_file(split.data_path)
         with f:
             for key, position, _ipos, blob in iter_index_promoted(

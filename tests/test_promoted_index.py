@@ -309,6 +309,57 @@ def test_slice_through_spark_datasource(tmp_path, spark):
     assert hi_only.count() == 4  # n0000, n0001 from both partitions
 
 
+def test_slice_parallelizes_inside_one_partition(tmp_path):
+    """The 100 TB shape: ONE giant partition's slice must plan into
+    MULTIPLE _SliceRunSplits (intra-partition parallelism -- the
+    executor-side walk alone would read it in one task), the runs must
+    tile the selected blocks disjointly across splits, and the
+    distributed result must equal full-scan + filter."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=2000)
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"n0100", b"n1900"))
+    rdr.SLICE_SPLIT_BYTES = 4096  # force chunking at test scale
+    splits = rdr.partitions()
+    run_splits = [s for s in splits if isinstance(s, N._SliceRunSplit)]
+    assert len(run_splits) > 4, "giant partition must chunk into tasks"
+    assert all(s.key == b"p1" for s in run_splits)
+    # runs are disjoint and ascending across ALL the partition's splits
+    all_runs = sorted(r for s in run_splits for r in s.runs)
+    for (a0, a1), (b0, b1) in zip(all_runs, all_runs[1:]):
+        assert a1 <= b0, "runs must never overlap"
+    rows = sorted((r[1], r[2]) for s in splits for r in rdr._iter_rows(s))
+    want = _full_rows_filtered(str(tmp_path), b"n0100", b"n1900")
+    assert rows == [(k, n) for k, n, _v, _t in want]
+
+
+def test_slice_plans_zero_splits_for_dead_partition(tmp_path):
+    """live_only + dead wide partition: the PLAN already excludes it
+    (DeletionTime lives in the blob) -- zero splits, not merely zero
+    rows."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=500,
+                   dead_partition=True)
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096, live_only=True,
+                                name_range=(None, None))
+    splits = rdr.partitions()
+    assert not any(isinstance(s, N._SliceRunSplit) for s in splits)
+    rows = [r for s in splits for r in rdr._iter_rows(s)]
+    assert [r[1] for r in rows] == [b"q2"] * 3  # narrow survivor only
+
+
+def test_slice_index_cap_falls_back_to_walk(tmp_path):
+    """Past SLICE_INDEX_WALK_CAP the planner declines (driver memory/IO
+    bound) and the executor-side lockstep walk serves the same rows."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=300)
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"n0050", b"n0060"))
+    rdr.SLICE_INDEX_WALK_CAP = 0  # everything is "too big"
+    splits = rdr.partitions()
+    assert not any(isinstance(s, N._SliceRunSplit) for s in splits)
+    rows = sorted((r[1], r[2]) for s in splits for r in rdr._iter_rows(s))
+    assert rows == [(k, n) for k, n, _v, _t in
+                    _full_rows_filtered(str(tmp_path), b"n0050", b"n0060")]
+
+
 def test_pushed_name_bounds_engage_slice(tmp_path, spark):
     """Plain .filter() range predicates on `name` ride the sliced path
     as IO hints: pushFilters absorbs >=/>/</<= bounds (strict bounds

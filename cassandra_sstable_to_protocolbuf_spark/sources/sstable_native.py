@@ -1314,6 +1314,35 @@ def _select_block_runs(blocks: list[tuple[bytes, bytes, int, int]],
     return runs
 
 
+def _chunk_block_runs(blocks: list[tuple[bytes, bytes, int, int]],
+                      lo: bytes | None, hi: bytes | None,
+                      budget: int) -> list[list[tuple[int, int]]]:
+    """Slice-selected blocks grouped into ~budget-byte chunks of
+    (start, end) runs -- the unit of intra-partition parallelism.
+    Chunking happens at BLOCK granularity (block edges are atom
+    boundaries), merging adjacency only within a chunk, so a fully
+    contiguous selection still fans out."""
+    chunks: list[list[tuple[int, int]]] = []
+    chunk: list[tuple[int, int]] = []
+    chunk_bytes = 0
+    for first, last, offset, width in blocks:
+        if lo is not None and last < lo:
+            continue
+        if hi is not None and first >= hi:
+            continue
+        if chunk and chunk[-1][1] == offset:
+            chunk[-1] = (chunk[-1][0], offset + width)
+        else:
+            chunk.append((offset, offset + width))
+        chunk_bytes += width
+        if chunk_bytes >= budget:
+            chunks.append(chunk)
+            chunk, chunk_bytes = [], 0
+    if chunk:
+        chunks.append(chunk)
+    return chunks
+
+
 def _iter_index_impl(index_path: str, start_pos: int, with_promoted: bool):
     size = os.path.getsize(index_path)
     with open(index_path, "rb") as f:
@@ -1859,9 +1888,17 @@ class SSTableNativeReader(DataSourceReader):
         if seek_keys is not None:
             # S5 indexed seek: one split per matching partition;
             # everything else in the file is never read
-            splits.extend(self._seek_splits(
+            found = self._seek_splits(
                 sstable_id, data_path, index_path, summary, token, size,
-                seek_keys))
+                seek_keys)
+            if self.name_range is not None:
+                # wide-partition point query + slice: each matched
+                # partition reads ITS OWN entry's promoted blob (one
+                # bounded read at the split's index position -- the
+                # O(interval) seek contract holds, never a file walk)
+                # and fans out into run-splits like the full-scan path
+                found = self._slice_expand_seek(index_path, found)
+            splits.extend(found)
             return splits
 
         if self.name_range is not None:
@@ -1986,6 +2023,36 @@ class SSTableNativeReader(DataSourceReader):
     # falls back to coarse splits and the executor-side lockstep walk
     SLICE_INDEX_WALK_CAP = 64 << 20
 
+    def _slice_expand_seek(self, index_path: str, found: list) -> list:
+        """Fan a seek split (one matched partition) out into
+        _SliceRunSplits from its entry's promoted blob. One bounded
+        index read per split; unpromoted/corrupt entries keep the
+        original split (executor walk owns their semantics), dead
+        partitions under live_only plan to nothing."""
+        lo, hi = self.name_range
+        out = []
+        for split in found:
+            try:
+                key, off, _ipos, blob = next(iter_index_promoted(
+                    index_path, start_pos=split.index_start))
+                pi = parse_promoted_index(blob)
+            except (StopIteration, ValueError, OSError):
+                out.append(split)
+                continue
+            if pi is None:
+                out.append(split)
+                continue
+            live = (pi["ldt"] == LIVE_LOCAL_DELETION
+                    and pi["marked_at"] == LIVE_MARKED_AT)
+            if self.live_only and not live:
+                continue
+            for chunk in _chunk_block_runs(pi["blocks"], lo, hi,
+                                           self.SLICE_SPLIT_BYTES):
+                out.append(_SliceRunSplit(split.sstable_id,
+                                          split.data_path, key, off,
+                                          live, chunk))
+        return out
+
     def _slice_splits(self, sstable_id: str, data_path: str,
                       index_path: str, token, size: int) -> list | None:
         """Plan-time split derivation for a clustering slice: walk the
@@ -2047,27 +2114,8 @@ class SSTableNativeReader(DataSourceReader):
                         and pi["marked_at"] == LIVE_MARKED_AT)
                 if self.live_only and not live:
                     continue  # dead wide partition: zero splits, zero IO
-                # chunk at BLOCK granularity (block edges are atom
-                # boundaries; a coalesced run would hide them and a
-                # fully-contiguous selection would collapse back into
-                # one task), merging adjacency within a chunk only
-                chunk: list[tuple[int, int]] = []
-                chunk_bytes = 0
-                for first, last, offset, width in pi["blocks"]:
-                    if lo is not None and last < lo:
-                        continue
-                    if hi is not None and first >= hi:
-                        continue
-                    if chunk and chunk[-1][1] == offset:
-                        chunk[-1] = (chunk[-1][0], offset + width)
-                    else:
-                        chunk.append((offset, offset + width))
-                    chunk_bytes += width
-                    if chunk_bytes >= self.SLICE_SPLIT_BYTES:
-                        out.append(_SliceRunSplit(sstable_id, data_path,
-                                                  key, off, live, chunk))
-                        chunk, chunk_bytes = [], 0
-                if chunk:
+                for chunk in _chunk_block_runs(pi["blocks"], lo, hi,
+                                               self.SLICE_SPLIT_BYTES):
                     out.append(_SliceRunSplit(sstable_id, data_path,
                                               key, off, live, chunk))
         except ValueError:

@@ -346,6 +346,32 @@ def test_slice_plans_zero_splits_for_dead_partition(tmp_path):
     assert [r[1] for r in rows] == [b"q2"] * 3  # narrow survivor only
 
 
+def test_seek_plus_slice_fans_out(tmp_path):
+    """Point lookup on a giant partition + name slice: the matched
+    partition's split expands into multiple run-splits from its OWN
+    entry's blob (one bounded index read -- the O(interval) seek
+    contract holds), and the result equals filter semantics."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=2000)
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"n0100", b"n1900"))
+    rdr.SLICE_SPLIT_BYTES = 4096
+    rdr.pushed_keys = {b"p1"}
+    splits = rdr.partitions()
+    run_splits = [s for s in splits if isinstance(s, N._SliceRunSplit)]
+    assert len(run_splits) > 4 and len(run_splits) == len(splits)
+    rows = sorted(r[2] for s in splits for r in rdr._iter_rows(s))
+    assert rows == [b"n%04d" % i for i in range(100, 1900)]
+    # narrow matched partition: the classic seek split survives intact
+    rdr2 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"n0001", b"n0003"))
+    rdr2.pushed_keys = {b"q2"}
+    splits2 = rdr2.partitions()
+    assert len(splits2) == 1 and not isinstance(splits2[0],
+                                                N._SliceRunSplit)
+    assert sorted(r[2] for s in splits2 for r in rdr2._iter_rows(s)) \
+        == [b"n0001", b"n0002"]
+
+
 def test_slice_index_cap_falls_back_to_walk(tmp_path):
     """Past SLICE_INDEX_WALK_CAP the planner declines (driver memory/IO
     bound) and the executor-side lockstep walk serves the same rows."""

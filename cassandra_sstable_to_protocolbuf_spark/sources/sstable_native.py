@@ -1018,7 +1018,9 @@ def write_sstable(dir_path: str, generation: int,
                   partitions: list[dict], ks: str = "ks", cf: str = "cf",
                   compression: str | None = None,
                   chunk_length: int = 65536,
-                  partitioner: str = DEFAULT_PARTITIONER) -> str:
+                  partitioner: str = DEFAULT_PARTITIONER,
+                  column_index_bytes: int | None
+                  = DEFAULT_COLUMN_INDEX_BYTES) -> str:
     """Write `<ks>-<cf>-ka-<gen>-Data.db` + `-Index.db` (+
     `-CompressionInfo.db` when compression='lz4') from in-memory dicts
     (fixture/test convenience; the streaming product path is
@@ -1039,7 +1041,8 @@ def write_sstable(dir_path: str, generation: int,
     w = SSTableStreamWriter(dir_path, generation, ks=ks, cf=cf,
                             compression=compression,
                             chunk_length=chunk_length,
-                            partitioner=partitioner)
+                            partitioner=partitioner,
+                            column_index_bytes=column_index_bytes)
     try:
         for part in ordered:
             w.start_partition(part["key"], part.get("deletion"))

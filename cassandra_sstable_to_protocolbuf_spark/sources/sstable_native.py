@@ -507,9 +507,20 @@ _BLOOM_PROVENANCE_ORDINAL = 0x53504246  # "SPBF"
 _BLOOM_PROVENANCE_MAGIC = b"sstable-pb-spark bloom v1"
 
 
+# Engine-private metadata component: the file's [min, max] atom-name
+# bounds -- the analog of Cassandra 2.0 StatsMetadata's
+# minColumnNames/maxColumnNames, which its collation controller uses to
+# ELIMINATE whole sstables from a clustering slice. A [lo, hi) name
+# slice disjoint from the bounds skips the file with ZERO index IO.
+# Body: magic, min_len:u16 min, max_len:u16 max.
+_NAME_BOUNDS_ORDINAL = 0x53504E42  # "SPNB"
+_NAME_BOUNDS_MAGIC = b"sstable-pb-spark name-bounds v1"
+
+
 def write_statistics(path: str, partitioner: str = DEFAULT_PARTITIONER,
                      bloom_fp_chance: float = 1.0,
-                     mark_bloom: bool = False) -> None:
+                     mark_bloom: bool = False,
+                     name_bounds: tuple[bytes, bytes] | None = None) -> None:
     enc = partitioner.encode()
     validation = (struct.pack(">H", len(enc)) + enc
                   + struct.pack(">d", bloom_fp_chance))
@@ -517,6 +528,12 @@ def write_statistics(path: str, partitioner: str = DEFAULT_PARTITIONER,
     if mark_bloom:
         components.append((_BLOOM_PROVENANCE_ORDINAL,
                            _BLOOM_PROVENANCE_MAGIC))
+    if name_bounds is not None:
+        mn, mx = name_bounds
+        components.append((_NAME_BOUNDS_ORDINAL,
+                           _NAME_BOUNDS_MAGIC
+                           + struct.pack(">H", len(mn)) + mn
+                           + struct.pack(">H", len(mx)) + mx))
     with open(path, "wb") as f:
         f.write(struct.pack(">i", len(components)))
         offset = 4 + 8 * len(components)
@@ -525,6 +542,34 @@ def write_statistics(path: str, partitioner: str = DEFAULT_PARTITIONER,
             offset += len(body)
         for _ordinal, body in components:
             f.write(body)
+
+
+def read_name_bounds(stats_path: str) -> tuple[bytes, bytes] | None:
+    """The engine-private [min, max] atom-name bounds, or None when the
+    component is absent, foreign, or malformed (no pruning -- bounds
+    are an OPTIMIZATION and absence must never change results)."""
+    try:
+        with open(stats_path, "rb") as f:
+            (count,) = struct.unpack(">i", f.read(4))
+            if not (0 < count <= 64):
+                return None
+            for _ in range(count):
+                ordinal, offset = struct.unpack(">ii", f.read(8))
+                if ordinal != _NAME_BOUNDS_ORDINAL:
+                    continue
+                f.seek(offset)
+                if f.read(len(_NAME_BOUNDS_MAGIC)) != _NAME_BOUNDS_MAGIC:
+                    return None
+                (mn_len,) = struct.unpack(">H", f.read(2))
+                mn = _read_exact(f, mn_len)
+                (mx_len,) = struct.unpack(">H", f.read(2))
+                mx = _read_exact(f, mx_len)
+                if mn > mx:
+                    return None
+                return mn, mx
+    except (OSError, ValueError, struct.error):
+        return None
+    return None
 
 
 def has_bloom_provenance_mark(stats_path: str) -> bool:
@@ -755,6 +800,12 @@ class SSTableStreamWriter:
         # blocks in its Index.db entry so clustering-slice reads can
         # seek INSIDE the row. None/0 disables (promoted_len stays 0).
         self._cib = column_index_bytes or 0
+        # file-level [min, max] atom-name bounds (StatsMetadata's
+        # min/maxColumnNames analog), folded from each partition's
+        # closed blocks at end_partition -- zero extra per-cell cost;
+        # tracked only while block accounting runs
+        self._name_min: bytes | None = None
+        self._name_max: bytes | None = None
         os.makedirs(dir_path, exist_ok=True)
         self.prefix = os.path.join(dir_path, f"{ks}-{cf}-ka-{generation}")
         self._tmp = self.prefix + f".w{os.getpid()}"
@@ -924,6 +975,13 @@ class SSTableStreamWriter:
             raise ValueError("no partition open")
         if self._cib:
             self._maybe_close_block(force=True)  # trailing partial block
+            if self._blocks:
+                bmn = min(b[0] for b in self._blocks)
+                bmx = max(b[1] for b in self._blocks)
+                if self._name_min is None or bmn < self._name_min:
+                    self._name_min = bmn
+                if self._name_max is None or bmx > self._name_max:
+                    self._name_max = bmx
         self._write(struct.pack(">H", 0))  # end-of-partition marker
         # deferred Index.db entry, now with the promoted index when the
         # row spans >= 2 blocks (a single block offers nothing to skip
@@ -979,7 +1037,10 @@ class SSTableStreamWriter:
         write_statistics(self._tmp + STATS_SUFFIX, self._partitioner,
                          bloom_fp_chance=(self._bloom_fp if wrote_bloom
                                           else 1.0),
-                         mark_bloom=wrote_bloom)
+                         mark_bloom=wrote_bloom,
+                         name_bounds=(None if self._name_min is None
+                                      else (self._name_min,
+                                            self._name_max)))
         if self._first_key is not None:
             write_summary(self._tmp + SUMMARY_SUFFIX, DEFAULT_INDEX_INTERVAL,
                           self._sampled, self._first_key, self._last_key)
@@ -1831,6 +1892,21 @@ class SSTableNativeReader(DataSourceReader):
 
     def _file_splits(self, data_path: str, sstable_id: str) -> list:
         splits = []
+        if self.name_range is not None and not self.verify:
+            # sstable ELIMINATION by the engine-stamped [min, max]
+            # atom-name bounds (StatsMetadata min/maxColumnNames
+            # analog): a slice disjoint from the file's bounds skips
+            # the file with ZERO index IO -- on a time-partitioned
+            # 100 TB table, a time-slice touches only the files that
+            # overlap it. Absent/foreign/malformed bounds never prune.
+            bounds = read_name_bounds(
+                data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX)
+            if bounds is not None:
+                lo, hi = self.name_range
+                mn, mx = bounds
+                if (hi is not None and mn >= hi) \
+                        or (lo is not None and mx < lo):
+                    return splits
         seek_keys = self.pushed_keys
         if seek_keys is not None:
             # S5 bloom gate: consult Filter.db BEFORE any Summary/Index

@@ -372,6 +372,44 @@ def test_seek_plus_slice_fans_out(tmp_path):
         == [b"n0001", b"n0002"]
 
 
+def test_name_bounds_eliminate_whole_files(tmp_path, monkeypatch):
+    """Statistics.db carries the engine-stamped [min, max] atom-name
+    bounds (min/maxColumnNames analog): a slice disjoint from a file's
+    bounds skips it at plan time with ZERO index IO; overlapping or
+    bounds-less files plan normally, and a foreign/malformed component
+    never prunes (absence is an optimization no-op)."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=50)
+    stats = data[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX
+    assert N.read_name_bounds(stats) == (b"n0000", b"n0049")
+
+    calls = []
+    orig = N.iter_index_promoted
+    monkeypatch.setattr(
+        N, "iter_index_promoted",
+        lambda *a, **k: calls.append(a) or orig(*a, **k))
+    # disjoint slice: zero splits AND zero index walks
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"zz", None))
+    assert rdr.partitions() == [] and calls == []
+    # overlapping slice: planned normally
+    rdr2 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"n0048", None))
+    splits = rdr2.partitions()
+    rows = sorted(r[2] for s in splits for r in rdr2._iter_rows(s))
+    assert rows == [b"n0048", b"n0049"]  # only p1 reaches n0048+
+    # malformed bounds body: pruning silently disabled, results intact
+    raw = bytearray(open(stats, "rb").read())
+    at = raw.find(N._NAME_BOUNDS_MAGIC)
+    raw[at:at + 4] = b"XXXX"
+    with open(stats, "wb") as f:
+        f.write(raw)
+    assert N.read_name_bounds(stats) is None
+    rdr3 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"zz", None))
+    assert [r for s in rdr3.partitions()
+            for r in rdr3._iter_rows(s)] == []
+
+
 def test_slice_index_cap_falls_back_to_walk(tmp_path):
     """Past SLICE_INDEX_WALK_CAP the planner declines (driver memory/IO
     bound) and the executor-side lockstep walk serves the same rows."""

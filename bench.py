@@ -48,8 +48,10 @@ HEADLINE = [
     "sst_optimize_execute",
     "sst_digest_drill",
     "sst_single_file_scan",
-    # round 7: promoted-index clustering slice inside wide partitions
+    # round 7: promoted-index clustering slice inside wide partitions,
+    # and the slice x token-shard composition
     "sst_clustering_seek",
+    "sst_sliced_shard_scan",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

@@ -110,6 +110,11 @@ CATALOG: dict[str, QueryDef] = {
                                     "promoted-index clustering slice "
                                     "inside wide partitions (blocks "
                                     "outside the band never read)"),
+    "sst_sliced_shard_scan": QueryDef(C.sst_sliced_shard_scan,
+                                      C.SST_SLICED_SHARD_SQL,
+                                      "clustering band x token interval "
+                                      "composed: both prunings before a "
+                                      "data byte moves"),
     "sst_incremental_merge": QueryDef(C.sst_incremental_merge,
                                       C.SST_INCREMENTAL_MERGE_SQL,
                                       "copy-on-write LWW delta merge into sharded landed table"),

@@ -637,6 +637,44 @@ WHERE name >= '0000000400|' AND name < '0000001200|'
 """
 
 
+def sst_sliced_shard_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two pruning dimensions COMPOSED: a clustering band (name
+    range -> promoted-block seeks + name-bounds file elimination +
+    plan-time run-splits) inside one token interval (md5 ring shard ->
+    whole-partition pruning at plan time, exact at hex granularity).
+    This is the sharded time-slice export a fleet runs at 100 TB: each
+    worker owns a token interval and reads only the slice's blocks of
+    only its own partitions -- both prunings happen before a data byte
+    moves. The oracle recomputes both predicates logically, so the hash
+    match certifies the composed plan reads exactly the intersection."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    out = _wide_fixture_dir(spark, sf_dir)
+    back = read_native_cells(
+        spark, out,
+        name_range=(b"0000000400|", b"0000001200|"),
+        token_range=("40", "c0"))
+    return back.select(
+        F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+        .alias("sstable_id"),
+        F.decode("key", "UTF-8").alias("key"),
+        F.decode("name", "UTF-8").alias("name"),
+        F.decode("value", "UTF-8").alias("value"),
+        "writeTime")
+
+
+SST_SLICED_SHARD_SQL = f"""
+WITH wide_cells AS (
+{_wide_cells_sql()}
+)
+SELECT sstable_id, key, name, value, writeTime
+FROM wide_cells
+WHERE name >= '0000000400|' AND name < '0000001200|'
+  AND md5(key) >= '40' AND md5(key) < 'c0'
+"""
+
+
 def _optimize_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Pristine (cached) fixture for the OPTIMIZE loop: the standard
     five-file cell split, except partition '1|3' is remapped into a

@@ -294,6 +294,11 @@ CATALOG: dict[str, QueryDef] = {
     "events_approx_distinct": QueryDef(R.events_approx_distinct, None,
                                        "HLL approx distinct (builtin, "
                                        "sketch-specific rows-only)"),
+    "lineitem_kmv_setops": QueryDef(R.lineitem_kmv_setops,
+                                    R.LINEITEM_KMV_SQL,
+                                    "KMV bottom-k sketch: union AND "
+                                    "intersection cardinalities, FULLY "
+                                    "hash-gated"),
     "lineitem_hll_distinct": QueryDef(R.lineitem_hll_distinct,
                                       R.LINEITEM_HLL_SQL,
                                       "HyperLogLog with deterministic "

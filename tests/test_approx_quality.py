@@ -227,6 +227,39 @@ def test_loghist_percentiles_bound_and_monoid(spark):
     assert merged == whole
 
 
+def test_kmv_setops_bounds_and_merge(spark):
+    """The KMV bottom-k sketch (lineitem_kmv_setops): the pinned bounds
+    must HOLD for every measure (union and intersection included), and
+    bottom-k must be a true merge monoid: bottom-k of the union of two
+    halves' bottom-k sketches equals the whole set's bottom-k (what
+    makes the sketch shippable across partitions/segments)."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _HLL_B, _HLL_C, _HLL_P, _HLL_A, _KMV_K, lineitem_kmv_setops)
+
+    rows = {r.measure: r for r in
+            lineitem_kmv_setops(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"distinct_A", "distinct_R", "union_AR",
+                         "intersect_AR"}
+    for r in rows.values():
+        assert r.within_bound, (r.measure, r.est, r.exact)
+    # exact-count identity: est errors must cancel in no systematic way
+    # that breaks the inclusion bound inter <= min(|A|, |R|)
+    assert rows["intersect_AR"].est <= min(rows["distinct_A"].est,
+                                           rows["distinct_R"].est)
+
+    def hash_(u: int) -> int:
+        h0 = (u * _HLL_A + _HLL_B) % _HLL_P
+        return (h0 * h0 + _HLL_C) % _HLL_P
+
+    def bottom_k(vals) -> list[int]:
+        return sorted(set(vals))[:_KMV_K]
+
+    universe = [hash_(u) for u in range(1, 2000)]
+    left, right = universe[::2], universe[1::2]
+    merged = bottom_k(bottom_k(left) + bottom_k(right))
+    assert merged == bottom_k(universe)
+
+
 def test_connected_components_known_graph(spark):
     from cassandra_sstable_to_protocolbuf_spark.operators.dedup import (
         connected_components)

@@ -188,6 +188,7 @@ HEADLINE = [
     # round 7: the remaining sketches gated (HLL + quantile histogram)
     "lineitem_hll_distinct",
     "stream_hll_distinct",
+    "lineitem_kmv_setops",
     "lineitem_loghist_percentiles",
     "stream_loghist_percentiles",
     "emb_maxsim_topk",

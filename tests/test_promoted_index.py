@@ -372,6 +372,30 @@ def test_seek_plus_slice_fans_out(tmp_path):
         == [b"n0001", b"n0002"]
 
 
+def test_narrow_rows_chunk_by_partitions_per_split(tmp_path):
+    """Sliced planning over MANY narrow partitions: the classic-split
+    coalescer must window at partitionsPerSplit rows (never one giant
+    split, never a run-split), with results equal to the filter."""
+    parts = [{"key": b"k%03d" % i,
+              "cells": [{"name": b"n%02d" % (i % 7), "kind": "LIVE",
+                         "timestamp": 1, "value": b"v"}]}
+             for i in range(50)]
+    N.write_sstable(str(tmp_path), 1, parts, column_index_bytes=256)
+    rdr = N.SSTableNativeReader(str(tmp_path), 8,
+                                name_range=(b"n00", b"n04"))
+    splits = rdr.partitions()
+    assert all(not isinstance(s, N._SliceRunSplit) for s in splits)
+    assert len(splits) >= 6  # 50 rows at k=8: windowed, not one split
+    # windows tile the file: contiguous, non-overlapping byte ranges
+    spans = sorted((s.start, s.end) for s in splits)
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 == b0
+    rows = sorted(r[1:3] for s in splits for r in rdr._iter_rows(s))
+    want = sorted((p["key"], c["name"]) for p in parts
+                  for c in p["cells"] if b"n00" <= c["name"] < b"n04")
+    assert rows == want
+
+
 def test_name_bounds_eliminate_whole_files(tmp_path, monkeypatch):
     """Statistics.db carries the engine-stamped [min, max] atom-name
     bounds (min/maxColumnNames analog): a slice disjoint from a file's

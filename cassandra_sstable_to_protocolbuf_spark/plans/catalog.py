@@ -299,6 +299,11 @@ CATALOG: dict[str, QueryDef] = {
                                     "KMV bottom-k sketch: union AND "
                                     "intersection cardinalities, FULLY "
                                     "hash-gated"),
+    "stream_kmv_setops": QueryDef(ST.stream_kmv_setops,
+                                  R.LINEITEM_KMV_SQL,
+                                  "the KMV sketch merged THROUGH "
+                                  "streaming per micro-batch (bounded "
+                                  "monoid state), scored batch-side"),
     "lineitem_hll_distinct": QueryDef(R.lineitem_hll_distinct,
                                       R.LINEITEM_HLL_SQL,
                                       "HyperLogLog with deterministic "

@@ -1327,6 +1327,30 @@ FROM est e JOIN exact x ON e.flag = x.flag AND e.pct = x.pct
 _KMV_K = 128
 
 
+def _kmv_sketch(li: DataFrame) -> DataFrame:
+    """(flag, h) bottom-k sketch from raw lineitem rows. Two-phase
+    bottom-k: a salted pre-k runs 64-way parallel (bottom-k of a salt
+    bucket is a superset filter for the global bottom-k -- the global k
+    smallest are distributed across buckets, so each bucket needs at
+    most k), then the TRUE bottom-k ranks only the bounded <= 64*k
+    candidates. A single global window over every distinct hash would
+    single-partition ~1.5B rows at 100 TB."""
+    from pyspark.sql import Window
+
+    h = (li.filter(F.col("l_returnflag").isin("A", "R"))
+         .selectExpr("l_returnflag AS flag", f"{_HLL_H} AS h")
+         .distinct())
+    cand = (h.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("flag", F.pmod(F.col("h"), F.lit(64)))
+            .orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K).select("flag", "h"))
+    return (cand.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("flag").orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K).select("flag", "h"))
+
+
 def lineitem_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULLY hash-gated KMV set-operation sketch: distinct orderkey sets
     of returnflag A and R, their union, and their intersection,
@@ -1336,27 +1360,16 @@ def lineitem_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- the audience-overlap measurement a 100 TB pipeline runs where
     exact distinct-intersections would shuffle every key; the exact
     sides exist only to gate the bounds."""
+    li = _t(spark, sf_dir, "lineitem")
+    return _kmv_score(_kmv_sketch(li), li)
+
+
+def _kmv_score(sk: DataFrame, li: DataFrame) -> DataFrame:
+    """Bottom-k sketches -> the four gated measures (per-set, union,
+    intersection estimates with integer-exact bound columns)."""
     from pyspark.sql import Window
 
-    li = (_t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_returnflag").isin("A", "R")))
-    h = (li.selectExpr("l_returnflag AS flag", f"{_HLL_H} AS h")
-         .distinct())
-    # two-phase bottom-k: a salted pre-k runs 64-way parallel (bottom-k
-    # of a salt bucket is a superset filter for the global bottom-k --
-    # the global k smallest are distributed across buckets, so each
-    # bucket needs at most k), then the TRUE bottom-k ranks only the
-    # bounded <= 64*k candidates. A single global window over every
-    # distinct hash would single-partition ~1.5B rows at 100 TB.
-    cand = (h.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("flag", F.pmod(F.col("h"), F.lit(64)))
-            .orderBy("h")))
-        .filter(F.col("rn") <= _KMV_K).select("flag", "h"))
-    sk = (cand.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("flag").orderBy("h")))
-        .filter(F.col("rn") <= _KMV_K).select("flag", "h"))
+    li = li.filter(F.col("l_returnflag").isin("A", "R"))
     kth = sk.groupBy("flag").agg(F.max("h").alias("hk"),
                                  F.count(F.lit(1)).alias("n"))
     est = kth.selectExpr(

@@ -1299,6 +1299,68 @@ def stream_loghist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _loghist_score(sketch, li_b)
 
 
+def stream_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV bottom-k sketch accumulated THROUGH streaming by
+    per-batch SKETCH MERGE -- the production theta-sketch pipeline
+    shape: each micro-batch computes its own bounded bottom-k
+    (distributed, the same two-phase plan as the batch twin) and the
+    driver merges it into <= 2k integers of carried state. Bottom-k
+    union is idempotent AND commutative, so at-least-once redelivery or
+    batch reordering cannot change the final sketch -- the monoid
+    argument, here PROVEN by gating the streamed sketch against the
+    SAME DuckDB oracle as lineitem_kmv_setops. The input spools into
+    four orderkey-sharded slices with maxFilesPerTrigger=1 so the merge
+    actually happens across batches (a single-file stream would prove
+    nothing)."""
+    import os
+    import uuid
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        _KMV_K, _kmv_score, _kmv_sketch)
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_returnflag", "l_orderkey"))
+    spool = scratch_dir("kmv_spool", tag)
+    slices = [f"slice-{i}.parquet" for i in range(4)]
+    if sorted(p for p in os.listdir(spool)
+              if p.startswith("slice-")) != slices:
+        for i in range(4):
+            part = li_b.filter(F.col("l_orderkey") % 4 == i)
+            tmp = os.path.join(spool, f"g{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(p for p in os.listdir(tmp)
+                       if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, src),
+                       os.path.join(spool, f"slice-{i}.parquet"))
+
+    sketches: dict[str, list[int]] = {}
+
+    def merge(batch_df, _batch_id) -> None:
+        # the batch's own bottom-k is computed DISTRIBUTED; only the
+        # bounded sketch (<= 2k rows) reaches the driver for the merge
+        for r in _kmv_sketch(batch_df).collect():
+            lst = sketches.setdefault(r.flag, [])
+            lst.append(r.h)
+        for flag, lst in sketches.items():
+            sketches[flag] = sorted(set(lst))[:_KMV_K]
+
+    ckpt = scratch_dir("kmv_ckpt", tag + uuid.uuid4().hex, fresh=True)
+    q = (spark.readStream.schema(li_b.schema)
+         .option("maxFilesPerTrigger", "1")
+         .option("pathGlobFilter", "slice-*.parquet")
+         .parquet(spool)
+         .writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    sk = spark.createDataFrame(
+        [(flag, h) for flag, lst in sketches.items() for h in lst],
+        "flag string, h long")
+    return _kmv_score(sk, li_b)
+
+
 def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Count-Min sketch accumulated THROUGH Structured Streaming --
     the sketch's whole point at 100 TB: its cells are a counter monoid,

@@ -189,6 +189,7 @@ HEADLINE = [
     "lineitem_hll_distinct",
     "stream_hll_distinct",
     "lineitem_kmv_setops",
+    "stream_kmv_setops",
     "lineitem_loghist_percentiles",
     "stream_loghist_percentiles",
     "emb_maxsim_topk",

@@ -1396,17 +1396,25 @@ def _kmv_score(sk: DataFrame, li: DataFrame) -> DataFrame:
         F.count_distinct(F.when(F.col("l_returnflag") == "R",
                                 F.col("l_orderkey"))).alias("xr"),
         F.count_distinct("l_orderkey").alias("xu"))
-    j = F.lit(1).alias("j")
-    scored = (est.groupBy().pivot("flag", ["A", "R"]).agg(F.first("est"))
-              .select(F.col("A").alias("est_a"), F.col("R").alias("est_r"),
-                      j)
-              .join(uest.select("est_u", "uk", j), "j")
-              .join(common.select("m", j), "j")
-              .join(exact.select("xa", "xr", "xu", j), "j"))
-    rows = scored.selectExpr(
+    # JOIN-FREE scalar assembly: a constant-key join of the one-row
+    # frames constant-folds into a CartesianProduct (the plan audit
+    # rightly bans it), so the eight scalars meet as tagged rows in ONE
+    # union + ONE aggregation instead
+    scalars = (
+        est.selectExpr("concat('est_', flag) AS k", "est AS v")
+        .unionAll(uest.selectExpr(
+            "stack(2, 'est_u', est_u, 'uk', CAST(uk AS BIGINT)) AS (k, v)"))
+        .unionAll(common.selectExpr("'m' AS k", "CAST(m AS BIGINT) AS v"))
+        .unionAll(exact.selectExpr(
+            "stack(3, 'xa', xa, 'xr', xr, 'xu', xu) AS (k, v)")))
+    one = scalars.agg(*[
+        F.max(F.when(F.col("k") == name, F.col("v"))).alias(name)
+        for name in ("est_A", "est_R", "est_u", "uk", "m",
+                     "xa", "xr", "xu")])
+    rows = one.selectExpr(
         "stack(4, "
-        " 'distinct_A', est_a, xa, 15,"
-        " 'distinct_R', est_r, xr, 15,"
+        " 'distinct_A', est_A, xa, 15,"
+        " 'distinct_R', est_R, xr, 15,"
         " 'union_AR', est_u, xu, 15,"
         " 'intersect_AR', m * est_u DIV uk, xa + xr - xu, 25"
         ") AS (measure, est, exact, bound_pct)")

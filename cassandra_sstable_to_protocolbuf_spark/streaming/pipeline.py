@@ -1322,7 +1322,12 @@ def stream_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
             .select("l_returnflag", "l_orderkey"))
-    spool = scratch_dir("kmv_spool", tag)
+    # spool keyed on the SOURCE file's identity: a driver-regenerated
+    # lineitem.parquet must miss the cache, never replay a stale spool
+    # against a fresh oracle
+    st = os.stat(f"{sf_dir}/lineitem.parquet")
+    spool = scratch_dir("kmv_spool",
+                        f"{tag}_{st.st_size}_{st.st_mtime_ns}")
     slices = [f"slice-{i}.parquet" for i in range(4)]
     if sorted(p for p in os.listdir(spool)
               if p.startswith("slice-")) != slices:

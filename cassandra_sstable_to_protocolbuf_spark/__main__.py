@@ -710,8 +710,8 @@ def sstable_info_cmd(input_path: str) -> int:
     import hashlib
 
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
-        DATA_SUFFIX, Descriptor, load_bloom, load_summary, read_index,
-        read_statistics)
+        DATA_SUFFIX, Descriptor, iter_index_promoted, load_bloom,
+        load_summary, read_name_bounds, read_statistics)
 
     if os.path.isdir(input_path):
         paths = sorted(glob.glob(
@@ -729,15 +729,25 @@ def sstable_info_cmd(input_path: str) -> int:
             sid = os.path.basename(base)
         try:
             stats = read_statistics(base + "-Statistics.db")
-            entries = read_index(base + "-Index.db")
+            entries = []
+            n_promoted = 0
+            for key, off, _pos, blob in iter_index_promoted(
+                    base + "-Index.db"):
+                entries.append((key, off))
+                n_promoted += bool(blob)
         except (OSError, ValueError) as e:
             print(f"{sid}: UNREADABLE ({e})", file=sys.stderr)
             continue
+        bounds = read_name_bounds(base + "-Statistics.db")
         summary = load_summary(data_path)
         bloom = load_bloom(data_path)
         bloom_desc = (f"{bloom.hash_count}x{len(bloom.words) * 64}b"
                       if bloom is not None else "none")
         keys = [k for k, _off in entries]
+        names_desc = ("-" if bounds is None else
+                      "[%s..%s]" % (
+                          bounds[0].decode("utf-8", "replace"),
+                          bounds[1].decode("utf-8", "replace")))
         compressed = os.path.exists(base + "-CompressionInfo.db")
         first = hashlib.md5(keys[0]).hexdigest() if keys else "-"
         last = hashlib.md5(keys[-1]).hexdigest() if keys else "-"
@@ -748,6 +758,8 @@ def sstable_info_cmd(input_path: str) -> int:
               f" bloom={bloom_desc}"
               f" compressed={'yes' if compressed else 'no'}"
               f" data_bytes={os.path.getsize(data_path)}"
+              f" promoted={n_promoted}"
+              f" names={names_desc}"
               f" tokens=[{first[:12]}.., {last[:12]}..]")
     return 0
 

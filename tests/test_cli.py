@@ -352,6 +352,25 @@ def test_sstable_info_driver_only(tmp_path):
     assert "compressed=yes" in line
     assert "summary=3@128" in line  # ceil(300/128) sampled entries
     assert "partitioner=RandomPartitioner" in line
+    # narrow rows: no promoted entries; name bounds stamped by the writer
+    assert "promoted=0" in line
+    assert "names=[c..c]" in line
+
+
+def test_sstable_info_reports_promoted(tmp_path):
+    """A wide partition shows up in the report: promoted entry count
+    and the file's [min, max] name bounds."""
+    src = str(tmp_path / "sst_wide")
+    N.write_sstable(src, 1, [
+        {"key": b"w", "cells": [
+            {"name": b"n%04d" % i, "kind": "LIVE", "timestamp": 1,
+             "value": b"v" * 30} for i in range(100)]}],
+        column_index_bytes=256)
+    r = _run("sstable-info", src, timeout=60)
+    assert r.returncode == 0, r.stderr[-800:]
+    line = r.stdout.strip()
+    assert "promoted=1" in line
+    assert "names=[n0000..n0099]" in line
 
 
 def test_repair_diff_cli(tmp_path):

@@ -86,17 +86,26 @@ def bin_is_executable(task: dict,
       derive 8 output shards, 8 >= 2, so nothing ran), yet merging
       oversized overlapping generations is OPTIMIZE's core job: LWW
       dedup + token-DISJOINT <= target-sized shards. File count may
-      grow; read amplification and per-file size drop.
+      grow; read amplification and per-file size drop. The clause is
+      SUPPRESSED when the bin exceeds 2 * target * MAX_OUTPUT_SHARDS:
+      past the 256-shard granularity ceiling a merge cannot bring
+      per-shard size back under 2x target, so firing would rewrite the
+      bin every round forever (and until_stable would raise on valid
+      data). Such a bin waits for the SHRINK clause or a finer shard
+      granularity -- a documented ceiling, not a silent skip.
 
-    until_stable still terminates: a merge's outputs carry <= target
-    bytes per shard, so any bin of k merge outputs has bytes <=
-    k * target < 2 * target * k -- the OVERSIZE clause can never
-    re-fire on its own outputs -- and the SHRINK clause strictly
-    reduces file count when it fires."""
+    until_stable still terminates: when OVERSIZE fires, bytes <=
+    2 * target * MAX_OUTPUT_SHARDS, so the merge's outputs average
+    <= 2 * target per shard -- any bin of k such outputs has bytes <=
+    2 * target * k, which cannot re-fire OVERSIZE (strict >) -- and
+    the SHRINK clause strictly reduces file count when it fires, so
+    each clause can fire only finitely often."""
     n = len(task["files"])
     return (n >= 2
             and (derive_n_outputs(task["bytes"], target_bytes) < n
-                 or task["bytes"] > 2 * target_bytes * n))
+                 or (task["bytes"] > 2 * target_bytes * n
+                     and task["bytes"]
+                     <= 2 * target_bytes * MAX_OUTPUT_SHARDS)))
 
 
 def input_data_files(input_path: str | list[str]) -> list[str]:

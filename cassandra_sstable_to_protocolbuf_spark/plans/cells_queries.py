@@ -797,13 +797,17 @@ taskn AS (
   -- executable bins only (bin_is_executable): >= 2 files AND the merge
   -- either SHRINKS the file count (size-derived shard count < inputs)
   -- or the inputs are OVERSIZED overlapping generations (> 2x target
-  -- on average) that re-shard into token-disjoint right-sized files;
+  -- on average) that re-shard into token-disjoint right-sized files --
+  -- UNLESS the bin exceeds the 256-shard granularity ceiling
+  -- (> 2x target * MAX_OUTPUT_SHARDS), where a capped re-shard cannot
+  -- bring per-shard size under 2x target and would re-fire forever;
   -- a bin of already-target-sized files is left untouched, which is
   -- also what makes until_stable terminate
   SELECT tier, bin, n FROM (
     SELECT tier, bin, n_files, task_bytes, {nout_case} AS n
     FROM tasks WHERE n_files >= 2)
-  WHERE n < n_files OR task_bytes > {oversize} * n_files),
+  WHERE n < n_files OR (task_bytes > {oversize} * n_files
+                        AND task_bytes <= {oversize_cap})),
 merged_files AS (
   SELECT b.sstable_id, b.tier, b.bin
   FROM binned b JOIN taskn t ON b.tier = t.tier AND b.bin = t.bin),
@@ -842,10 +846,13 @@ def _sst_optimize_execute_sql() -> str:
     from cassandra_sstable_to_protocolbuf_spark.compaction import (
         DEFAULT_TARGET_OUTPUT_BYTES)
 
+    from cassandra_sstable_to_protocolbuf_spark.compaction import MAX_OUTPUT_SHARDS
+
     return SST_OPTIMIZE_EXECUTE_SQL_TEMPLATE.format(
         cells_cte=cells_cte(),
         nout_case=_derive_n_case_sql("task_bytes"),
-        oversize=2 * DEFAULT_TARGET_OUTPUT_BYTES)
+        oversize=2 * DEFAULT_TARGET_OUTPUT_BYTES,
+        oversize_cap=2 * DEFAULT_TARGET_OUTPUT_BYTES * MAX_OUTPUT_SHARDS)
 
 
 SST_OPTIMIZE_EXECUTE_SQL = _sst_optimize_execute_sql()

@@ -1064,13 +1064,16 @@ FROM est
 # exact int64 in Spark AND DuckDB). Geometry: m = 64 buckets (h % 64),
 # w = h DIV 64 < 2^25, rho = trailing zeros of w + 1 (geometric(1/2),
 # the same law as HLL's leading-zero rank; computed bit-exactly as
-# bit_count((w & -w) - 1) + 1, w = 0 -> 26). Estimator kept integral:
-# E = floor(alpha_64 * m^2 * 2^26 / S) with S = sum(2^(26 - M_j)) (an
-# int64: 64 * 2^25 max) and alpha_64 = 0.70936 as the rational
-# 70936/100000 -- no float touches the gate. The small-range linear-
-# counting branch (E <= 2.5m with empty registers) never fires at any
-# test SF (min true cardinality 1081 >> 160, zero_registers pinned 0 in
-# the output) -- documented rather than silently absent.
+# bit_count((w & -w) - 1) + 1, w = 0 -> 26). Estimator kept integral
+# and CANONICAL: E = floor(alpha_64 * m^2 * 2^26 / S) with S summing
+# 2^(26 - M_j) over ALL m registers -- untouched buckets have M_j = 0
+# and contribute a full 2^26 term each (S <= 64 * 2^26, still int64);
+# alpha_64 = 0.70936 as the rational 70936/100000 -- no float touches
+# the gate. The small-range linear-counting branch (E <= 2.5m with
+# empty registers) never fires at any test SF (min true cardinality
+# 1081 >> 160, zero_registers pinned 0 in the output) -- documented
+# rather than silently absent; the raw-estimator zero-register term is
+# pinned against a pure-Python model in test_approx_quality.py.
 _HLL_P = (1 << 31) - 1
 _HLL_A, _HLL_B, _HLL_C = 1103515245, 12345, 2531011
 _HLL_M = 64
@@ -1099,12 +1102,20 @@ def _hll_score(regs: DataFrame, li: DataFrame) -> DataFrame:
     the pinned relative-error bound (|est - exact| <= 0.2 * exact,
     checked as exact integers: worst observed across SFs is -0.152 at
     1.2 sigma of HLL's 1.04/sqrt(64) = 13% std error)."""
+    # canonical raw estimator: sum 2^-M_j over ALL m registers, with
+    # M_j = 0 for untouched buckets -- each empty register contributes
+    # a full 2^26 term in this integer scaling. Omitting them (the
+    # round-7 shape) inflates the estimate whenever registers go empty.
     agg = regs.groupBy("flag").agg(
         F.expr("CAST(SUM(shiftleft(CAST(1 AS BIGINT), 26 - m_j)) "
-               "AS BIGINT)").alias("hll_sum"),
+               "AS BIGINT)").alias("touched_sum"),
         (F.lit(_HLL_M) - F.count(F.lit(1))).alias("zero_registers"))
-    est = agg.withColumn(
-        "hll_orders", F.expr(f"{_HLL_NUM} DIV ({_HLL_DEN} * hll_sum)"))
+    est = (agg.withColumn(
+        "hll_sum",
+        F.expr("touched_sum + zero_registers * shiftleft("
+               "CAST(1 AS BIGINT), 26)"))
+        .withColumn(
+        "hll_orders", F.expr(f"{_HLL_NUM} DIV ({_HLL_DEN} * hll_sum)")))
     exact = (li.groupBy(F.col("l_returnflag").alias("flag"))
              .agg(F.count_distinct("l_orderkey").alias("exact_orders")))
     return (est.join(F.broadcast(exact), "flag")
@@ -1143,10 +1154,18 @@ rho AS (
   FROM br
 ),
 regs AS (SELECT flag, bucket, MAX(rho) AS m_j FROM rho GROUP BY 1, 2),
+agg0 AS (SELECT flag,
+                CAST(SUM(CAST(1 AS BIGINT) << (26 - m_j)) AS BIGINT)
+                  AS touched_sum,
+                {_HLL_M} - COUNT(*) AS zero_registers
+         FROM regs GROUP BY 1),
+-- canonical raw estimator: empty registers (M_j = 0) each contribute a
+-- full 2^26 term in this integer scaling
 agg AS (SELECT flag,
-               CAST(SUM(CAST(1 AS BIGINT) << (26 - m_j)) AS BIGINT) AS hll_sum,
-               {_HLL_M} - COUNT(*) AS zero_registers
-        FROM regs GROUP BY 1),
+               touched_sum + zero_registers * (CAST(1 AS BIGINT) << 26)
+                 AS hll_sum,
+               zero_registers
+        FROM agg0),
 exact AS (SELECT l_returnflag AS flag,
                  COUNT(DISTINCT l_orderkey) AS exact_orders
           FROM lineitem GROUP BY 1)
@@ -1325,16 +1344,33 @@ FROM est e JOIN exact x ON e.flag = x.flag AND e.pct = x.pct
 # observed across SFs: sets/union -6.3%, intersection -14.3%, vs the
 # ~9% std error of k = 128).
 _KMV_K = 128
+# the salted pre-k fans the candidate set over this many buckets; the
+# final global window may therefore see at most _KMV_SALT * _KMV_K rows
+# per partition-by group -- guarded at runtime, not just in a comment
+_KMV_SALT = 64
+
+
+def _guard_bounded_rank(rn: Column, bound: int, what: str) -> Column:
+    """Wrap a global-window row_number whose input is supposed to be
+    pre-bounded (a salted pre-k, a prior top-k) so a future edit that
+    drops the bounding phase FAILS LOUDLY instead of silently
+    single-partitioning the full input through one window task. Pure
+    codegen (when + raise_error) -- zero cost while the bound holds."""
+    return F.when(rn <= F.lit(bound), rn).otherwise(F.raise_error(F.lit(
+        f"{what}: global bottom-k window saw more than {bound} rows in "
+        "one group -- the bounding pre-phase (salted pre-k) is missing "
+        "or broken; restore it rather than raising this cap")))
 
 
 def _kmv_sketch(li: DataFrame) -> DataFrame:
     """(flag, h) bottom-k sketch from raw lineitem rows. Two-phase
-    bottom-k: a salted pre-k runs 64-way parallel (bottom-k of a salt
-    bucket is a superset filter for the global bottom-k -- the global k
-    smallest are distributed across buckets, so each bucket needs at
-    most k), then the TRUE bottom-k ranks only the bounded <= 64*k
-    candidates. A single global window over every distinct hash would
-    single-partition ~1.5B rows at 100 TB."""
+    bottom-k: a salted pre-k runs _KMV_SALT-way parallel (bottom-k of a
+    salt bucket is a superset filter for the global bottom-k -- the
+    global k smallest are distributed across buckets, so each bucket
+    needs at most k), then the TRUE bottom-k ranks only the bounded
+    <= _KMV_SALT*k candidates (guarded: _guard_bounded_rank). A single
+    global window over every distinct hash would single-partition
+    ~1.5B rows at 100 TB."""
     from pyspark.sql import Window
 
     h = (li.filter(F.col("l_returnflag").isin("A", "R"))
@@ -1342,12 +1378,14 @@ def _kmv_sketch(li: DataFrame) -> DataFrame:
          .distinct())
     cand = (h.withColumn(
         "rn", F.row_number().over(
-            Window.partitionBy("flag", F.pmod(F.col("h"), F.lit(64)))
+            Window.partitionBy("flag", F.pmod(F.col("h"),
+                                              F.lit(_KMV_SALT)))
             .orderBy("h")))
         .filter(F.col("rn") <= _KMV_K).select("flag", "h"))
     return (cand.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("flag").orderBy("h")))
+        "rn", _guard_bounded_rank(
+            F.row_number().over(Window.partitionBy("flag").orderBy("h")),
+            _KMV_SALT * _KMV_K, "_kmv_sketch"))
         .filter(F.col("rn") <= _KMV_K).select("flag", "h"))
 
 
@@ -1377,8 +1415,11 @@ def _kmv_score(sk: DataFrame, li: DataFrame) -> DataFrame:
         f"CASE WHEN n < {_KMV_K} THEN n "
         f"ELSE ({_KMV_K} - 1) * CAST({_HLL_P} AS BIGINT) DIV hk END "
         "AS est")
+    # union sketch input is two k-bounded sketches: <= 2k distinct rows
     usk = (sk.select("h").distinct()
-           .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+           .withColumn("rn", _guard_bounded_rank(
+               F.row_number().over(Window.orderBy("h")),
+               2 * _KMV_K, "_kmv_score.union"))
            .filter(F.col("rn") <= _KMV_K).select("h"))
     ukth = usk.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("uk"))
     uest = ukth.selectExpr(

@@ -2121,6 +2121,13 @@ class SSTableNativeReader(DataSourceReader):
             if pi is None:
                 out.append(split)
                 continue
+            # tokenRange is source-only (Spark never re-filters): a seek
+            # split whose matched key falls outside the pushed token
+            # interval must plan to NOTHING here, or a sharded fleet
+            # export would emit the partition from every shard.
+            if self.token_range is not None \
+                    and not self._in_token_range(key):
+                continue
             live = (pi["ldt"] == LIVE_LOCAL_DELETION
                     and pi["marked_at"] == LIVE_MARKED_AT)
             if self.live_only and not live:
@@ -2260,7 +2267,13 @@ class SSTableNativeReader(DataSourceReader):
         lo, hi = self.name_range
         if isinstance(split, _SliceRunSplit):
             # plan-derived block runs inside ONE wide partition: seek,
-            # read, residual-filter -- no header or index IO at all
+            # read, residual-filter -- no header or index IO at all.
+            # Re-check the pushed token interval (belt for the plan-time
+            # skips above): tokenRange is source-only, so a split that
+            # slipped through would silently duplicate rows across shards.
+            if self.token_range is not None \
+                    and not self._in_token_range(split.key):
+                return
             f, _logical_size = open_data_file(split.data_path)
             with f:
                 for run_start, run_end in split.runs:

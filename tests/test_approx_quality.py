@@ -185,6 +185,41 @@ def test_hll_sketch_accuracy_and_monoid(spark):
     assert merged == whole
 
 
+def test_hll_empty_registers_use_canonical_raw_estimator(spark):
+    """Small/skewed groups leave registers untouched; the canonical raw
+    estimator sums 2^-M_j over ALL m registers with M_j = 0 for empty
+    buckets (a 2^26 term each in the integer scaling). The round-7
+    shape summed only touched buckets, inflating those estimates
+    (ADVICE r8 #3). Pin: the full scoring pipeline on a tiny skewed
+    input matches a pure-Python model of the canonical estimator,
+    zero-register term included."""
+    from cassandra_sstable_to_protocolbuf_spark.plans import relational as R
+
+    rows = [("A", k) for k in range(1, 9)] + \
+           [("B", k) for k in range(100, 140)]
+    li = spark.createDataFrame(rows, "l_returnflag string, l_orderkey long")
+    got = {r.flag: r for r in
+           R._hll_score(R._hll_registers(li), li).collect()}
+
+    regs: dict[str, dict[int, int]] = {}
+    for flag, k in rows:
+        h0 = (k * R._HLL_A + R._HLL_B) % R._HLL_P
+        h = (h0 * h0 + R._HLL_C) % R._HLL_P
+        bucket, w = h % R._HLL_M, h // R._HLL_M
+        rho = 26 if w == 0 else ((w & -w).bit_length() - 1) + 1
+        f = regs.setdefault(flag, {})
+        f[bucket] = max(f.get(bucket, 0), rho)
+    for flag, f in regs.items():
+        zero = R._HLL_M - len(f)
+        assert zero > 0, "fixture must leave registers empty"
+        hll_sum = sum(1 << (26 - m_j) for m_j in f.values()) \
+            + zero * (1 << 26)
+        est = R._HLL_NUM // (R._HLL_DEN * hll_sum)
+        assert got[flag].zero_registers == zero
+        assert got[flag].hll_sum == hll_sum, flag
+        assert got[flag].hll_orders == est, flag
+
+
 def test_loghist_percentiles_bound_and_monoid(spark):
     """The float-free quantile sketch (lineitem_loghist_percentiles):
     est <= exact <= est * 17/16 must HOLD (within_bound TRUE), the
@@ -258,6 +293,37 @@ def test_kmv_setops_bounds_and_merge(spark):
     left, right = universe[::2], universe[1::2]
     merged = bottom_k(bottom_k(left) + bottom_k(right))
     assert merged == bottom_k(universe)
+
+
+def test_kmv_prek_bound_guard_trips_without_salting(spark):
+    """The KMV global bottom-k windows are safe only because a salted
+    pre-k bounds their input; _guard_bounded_rank turns that comment
+    into a runtime invariant (VERDICT r7 #5). Pins: an unsalted variant
+    (pre-k dropped, more rows than the bound reach the global window)
+    FAILS LOUDLY, and the guarded production sketch still runs clean."""
+    import pytest
+    from pyspark.sql import Window
+
+    from cassandra_sstable_to_protocolbuf_spark.plans import relational as R
+
+    li = (spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+          .select("l_returnflag", "l_orderkey"))
+    # guarded production path: healthy, k rows per flag
+    counts = (R._kmv_sketch(li).groupBy("flag").count().collect())
+    assert all(c["count"] == R._KMV_K for c in counts)
+
+    # unsalted variant: every distinct hash hits ONE global window --
+    # exactly the future-edit regression the guard exists to catch. A
+    # synthetic set larger than the REAL production bound (SALT * K)
+    # stands in for the 100 TB distinct-hash stream.
+    big = (spark.range(1, 3 * R._KMV_SALT * R._KMV_K)
+           .selectExpr("'A' AS flag", "id AS h"))
+    bad = (big.withColumn("rn", R._guard_bounded_rank(
+        F.row_number().over(Window.partitionBy("flag").orderBy("h")),
+        R._KMV_SALT * R._KMV_K, "unsalted_variant"))
+        .filter(F.col("rn") <= R._KMV_K))
+    with pytest.raises(Exception, match="bounding pre-phase"):
+        bad.collect()
 
 
 def test_connected_components_known_graph(spark):

@@ -31,6 +31,42 @@ def test_derive_ladder_and_bounds():
         CP.derive_n_outputs(1, target_bytes=0)
 
 
+def test_oversize_clause_terminates_at_shard_cap():
+    """OVERSIZE must be SUPPRESSED past the 256-shard granularity
+    ceiling: a bin over 2 * target * MAX_OUTPUT_SHARDS re-shards into
+    256 outputs still averaging > 2x target, so firing would rewrite it
+    every round and until_stable would never converge (ADVICE r8 #2)."""
+    t = 1000  # small synthetic target: bin_is_executable is metadata-only
+    cap = 2 * t * CP.MAX_OUTPUT_SHARDS
+
+    def task(n_files, total_bytes):
+        return {"files": ["f%d" % i for i in range(n_files)],
+                "bytes": total_bytes}
+
+    # ordinary OVERSIZE still fires (2 files averaging > 2x target)
+    assert CP.bin_is_executable(task(2, 5 * t), target_bytes=t)
+    # at exactly the ceiling it still fires (outputs average <= 2x target)
+    assert CP.bin_is_executable(task(2, cap), target_bytes=t)
+    # past the ceiling with few files: suppressed -- a capped re-shard
+    # cannot bring per-shard size under 2x target
+    assert not CP.bin_is_executable(task(2, cap + 1), target_bytes=t)
+    # SHRINK is unaffected: enough input files still merge down
+    assert CP.bin_is_executable(task(400, cap + 1), target_bytes=t)
+    # fixed point: the outputs of ANY executable merge never re-trigger
+    # on their own (the until_stable termination argument, checked
+    # exhaustively over a grid of bin shapes)
+    for n in (2, 3, 8, 64, 300):
+        for total in (n * t, 3 * n * t, cap, cap + 1, 4 * cap):
+            if not CP.bin_is_executable(task(n, total), target_bytes=t):
+                continue
+            n_out = CP.derive_n_outputs(total, target_bytes=t)
+            # model the worst case: all bytes survive, split evenly,
+            # and every output lands in one future bin
+            assert not CP.bin_is_executable(task(n_out, total),
+                                            target_bytes=t), \
+                f"bin ({n} files, {total}B) re-fires on its own outputs"
+
+
 def test_token_shard_generic_arithmetic(spark):
     """shard = (top two md5 hex digits as int) * n DIV 256, for every
     divisor of 256 -- and for n dividing 16 it matches the historical

@@ -372,6 +372,38 @@ def test_seek_plus_slice_fans_out(tmp_path):
         == [b"n0001", b"n0002"]
 
 
+def test_seek_slice_respects_token_range(tmp_path):
+    """Pushed key + nameRange + tokenRange compose: tokenRange is
+    SOURCE-ONLY (Spark never re-filters it), so a seek split expanding
+    into _SliceRunSplits must drop partitions outside the pushed token
+    interval at plan time -- the round-7 gap let a sharded fleet export
+    emit the same wide partition from every shard."""
+    _write_fixture(str(tmp_path), cib=256, wide_n=2000)
+    tok = N.SSTableNativeReader._token_hex(b"p1")
+    excludes = ("0", "8") if tok >= "8" else ("8", "g")
+    includes = ("8", "g") if tok >= "8" else ("0", "8")
+
+    def shard_rows(tr):
+        rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                    name_range=(b"n0100", b"n1900"),
+                                    token_range=tr)
+        rdr.SLICE_SPLIT_BYTES = 4096
+        rdr.pushed_keys = {b"p1"}
+        return [r for s in rdr.partitions() for r in rdr._iter_rows(s)]
+
+    # the excluding shard must plan (and emit) NOTHING for p1
+    assert shard_rows(excludes) == []
+    # a two-shard fleet's union equals the single unsharded read
+    union = sorted(r[2] for tr in (excludes, includes)
+                   for r in shard_rows(tr))
+    assert union == [b"n%04d" % i for i in range(100, 1900)]
+    # same composition without the pushed key (plan-time slice walk)
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"n0100", b"n0110"),
+                                token_range=excludes)
+    assert [r for s in rdr.partitions() for r in rdr._iter_rows(s)] == []
+
+
 def test_narrow_rows_chunk_by_partitions_per_split(tmp_path):
     """Sliced planning over MANY narrow partitions: the classic-split
     coalescer must window at partitionsPerSplit rows (never one giant

@@ -1,0 +1,239 @@
+"""S3-conditional-write CommitBackend (VERDICT r6 #7 / r7 #2).
+
+`InMemoryCommitBackend` proved the OCC/txnlog protocol never leans on a
+POSIX primitive; this module is the production-shaped step: the five
+commit primitives expressed as exactly the HTTP requests an S3
+deployment issues, behind an injectable `transport` callable so the
+HTTP boundary mocks cleanly in tests (tests/mock_s3.py implements S3's
+documented conditional-request semantics) and signs/retries however a
+deployment likes in production.
+
+Primitive -> request mapping (all documented S3 behavior; conditional
+writes on general-purpose buckets):
+
+  put_if_absent   PUT key, If-None-Match: *        201/200 vs 412
+  put_atomic      PUT key (plain; S3 PUT is atomic last-writer-wins)
+  steal           HEAD key (ETag), DELETE key If-Match: <etag>
+                  -- at most one of N concurrent stealers gets 204
+  read_text       GET key                          404 -> FileNotFound
+  exists          HEAD key
+  listdir         GET ?list-type=2&prefix=..&delimiter=/   (paginated)
+  age_s           HEAD key -> Last-Modified
+  delete          DELETE key (unconditional, idempotent)
+
+Two production realities are handled in-protocol rather than left to
+the caller:
+
+* RETRY AMBIGUITY on the CAS: if a put_if_absent CONNECTION drops
+  after the server may have committed, the retry sees 412 although the
+  object may be OURS. The backend disambiguates by reading the object
+  back and comparing bodies -- but ONLY when a connection loss
+  actually happened during this operation's attempts: a cleanly
+  received 412 is a genuine loss (and claim bodies are not guaranteed
+  caller-unique, e.g. two txnlog.begin calls for the same transaction
+  write identical bodies, so unconditional body-compare would turn a
+  real conflict into a phantom win). A received 5xx means the request
+  was NOT applied, so it carries no ambiguity either.
+* TRANSIENT 5xx/connection errors retry with exponential backoff for
+  every primitive (they are all idempotent given the CAS
+  disambiguation above).
+
+The transport contract:
+
+    transport(method: str, url: str, headers: dict[str, str],
+              body: bytes | None) -> (status: int,
+                                      headers: dict[str, str],
+                                      body: bytes)
+
+Header names in the response dict are treated case-insensitively.
+Production wiring is a ~20-line SigV4 or boto3 adapter; none ships
+here because the sandbox has no network or credentials -- the
+integration test (tests/test_commit_backend.py) is marked skip unless
+S3_TEST_ENDPOINT is set.
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.parse
+import xml.etree.ElementTree as ET
+from email.utils import parsedate_to_datetime
+
+from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+    CommitBackend)
+
+
+class S3RequestError(Exception):
+    """Non-retryable unexpected status from the object store."""
+
+    def __init__(self, method: str, key: str, status: int):
+        super().__init__(f"{method} {key}: HTTP {status}")
+        self.status = status
+
+
+class S3CommitBackend(CommitBackend):
+    """CommitBackend over S3 conditional writes. `path` arguments (the
+    protocol's opaque strings) map to object keys verbatim with any
+    leading '/' stripped -- the protocol only ever derives paths by
+    joining, so keys group under the table-root prefix exactly like
+    directories."""
+
+    # statuses worth retrying: S3 throttling and transient server errors
+    _RETRYABLE = frozenset({429, 500, 502, 503, 504})
+
+    def __init__(self, bucket: str, transport, endpoint: str = "https://s3.amazonaws.com",
+                 max_retries: int = 4, backoff_s: float = 0.05):
+        self._bucket = bucket
+        self._transport = transport
+        self._endpoint = endpoint.rstrip("/")
+        self._max_retries = max_retries
+        self._backoff_s = backoff_s
+
+    # -- plumbing --------------------------------------------------------
+    @staticmethod
+    def _key(path: str) -> str:
+        return path.lstrip("/")
+
+    def _url(self, key: str, query: str = "") -> str:
+        u = f"{self._endpoint}/{self._bucket}/{urllib.parse.quote(key)}"
+        return f"{u}?{query}" if query else u
+
+    def _request(self, method: str, key: str, headers=None, body=None,
+                 query: str = ""):
+        """One primitive request with bounded retry on transient
+        failures; returns (status, lower-cased headers, body,
+        saw_connection_loss). The last flag reports whether any attempt
+        died at the CONNECTION level (the only case where the server
+        may have applied a request we never saw the answer to) -- the
+        CAS uses it to gate lost-response disambiguation."""
+        last: Exception | None = None
+        lost = False
+        for attempt in range(self._max_retries + 1):
+            if attempt:
+                time.sleep(self._backoff_s * (2 ** (attempt - 1)))
+            try:
+                status, rhead, rbody = self._transport(
+                    method, self._url(key, query), dict(headers or {}),
+                    body)
+            except (ConnectionError, TimeoutError, OSError) as e:
+                last = e
+                lost = True
+                continue
+            if status in self._RETRYABLE:
+                # a RECEIVED 5xx means the request was not applied:
+                # retry, but it is not an ambiguity source
+                last = S3RequestError(method, key, status)
+                continue
+            return (status, {k.lower(): v for k, v in rhead.items()},
+                    rbody, lost)
+        raise last  # every attempt failed transiently
+
+    # -- CommitBackend primitives ----------------------------------------
+    def read_text(self, path: str) -> str:
+        key = self._key(path)
+        status, _h, body, _lost = self._request("GET", key)
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status != 200:
+            raise S3RequestError("GET", key, status)
+        return body.decode("utf-8")
+
+    def exists(self, path: str) -> bool:
+        key = self._key(path)
+        status, _h, _b, _lost = self._request("HEAD", key)
+        if status in (200,):
+            return True
+        if status == 404:
+            return False
+        raise S3RequestError("HEAD", key, status)
+
+    def listdir(self, dirpath: str) -> list[str]:
+        prefix = self._key(dirpath).rstrip("/") + "/"
+        names: set[str] = set()
+        token = None
+        while True:
+            q = ("list-type=2&delimiter=%2F&prefix="
+                 + urllib.parse.quote(prefix, safe=""))
+            if token:
+                q += "&continuation-token=" + urllib.parse.quote(
+                    token, safe="")
+            status, _h, body, _lost = self._request("GET", "", query=q)
+            if status != 200:
+                raise S3RequestError("LIST", prefix, status)
+            root = ET.fromstring(body)
+            for el in root.findall("{*}Contents/{*}Key"):
+                names.add(el.text[len(prefix):])
+            for el in root.findall("{*}CommonPrefixes/{*}Prefix"):
+                names.add(el.text[len(prefix):].rstrip("/"))
+            trunc = root.findtext("{*}IsTruncated")
+            if trunc != "true":
+                break
+            token = root.findtext("{*}NextContinuationToken")
+            if not token:
+                break
+        if not names:
+            raise FileNotFoundError(dirpath)
+        return sorted(names)
+
+    def put_if_absent(self, path: str, text: str) -> bool:
+        key = self._key(path)
+        data = text.encode("utf-8")
+        status, _h, _b, lost = self._request(
+            "PUT", key, headers={"If-None-Match": "*"}, body=data)
+        if status in (200, 201):
+            return True
+        if status in (412, 409):
+            if not lost:
+                return False  # clean 412: a genuine CAS loss
+            # lost-response disambiguation: a connection died mid-PUT,
+            # so the 412 may be our OWN first attempt having landed --
+            # the object being byte-identical to our body means we won
+            try:
+                return self.read_text(path) == text
+            except FileNotFoundError:
+                # deleted between the 412 and the read: someone else's
+                # claim came and went; treat as lost
+                return False
+        raise S3RequestError("PUT", key, status)
+
+    def put_atomic(self, path: str, text: str) -> None:
+        key = self._key(path)
+        status, _h, _b, _lost = self._request("PUT", key,
+                                              body=text.encode("utf-8"))
+        if status not in (200, 201):
+            raise S3RequestError("PUT", key, status)
+
+    def steal(self, path: str) -> bool:
+        key = self._key(path)
+        status, h, _b, _lost = self._request("HEAD", key)
+        if status == 404:
+            return False
+        if status != 200:
+            raise S3RequestError("HEAD", key, status)
+        etag = h.get("etag")
+        status, _h, _b, _lost = self._request(
+            "DELETE", key, headers={"If-Match": etag})
+        if status in (200, 204):
+            return True
+        if status in (404, 412, 409):
+            return False  # another stealer won, or object changed
+        raise S3RequestError("DELETE", key, status)
+
+    def delete(self, path: str) -> None:
+        key = self._key(path)
+        status, _h, _b, _lost = self._request("DELETE", key)
+        if status not in (200, 204, 404):
+            raise S3RequestError("DELETE", key, status)
+
+    def age_s(self, path: str) -> float | None:
+        key = self._key(path)
+        status, h, _b, _lost = self._request("HEAD", key)
+        if status == 404:
+            return None
+        if status != 200:
+            raise S3RequestError("HEAD", key, status)
+        lm = h.get("last-modified")
+        if lm is None:
+            return None
+        written = parsedate_to_datetime(lm).timestamp()
+        return max(0.0, time.time() - written)

@@ -1,0 +1,788 @@
+"""Vectorized batch codec for the SSTable cell framing (VERDICT r7 #1).
+
+The native read and write paths were per-cell pure-Python struct loops
+(`_read_cell_atoms`, `SSTableStreamWriter.add_cell`) -- plan-safe but a
+~200-460k cells/s/task constant-factor ceiling that dominated the three
+most expensive bench lines (pb/compact/optimize roundtrips). The cell
+framing is fixed-layout big-endian, so both directions batch:
+
+* DECODE: one tight offset-only Python walk per region (a handful of
+  int ops and ONE array.extend per atom -- no dicts, no tuples, no
+  struct), then EVERY field materializes via numpy gathers (ragged
+  delta-cumsum indexing for names/values, strided view for
+  timestamps) straight into pyarrow buffers. Per-cell Python objects
+  never exist.
+* ENCODE: whole partition RUNS (headers + cells + end markers) lay out
+  as one preallocated numpy buffer from FLAT columnar inputs;
+  lengths/offsets via cumsum, fixed fields via vectorized scatter
+  stores, variable fields via the inverse ragged scatter. One Python
+  pass per PARTITION (index entry, ordering check), zero per CELL.
+* BLOOM: Cassandra's MurmurHash.hash3_x64_128 (including the Java
+  signed-tail quirk, see sstable_native.murmur3_hash128) over length-
+  grouped uint64 numpy lanes, and the double-hash bit scatter as a
+  sort + reduceat segment-OR.
+
+All of it is byte-identical to the scalar paths (pinned by
+tests/test_cellcodec.py round-trips against the original
+implementations); the scalar paths remain as the semantic reference
+and the fallback for exotic shapes (pre-'ja' framing, promoted-index
+block reads, range tombstones in the writer).
+
+Reference parity note: the reference's per-cell iterator is
+SSTableIdentityIteratorPatched.java (computeNext); this module changes
+HOW fast the same atoms move, not WHAT is read or written.
+"""
+
+from __future__ import annotations
+
+import struct
+from array import array
+
+import numpy as np
+
+# cell flag bytes (mirror sstable_native's constants)
+_FLAG_DELETION = 0x01
+_FLAG_EXPIRATION = 0x02
+_FLAG_COUNTER = 0x04
+_FLAG_RANGE_TOMBSTONE = 0x10
+
+# record-kind codes used by the decoder's columnar registers
+KIND_LIVE = 0
+KIND_DELETED = 1
+KIND_EXPIRING = 2
+KIND_COUNTER = 3
+KIND_RANGE_TOMBSTONE = 4
+KIND_PARTITION = 5
+KIND_NAMES = ("LIVE", "DELETED", "EXPIRING", "COUNTER",
+              "RANGE_TOMBSTONE", "PARTITION")
+
+# partition liveness sentinels (== sstable_native.LIVE_LOCAL_DELETION /
+# LIVE_MARKED_AT; asserted equal in tests)
+_LIVE_LDT = 0x7FFFFFFF
+_LIVE_MARKED = -(1 << 63)
+
+_M64 = (1 << 64) - 1
+
+
+class Overrun(Exception):
+    """Decoder ran past the buffered bytes mid-partition: the caller
+    reads more from the file and retries from the partition start (the
+    split's tail partition extends past split.end by design -- same as
+    scan_partitions finishing the partition it started)."""
+
+    def __init__(self, partition_start: int):
+        super().__init__(f"atom region overran buffer at partition "
+                         f"offset {partition_start}")
+        self.partition_start = partition_start
+
+
+def _ragged_idx(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat source/destination indexes for n variable-length spans:
+    byte k of span j maps to offs[j] + k. Built as a delta array +
+    IN-PLACE cumsum -- O(total bytes), no np.repeat (whose
+    per-tiny-span cost dominated the first cut of this module), int32
+    and single-buffer so the transient is 4 bytes per payload byte
+    (the int64 double-buffer version tripped the writer memory pin).
+    Zero-length spans are masked out up front so boundary deltas never
+    collide. Callers keep offsets under 2^31 (runs and read buffers
+    are both capped far below 2 GiB)."""
+    nz = lens > 0
+    if not nz.all():
+        offs = offs[nz]
+        lens = lens[nz]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int32)
+    out_ends = np.cumsum(lens)
+    deltas = np.ones(total, dtype=np.int32)
+    deltas[0] = offs[0]
+    # at each span boundary, jump from (prev span's last byte) to the
+    # next span's first byte
+    deltas[out_ends[:-1]] = (offs[1:] - (offs[:-1] + lens[:-1] - 1)
+                             ).astype(np.int32)
+    np.cumsum(deltas, out=deltas)
+    return deltas
+
+
+def _arrow_offsets(lens: np.ndarray) -> np.ndarray:
+    offs = np.empty(len(lens) + 1, dtype=np.int32)
+    offs[0] = 0
+    offs[1:] = np.cumsum(lens)  # assignment downcasts int64 -> int32
+    return offs
+
+
+class _Registers:
+    """Columnar decode registers. `spans` packs 6 int64s per record
+    (kind, name_off, name_len, val_off, val_len, ts_off) -- ONE extend
+    call per record on the hot path; ttl / local_expiration are sparse
+    (rare kinds only); value_len == -1 marks SQL NULL (marker rows)."""
+
+    __slots__ = ("spans", "sparse_ttl", "sparse_lexp", "part_counts")
+
+    def __init__(self):
+        self.spans = array("q")
+        self.sparse_ttl: list = []    # (record_idx, int32)
+        self.sparse_lexp: list = []
+        self.part_counts = array("q")  # records per emitted partition
+
+    def __len__(self) -> int:
+        return len(self.spans) // 6
+
+
+def decode_partitions(buf, base: int, end_hint: int, regs: _Registers,
+                      parts: list, start_at: int = 0,
+                      live_only: bool = False,
+                      emit_partition=None,
+                      max_records: int | None = None) -> int:
+    """Walk current-format partitions from `buf[start_at:]` appending
+    records into `regs` and (key, live) tuples into `parts`. Stops at
+    the first partition whose ABSOLUTE start offset (base + buffer
+    offset) is >= `end_hint` -- the same partition-start boundary rule
+    as scan_partitions -- or on clean EOF at a partition boundary.
+    Raises Overrun(partition_start) when the buffer ends mid-partition
+    (registers rolled back to the last complete partition) so the
+    caller can extend the buffer and retry.
+
+    `emit_partition(key) -> bool` optionally decides per-partition
+    emission (pushed keys / token range); skipped partitions are still
+    WALKED (the stream has no other way to find their end) but append
+    nothing. Returns the buffer offset after the last complete
+    partition."""
+    n = len(buf)
+    o = start_at
+    s_extend = regs.spans.extend
+    ttl_append = regs.sparse_ttl.append
+    lexp_append = regs.sparse_lexp.append
+    pc_append = regs.part_counts.append
+    nrec = start_nrec = len(regs)
+    # NOTE the hot loop relies on bytes indexing raising IndexError at
+    # the buffer edge instead of explicit bounds checks -- every field
+    # is either read via buf[i] (raises) or guarded by the next read
+    # (an over-advanced `o` hits buf[o] on the following atom/marker).
+    while True:
+        part_start = o
+        if base + o >= end_hint:
+            return o
+        if o == n:
+            return o  # buffer exhausted at a partition boundary
+        if max_records is not None and nrec - start_nrec >= max_records:
+            return o  # flush point: caller drains the registers
+        snap = nrec
+        snap_parts = len(parts)
+        snap_ttl = len(regs.sparse_ttl)
+        snap_lexp = len(regs.sparse_lexp)
+        try:
+            klen = (buf[o] << 8) | buf[o + 1]
+            o += 2
+            key_end = o + klen
+            if key_end + 12 > n:
+                raise IndexError
+            key = bytes(buf[o:key_end])
+            ldt = int.from_bytes(buf[key_end:key_end + 4], "big",
+                                 signed=True)
+            marked_off = key_end + 4
+            marked = int.from_bytes(buf[marked_off:marked_off + 8],
+                                    "big", signed=True)
+            o = marked_off + 8
+            live = (ldt == _LIVE_LDT and marked == _LIVE_MARKED)
+            emit = emit_partition(key) if emit_partition is not None \
+                else True
+            if live_only and not live:
+                emit = False
+            if emit:
+                parts.append((key, live))
+                # one PARTITION marker row per partition (empty-Row
+                # quirk plumbing -- see _iter_rows)
+                s_extend((KIND_PARTITION, 0, 0, 0, -1, marked_off))
+                nrec += 1
+            while True:
+                nlen = (buf[o] << 8) | buf[o + 1]
+                if nlen == 0:
+                    o += 2
+                    break
+                name_off = o + 2
+                flag_off = name_off + nlen
+                flags = buf[flag_off]
+                body = flag_off + 1
+                if flags == 0:  # LIVE: the dominant fast branch
+                    vlen_off = body + 8
+                    vlen = ((buf[vlen_off] << 24)
+                            | (buf[vlen_off + 1] << 16)
+                            | (buf[vlen_off + 2] << 8)
+                            | buf[vlen_off + 3])
+                    ve = vlen_off + 4
+                    o = ve + vlen
+                    if emit:
+                        s_extend((KIND_LIVE, name_off, nlen, ve, vlen,
+                                  body))
+                        nrec += 1
+                    continue
+                if flags & _FLAG_RANGE_TOMBSTONE:
+                    elen = (buf[body] << 8) | buf[body + 1]
+                    end_off = body + 2
+                    rt_ldt_off = end_off + elen
+                    o = rt_ldt_off + 12
+                    if o > n:
+                        raise IndexError
+                    if emit and not live_only:
+                        s_extend((KIND_RANGE_TOMBSTONE, name_off, nlen,
+                                  end_off, elen, rt_ldt_off + 4))
+                        nrec += 1
+                        lexp_append((nrec - 1, int.from_bytes(
+                            buf[rt_ldt_off:rt_ldt_off + 4], "big",
+                            signed=True)))
+                    continue
+                if flags & (_FLAG_EXPIRATION | _FLAG_COUNTER):
+                    ts_off = body + 8
+                else:  # DELETED (or unknown flags: scalar path = LIVE)
+                    ts_off = body
+                vlen_off = ts_off + 8
+                vlen = ((buf[vlen_off] << 24) | (buf[vlen_off + 1] << 16)
+                        | (buf[vlen_off + 2] << 8) | buf[vlen_off + 3])
+                ve = vlen_off + 4
+                o = ve + vlen
+                if not emit or live_only:
+                    continue
+                if flags & _FLAG_EXPIRATION:
+                    s_extend((KIND_EXPIRING, name_off, nlen, ve, vlen,
+                              ts_off))
+                    nrec += 1
+                    ttl_append((nrec - 1, int.from_bytes(
+                        buf[body:body + 4], "big", signed=True)))
+                    lexp_append((nrec - 1, int.from_bytes(
+                        buf[body + 4:body + 8], "big", signed=True)))
+                elif flags & _FLAG_COUNTER:
+                    s_extend((KIND_COUNTER, name_off, nlen, ve, vlen,
+                              ts_off))
+                    nrec += 1
+                elif flags & _FLAG_DELETION:
+                    if o > n:
+                        raise IndexError
+                    # DELETED surfaces value=b"" (empty, not null)
+                    s_extend((KIND_DELETED, name_off, nlen, ve, 0,
+                              ts_off))
+                    nrec += 1
+                    lexp_append((nrec - 1, int.from_bytes(
+                        buf[ve:ve + 4], "big", signed=True)
+                        if vlen == 4 else 0))
+                else:  # unknown flag combo: scalar path treats as LIVE
+                    s_extend((KIND_LIVE, name_off, nlen, ve, vlen,
+                              ts_off))
+                    nrec += 1
+            if emit:
+                pc_append(nrec - snap)
+        except IndexError:
+            del regs.spans[snap * 6:], regs.sparse_ttl[snap_ttl:], \
+                regs.sparse_lexp[snap_lexp:]
+            del parts[snap_parts:]
+            nrec = snap
+            raise Overrun(part_start) from None
+
+
+def _sparse_int32(pairs: list, nrec: int):
+    """(idx, value) pairs -> pyarrow int32 array with nulls elsewhere."""
+    import pyarrow as pa
+
+    vals = np.zeros(nrec, dtype=np.int32)
+    mask = np.ones(nrec, dtype=bool)  # True = null (pyarrow convention)
+    if pairs:
+        idx = np.fromiter((p[0] for p in pairs), dtype=np.int64,
+                          count=len(pairs))
+        vv = np.fromiter((p[1] for p in pairs), dtype=np.int32,
+                         count=len(pairs))
+        vals[idx] = vv
+        mask[idx] = False
+    return pa.array(vals, mask=mask)
+
+
+def registers_to_arrow(buf, regs: _Registers, parts: list,
+                       sstable_id: str, live_only: bool):
+    """Columnar registers -> one pyarrow.RecordBatch in the native cell
+    schema. Every column builds via numpy gathers / arrow buffers --
+    no per-row Python objects."""
+    import pyarrow as pa
+
+    nrec = len(regs)
+    buf_np = np.frombuffer(buf, dtype=np.uint8)
+    spans = np.frombuffer(regs.spans, dtype=np.int64).reshape(-1, 6)
+    kind = spans[:, 0].astype(np.int8)
+    name_off = spans[:, 1]
+    name_len = spans[:, 2]
+    val_off = spans[:, 3]
+    val_len = spans[:, 4]
+    ts_off = spans[:, 5]
+    counts = np.frombuffer(regs.part_counts, dtype=np.int64)
+
+    # record -> partition index, via indicator cumsum (no np.repeat)
+    part_idx = np.zeros(nrec, dtype=np.int64)
+    if len(counts) > 1:
+        part_idx[np.cumsum(counts[:-1])] = 1
+        np.cumsum(part_idx, out=part_idx)
+
+    sid = pa.array([sstable_id], type=pa.string()).take(
+        pa.array(np.zeros(nrec, dtype=np.int32)))
+    key_arr = pa.array([p[0] for p in parts], type=pa.binary())
+    keys = key_arr.take(pa.array(part_idx.astype(np.int32)))
+
+    names = pa.Array.from_buffers(
+        pa.binary(), nrec,
+        [None, pa.py_buffer(_arrow_offsets(name_len).tobytes()),
+         pa.py_buffer(buf_np[_ragged_idx(name_off, name_len)].tobytes())])
+
+    null_mask = val_len < 0
+    any_null = bool(null_mask.any())
+    v_len = np.where(null_mask, 0, val_len) if any_null else val_len
+    if any_null:
+        validity = pa.py_buffer(
+            np.packbits(~null_mask, bitorder="little").tobytes())
+        nnull = int(null_mask.sum())
+    else:
+        validity = None
+        nnull = 0
+    values = pa.Array.from_buffers(
+        pa.binary(), nrec,
+        [validity, pa.py_buffer(_arrow_offsets(v_len).tobytes()),
+         pa.py_buffer(buf_np[_ragged_idx(val_off, v_len)].tobytes())],
+        null_count=nnull)
+
+    # writeTime: strided 8-byte big-endian gather
+    ts_bytes = buf_np[ts_off[:, None] + np.arange(8)]
+    write_time = pa.array(ts_bytes.view(">i8").ravel().astype(np.int64))
+
+    kinds = pa.DictionaryArray.from_arrays(
+        pa.array(kind.astype(np.int32)),
+        pa.array(list(KIND_NAMES), type=pa.string())).cast(pa.string())
+
+    ttl = _sparse_int32(regs.sparse_ttl, nrec)
+    lexp = _sparse_int32(regs.sparse_lexp, nrec)
+
+    if live_only:
+        pdl = pa.array(np.ones(nrec, dtype=bool))
+    else:
+        part_live = np.fromiter((p[1] for p in parts), dtype=bool,
+                                count=len(parts))
+        pdl = pa.array(part_live[part_idx])
+
+    schema = pa.schema([
+        ("sstable_id", pa.string()), ("key", pa.binary()),
+        ("name", pa.binary()), ("value", pa.binary()),
+        ("writeTime", pa.int64()), ("cell_kind", pa.string()),
+        ("ttl", pa.int32()), ("local_expiration", pa.int32()),
+        ("partition_deletion_live", pa.bool_()),
+    ])
+    return pa.RecordBatch.from_arrays(
+        [sid, keys, names, values, write_time, kinds, ttl, lexp, pdl],
+        schema=schema)
+
+
+# --------------------------------------------------------------------------
+# encode: flat columnar partition runs -> one contiguous byte block
+# --------------------------------------------------------------------------
+
+_KIND_FLAG = np.array([0x00, _FLAG_DELETION, _FLAG_EXPIRATION,
+                       _FLAG_COUNTER], dtype=np.uint8)
+
+
+def encode_cells_block(part_keys: list, part_deletions: list,
+                       counts: np.ndarray, names: list,
+                       kind_codes: np.ndarray, timestamps: np.ndarray,
+                       values: list, prefixes: list | None = None):
+    """Encode complete partitions from FLAT columnar inputs into ONE
+    byte block, byte-identical to the equivalent
+    start_partition/add_cell/end_partition sequence.
+
+    * part_keys / part_deletions: per partition; deletion = (ldt,
+      marked) with the live sentinels for undeleted partitions.
+    * counts: cells per partition (int64 ndarray, sums to len(names)).
+    * names / values: per cell, list[bytes]. DELETED cells pass their
+      packed int32 local_deletion as `values[i]` (the 4-byte body the
+      scalar path writes).
+    * kind_codes: int8 ndarray (KIND_LIVE/DELETED/EXPIRING/COUNTER).
+    * prefixes: per-cell bytes between the flag byte and the (ts,
+      vlen) tail -- b"" LIVE/DELETED, pack('>ii', ttl, lexp) EXPIRING,
+      pack('>q', tsd) COUNTER. None = all empty (all LIVE/DELETED).
+
+    Returns (block_bytes, hdr_starts, part_ends, cell_starts,
+    cell_ends) -- numpy offset arrays RELATIVE to the block for the
+    caller's index-entry and promoted-block accounting."""
+    n_parts = len(part_keys)
+    n_cells = len(names)
+
+    nlen = np.fromiter(map(len, names), dtype=np.int64, count=n_cells)
+    if n_cells and int(nlen.min()) == 0:
+        # a zero-length name is the end-of-partition marker in this
+        # format (same guard as add_cell)
+        raise ValueError("cell name must be non-empty")
+    vlen = np.fromiter(map(len, values), dtype=np.int64, count=n_cells)
+    if prefixes is None:
+        plen = np.zeros(n_cells, dtype=np.int64)
+    else:
+        plen = np.fromiter(map(len, prefixes), dtype=np.int64,
+                           count=n_cells)
+    # record = H nlen | name | B flag | prefix | q ts | i vlen | value
+    cell_len = 15 + nlen + plen + vlen
+
+    klen = np.fromiter(map(len, part_keys), dtype=np.int64,
+                       count=n_parts)
+    hdr_len = 14 + klen
+
+    # global segment order: [hdr_p, cells_p..., end_p] per partition
+    n_segs = 2 * n_parts + n_cells
+    seg_len = np.empty(n_segs, dtype=np.int64)
+    cells_before = np.empty(n_parts, dtype=np.int64)
+    cells_before[0] = 0
+    np.cumsum(counts[:-1], out=cells_before[1:])
+    hdr_pos = 2 * np.arange(n_parts, dtype=np.int64) + cells_before
+    end_pos = hdr_pos + 1 + counts
+    seg_len[hdr_pos] = hdr_len
+    seg_len[end_pos] = 2
+    cell_mask = np.ones(n_segs, dtype=bool)
+    cell_mask[hdr_pos] = False
+    cell_mask[end_pos] = False
+    seg_len[cell_mask] = cell_len
+    offs = np.empty(n_segs + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(seg_len, out=offs[1:])
+    total = int(offs[-1])
+
+    out = np.zeros(total, dtype=np.uint8)
+
+    # -- headers: H klen | key | i ldt | q marked ------------------------
+    h_rs = offs[hdr_pos]
+    out[h_rs] = (klen >> 8).astype(np.uint8)
+    out[h_rs + 1] = (klen & 0xFF).astype(np.uint8)
+    _scatter_spans(out, h_rs + 2, klen, part_keys)
+    ldt = np.fromiter((d[0] for d in part_deletions), dtype=np.int64,
+                      count=n_parts)
+    marked = np.fromiter((d[1] for d in part_deletions), dtype=np.int64,
+                         count=n_parts)
+    _scatter_be(out, h_rs + 2 + klen, ldt, 4)
+    _scatter_be(out, h_rs + 6 + klen, marked, 8)
+
+    # -- cells -----------------------------------------------------------
+    c_rs = offs[:-1][cell_mask]
+    _fill_cells(out, c_rs, nlen, plen, vlen, names,
+                np.asarray(kind_codes, dtype=np.int8),
+                np.asarray(timestamps, dtype=np.int64), values,
+                prefixes)
+    # end markers are already zero (preallocated buffer)
+
+    return (out, offs[hdr_pos], offs[end_pos] + 2,
+            c_rs, c_rs + cell_len)
+
+
+def encode_cell_run(names: list, kind_codes, timestamps, values: list,
+                    prefixes: list | None = None):
+    """Encode a RUN of cells (no partition header, no end marker) --
+    the mid-partition continuation encode_cells_block cannot express:
+    a gigabyte partition streams through bounded add_cells_batch calls
+    instead of buffering whole. Returns (run_bytes, cell_starts,
+    cell_ends) with offsets relative to the run."""
+    n_cells = len(names)
+    nlen = np.fromiter(map(len, names), dtype=np.int64, count=n_cells)
+    if n_cells and int(nlen.min()) == 0:
+        raise ValueError("cell name must be non-empty")
+    vlen = np.fromiter(map(len, values), dtype=np.int64, count=n_cells)
+    if prefixes is None:
+        plen = np.zeros(n_cells, dtype=np.int64)
+    else:
+        plen = np.fromiter(map(len, prefixes), dtype=np.int64,
+                           count=n_cells)
+    cell_len = 15 + nlen + plen + vlen
+    ends = np.cumsum(cell_len)
+    c_rs = ends - cell_len
+    out = np.zeros(int(ends[-1]) if n_cells else 0, dtype=np.uint8)
+    _fill_cells(out, c_rs, nlen, plen, vlen, names,
+                np.asarray(kind_codes, dtype=np.int8),
+                np.asarray(timestamps, dtype=np.int64), values,
+                prefixes)
+    # return the ndarray itself (buffer-protocol): callers hand it to
+    # file writes / digests directly, skipping a tobytes() copy that
+    # doubled the run transient
+    return out, c_rs, ends
+
+
+def _fill_cells(out, c_rs, nlen, plen, vlen, names, kind_codes,
+                timestamps, values, prefixes) -> None:
+    """Shared cell-record scatter (encode_cells_block / encode_cell_run):
+    record = H nlen | name | B flag | prefix | q ts | i vlen | value."""
+    out[c_rs] = (nlen >> 8).astype(np.uint8)
+    out[c_rs + 1] = (nlen & 0xFF).astype(np.uint8)
+    _scatter_spans(out, c_rs + 2, nlen, names)
+    flag_pos = c_rs + 2 + nlen
+    out[flag_pos] = _KIND_FLAG[kind_codes]
+    if prefixes is not None and plen.any():
+        _scatter_spans(out, flag_pos + 1, plen, prefixes)
+    ts_pos = flag_pos + 1 + plen
+    _scatter_be(out, ts_pos, timestamps, 8)
+    _scatter_be(out, ts_pos + 8, vlen, 4)
+    if vlen.any():
+        _scatter_spans(out, ts_pos + 12, vlen, values)
+
+
+_SCATTER_STEP = 512
+
+
+def _scatter_spans(out: np.ndarray, dst: np.ndarray, lens: np.ndarray,
+                   chunks: list) -> None:
+    """Ragged scatter in bounded sub-chunks: the index array transient
+    stays a few MB regardless of run size (O(batch) writer pin)."""
+    n = len(lens)
+    for s in range(0, n, _SCATTER_STEP):
+        e = min(s + _SCATTER_STEP, n)
+        idx = _ragged_idx(dst[s:e], lens[s:e])
+        if len(idx):
+            out[idx] = np.frombuffer(b"".join(chunks[s:e]),
+                                     dtype=np.uint8)
+
+
+def _scatter_be(out: np.ndarray, pos: np.ndarray, vals: np.ndarray,
+                width: int) -> None:
+    """Scatter big-endian fixed-width integers at per-record positions."""
+    if width == 8:
+        b = vals.astype(">i8").view(np.uint8).reshape(-1, 8)
+    else:
+        b = vals.astype(">i4").view(np.uint8).reshape(-1, 4)
+    out[pos[:, None] + np.arange(width)] = b
+
+
+def encode_index_entries(keys: list, positions: np.ndarray,
+                         promoted: list):
+    """Index.db entries (H klen | key | Q position | I promoted_len |
+    promoted) for a run of partitions, as one scatter block. Returns
+    (entries_ndarray, entry_start_offsets)."""
+    n = len(keys)
+    klen = np.fromiter(map(len, keys), dtype=np.int64, count=n)
+    plen = np.fromiter(map(len, promoted), dtype=np.int64, count=n)
+    entry_len = 14 + klen + plen
+    ends = np.cumsum(entry_len)
+    rs = ends - entry_len
+    out = np.zeros(int(ends[-1]) if n else 0, dtype=np.uint8)
+    out[rs] = (klen >> 8).astype(np.uint8)
+    out[rs + 1] = (klen & 0xFF).astype(np.uint8)
+    _scatter_spans(out, rs + 2, klen, keys)
+    pos_at = rs + 2 + klen
+    b = np.asarray(positions, dtype=">u8").view(np.uint8).reshape(-1, 8)
+    out[pos_at[:, None] + np.arange(8)] = b
+    _scatter_be(out, pos_at + 8, plen, 4)
+    if plen.any():
+        _scatter_spans(out, pos_at + 12, plen, promoted)
+    return out, rs
+
+
+def iter_index_key_chunks(path: str, chunk_keys: int = 65536):
+    """Partition keys from an Index.db in bounded chunks via a tight
+    offset walk (entry = H klen | key | Q pos | I plen | promoted) --
+    the writer's close-time bloom pass runs ~10x faster than the
+    per-entry iter_index generator while holding O(chunk) memory."""
+    with open(path, "rb") as f:
+        buf = f.read(8 << 20)
+        o = 0
+        keys: list = []
+        while True:
+            n = len(buf)
+            while True:
+                start = o
+                if o + 2 > n:
+                    break
+                klen = (buf[o] << 8) | buf[o + 1]
+                ke = o + 2 + klen
+                if ke + 12 > n:
+                    o = start
+                    break
+                plen = ((buf[ke + 8] << 24) | (buf[ke + 9] << 16)
+                        | (buf[ke + 10] << 8) | buf[ke + 11])
+                nxt = ke + 12 + plen
+                if nxt > n:
+                    o = start
+                    break
+                keys.append(buf[o + 2:ke])
+                o = nxt
+                if len(keys) >= chunk_keys:
+                    yield keys
+                    keys = []
+            more = f.read(8 << 20)
+            if not more:
+                if o != n:
+                    raise ValueError(
+                        f"truncated index entry at offset {o} in {path}")
+                break
+            buf = buf[o:] + more
+            o = 0
+        if keys:
+            yield keys
+
+
+def md5_digests(keys: list) -> np.ndarray:
+    """md5 digests as two big-endian uint64 numpy columns (hi, lo) --
+    ordering by (hi, lo) equals ordering by md5_token (unsigned
+    big-int of the digest). hashlib stays the per-key hasher (C
+    speed); only the COMPARISONS vectorize."""
+    import hashlib
+
+    raw = b"".join(hashlib.md5(k).digest() for k in keys)
+    m = np.frombuffer(raw, dtype=">u8").reshape(-1, 2)
+    return m
+
+
+def ascending_decorated(tok_hi: np.ndarray, tok_lo: np.ndarray,
+                        keys: list) -> int:
+    """First index i where (token, key)[i] <= (token, key)[i-1]
+    (violating strictly-ascending decorated order), or -1 if the run
+    is sorted. Token compare vectorized; key tie-break only where
+    tokens collide (same key twice, in practice)."""
+    hi_prev, hi_next = tok_hi[:-1], tok_hi[1:]
+    lo_prev, lo_next = tok_lo[:-1], tok_lo[1:]
+    ok = ((hi_prev < hi_next)
+          | ((hi_prev == hi_next) & (lo_prev < lo_next)))
+    ties = (hi_prev == hi_next) & (lo_prev == lo_next)
+    if ties.any():
+        for i in np.flatnonzero(ties).tolist():
+            if keys[i] < keys[i + 1]:
+                ok[i] = True
+    bad = np.flatnonzero(~ok)
+    return int(bad[0]) + 1 if len(bad) else -1
+
+
+def blocks_for_wide_partition(names: list, rel_starts: np.ndarray,
+                              rel_ends: np.ndarray, cib: int) -> list:
+    """Promoted-index block extents for one partition, replicating
+    _note_atom/_maybe_close_block exactly: a block opens at the first
+    unassigned atom's relative offset and closes at the first atom END
+    that puts its width >= cib (the final block force-closes). Returns
+    [(min_name, max_name, start, width), ...]."""
+    blocks = []
+    j = 0
+    n = len(names)
+    while j < n:
+        blk_start = int(rel_starts[j])
+        # first atom index whose end reaches blk_start + cib
+        k = int(np.searchsorted(rel_ends, blk_start + cib))
+        if k >= n:
+            k = n - 1
+        group = names[j:k + 1]
+        blocks.append((min(group), max(group), blk_start,
+                       int(rel_ends[k]) - blk_start))
+        j = k + 1
+    return blocks
+
+
+# --------------------------------------------------------------------------
+# murmur3_x64_128 over numpy lanes (Cassandra's Java tail quirk included)
+# --------------------------------------------------------------------------
+
+_C1 = np.uint64(0x87C37B91114253D5)
+_C2 = np.uint64(0x4CF5AD432745937F)
+
+
+def _rotl(x: np.ndarray, r: int) -> np.ndarray:
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> np.uint64(33))
+    k = k * np.uint64(0xC4CEB9FE1A85EC53)
+    return k ^ (k >> np.uint64(33))
+
+
+def murmur3_hash128_batch(keys: list) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized port of sstable_native.murmur3_hash128 (same Java
+    sign-extended tail): (h1, h2) uint64 arrays aligned with `keys`.
+    Keys are grouped by length so each group runs as dense uint64
+    lanes; mixed-length inputs cost one group pass per distinct
+    length."""
+    n = len(keys)
+    h1_out = np.empty(n, dtype=np.uint64)
+    h2_out = np.empty(n, dtype=np.uint64)
+    lens = np.fromiter(map(len, keys), dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    sorted_lens = lens[order]
+    uniq = np.unique(sorted_lens)
+    bounds = np.searchsorted(sorted_lens, uniq)
+    group_edges = list(bounds) + [n]
+    for gi in range(len(group_edges) - 1):
+        s, e = group_edges[gi], group_edges[gi + 1]
+        idx = order[s:e]
+        length = int(sorted_lens[s])
+        g = e - s
+        if length == 0:
+            mat = np.empty((g, 0), dtype=np.uint8)
+        else:
+            mat = np.frombuffer(
+                b"".join(keys[i] for i in idx), dtype=np.uint8
+            ).reshape(g, length)
+        h1 = np.zeros(g, dtype=np.uint64)
+        h2 = np.zeros(g, dtype=np.uint64)
+        n_blocks = length // 16
+        with np.errstate(over="ignore"):
+            for bi in range(n_blocks):
+                k1 = np.ascontiguousarray(
+                    mat[:, bi * 16:bi * 16 + 8]).view("<u8").ravel()
+                k2 = np.ascontiguousarray(
+                    mat[:, bi * 16 + 8:bi * 16 + 16]).view("<u8").ravel()
+                k1 = _rotl(k1 * _C1, 31) * _C2
+                h1 ^= k1
+                h1 = _rotl(h1, 27) + h2
+                h1 = h1 * np.uint64(5) + np.uint64(0x52DCE729)
+                k2 = _rotl(k2 * _C2, 33) * _C1
+                h2 ^= k2
+                h2 = _rotl(h2, 31) + h1
+                h2 = h2 * np.uint64(5) + np.uint64(0x38495AB5)
+            tail = length - n_blocks * 16
+            if tail > 0:
+                t0 = n_blocks * 16
+                k1 = np.zeros(g, dtype=np.uint64)
+                k2 = np.zeros(g, dtype=np.uint64)
+                for i in range(tail - 1, 7, -1):
+                    sb = mat[:, t0 + i].astype(np.int8).astype(np.int64)
+                    k2 ^= (sb << (8 * (i - 8))).astype(np.uint64)
+                if tail > 8:
+                    k2 = _rotl(k2 * _C2, 33) * _C1
+                    h2 ^= k2
+                for i in range(min(tail, 8) - 1, -1, -1):
+                    sb = mat[:, t0 + i].astype(np.int8).astype(np.int64)
+                    k1 ^= (sb << (8 * i)).astype(np.uint64)
+                k1 = _rotl(k1 * _C1, 31) * _C2
+                h1 ^= k1
+            h1 ^= np.uint64(length)
+            h2 ^= np.uint64(length)
+            h1 = h1 + h2
+            h2 = h2 + h1
+            h1 = _fmix(h1)
+            h2 = _fmix(h2)
+            h1 = h1 + h2
+            h2 = h2 + h1
+        h1_out[idx] = h1
+        h2_out[idx] = h2
+    return h1_out, h2_out
+
+
+def bloom_bit_indexes(h1: np.ndarray, h2: np.ndarray, hash_count: int,
+                      n_bits: int) -> np.ndarray:
+    """Cassandra 2.0 getHashBuckets (abs-signed truncated modulo) for
+    every key x hash round: shape (len(h1) * hash_count,) bit indexes."""
+    i = np.arange(hash_count, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        u = h1[:, None] + i[None, :] * h2[:, None]
+        mag = np.where(u >= np.uint64(1 << 63), np.uint64(0) - u, u)
+    return (mag % np.uint64(n_bits)).ravel()
+
+
+def bloom_add_batch(bloom, keys: list) -> None:
+    """Vectorized BloomFilter.add over many keys: murmur lanes + a
+    boolean-mask scatter packed back into words (np.packbits with
+    bitorder='little' reproduces the words[b >> 6] |= 1 << (b & 63)
+    convention exactly). Bit-identical to per-key add() (pinned in
+    tests); memory stays O(filter bits) per call."""
+    if not keys:
+        return
+    h1, h2 = murmur3_hash128_batch(keys)
+    n_bits = len(bloom.words) * 64
+    bits = bloom_bit_indexes(h1, h2, bloom.hash_count, n_bits)
+    mask = np.zeros(n_bits, dtype=np.bool_)
+    mask[bits.astype(np.int64)] = True
+    new_words = np.packbits(mask, bitorder="little").view("<u8")
+    merged = np.array(bloom.words, dtype=np.uint64) | new_words
+    bloom.words[:] = merged.tolist()

@@ -1299,7 +1299,9 @@ def stream_loghist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _loghist_score(sketch, li_b)
 
 
-def stream_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_kmv_setops(spark: SparkSession, sf_dir: str, *,
+                      _checkpoint: str | None = None,
+                      _kill_after: int | None = None) -> DataFrame:
     """The KMV bottom-k sketch accumulated THROUGH streaming by
     per-batch SKETCH MERGE -- the production theta-sketch pipeline
     shape: each micro-batch computes its own bounded bottom-k
@@ -1311,10 +1313,26 @@ def stream_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME DuckDB oracle as lineitem_kmv_setops. The input spools into
     four orderkey-sharded slices with maxFilesPerTrigger=1 so the merge
     actually happens across batches (a single-file stream would prove
-    nothing)."""
+    nothing).
+
+    DURABLE STATE (VERDICT r7 #4): the merged sketch persists through
+    the CommitBackend after every batch (put_atomic of <= 2k ints,
+    keyed next to the spool, so a regenerated source invalidates state
+    with it) and loads on start -- a driver restart with the same
+    checkpoint resumes from the committed sketch instead of silently
+    losing the batches the checkpoint will not replay. At-least-once
+    replay of the batch that crashed pre-save is harmless: the merge
+    is the monoid. Drilled by tests/test_streaming.py's
+    kill-and-resume test via the keyword-only hooks (_checkpoint pins
+    the checkpoint across the kill; _kill_after injects a crash after
+    N merged batches)."""
+    import hashlib
+    import json
     import os
     import uuid
 
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        get_commit_backend)
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
         _KMV_K, _kmv_score, _kmv_sketch)
     from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
@@ -1340,9 +1358,25 @@ def stream_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(os.path.join(tmp, src),
                        os.path.join(spool, f"slice-{i}.parquet"))
 
-    sketches: dict[str, list[int]] = {}
+    backend = get_commit_backend()
+    # one durable sketch per checkpoint identity: independent runs
+    # (fresh checkpoints) start empty; a RESTART of the same run
+    # resumes its own committed state
+    ckpt = _checkpoint or scratch_dir("kmv_ckpt", tag + uuid.uuid4().hex,
+                                      fresh=True)
+    state_key = os.path.join(
+        spool, f"state-{hashlib.sha1(ckpt.encode()).hexdigest()}.json")
+    try:
+        sketches: dict[str, list[int]] = json.loads(
+            backend.read_text(state_key))
+    except FileNotFoundError:
+        sketches = {}
+    merged_this_run = 0
 
     def merge(batch_df, _batch_id) -> None:
+        nonlocal merged_this_run
+        if _kill_after is not None and merged_this_run >= _kill_after:
+            raise RuntimeError("injected mid-stream crash (drill)")
         # the batch's own bottom-k is computed DISTRIBUTED; only the
         # bounded sketch (<= 2k rows) reaches the driver for the merge
         for r in _kmv_sketch(batch_df).collect():
@@ -1350,8 +1384,12 @@ def stream_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             lst.append(r.h)
         for flag, lst in sketches.items():
             sketches[flag] = sorted(set(lst))[:_KMV_K]
+        # durable BEFORE the checkpoint commits the batch: crash
+        # between the two replays the batch into an idempotent merge
+        backend.put_atomic(state_key,
+                           json.dumps(sketches, sort_keys=True))
+        merged_this_run += 1
 
-    ckpt = scratch_dir("kmv_ckpt", tag + uuid.uuid4().hex, fresh=True)
     q = (spark.readStream.schema(li_b.schema)
          .option("maxFilesPerTrigger", "1")
          .option("pathGlobFilter", "slice-*.parquet")

@@ -317,12 +317,26 @@ def test_until_stable_converges_across_tiers(spark, tmp_path):
             if CP.derive_n_outputs(t["bytes"], 1 << 20) < len(t["files"])] == []
 
 
-def test_txn_protocol_on_object_store_backend(tmp_path):
+@pytest.mark.parametrize("flavor", ["memory", "s3"])
+def test_txn_protocol_on_object_store_backend(tmp_path, flavor):
     """The log's protocol plane runs unchanged on the object-store-shaped
-    backend (no rename, conditional puts only): begin claims at most
-    once, filter_live hides by state, recover replays both branches."""
+    backends (no rename, conditional puts only) -- the in-memory
+    template AND the S3 conditional-write backend over a mocked HTTP
+    boundary (with injected 503s, so the drill also covers the retry
+    path): begin claims at most once, filter_live hides by state,
+    recover replays both branches."""
     from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
         InMemoryCommitBackend, use_commit_backend)
+
+    if flavor == "memory":
+        be = InMemoryCommitBackend()
+    else:
+        from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
+            S3CommitBackend)
+        from tests.mock_s3 import MockS3Transport
+
+        be = S3CommitBackend("txn-bucket", MockS3Transport(fail_every=5),
+                             backoff_s=0.001)
 
     d = str(tmp_path)
     a = _mk(d, "aa", 5, 4, ts=1)
@@ -330,7 +344,7 @@ def test_txn_protocol_on_object_store_backend(tmp_path):
     out = _mk(d, "opt-1-13-0-0", 5, 4, ts=3)  # pretend published output
     all_files = sorted(glob.glob(os.path.join(d, "*-Data.db")))
 
-    with use_commit_backend(InMemoryCommitBackend()):
+    with use_commit_backend(be):
         txnlog.begin(d, "opt-1-13-0", "opt-1-13-0", [a, b])
         with pytest.raises(RuntimeError, match="already claimed"):
             txnlog.begin(d, "opt-1-13-0", "opt-1-13-0", [a, b])

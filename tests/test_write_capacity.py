@@ -1,17 +1,28 @@
-"""Write-path capacity floors (VERDICT r5 #3): the pure-Python encode
-loops ARE the write path's 100 TB number, so a silent regression there
-must fail loudly. Direct single-task micro-benches (no Spark -- the
-encode loop is per-task CPU, exactly what one executor core does), with
-floors at ~1/4 of idle-measured throughput so machine load cannot flake
-them. Idle 2026-08-15 measurements (200k cells, one task):
-binary sink ~194k cells/s plain / ~228k cells/s lz4, pb+zstd sink
-~462k cells/s. Wall-time complement: bench.py --check-bands."""
+"""Capacity floors (VERDICT r5 #3, vectorized r8 per VERDICT r7 #1):
+the per-task codec throughput IS the engine's 100 TB number, so a
+silent regression there must fail loudly. Direct single-task
+micro-benches (no Spark -- codec work is per-task CPU, exactly what
+one executor core does), with floors at ~1/4 of idle-measured
+throughput so machine load cannot flake them.
+
+Idle 2026-08-16 measurements (200k cells, 4-cell partitions -- the
+per-partition-overhead-heavy WORST case; one task):
+  * batch binary sink (write_partitions_block): ~905k cells/s plain,
+    ~899k cells/s lz4 -- 4.7x / 3.9x the round-7 per-cell loop
+  * legacy per-cell sink (add_cell): ~250k cells/s (bloom build now
+    batched at close; kept as the semantic reference path)
+  * fast Arrow decode (cellcodec read path): ~738k rows/s, 2.5x the
+    tuple generator chain
+  * pb+zstd sink: ~462k cells/s (protowire, unchanged)
+Wall-time complement: bench.py --check-bands."""
 
 from __future__ import annotations
 
 import hashlib
 import io
 import time
+
+import numpy as np
 
 
 def _bench_binary(tmp_path, compression, n_cells=120_000):
@@ -50,14 +61,78 @@ def _bench_pb(n_cells=120_000):
     return n_cells / (time.monotonic() - start)
 
 
+def _bench_batch_binary(tmp_path, compression, n_cells=200_000):
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        SSTableStreamWriter)
+
+    keys = sorted((b"key-%07d" % i for i in range(n_cells // 4)),
+                  key=lambda k: hashlib.md5(k).digest())
+    names = [b"col%d" % (c % 4) for c in range(n_cells)]
+    vals = [b"value-%07d-%d" % (i // 4, i % 4) for i in range(n_cells)]
+    codes = np.zeros(n_cells, np.int8)
+    ts = np.arange(n_cells, dtype=np.int64)
+    counts = np.full(n_cells // 4, 4, np.int64)
+    dels = [None] * (n_cells // 4)
+    w = SSTableStreamWriter(
+        str(tmp_path / f"b{compression or 'plain'}{time.monotonic_ns()}"),
+        1, compression=compression)
+    start = time.monotonic()
+    pp = 16384 // 4
+    for s in range(0, n_cells // 4, pp):
+        e = min(s + pp, n_cells // 4)
+        w.write_partitions_block(keys[s:e], dels[s:e], counts[s:e],
+                                 names[s * 4:e * 4], codes[s * 4:e * 4],
+                                 ts[s * 4:e * 4], vals[s * 4:e * 4],
+                                 None)
+    w.close()
+    return n_cells / (time.monotonic() - start)
+
+
 def test_binary_sink_throughput_floor(tmp_path, capsys):
     best = max(_bench_binary(tmp_path, None) for _ in range(2))
     best_lz = max(_bench_binary(tmp_path, "lz4") for _ in range(2))
     with capsys.disabled():
-        print(f"\n[capacity] binary sink {best:,.0f} cells/s plain, "
-              f"{best_lz:,.0f} cells/s lz4 (floor 50k)")
+        print(f"\n[capacity] per-cell binary sink {best:,.0f} cells/s "
+              f"plain, {best_lz:,.0f} cells/s lz4 (floor 50k)")
     assert best >= 50_000, f"binary encode regressed: {best:,.0f} cells/s"
     assert best_lz >= 50_000, f"lz4 encode regressed: {best_lz:,.0f} cells/s"
+
+
+def test_batch_binary_sink_throughput_floor(tmp_path, capsys):
+    """The vectorized write path (VERDICT r7 #1): floor at ~1/4 of the
+    ~900k cells/s idle measurement -- and >= 4x the round-7 50k
+    per-cell floor, the directive's done-bar."""
+    best = max(_bench_batch_binary(tmp_path, None) for _ in range(2))
+    best_lz = max(_bench_batch_binary(tmp_path, "lz4") for _ in range(2))
+    with capsys.disabled():
+        print(f"\n[capacity] batch binary sink {best:,.0f} cells/s "
+              f"plain, {best_lz:,.0f} cells/s lz4 (floor 200k)")
+    assert best >= 200_000, \
+        f"batch encode regressed: {best:,.0f} cells/s"
+    assert best_lz >= 200_000, \
+        f"batch lz4 encode regressed: {best_lz:,.0f} cells/s"
+
+
+def test_fast_decode_throughput_floor(tmp_path, capsys):
+    """The vectorized read path: floor at ~1/4 of the ~738k rows/s
+    idle measurement (the round-7 tuple chain measured ~297k)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        SSTableNativeReader)
+
+    _bench_batch_binary(tmp_path, None)  # writes the fixture
+    rdr = SSTableNativeReader(str(tmp_path), 1_000_000)
+    splits = rdr.partitions()
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = 0
+        for s in splits:
+            for b in rdr.read(s):
+                n += b.num_rows
+        best = max(best, n / (time.monotonic() - t0))
+    with capsys.disabled():
+        print(f"\n[capacity] fast decode {best:,.0f} rows/s (floor 150k)")
+    assert best >= 150_000, f"fast decode regressed: {best:,.0f} rows/s"
 
 
 def test_pb_sink_throughput_floor(capsys):

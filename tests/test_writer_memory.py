@@ -119,24 +119,36 @@ def _cell_batches(n_batches, cells_per_batch, val, sstable_id="big",
 
 @pytest.mark.parametrize("compression", [None, "lz4"])
 def test_native_sink_streams_per_batch(tmp_path, compression):
-    """One ~40 MB single-partition sstable through the native binary
-    writer: peak Python allocation stays O(one batch) (the old shape
-    additionally dict-materialized every partition), and the streamed
+    """Single-partition sstables through the native binary writer: peak
+    Python allocation stays O(one batch), proven two ways -- an
+    absolute cap (the vectorized encoder's bounded scatter transient,
+    a few MB regardless of input), and DIRECTLY: doubling the input
+    size must not grow the peak (the old shape dict-materialized every
+    partition, where peak tracked file size 1:1). The streamed
     components read back cell-for-cell through the lazy scanner."""
-    n_batches, cells_per_batch, val = 100, 1000, b"x" * 400  # ~40 MB
+    cells_per_batch, val = 1000, b"x" * 400
 
-    write = N._cells_stream_writer(str(tmp_path), compression)
-    tracemalloc.start()
-    metrics = pd.concat(
-        list(write(_cell_batches(n_batches, cells_per_batch, val))),
-        ignore_index=True)
-    _, peak = tracemalloc.get_traced_memory()
-    tracemalloc.stop()
+    def run(n_batches, sub):
+        write = N._cells_stream_writer(str(tmp_path / sub), compression)
+        tracemalloc.start()
+        metrics = pd.concat(
+            list(write(_cell_batches(n_batches, cells_per_batch, val))),
+            ignore_index=True)
+        _, peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        return metrics, peak
 
-    assert peak < PIN_BYTES, f"peak {peak} bytes: sstable buffered in task?"
+    metrics, peak_40 = run(100, "a")     # ~40 MB
+    _, peak_80 = run(200, "b")           # ~80 MB: peak must NOT follow
+
+    assert peak_40 < 2 * PIN_BYTES, \
+        f"peak {peak_40} bytes: encoder transient regressed?"
+    assert peak_80 < peak_40 + PIN_BYTES // 4, \
+        f"peak grew with file size ({peak_40} -> {peak_80}): " \
+        f"sstable buffered in task?"
     assert len(metrics) == 1
     assert metrics["n_partitions"].iloc[0] == 1
-    assert metrics["n_cells"].iloc[0] == n_batches * cells_per_batch
+    assert metrics["n_cells"].iloc[0] == 100 * cells_per_batch
 
     data = metrics["path"].iloc[0]
     f, logical_size = N.open_data_file(data)
@@ -147,7 +159,7 @@ def test_native_sink_streams_per_batch(tmp_path, compression):
         for cell in part["cells"]:
             assert cell["name"] == b"c%010d" % seen
             seen += 1
-    assert seen == n_batches * cells_per_batch
+    assert seen == 100 * cells_per_batch
 
 
 def test_native_sink_rolls_sstables_and_partitions(tmp_path):

@@ -118,14 +118,17 @@ def input_data_files(input_path: str | list[str]) -> list[str]:
 
     if isinstance(input_path, (list, tuple)):
         return sorted(input_path)
-    from cassandra_sstable_to_protocolbuf_spark import txnlog
+    from cassandra_sstable_to_protocolbuf_spark import manifest, txnlog
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         DATA_SUFFIX)
 
     if os.path.isdir(input_path):
-        return sorted(txnlog.filter_live(input_path, glob.glob(
-            os.path.join(input_path, "**", f"*{DATA_SUFFIX}"),
-            recursive=True)))
+        listed = manifest.data_files(input_path)
+        if listed is None:
+            listed = glob.glob(
+                os.path.join(input_path, "**", f"*{DATA_SUFFIX}"),
+                recursive=True)
+        return sorted(txnlog.filter_live(input_path, listed))
     return [input_path]
 
 
@@ -310,7 +313,7 @@ def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
     failure AFTER it leaves the COMMIT log for recover() to roll
     forward -- readers see exactly one generation at every instant
     (txnlog.filter_live)."""
-    from cassandra_sstable_to_protocolbuf_spark import txnlog
+    from cassandra_sstable_to_protocolbuf_spark import manifest, txnlog
 
     name = f"opt-{gen}-{task['tier']}-{task['bin']}"
     txnlog.begin(input_dir, name, name, list(task["files"]))
@@ -337,9 +340,16 @@ def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
         except Exception:  # noqa: BLE001 -- recovery sweep will redo it
             pass
         raise
+    # manifest ordering (manifest.py): outputs recorded BEFORE the
+    # commit flip (visible the instant the swap commits), inputs
+    # dropped AFTER it but BEFORE their files unlink (the manifest
+    # never points at ghosts); both crash windows repaired by
+    # recover() from the log record. No-ops without a manifest.
+    manifest.add(input_dir, [m.path for m in metrics])
     txnlog.commit(input_dir, name, [m.path for m in metrics])
     # committed: from here failures must NOT roll back -- the swap
     # happened; input removal is roll-forward work recover() can redo
+    manifest.remove(input_dir, list(task["files"]))
     for data_path in task["files"]:
         txnlog.unlink_components(data_path)
     txnlog.finish(input_dir, name)

@@ -73,6 +73,10 @@ CATALOG: dict[str, QueryDef] = {
                                 "S4/S6/S7: scan of pre-built binary SSTables"),
     "sst_point_lookup": QueryDef(C.sst_point_lookup, C.SST_POINT_LOOKUP_SQL,
                                  "S5: pushed key predicate -> Index.db seek"),
+    "sst_manifest_scan": QueryDef(C.sst_manifest_scan,
+                                  C.SST_NATIVE_ROUNDTRIP_SQL,
+                                  "manifest-backed discovery: one GET "
+                                  "replaces the per-plan directory walk"),
     "sst_landed_parquet": QueryDef(C.sst_landed_parquet, C.SST_LANDED_PARQUET_SQL,
                                    "to-parquet CLI pipeline: landed LWW layout + partition pruning"),
     "sst_continue_on_error": QueryDef(C.sst_continue_on_error,

@@ -289,6 +289,33 @@ def sst_native_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _project_native_cells(read_native_cells(spark, out))
 
 
+def sst_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-backed discovery under the gate (VERDICT r7 #6): the
+    identical cells as sst_native_scan, read from a directory whose
+    planning consults ONE manifest object instead of a recursive walk
+    -- at 100k+ sstables the difference between one GET and a
+    paginated LIST per query. The fixture hardlinks the build-once
+    sstable components into a fresh dir and seeds the manifest with
+    manifest.init; tests/test_manifest.py pins that planning then
+    issues ZERO glob calls, crash consistency under OPTIMIZE, and the
+    missing-file walk fallback -- this gate pins RESULT parity."""
+    import glob as _glob
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark import manifest
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    out = scratch_dir("manifest_fix",
+                      os.path.basename(fixture.rstrip("/")), fresh=True)
+    for p in _glob.glob(os.path.join(fixture, "*.db")):
+        os.link(p, os.path.join(out, os.path.basename(p)))
+    manifest.init(out)
+    return _project_native_cells(read_native_cells(spark, out))
+
+
 SST_NATIVE_ROUNDTRIP_SQL = f"""
 {cells_cte()}
 SELECT sstable_id, key, name,

@@ -2242,18 +2242,25 @@ class SSTableNativeReader(DataSourceReader):
         import glob
 
         if os.path.isdir(self.path):
-            # recursive walk matching the reference's Files.walk discovery
-            # (Runner.java:54-60): real Cassandra data dirs nest sstables
-            # under keyspace/table/ subdirectories. Discovery then applies
-            # the maintenance transaction log's visibility filter: a
-            # reader racing an in-place OPTIMIZE swap sees exactly one
-            # consistent generation (uncommitted outputs hidden, committed
-            # inputs hidden), never a torn mix -- txnlog.filter_live.
-            from cassandra_sstable_to_protocolbuf_spark import txnlog
+            # MANIFEST-FIRST discovery (one GET at any file count),
+            # falling back to the recursive walk matching the
+            # reference's Files.walk discovery (Runner.java:54-60:
+            # real Cassandra data dirs nest sstables under
+            # keyspace/table/ subdirectories). Either way, discovery
+            # then applies the maintenance transaction log's
+            # visibility filter: a reader racing an in-place OPTIMIZE
+            # swap sees exactly one consistent generation (uncommitted
+            # outputs hidden, committed inputs hidden), never a torn
+            # mix -- txnlog.filter_live.
+            from cassandra_sstable_to_protocolbuf_spark import (manifest,
+                                                                txnlog)
 
-            files = sorted(txnlog.filter_live(self.path, glob.glob(
-                os.path.join(self.path, "**", f"*{DATA_SUFFIX}"),
-                recursive=True)))
+            listed = manifest.data_files(self.path)
+            if listed is None:
+                listed = glob.glob(
+                    os.path.join(self.path, "**", f"*{DATA_SUFFIX}"),
+                    recursive=True)
+            files = sorted(txnlog.filter_live(self.path, listed))
         elif self.path.endswith(DATA_SUFFIX):
             files = [self.path]
         else:

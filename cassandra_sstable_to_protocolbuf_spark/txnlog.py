@@ -186,14 +186,19 @@ def recover(input_dir: str) -> list[dict]:
     back (partial outputs and temp files removed, inputs untouched),
     COMMIT rolls forward (leftover inputs removed). Idempotent; returns
     the actions taken, [{"name", "action"}]."""
+    from cassandra_sstable_to_protocolbuf_spark import manifest
+
     backend = get_commit_backend()
     actions = []
     for rec in read_logs(input_dir):
         name = rec["name"]
         if rec["state"] == "BEGIN":
             # rollback: sweep everything carrying the output prefix --
-            # published components AND in-flight writer temps
+            # published components AND in-flight writer temps -- and
+            # mirror the sweep in the manifest (outputs may have been
+            # recorded just before a crash pre-commit)
             pref = _output_basename_prefix(rec["output_prefix"])
+            manifest.remove_by_basename_prefix(input_dir, pref)
             for path in glob.glob(
                     glob.escape(os.path.join(input_dir, pref)) + "*"):
                 try:
@@ -202,6 +207,15 @@ def recover(input_dir: str) -> list[dict]:
                     pass
             action = "rollback"
         else:
+            # rollforward: outputs must be in the manifest (the crash
+            # may have landed between commit and the manifest add) and
+            # inputs must leave it BEFORE their files unlink
+            manifest.add(input_dir,
+                         [os.path.join(input_dir, rel)
+                          for rel in rec.get("outputs", [])])
+            manifest.remove(input_dir,
+                            [os.path.join(input_dir, rel)
+                             for rel in rec["inputs"]])
             for rel in rec["inputs"]:
                 unlink_components(os.path.join(input_dir, rel))
             action = "rollforward"

@@ -1,0 +1,148 @@
+"""Manifest-backed sstable discovery (VERDICT r7 #6): one GET replaces
+the per-plan recursive directory walk. Pins: walk-parity of the listed
+set, ZERO glob/listdir syscalls when planning from a manifest,
+maintenance consistency through transactional OPTIMIZE (including both
+crash windows, drilled with kill points), the missing-file fallback
+(degrade to the walk, never wrong results), and no-manifest dirs being
+byte-for-byte unaffected."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from cassandra_sstable_to_protocolbuf_spark import compaction as CP
+from cassandra_sstable_to_protocolbuf_spark import manifest, txnlog
+from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
+from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+    read_native_cells)
+from tests.test_optimize_txn import _lww, _mk
+
+
+def test_init_matches_walk_and_discovery_is_globless(tmp_path,
+                                                     monkeypatch):
+    d = str(tmp_path)
+    a = _mk(d, "aa", 5, 4, ts=1)
+    nested = tmp_path / "ks" / "t"
+    nested.mkdir(parents=True)
+    b = _mk(str(nested), "bb", 5, 4, ts=2)
+    entries = manifest.init(d)
+    assert entries == sorted([os.path.relpath(a, d),
+                              os.path.relpath(b, d)])
+    assert manifest.data_files(d) == sorted([a, b])
+
+    # planning consults the manifest: ZERO walk syscalls
+    calls = []
+    monkeypatch.setattr(glob, "glob",
+                        lambda *a_, **k: calls.append(a_) or [])
+    rdr = N.SSTableNativeReader(d, 4096)
+    files = rdr._data_files()
+    assert files == sorted([a, b]) and calls == []
+    assert CP.input_data_files(d) == sorted([a, b]) and calls == []
+
+
+def test_no_manifest_keeps_walking(tmp_path):
+    d = str(tmp_path)
+    a = _mk(d, "aa", 5, 4, ts=1)
+    assert manifest.data_files(d) is None
+    assert CP.input_data_files(d) == [a]
+    rdr = N.SSTableNativeReader(d, 4096)
+    assert rdr._data_files() == [a]
+
+
+def test_missing_file_falls_back_to_walk(tmp_path):
+    """A manifest referencing a vanished file (external tampering) must
+    degrade to the walk -- correct results at walk cost, never a plan
+    over ghosts and never dropped rows."""
+    d = str(tmp_path)
+    a = _mk(d, "aa", 5, 4, ts=1)
+    b = _mk(d, "bb", 5, 4, ts=2)
+    manifest.init(d)
+    txnlog.unlink_components(b)  # tamper: delete outside maintenance
+    assert manifest.data_files(d) is None  # refuses the stale listing
+    rdr = N.SSTableNativeReader(d, 4096)
+    assert rdr._data_files() == [a]
+    # malformed manifest body: same fallback
+    with open(manifest.manifest_path(d), "w", encoding="utf-8") as f:
+        f.write("not json{")
+    assert manifest.data_files(d) is None
+    assert rdr._data_files() == [a]
+
+
+def test_optimize_maintains_manifest(spark, tmp_path):
+    """A full transactional OPTIMIZE over a manifested directory: the
+    manifest tracks the swap (outputs in, inputs out), stays equal to
+    the directory's real contents, and the LWW result is unchanged."""
+    d = str(tmp_path)
+    for i in range(4):
+        _mk(d, f"s{i}", 30, 30, ts=i + 1)
+    manifest.init(d)
+    pre = _lww(spark, d)
+    results = CP.optimize(spark, d, target_output_bytes=1 << 20)
+    assert results and all("error" not in r for r in results)
+    walked = sorted(os.path.relpath(p, d) for p in glob.glob(
+        os.path.join(d, "**", f"*{N.DATA_SUFFIX}"), recursive=True))
+    assert manifest.read_entries(d) == walked
+    assert _lww(spark, d) == pre
+    # and discovery through the refreshed manifest serves the rows
+    assert {bytes(r.key) for r in
+            read_native_cells(spark, d).select("key").collect()} \
+        == {k for k, _n, _v, _t in pre}
+
+
+@pytest.mark.parametrize("kill_point", ["pre_commit", "post_commit"])
+def test_crash_windows_repair_manifest(spark, tmp_path, monkeypatch,
+                                       kill_point):
+    """Both manifest crash windows, drilled with monkeypatched kill
+    points exactly like test_optimize_txn: (a) crash AFTER the
+    manifest recorded outputs but BEFORE the commit flip -- rollback
+    must drop them; (b) crash after commit BEFORE inputs left the
+    manifest -- rollforward must finish both sides. After recover()
+    the manifest equals the directory and the data is consistent."""
+    d = str(tmp_path)
+    for i in range(3):
+        _mk(d, f"s{i}", 30, 30, ts=i + 1)
+    manifest.init(d)
+    pre = _lww(spark, d)
+
+    class Boom(RuntimeError):
+        pass
+
+    if kill_point == "pre_commit":
+        def die(*a, **k):
+            raise Boom("crash before commit")
+        monkeypatch.setattr(txnlog, "commit", die)
+    else:
+        real_remove = manifest.remove
+
+        def die(*a, **k):
+            raise Boom("crash before manifest input removal")
+        monkeypatch.setattr(manifest, "remove", die)
+
+    with pytest.raises((Boom, RuntimeError)):
+        CP.optimize(spark, d, target_output_bytes=1 << 20,
+                    continue_on_error=False)
+    monkeypatch.undo()
+
+    # the torn state is still CONSISTENT for readers right now
+    # (filter_live hides the in-flight side) and recover() converges it
+    assert _lww(spark, d) == pre
+    txnlog.recover(d)
+    walked = sorted(os.path.relpath(p, d) for p in glob.glob(
+        os.path.join(d, "**", f"*{N.DATA_SUFFIX}"), recursive=True))
+    assert manifest.read_entries(d) == walked
+    assert _lww(spark, d) == pre
+
+
+def test_manifest_scan_gate_matches_native_scan(spark):
+    """The catalog gate: sst_manifest_scan returns the identical cells
+    as sst_native_scan, through manifest-only planning."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
+        sst_manifest_scan, sst_native_scan)
+    from tests.conftest import SF_SMOKE
+
+    a = sorted(map(tuple, sst_manifest_scan(spark, SF_SMOKE).collect()))
+    b = sorted(map(tuple, sst_native_scan(spark, SF_SMOKE).collect()))
+    assert a == b

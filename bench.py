@@ -25,6 +25,7 @@ HEADLINE = [
     "sst_row_group",
     "sst_lww_dedup",
     "sst_native_scan",
+    "sst_manifest_scan",
     "sst_landed_parquet",
     "sst_incremental_merge",
     "sst_time_travel",

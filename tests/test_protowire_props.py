@@ -45,3 +45,22 @@ def test_stream_roundtrip(rows):
 def test_varint_any_u64(n):
     v, pos = pw.decode_varint(pw.encode_varint(n), 0)
     assert v == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(row, max_size=12))
+def test_block_encoder_byte_identical(rows):
+    """encode_rows_block == per-row frame_row(encode_row(...)) for any
+    shape hypothesis can draw: empty keys, empty names/values, zero and
+    negative writeTimes, zero-column rows, varint-size boundaries."""
+    import numpy as np
+
+    ref = b"".join(pw.frame_row(pw.encode_row(k, cs)) for k, cs in rows)
+    keys = [k for k, _ in rows]
+    counts = np.array([len(cs) for _, cs in rows], dtype=np.int64)
+    names = [n for _, cs in rows for (n, _v, _t) in cs]
+    vals = [(v if v is not None else b"")
+            for _, cs in rows for (_n, v, _t) in cs]
+    wts = np.array([t for _, cs in rows for (_n, _v, t) in cs],
+                   dtype=np.int64)
+    assert pw.encode_rows_block(keys, counts, names, vals, wts) == ref

@@ -138,5 +138,33 @@ def test_fast_decode_throughput_floor(tmp_path, capsys):
 def test_pb_sink_throughput_floor(capsys):
     best = max(_bench_pb() for _ in range(2))
     with capsys.disabled():
-        print(f"\n[capacity] pb+zstd sink {best:,.0f} cells/s (floor 110k)")
+        print(f"\n[capacity] pb+zstd per-row sink {best:,.0f} cells/s "
+              f"(floor 110k)")
     assert best >= 110_000, f"pb encode regressed: {best:,.0f} cells/s"
+
+
+def test_pb_block_throughput_floor(capsys):
+    """The vectorized protobuf block framer (the sink's actual r8 hot
+    path): ~1.27M cells/s idle on the 4-cell shape; floor at ~1/4."""
+    from cassandra_sstable_to_protocolbuf_spark import protowire as pw
+
+    n_cells = 200_000
+    keys = [b"key-%07d" % i for i in range(n_cells // 4)]
+    counts = np.full(n_cells // 4, 4, np.int64)
+    names = [b"col%d" % (c % 4) for c in range(n_cells)]
+    vals = [b"value-%07d-%d" % (i // 4, i % 4) for i in range(n_cells)]
+    wts = np.arange(n_cells, dtype=np.int64) * 10
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        import io as _io
+
+        import pyarrow as pa
+        sink = _io.BytesIO()
+        with pa.CompressedOutputStream(pa.output_stream(sink), "zstd") as z:
+            z.write(pw.encode_rows_block(keys, counts, names, vals, wts))
+        best = max(best, n_cells / (time.monotonic() - t0))
+    with capsys.disabled():
+        print(f"\n[capacity] pb+zstd block sink {best:,.0f} cells/s "
+              f"(floor 300k)")
+    assert best >= 300_000, f"pb block encode regressed: {best:,.0f}"

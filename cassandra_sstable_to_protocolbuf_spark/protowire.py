@@ -295,6 +295,258 @@ def decode_row(buf: bytes) -> tuple[bytes, list[tuple[bytes, bytes, int]]]:
     return key, columns
 
 
+# --------------------------------------------------------------------------
+# vectorized block decoder: the read-side twin of encode_rows_block.
+# One offset-only Python walk per buffered region collects field SPANS
+# (any field order, last-wins, unknown tags raise -- the same semantics
+# as decode_row); all byte movement happens as numpy gathers straight
+# into Arrow buffers. Rows never materialize as Python dicts.
+# --------------------------------------------------------------------------
+
+
+class PbOverrun(Exception):
+    """Decoder ran past the buffered bytes mid-row: the caller extends
+    the buffer and retries from `row_start` (registers rolled back)."""
+
+    def __init__(self, row_start: int):
+        super().__init__(f"pb row overran buffer at {row_start}")
+        self.row_start = row_start
+
+
+class _PbRegisters:
+    __slots__ = ("rows", "counts", "cols")
+
+    def __init__(self):
+        from array import array
+
+        self.rows = array("q")    # 2 per row: key_off, key_len
+        self.counts = array("q")  # columns per row
+        # 5 per column: name_off, name_len, val_off, val_len,
+        # wt_off (-1 = absent -> 0)
+        self.cols = array("q")
+
+    def __len__(self) -> int:
+        return len(self.rows) // 2
+
+
+def decode_rows_spans(buf, regs: _PbRegisters, start_at: int = 0,
+                      max_rows: int | None = None) -> int:
+    """Walk framed Rows from buf[start_at:], appending spans into
+    `regs`. Returns the offset after the last complete row (clean EOF
+    at a frame boundary, or the max_rows flush point); raises PbOverrun
+    with registers rolled back when the buffer ends mid-row. Field
+    semantics match decode_row exactly: any order, last-wins for
+    scalars, unknown tags raise ValueError."""
+    n = len(buf)
+    o = start_at
+    rows_extend = regs.rows.extend
+    counts_append = regs.counts.append
+    cols_extend = regs.cols.extend
+    done = 0
+    while True:
+        row_start = o
+        if o == n:
+            return o
+        if max_rows is not None and done >= max_rows:
+            return o
+        snap_rows = len(regs.rows)
+        snap_counts = len(regs.counts)
+        snap_cols = len(regs.cols)
+        try:
+            # frame varint
+            b = buf[o]
+            o += 1
+            if b < 0x80:
+                ln = b
+            else:
+                ln = b & 0x7F
+                shift = 7
+                while True:
+                    b = buf[o]
+                    o += 1
+                    ln |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+                    if shift > 63:
+                        raise ValueError("varint too long")
+            row_end = o + ln
+            if row_end > n:
+                raise IndexError
+            key_off = key_len = 0
+            ncols = 0
+            while o < row_end:
+                tag = buf[o]
+                o += 1
+                b = buf[o]
+                o += 1
+                if b < 0x80:
+                    fl = b
+                else:
+                    fl = b & 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[o]
+                        o += 1
+                        fl |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                        if shift > 63:
+                            raise ValueError("varint too long")
+                if tag == _ROW_KEY_TAG:
+                    key_off, key_len = o, fl
+                    o += fl
+                elif tag == _ROW_COLUMNS_TAG:
+                    col_end = o + fl
+                    if col_end > row_end:
+                        raise ValueError("column overruns row")
+                    n_off = n_len = v_off = v_len = 0
+                    wt_off = -1
+                    while o < col_end:
+                        ctag = buf[o]
+                        o += 1
+                        if ctag == _COLUMN_WRITETIME_TAG:
+                            wt_off = o
+                            o += 8
+                            continue
+                        cb = buf[o]
+                        o += 1
+                        if cb < 0x80:
+                            cl = cb
+                        else:
+                            cl = cb & 0x7F
+                            shift = 7
+                            while True:
+                                cb = buf[o]
+                                o += 1
+                                cl |= (cb & 0x7F) << shift
+                                if not cb & 0x80:
+                                    break
+                                shift += 7
+                                if shift > 63:
+                                    raise ValueError("varint too long")
+                        if ctag == _COLUMN_NAME_TAG:
+                            n_off, n_len = o, cl
+                        elif ctag == _COLUMN_VALUE_TAG:
+                            v_off, v_len = o, cl
+                        else:
+                            raise ValueError(
+                                f"unknown Column tag 0x{ctag:02x}")
+                        o += cl
+                    if o != col_end:
+                        raise ValueError("column field overruns")
+                    cols_extend((n_off, n_len, v_off, v_len, wt_off))
+                    ncols += 1
+                else:
+                    raise ValueError(f"unknown Row tag 0x{tag:02x}")
+            if o != row_end:
+                raise ValueError("row field overruns frame")
+            rows_extend((key_off, key_len))
+            counts_append(ncols)
+            done += 1
+        except IndexError:
+            del regs.rows[snap_rows:], regs.counts[snap_counts:], \
+                regs.cols[snap_cols:]
+            raise PbOverrun(row_start) from None
+
+
+def pb_registers_to_arrow(buf, regs: _PbRegisters, sstable_id: str):
+    """Spans -> one Arrow RecordBatch (sstable_id, key,
+    columns: list<struct<name, value, writeTime>>), all columns built
+    via numpy gathers / Arrow buffers."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.cellcodec import (
+        _arrow_offsets, _ragged_idx)
+
+    buf_np = np.frombuffer(buf, dtype=np.uint8)
+    rows = np.frombuffer(regs.rows, dtype=np.int64).reshape(-1, 2)
+    counts = np.frombuffer(regs.counts, dtype=np.int64)
+    cols = np.frombuffer(regs.cols, dtype=np.int64).reshape(-1, 5)
+    n_rows = len(rows)
+    n_cols = len(cols)
+
+    keys = pa.Array.from_buffers(
+        pa.binary(), n_rows,
+        [None, pa.py_buffer(_arrow_offsets(rows[:, 1]).tobytes()),
+         pa.py_buffer(buf_np[_ragged_idx(rows[:, 0],
+                                         rows[:, 1])].tobytes())])
+    names = pa.Array.from_buffers(
+        pa.binary(), n_cols,
+        [None, pa.py_buffer(_arrow_offsets(cols[:, 1]).tobytes()),
+         pa.py_buffer(buf_np[_ragged_idx(cols[:, 0],
+                                         cols[:, 1])].tobytes())])
+    values = pa.Array.from_buffers(
+        pa.binary(), n_cols,
+        [None, pa.py_buffer(_arrow_offsets(cols[:, 3]).tobytes()),
+         pa.py_buffer(buf_np[_ragged_idx(cols[:, 2],
+                                         cols[:, 3])].tobytes())])
+    wt = np.zeros(n_cols, dtype=np.int64)
+    present = cols[:, 4] >= 0
+    if present.any():
+        off = cols[:, 4][present]
+        wt[present] = buf_np[off[:, None] + np.arange(8)].view(
+            "<i8").ravel()
+    struct = pa.StructArray.from_arrays(
+        [names, values, pa.array(wt)], ["name", "value", "writeTime"])
+    columns = pa.ListArray.from_arrays(pa.array(_arrow_offsets(counts)),
+                                       struct)
+    sid = pa.array([sstable_id], type=pa.string()).take(
+        pa.array(np.zeros(n_rows, dtype=np.int32)))
+    schema = pa.schema([
+        ("sstable_id", pa.string()), ("key", pa.binary()),
+        ("columns", pa.list_(pa.struct([
+            ("name", pa.binary()), ("value", pa.binary()),
+            ("writeTime", pa.int64())])))])
+    return pa.RecordBatch.from_arrays([sid, keys, columns],
+                                      schema=schema)
+
+
+def iter_decoded_batches(stream, sstable_id: str,
+                         batch_rows: int = 1024,
+                         chunk_bytes: int = 4 << 20) -> Iterator:
+    """Arrow RecordBatches straight from a length-delimited protobuf
+    stream: bounded buffering (consumed-prefix trimming + grow on
+    demand), the vectorized span walk, zero per-row Python objects."""
+    buf = bytearray(stream.read(chunk_bytes))
+    o = 0
+    while True:
+        regs = _PbRegisters()
+        done = False
+        while True:
+            try:
+                o = decode_rows_spans(buf, regs, start_at=o,
+                                      max_rows=batch_rows)
+            except PbOverrun as ov:
+                more = stream.read(chunk_bytes)
+                if not more:
+                    raise ValueError(
+                        "truncated message body") from None
+                buf += more
+                o = ov.row_start
+                continue
+            if o == len(buf):
+                more = stream.read(chunk_bytes)
+                if not more:
+                    done = True
+                    break
+                buf += more
+                continue
+            break  # flush point
+        if len(regs):
+            yield pb_registers_to_arrow(buf, regs, sstable_id)
+        if done:
+            return
+        if o >= chunk_bytes:
+            # amortized trim: only once the consumed prefix is at least
+            # a chunk (a per-flush buf[o:] copy is O(buffer) and turned
+            # the first cut of this decoder into 3+ GB of memcpy)
+            buf = buf[o:]
+            o = 0
+
+
 def iter_delimited(stream) -> Iterator[bytes]:
     """Yield message bodies from a length-delimited stream (file-like)."""
     while True:

@@ -2946,10 +2946,13 @@ class SSTableNativeReader(DataSourceReader):
                                                  self.live_only)
                 if done:
                     return
-                # trim the consumed prefix: memory stays O(batch)
-                buf = buf[o:]
-                base += o
-                o = 0
+                # amortized trim of the consumed prefix: memory stays
+                # O(grow window) without paying an O(buffer) copy per
+                # flush (a per-flush trim is quadratic over the split)
+                if o >= self.FAST_SCAN_GROW:
+                    buf = buf[o:]
+                    base += o
+                    o = 0
 
     def _read_fast_fallback(self, split, from_offset: int,
                             batch) -> Iterator:

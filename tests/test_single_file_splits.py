@@ -13,18 +13,36 @@ import time
 
 from cassandra_sstable_to_protocolbuf_spark.sources import sstable_native as N
 
-N_PARTS = 150_000  # x4 cells each = 600k cells, ~2.5s single-threaded
+# x4 cells each = 1.2M cells: sized so the parallel fraction dominates
+# the fixed per-scan overhead -- the r8 vectorized decode made a 600k
+# single-split scan so fast (~1.3s) that its split speedup margin
+# dipped toward the floor under suite load
+N_PARTS = 300_000
 
 
 def _big_fixture(tmp_path):
+    import numpy as np
+
     d = str(tmp_path / "one")
-    parts = [{"key": b"key-%07d" % i,
-              "cells": [{"name": b"c%d" % c, "kind": "LIVE",
-                         "timestamp": i * 10 + c,
-                         "value": b"val-%07d-%d" % (i, c)}
-                        for c in range(4)]}
-             for i in range(N_PARTS)]
-    N.write_sstable(d, 1, parts, cf="big")
+    # batch writer: the fixture is about READ-side split scaling, so
+    # build it through the fast encode path (same bytes as per-cell)
+    keys = sorted((b"key-%07d" % i for i in range(N_PARTS)),
+                  key=lambda k: (N.md5_token(k), k))
+    w = N.SSTableStreamWriter(d, 1, cf="big")
+    step = 8192
+    names = [b"c%d" % c for c in range(4)]
+    for s in range(0, N_PARTS, step):
+        chunk = keys[s:s + step]
+        idx = [int(k[4:]) for k in chunk]
+        w.write_partitions_block(
+            chunk, [None] * len(chunk),
+            np.full(len(chunk), 4, np.int64),
+            [nm for _ in chunk for nm in names],
+            np.zeros(4 * len(chunk), np.int8),
+            np.array([i * 10 + c for i in idx for c in range(4)],
+                     np.int64),
+            [b"val-%07d-%d" % (i, c) for i in idx for c in range(4)])
+    w.close()
     return d
 
 
@@ -59,12 +77,17 @@ def test_n_splits_scale_one_file_scan(spark, tmp_path, capsys):
     multi, nk = scan_wall(8192)
     assert n1 == 1 and nk == -(-N_PARTS // 8192)
     speedup = single / multi
-    # 8 cores in the test session; >=1.5x is deliberately generous so a
-    # loaded machine cannot flake it -- an idle 32-core session measures
-    # 5.5x (1 split 2.30s vs 19 splits 0.42s, 600k cells)
+    # 8 cores in the test session; the floor is deliberately generous
+    # so a loaded machine cannot flake it. Context for the margin: the
+    # r8 vectorized decode cut the SINGLE-split scan ~3x, so the
+    # remaining parallel headroom at this fixture size is bounded by
+    # per-task Arrow handoff, not decode CPU -- idle measures ~1.9x
+    # (2.4s vs 1.25s over 1.2M cells); the pin is that splitting STILL
+    # wins, not the r5-era 5.5x that per-cell Python decode left on
+    # the table.
     with capsys.disabled():
         print(f"\n[single-file splits] 1 split {single:.2f}s, "
               f"{nk} splits {multi:.2f}s, speedup {speedup:.1f}x")
-    assert speedup >= 1.5, (
+    assert speedup >= 1.3, (
         f"N splits of one sstable must beat 1 split: {speedup:.2f}x "
         f"({single:.2f}s vs {multi:.2f}s)")

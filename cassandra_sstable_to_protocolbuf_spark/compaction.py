@@ -27,13 +27,15 @@ from pyspark.sql import functions as F
 from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
 
 # Output sizing: one compacted output shard should hold about this many
-# LOGICAL Data.db bytes. The default is tuned to the pure-Python encode
-# loop (~2-4 MB/s/task measured at sf0.1): ~8 MiB keeps a single writer
-# task in the seconds range. A deployment with a native encoder plugged
-# into the sink would raise it to GiB -- it is a knob, not a law; the
-# load-bearing part is that the SHARD COUNT is derived from input size
-# (metadata only), so writer parallelism grows with the data instead of
-# being a caller-chosen constant.
+# LOGICAL Data.db bytes. 8 MiB was tuned to the round-7 per-cell encode
+# loop; the round-8 vectorized writer sustains ~30 MB/s/task, so a
+# deployment would raise this toward 64-256 MiB (fewer, bigger files --
+# the lakehouse norm). It stays 8 MiB here because the sf0.1 gates and
+# bench lines derive their shard counts (and writer parallelism on
+# local[32]) from it -- a knob, not a law; the load-bearing part is
+# that the SHARD COUNT is derived from input size (metadata only), so
+# writer parallelism grows with the data instead of being a
+# caller-chosen constant.
 DEFAULT_TARGET_OUTPUT_BYTES = 8 << 20
 
 # shard granularity: the top TWO hex digits of the md5 token give 256

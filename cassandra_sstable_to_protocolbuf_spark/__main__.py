@@ -711,7 +711,7 @@ def sstable_info_cmd(input_path: str) -> int:
 
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         DATA_SUFFIX, Descriptor, iter_index_promoted, load_bloom,
-        load_summary, read_name_bounds, read_statistics)
+        load_summary, read_any_name_bounds, read_statistics)
 
     if os.path.isdir(input_path):
         paths = sorted(glob.glob(
@@ -738,7 +738,9 @@ def sstable_info_cmd(input_path: str) -> int:
         except (OSError, ValueError) as e:
             print(f"{sid}: UNREADABLE ({e})", file=sys.stderr)
             continue
-        bounds = read_name_bounds(base + "-Statistics.db")
+        # engine-stamped component OR a genuine ka StatsMetadata's
+        # min/maxColumnNames -- foreign files report bounds too
+        bounds = read_any_name_bounds(base + "-Statistics.db")
         summary = load_summary(data_path)
         bloom = load_bloom(data_path)
         bloom_desc = (f"{bloom.hash_count}x{len(bloom.words) * 64}b"

@@ -18,7 +18,10 @@ pointer -> reclaim crashed claims after a grace window) stays in
                                    stores: plain PUT, which is atomic)
   steal                         -- at-most-once removal of a crashed
                                    claim (POSIX: rename-then-unlink; S3:
-                                   DeleteObject + If-Match: <etag>)
+                                   conditional PUT of a tombstone with
+                                   If-Match: <etag>, then unconditional
+                                   DeleteObject -- GP buckets have no
+                                   conditional delete)
   age_s / delete                -- grace-window reclaim + vacuum
 
 Two implementations ship:
@@ -69,7 +72,14 @@ class CommitBackend(abc.ABC):
     @abc.abstractmethod
     def put_if_absent(self, path: str, text: str) -> bool:
         """CAS create: True if this call created the object, False if it
-        already existed (the loser of a race). Never overwrites."""
+        already existed (the loser of a race). Never overwrites.
+
+        Contract: `text` must be CALLER-UNIQUE (the protocol layers
+        embed a uuid -- versioned manifests a `writer`, txnlog claims an
+        `owner`). Backends whose transport can lose a success response
+        (S3) disambiguate a retried CAS by reading the object back and
+        byte-comparing; identical bodies from different callers would
+        let both believe they won."""
 
     @abc.abstractmethod
     def put_atomic(self, path: str, text: str) -> None:
@@ -170,8 +180,9 @@ class InMemoryCommitBackend(CommitBackend):
     """Object-store-shaped backend: a flat key space, conditional puts
     under a lock, no rename anywhere. Maps 1:1 onto S3 conditional
     writes (put_if_absent == If-None-Match:*, steal == If-Match etag
-    delete, put_atomic == plain PUT); swapping the dict operations for
-    boto3 calls yields a production S3 backend with the same contract.
+    tombstone PUT then plain delete, put_atomic == plain PUT); swapping
+    the dict operations for boto3 calls yields a production S3 backend
+    with the same contract.
     """
 
     def __init__(self) -> None:

@@ -13,8 +13,13 @@ writes on general-purpose buckets):
 
   put_if_absent   PUT key, If-None-Match: *        201/200 vs 412
   put_atomic      PUT key (plain; S3 PUT is atomic last-writer-wins)
-  steal           HEAD key (ETag), DELETE key If-Match: <etag>
-                  -- at most one of N concurrent stealers gets 204
+  steal           HEAD key (ETag), then PUT key If-Match: <etag> of a
+                  caller-unique tombstone, then unconditional DELETE --
+                  at most one of N concurrent stealers wins the
+                  conditional PUT (each success changes the ETag).
+                  General-purpose buckets support conditional PUTs but
+                  NOT conditional DeleteObject (directory buckets
+                  only), so the winner is decided at the PUT.
   read_text       GET key                          404 -> FileNotFound
   exists          HEAD key
   listdir         GET ?list-type=2&prefix=..&delimiter=/   (paginated)
@@ -29,11 +34,13 @@ the caller:
   object may be OURS. The backend disambiguates by reading the object
   back and comparing bodies -- but ONLY when a connection loss
   actually happened during this operation's attempts: a cleanly
-  received 412 is a genuine loss (and claim bodies are not guaranteed
-  caller-unique, e.g. two txnlog.begin calls for the same transaction
-  write identical bodies, so unconditional body-compare would turn a
-  real conflict into a phantom win). A received 5xx means the request
-  was NOT applied, so it carries no ambiguity either.
+  received 412 is a genuine loss. Body-compare is sound only because
+  every claim body in the protocol plane is CALLER-UNIQUE: versioned
+  manifests carry a `writer` uuid and txnlog BEGIN records carry an
+  `owner` uuid (txnlog.begin) -- two maintainers writing byte-identical
+  claims would otherwise both pass the compare and both believe they
+  hold the CAS. A received 5xx means the request was NOT applied, so
+  it carries no ambiguity either.
 * TRANSIENT 5xx/connection errors retry with exponential backoff for
   every primitive (they are all idempotent given the CAS
   disambiguation above).
@@ -204,6 +211,20 @@ class S3CommitBackend(CommitBackend):
             raise S3RequestError("PUT", key, status)
 
     def steal(self, path: str) -> bool:
+        """At-most-once reclaim through GP-bucket-supported primitives:
+        HEAD (observe the ETag) -> conditional PUT of a caller-unique
+        tombstone with If-Match: <etag> -> unconditional DELETE. S3
+        general-purpose buckets support conditional PUTs but NOT
+        conditional DeleteObject (directory buckets only), so the
+        winner is decided at the PUT: of N concurrent stealers at most
+        one matches the observed ETag, because the winning PUT changes
+        it. The winner's unconditional DELETE then removes the
+        tombstone; if the winner crashes between PUT and DELETE, the
+        leftover tombstone is just a fresh object -- the claim path
+        sees a young claim until the grace window passes, and the next
+        steal reclaims it the same way."""
+        import uuid
+
         key = self._key(path)
         status, h, _b, _lost = self._request("HEAD", key)
         if status == 404:
@@ -211,13 +232,26 @@ class S3CommitBackend(CommitBackend):
         if status != 200:
             raise S3RequestError("HEAD", key, status)
         etag = h.get("etag")
-        status, _h, _b, _lost = self._request(
-            "DELETE", key, headers={"If-Match": etag})
-        if status in (200, 204):
-            return True
+        tomb = f'{{"reclaimed-by": "{uuid.uuid4().hex}"}}'
+        status, _h, _b, lost = self._request(
+            "PUT", key, headers={"If-Match": etag},
+            body=tomb.encode("utf-8"))
         if status in (404, 412, 409):
-            return False  # another stealer won, or object changed
-        raise S3RequestError("DELETE", key, status)
+            # clean loss unless a connection died mid-PUT: our own
+            # tombstone may have landed (changing the ETag) before the
+            # retry's 412 -- the body is caller-unique, so reading it
+            # back disambiguates exactly like the put_if_absent CAS
+            if not lost:
+                return False
+            try:
+                if self.read_text(path) != tomb:
+                    return False
+            except FileNotFoundError:
+                return False  # another stealer won and already deleted
+        elif status not in (200, 201):
+            raise S3RequestError("PUT", key, status)
+        self.delete(path)
+        return True
 
     def delete(self, path: str) -> None:
         key = self._key(path)

@@ -72,8 +72,19 @@ def _log_path(input_dir: str, name: str) -> str:
 def begin(input_dir: str, name: str, output_prefix: str,
           input_paths: list[str]) -> None:
     """Claim the transaction: CAS-create the BEGIN log. Raises when the
-    name is already claimed (a concurrent maintainer owns the bin)."""
-    rec = {"state": "BEGIN", "name": name, "output_prefix": output_prefix,
+    name is already claimed (a concurrent maintainer owns the bin).
+
+    The record carries a caller-unique `owner` nonce: every other field
+    is a deterministic function of the bin, so two concurrent
+    maintainers would otherwise write byte-identical claims -- and the
+    S3 backend's lost-response disambiguation (read the object back,
+    byte-compare) would then let BOTH believe they won the CAS. The
+    nonce makes claim bodies unique, so body-compare identifies exactly
+    one owner."""
+    import uuid
+
+    rec = {"state": "BEGIN", "name": name, "owner": uuid.uuid4().hex,
+           "output_prefix": output_prefix,
            "inputs": sorted(os.path.relpath(p, input_dir)
                             for p in input_paths)}
     if not get_commit_backend().put_if_absent(

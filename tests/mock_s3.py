@@ -1,12 +1,15 @@
 """In-memory S3 REST transport for S3CommitBackend tests.
 
-Implements the slice of the S3 HTTP API the backend issues, with S3's
-DOCUMENTED semantics for each: conditional PUT (If-None-Match: *),
-conditional DELETE (If-Match: <etag>), HEAD/GET with ETag and
+Implements the slice of the S3 HTTP API the backend issues, with the
+DOCUMENTED semantics of a GENERAL-PURPOSE bucket: conditional PUT
+(If-None-Match: * and If-Match: <etag>), HEAD/GET with ETag and
 Last-Modified, and ListObjectsV2 with prefix + delimiter grouping and
 continuation-token pagination (page size deliberately tiny so the
-pagination loop actually exercises). All request handling runs under
-one lock -- the linearizability S3 documents for conditional requests.
+pagination loop actually exercises). Conditional DeleteObject is
+REJECTED (501) because GP buckets do not support it (directory buckets
+only) -- a structural tripwire against backend code leaning on it. All
+request handling runs under one lock -- the linearizability S3
+documents for conditional requests.
 
 Fault injection: `fail_every=n` returns a 503 for every n-th request,
 exercising the backend's bounded-retry path without changing any
@@ -73,6 +76,16 @@ class MockS3Transport:
         body = body or b""
         if headers.get("If-None-Match") == "*" and key in self._objects:
             return 412, {}, b"<Error><Code>PreconditionFailed</Code></Error>"
+        cond = headers.get("If-Match")
+        if cond is not None:
+            # GP buckets support conditional PUT: 404 for a missing
+            # key, 412 when the stored ETag no longer matches
+            entry = self._objects.get(key)
+            if entry is None:
+                return 404, {}, b"<Error><Code>NoSuchKey</Code></Error>"
+            if entry[1] != cond:
+                return (412, {},
+                        b"<Error><Code>PreconditionFailed</Code></Error>")
         etag, mtime = self._meta(body)
         self._objects[key] = (body, etag, mtime)
         return 200, {"ETag": etag}, b""
@@ -90,13 +103,12 @@ class MockS3Transport:
         return status, h, b""
 
     def _delete(self, key, headers):
-        entry = self._objects.get(key)
-        cond = headers.get("If-Match")
-        if cond is not None:
-            if entry is None:
-                return 404, {}, b""
-            if entry[1] != cond:
-                return 412, {}, b""
+        if headers.get("If-Match") is not None:
+            # general-purpose buckets do NOT support conditional
+            # DeleteObject (directory buckets only) -- reject loudly so
+            # no backend code path can lean on semantics real GP-bucket
+            # S3 does not provide
+            return 501, {}, b"<Error><Code>NotImplemented</Code></Error>"
         self._objects.pop(key, None)
         return 204, {}, b""
 

@@ -229,6 +229,115 @@ def test_s3_cas_lost_response_disambiguation():
     assert b.read_text("root/claims/v1") == "owner-A"
 
 
+def test_s3_steal_never_issues_conditional_delete():
+    """GP buckets do not support conditional DeleteObject; the mock
+    501s any DELETE carrying If-Match, so the full steal battery
+    passing (test_steal_is_at_most_once) plus this explicit drill
+    proves the backend decides the winner at a conditional PUT."""
+    from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
+        S3CommitBackend)
+    from tests.mock_s3 import MockS3Transport
+
+    seen: list[tuple[str, dict]] = []
+
+    class Recording(MockS3Transport):
+        def __call__(self, method, url, headers, body):
+            seen.append((method, dict(headers)))
+            return super().__call__(method, url, headers, body)
+
+    t = Recording()
+    b = S3CommitBackend("bkt", t, backoff_s=0.001)
+    assert b.put_if_absent("root/claims/v3", "crashed") is True
+    assert b.steal("root/claims/v3") is True
+    assert not b.exists("root/claims/v3")
+    assert b.steal("root/claims/v3") is False
+    for method, headers in seen:
+        if method == "DELETE":
+            assert "If-Match" not in headers, \
+                "steal leaned on conditional DELETE (directory-bucket-" \
+                "only semantics)"
+    # and the mock really does trip on one
+    status, _h, _b = t("DELETE", "https://s3/bkt/root/claims/v3",
+                       {"If-Match": '"x"'}, None)
+    assert status == 501
+
+
+def test_s3_steal_lost_response_disambiguation():
+    """A steal whose conditional-PUT success response is lost must
+    still report the win exactly once: the caller-unique tombstone
+    body read back identifies the owner."""
+    from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
+        S3CommitBackend)
+    from tests.mock_s3 import MockS3Transport
+
+    class LoseFirstCondPut(MockS3Transport):
+        def __init__(self):
+            super().__init__()
+            self.lost = False
+
+        def __call__(self, method, url, headers, body):
+            r = super().__call__(method, url, headers, body)
+            if (method == "PUT" and "If-Match" in headers
+                    and not self.lost):
+                self.lost = True
+                raise ConnectionError("response lost after commit")
+            return r
+
+    b = S3CommitBackend("bkt", LoseFirstCondPut(), backoff_s=0.001)
+    assert b.put_if_absent("root/claims/v7", "crashed-writer") is True
+    assert b.steal("root/claims/v7") is True
+    assert not b.exists("root/claims/v7")
+
+
+def test_txnlog_claim_bodies_are_caller_unique():
+    """Dual-bin-ownership drill (advisor r8): every txnlog claim field
+    except the `owner` nonce is a deterministic function of the bin, so
+    two maintainers write byte-identical claims without it -- and the S3
+    backend's lost-response body-compare would then let BOTH believe
+    they won the CAS. Exact interleaving: maintainer A's first CAS
+    request dies at the connection WITHOUT being applied; maintainer B
+    claims the bin in the gap; A's retry sees 412 and, because a
+    connection loss happened, reads the object back. With deterministic
+    bodies A would match B's claim and also believe it owns the bin;
+    the nonce makes A lose cleanly."""
+    from cassandra_sstable_to_protocolbuf_spark import txnlog
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        use_commit_backend)
+    from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
+        S3CommitBackend)
+    from tests.mock_s3 import MockS3Transport
+
+    shared = MockS3Transport()
+    backend_b = S3CommitBackend("bkt", shared, backoff_s=0.001)
+    b_won: list[bool] = []
+
+    class DropFirstCasAndLetBWin:
+        """A's transport: A's first CAS request never reaches the
+        server; B's whole begin() lands in the gap."""
+
+        def __init__(self):
+            self._dropped = False
+
+        def __call__(self, method, url, headers, body):
+            if (method == "PUT" and headers.get("If-None-Match") == "*"
+                    and not self._dropped):
+                self._dropped = True
+                with use_commit_backend(backend_b):
+                    txnlog.begin("/tbl", "opt-1-10-0", "opt-1-10-0",
+                                 ["/tbl/a-Data.db"])
+                    b_won.append(True)
+                raise ConnectionError("request never applied")
+            return shared(method, url, headers, body)
+
+    backend_a = S3CommitBackend("bkt", DropFirstCasAndLetBWin(),
+                                backoff_s=0.001)
+    with use_commit_backend(backend_a):
+        with pytest.raises(RuntimeError, match="already claimed"):
+            txnlog.begin("/tbl", "opt-1-10-0", "opt-1-10-0",
+                         ["/tbl/a-Data.db"])
+    assert b_won == [True], "B must hold the claim, A must have lost"
+
+
 def test_s3_retries_bounded_and_faults_counted():
     """Transient 503s retry with backoff and succeed; a hard-down
     endpoint fails loudly after the bounded attempts."""

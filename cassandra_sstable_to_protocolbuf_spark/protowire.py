@@ -504,22 +504,101 @@ def pb_registers_to_arrow(buf, regs: _PbRegisters, sstable_id: str):
                                       schema=schema)
 
 
+# a single framed Row buffered past this falls back to the scalar
+# decode_row path (mirrors sstable_native.FAST_SCAN_PARTITION_CAP): the
+# vectorized walk's numpy gathers index with int32, so unbounded buffer
+# growth on a multi-GB Row would otherwise wrap offsets silently
+PB_ROW_CAP = 64 << 20
+# flush a batch once its buffered payload passes this even before
+# batch_rows accumulate, so buffer size stays O(cap), not O(rows x row)
+PB_BATCH_BYTE_CAP = 64 << 20
+
+
+def _scalar_row_batch(buf, start: int, stream, chunk_bytes: int,
+                      sstable_id: str):
+    """Decode ONE framed row the scalar way (decode_row) and build a
+    single-row RecordBatch -- the over-cap fallback. Memory is O(row):
+    the row must materialize regardless (it is one record), but the
+    int32-indexed batch gathers never see it. Returns
+    (batch, remainder_buf): the unconsumed tail after the row with the
+    consumed prefix dropped."""
+    import pyarrow as pa
+
+    # frame varint, scalar, extending the buffer on demand
+    pos = start
+    ln = 0
+    shift = 0
+    while True:
+        while pos >= len(buf):
+            more = stream.read(chunk_bytes)
+            if not more:
+                raise ValueError("truncated message body")
+            buf += more
+        b = buf[pos]
+        pos += 1
+        ln |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+    end = pos + ln
+    while len(buf) < end:
+        more = stream.read(chunk_bytes)
+        if not more:
+            raise ValueError("truncated message body")
+        buf += more
+    key, columns = decode_row(bytes(buf[pos:end]))
+    struct_type = pa.struct([("name", pa.binary()),
+                             ("value", pa.binary()),
+                             ("writeTime", pa.int64())])
+    schema = pa.schema([
+        ("sstable_id", pa.string()), ("key", pa.binary()),
+        ("columns", pa.list_(struct_type))])
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([sstable_id], type=pa.string()),
+         pa.array([key], type=pa.binary()),
+         pa.array([[{"name": n, "value": v, "writeTime": wt}
+                    for n, v, wt in columns]],
+                  type=pa.list_(struct_type))],
+        schema=schema)
+    return batch, bytearray(buf[end:])
+
+
 def iter_decoded_batches(stream, sstable_id: str,
                          batch_rows: int = 1024,
-                         chunk_bytes: int = 4 << 20) -> Iterator:
+                         chunk_bytes: int = 4 << 20,
+                         row_cap: int = PB_ROW_CAP,
+                         batch_byte_cap: int = PB_BATCH_BYTE_CAP) -> Iterator:
     """Arrow RecordBatches straight from a length-delimited protobuf
     stream: bounded buffering (consumed-prefix trimming + grow on
-    demand), the vectorized span walk, zero per-row Python objects."""
+    demand, flush at `batch_byte_cap`), the vectorized span walk, zero
+    per-row Python objects. A single Row buffered past `row_cap` is
+    decoded by the scalar decode_row path instead (memory O(row), and
+    the int32 gather index space of the vectorized builder is never
+    exceeded -- the cellcodec guards would raise rather than wrap, but
+    the fallback keeps giant rows WORKING, mirroring _read_fast's
+    FAST_SCAN_PARTITION_CAP)."""
     buf = bytearray(stream.read(chunk_bytes))
     o = 0
     while True:
         regs = _PbRegisters()
+        batch_start = o
         done = False
+        giant = -1
         while True:
             try:
                 o = decode_rows_spans(buf, regs, start_at=o,
                                       max_rows=batch_rows)
             except PbOverrun as ov:
+                if ov.row_start - batch_start >= batch_byte_cap \
+                        and len(regs):
+                    o = ov.row_start
+                    break  # bounded batch: flush before growing more
+                if len(buf) - ov.row_start > row_cap:
+                    giant = ov.row_start
+                    o = ov.row_start
+                    break
                 more = stream.read(chunk_bytes)
                 if not more:
                     raise ValueError(
@@ -528,6 +607,8 @@ def iter_decoded_batches(stream, sstable_id: str,
                 o = ov.row_start
                 continue
             if o == len(buf):
+                if o - batch_start >= batch_byte_cap and len(regs):
+                    break  # bounded batch: flush before growing more
                 more = stream.read(chunk_bytes)
                 if not more:
                     done = True
@@ -537,6 +618,12 @@ def iter_decoded_batches(stream, sstable_id: str,
             break  # flush point
         if len(regs):
             yield pb_registers_to_arrow(buf, regs, sstable_id)
+        if giant >= 0:
+            batch, buf = _scalar_row_batch(buf, giant, stream,
+                                           chunk_bytes, sstable_id)
+            yield batch
+            o = 0
+            continue
         if done:
             return
         if o >= chunk_bytes:

@@ -40,6 +40,8 @@ from array import array
 
 import numpy as np
 
+_INT32_MAX = (1 << 31) - 1
+
 # cell flag bytes (mirror sstable_native's constants)
 _FLAG_DELETION = 0x01
 _FLAG_EXPIRATION = 0x02
@@ -85,7 +87,9 @@ def _ragged_idx(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     (the int64 double-buffer version tripped the writer memory pin).
     Zero-length spans are masked out up front so boundary deltas never
     collide. Callers keep offsets under 2^31 (runs and read buffers
-    are both capped far below 2 GiB)."""
+    are both capped far below 2 GiB) -- and a caller that slips past
+    its cap hits the explicit guard below instead of a silent int32
+    wrap producing corrupt gathers."""
     nz = lens > 0
     if not nz.all():
         offs = offs[nz]
@@ -93,6 +97,11 @@ def _ragged_idx(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return np.empty(0, dtype=np.int32)
+    if total > _INT32_MAX or int((offs + lens).max()) > _INT32_MAX:
+        raise ValueError(
+            f"span payload ({total} bytes, max source index "
+            f"{int((offs + lens).max())}) overflows the int32 gather "
+            f"index space; reduce the batch/buffer cap")
     out_ends = np.cumsum(lens)
     deltas = np.ones(total, dtype=np.int32)
     deltas[0] = offs[0]
@@ -105,9 +114,14 @@ def _ragged_idx(offs: np.ndarray, lens: np.ndarray) -> np.ndarray:
 
 
 def _arrow_offsets(lens: np.ndarray) -> np.ndarray:
+    ends = np.cumsum(lens)
+    if len(ends) and int(ends[-1]) > _INT32_MAX:
+        raise ValueError(
+            f"batch payload {int(ends[-1])} bytes overflows int32 Arrow "
+            f"binary offsets; reduce the batch cap")
     offs = np.empty(len(lens) + 1, dtype=np.int32)
     offs[0] = 0
-    offs[1:] = np.cumsum(lens)  # assignment downcasts int64 -> int32
+    offs[1:] = ends  # assignment downcasts int64 -> int32 (guarded)
     return offs
 
 

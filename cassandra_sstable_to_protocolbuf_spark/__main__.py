@@ -739,8 +739,11 @@ def sstable_info_cmd(input_path: str) -> int:
             print(f"{sid}: UNREADABLE ({e})", file=sys.stderr)
             continue
         # engine-stamped component OR a genuine ka StatsMetadata's
-        # min/maxColumnNames -- foreign files report bounds too
-        bounds = read_any_name_bounds(base + "-Statistics.db")
+        # min/maxColumnNames -- foreign files report bounds too.
+        # REPORTING is comparator-safe (nothing is pruned on it), so
+        # trust_foreign is fine here; the READ path keeps it opt-in
+        bounds = read_any_name_bounds(base + "-Statistics.db",
+                                      trust_foreign=True)
         summary = load_summary(data_path)
         bloom = load_bloom(data_path)
         bloom_desc = (f"{bloom.hash_count}x{len(bloom.words) * 64}b"

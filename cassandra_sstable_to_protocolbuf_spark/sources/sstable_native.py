@@ -653,16 +653,32 @@ def read_stats_column_names(stats_path: str) -> tuple[bytes, bytes] | None:
         return None
 
 
-def read_any_name_bounds(stats_path: str) -> tuple[bytes, bytes] | None:
+def read_any_name_bounds(stats_path: str,
+                         trust_foreign: bool = False
+                         ) -> tuple[bytes, bytes] | None:
     """[min, max] atom-name bounds from EITHER source: the
-    engine-private component (zero ambiguity, written by this writer)
-    or, for genuine Cassandra ka files, the real StatsMetadata
-    min/maxColumnNames -- so whole-file slice elimination fires on
-    foreign sstables too, the same interop step bloom trust took in
-    round 7."""
+    engine-private component (zero ambiguity, written by this writer:
+    the bounds are byte-order extremes by construction), or -- ONLY
+    with trust_foreign=True -- a genuine Cassandra ka StatsMetadata's
+    min/maxColumnNames.
+
+    Foreign bounds are OPT-IN (advisor r8): ka min/maxColumnNames order
+    by the table COMPARATOR, and Statistics.db alone cannot reveal what
+    that comparator is. A single-component non-byte-ordered comparator
+    (Int32Type, TimestampType, TimeUUIDType) yields extremes that do
+    NOT bound raw byte order, so pruning on them can silently drop
+    matching rows. The mn>mx sanity check below catches some such files
+    (e.g. signed ints spanning zero) but cannot catch all (TimeUUID
+    extremes can be byte-ordered by accident), so the deployment that
+    KNOWS its comparator is byte-ordered (BytesType/AsciiType/UTF8Type
+    -- the reference's hardcoded `column1 blob` model) asserts it via
+    trustForeignNameBounds; everyone else keeps correct results at
+    walk cost."""
     bounds = read_name_bounds(stats_path)
     if bounds is not None:
         return bounds
+    if not trust_foreign:
+        return None
     return read_stats_column_names(stats_path)
 
 
@@ -2108,8 +2124,14 @@ class SSTableNativeReader(DataSourceReader):
                  token_range: tuple[str, str] | None = None,
                  permissive: bool = False,
                  verify_digest: bool = False,
-                 name_range: tuple[bytes | None, bytes | None] | None = None):
+                 name_range: tuple[bytes | None, bytes | None] | None = None,
+                 trust_foreign_name_bounds: bool = False):
         self.path = path
+        # opt-in: treat genuine ka StatsMetadata min/maxColumnNames as
+        # byte-order bounds for whole-file slice elimination -- sound
+        # only when the deployment knows the table comparator is
+        # byte-ordered (read_any_name_bounds docstring); default off
+        self.trust_foreign_name_bounds = trust_foreign_name_bounds
         # [lo, hi) over cell NAME bytes (either bound None = unbounded):
         # the clustering-slice surface. Reads become Index.db-driven and
         # wide partitions' promoted IndexInfo blocks outside the slice
@@ -2289,14 +2311,16 @@ class SSTableNativeReader(DataSourceReader):
         splits = []
         if self.name_range is not None and not self.verify:
             # sstable ELIMINATION by [min, max] atom-name bounds: the
-            # engine-stamped component OR a genuine ka StatsMetadata's
-            # min/maxColumnNames (read_any_name_bounds). A slice
-            # disjoint from the file's bounds skips the file with ZERO
-            # index IO -- on a time-partitioned 100 TB table, a
-            # time-slice touches only the files that overlap it.
-            # Absent/foreign/malformed bounds never prune.
+            # engine-stamped component OR (opt-in, comparator caveat in
+            # read_any_name_bounds) a genuine ka StatsMetadata's
+            # min/maxColumnNames. A slice disjoint from the file's
+            # bounds skips the file with ZERO index IO -- on a
+            # time-partitioned 100 TB table, a time-slice touches only
+            # the files that overlap it. Absent/foreign-untrusted/
+            # malformed bounds never prune.
             bounds = read_any_name_bounds(
-                data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX)
+                data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX,
+                trust_foreign=self.trust_foreign_name_bounds)
             if bounds is not None:
                 lo, hi = self.name_range
                 mn, mx = bounds
@@ -3008,11 +3032,14 @@ class SSTableNativeDataSource(DataSource):
         name_range = ((bytes.fromhex(nlo) if nlo is not None else None,
                        bytes.fromhex(nhi) if nhi is not None else None)
                       if (nlo is not None or nhi is not None) else None)
+        trust_foreign = str(self.options.get(
+            "trustforeignnamebounds", "false")).lower() == "true"
         return SSTableNativeReader(path, pps, live_only, expected,
                                    token_range=token_range,
                                    permissive=(mode == "PERMISSIVE"),
                                    verify_digest=verify,
-                                   name_range=name_range)
+                                   name_range=name_range,
+                                   trust_foreign_name_bounds=trust_foreign)
 
 
 _REGISTER_LOCK = __import__("threading").Lock()
@@ -3034,7 +3061,8 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
                       mode: str = "FAILFAST",
                       verify_digest: bool = False,
                       name_range: tuple[bytes | None, bytes | None]
-                      | None = None):
+                      | None = None,
+                      trust_foreign_name_bounds: bool = False):
     """token_range: optional [start, end) interval over the md5 token as
     lowercase hex (prefixes fine: ('40', 'c0') is the middle half of the
     ring) -- the Cassandra parallel-export sharding surface. Splits
@@ -3047,7 +3075,12 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
     (either bound None = unbounded) -- reads go Index.db-driven and wide
     partitions' promoted IndexInfo blocks outside the slice are never
     read, so a narrow slice of a huge partition costs O(slice). Sliced
-    reads emit matching cell atoms only (no PARTITION marker rows)."""
+    reads emit matching cell atoms only (no PARTITION marker rows).
+    trust_foreign_name_bounds: opt-in whole-file slice elimination from
+    genuine ka StatsMetadata min/maxColumnNames -- assert this ONLY for
+    tables whose comparator is byte-ordered (BytesType/AsciiType/
+    UTF8Type); the bounds order by the comparator, which Statistics.db
+    cannot reveal (read_any_name_bounds docstring)."""
     register(spark)
     rd = (spark.read.format("sstable_cassandra")
           .option("partitionsPerSplit", str(partitions_per_split))
@@ -3063,4 +3096,6 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
             rd = rd.option("nameRangeStartHex", lo.hex())
         if hi is not None:
             rd = rd.option("nameRangeEndHex", hi.hex())
+    if trust_foreign_name_bounds:
+        rd = rd.option("trustForeignNameBounds", "true")
     return rd.load(path)

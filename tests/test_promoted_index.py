@@ -524,7 +524,11 @@ def test_real_ka_stats_bounds_eliminate_whole_files(tmp_path, monkeypatch):
         f.write(_real_ka_statistics([b"n0000"], [b"n0049"]))
     assert N.read_name_bounds(stats) is None       # no engine component
     assert N.read_stats_column_names(stats) == (b"n0000", b"n0049")
-    assert N.read_any_name_bounds(stats) == (b"n0000", b"n0049")
+    # foreign bounds are OPT-IN: untrusted by default (the comparator
+    # is unknowable from Statistics.db), trusted only on request
+    assert N.read_any_name_bounds(stats) is None
+    assert N.read_any_name_bounds(stats, trust_foreign=True) \
+        == (b"n0000", b"n0049")
     # the same file still opens through the normal VALIDATION path
     assert N.read_statistics(stats)["partitioner"] == N.DEFAULT_PARTITIONER
 
@@ -533,13 +537,15 @@ def test_real_ka_stats_bounds_eliminate_whole_files(tmp_path, monkeypatch):
     monkeypatch.setattr(
         N, "iter_index_promoted",
         lambda *a, **k: calls.append(a) or orig(*a, **k))
-    # disjoint slice: ZERO splits and ZERO index walks on a real file
+    # disjoint slice + opt-in: ZERO splits and ZERO index walks
     rdr = N.SSTableNativeReader(str(tmp_path), 4096,
-                                name_range=(b"zz", None))
+                                name_range=(b"zz", None),
+                                trust_foreign_name_bounds=True)
     assert rdr.partitions() == [] and calls == []
     # overlapping slice: planned normally, results equal the filter
     rdr2 = N.SSTableNativeReader(str(tmp_path), 4096,
-                                 name_range=(b"n0048", None))
+                                 name_range=(b"n0048", None),
+                                 trust_foreign_name_bounds=True)
     rows = sorted(r[2] for s in rdr2.partitions()
                   for r in rdr2._iter_rows(s))
     assert rows == [b"n0048", b"n0049"]
@@ -549,7 +555,8 @@ def test_real_ka_stats_bounds_eliminate_whole_files(tmp_path, monkeypatch):
         f.write(_real_ka_statistics([b"n0000", b"x"], [b"n0049", b"y"]))
     assert N.read_stats_column_names(stats) is None
     rdr3 = N.SSTableNativeReader(str(tmp_path), 4096,
-                                 name_range=(b"zz", None))
+                                 name_range=(b"zz", None),
+                                 trust_foreign_name_bounds=True)
     assert [r for s in rdr3.partitions()
             for r in rdr3._iter_rows(s)] == []  # scanned, empty result
 
@@ -560,10 +567,39 @@ def test_real_ka_stats_bounds_eliminate_whole_files(tmp_path, monkeypatch):
                                     truncate_stats_at=10))
     assert N.read_stats_column_names(stats) is None
     rdr4 = N.SSTableNativeReader(str(tmp_path), 4096,
-                                 name_range=(b"n0048", None))
+                                 name_range=(b"n0048", None),
+                                 trust_foreign_name_bounds=True)
     rows4 = sorted(r[2] for s in rdr4.partitions()
                    for r in rdr4._iter_rows(s))
     assert rows4 == [b"n0048", b"n0049"]
+
+
+def test_foreign_ka_bounds_untrusted_by_default(tmp_path):
+    """Advisor r8: a single-component NON-byte-ordered comparator
+    (Int32Type/TimestampType/TimeUUIDType) orders min/maxColumnNames by
+    the comparator, not raw bytes, and Statistics.db cannot reveal
+    which comparator wrote the file. Simulate exactly that hazard: a
+    genuine-layout ka Statistics whose bounds are byte-order LIES
+    ([a..b] while the file holds n0000..n0049, as a TimeUUID extreme
+    pair can be). Default (untrusted): the file is scanned, matching
+    rows survive. Opt-in: the file is (wrongly, per the caller's
+    assertion) eliminated -- which is why it is an assertion, not a
+    default."""
+    data = _write_fixture(str(tmp_path), cib=256, wide_n=50)
+    stats = data[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX
+    with open(stats, "wb") as f:
+        f.write(_real_ka_statistics([b"a"], [b"b"]))
+
+    rdr = N.SSTableNativeReader(str(tmp_path), 4096,
+                                name_range=(b"n0048", None))
+    rows = sorted(r[2] for s in rdr.partitions()
+                  for r in rdr._iter_rows(s))
+    assert rows == [b"n0048", b"n0049"], \
+        "default reader pruned on untrusted foreign bounds"
+    rdr2 = N.SSTableNativeReader(str(tmp_path), 4096,
+                                 name_range=(b"n0048", None),
+                                 trust_foreign_name_bounds=True)
+    assert rdr2.partitions() == []  # the caller asserted byte order
 
 
 def test_slice_index_cap_falls_back_to_walk(tmp_path):

@@ -87,6 +87,16 @@ class CommitBackend(abc.ABC):
         new contents, never a prefix."""
 
     @abc.abstractmethod
+    def put_if_match(self, path: str, text: str, expected: str) -> bool:
+        """CAS replace: write `text` iff the object currently holds
+        exactly `expected`. True when this call's write landed; False
+        when the contents differ or the object is absent (the caller
+        re-reads and retries -- the optimistic-concurrency loop).
+        Same caller-unique contract as put_if_absent: `text` must embed
+        a nonce so lost-response disambiguation can identify its own
+        write (manifest updates carry a `rev` uuid)."""
+
+    @abc.abstractmethod
     def steal(self, path: str) -> bool:
         """At-most-once removal: of N concurrent stealers of the same
         existing object, exactly one returns True. Used to reclaim a
@@ -100,6 +110,16 @@ class CommitBackend(abc.ABC):
     def age_s(self, path: str) -> float | None:
         """Seconds since the object was written, or None if absent --
         the liveness signal for the stale-claim grace window."""
+
+    def data_exists(self, path: str) -> bool:
+        """Existence probe for DATA-plane files referenced by protocol
+        objects (manifest entries). The data plane is Spark's
+        filesystem by default -- os.path.exists, matching how read
+        tasks actually open sstable components -- while protocol reads
+        go through the backend; a deployment whose sstable data lives
+        in the same object store as the protocol plane overrides this
+        to HEAD the store, keeping probe and read on one authority."""
+        return os.path.exists(path)
 
 
 class PosixCommitBackend(CommitBackend):
@@ -146,6 +166,28 @@ class PosixCommitBackend(CommitBackend):
             except OSError:
                 pass
             raise
+
+    def put_if_match(self, path: str, text: str, expected: str) -> bool:
+        # POSIX has no native compare-and-swap on file contents: take a
+        # sidecar flock (auto-released on crash -- no deadlock), compare
+        # under it, publish via the same temp+fsync+rename primitive.
+        # Readers never lock: they see old or new atomically via rename.
+        import fcntl
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path + ".cas-lock", "a+", encoding="utf-8") as lock:
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            try:
+                try:
+                    with open(path, encoding="utf-8") as f:
+                        if f.read() != expected:
+                            return False
+                except FileNotFoundError:
+                    return False
+                self.put_atomic(path, text)
+                return True
+            finally:
+                fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
 
     def steal(self, path: str) -> bool:
         # rename wins at most once: two concurrent stealers cannot both
@@ -220,6 +262,14 @@ class InMemoryCommitBackend(CommitBackend):
     def put_atomic(self, path: str, text: str) -> None:
         with self._lock:
             self._objects[path] = (text, time.monotonic())
+
+    def put_if_match(self, path: str, text: str, expected: str) -> bool:
+        with self._lock:
+            entry = self._objects.get(path)
+            if entry is None or entry[0] != expected:
+                return False
+            self._objects[path] = (text, time.monotonic())
+            return True
 
     def steal(self, path: str) -> bool:
         with self._lock:

@@ -27,26 +27,43 @@ maintenance transaction log as the arbiter):
 * A manifest entry whose file is MISSING means external tampering (or
   a writer that bypassed the maintenance APIs): discovery falls back
   to the directory walk for that plan -- degraded to O(files), never
-  wrong results. The existence probe is per-entry HEAD-shaped, still
-  far cheaper than a paginated LIST, and a deployment that trusts its
-  maintenance discipline can skip it (verify_exists=False).
+  wrong results. The existence probe routes through the
+  CommitBackend's data_exists seam (filesystem by default -- the data
+  plane read tasks actually open -- overridable for deployments that
+  colocate data with the protocol store), still far cheaper than a
+  paginated LIST, and a deployment that trusts its maintenance
+  discipline can skip it (verify_exists=False).
+* ADDITIONS outside OPTIMIZE stay visible because every driver-side
+  publish path records its outputs: the fixture/export writer
+  (write_sstable) and the collect-and-publish export helper
+  (export_sstables) both call add(); OPTIMIZE adds before
+  txnlog.commit as before. A writer that bypasses the engine entirely
+  (raw file copy into the directory) is outside the maintenance
+  discipline -- reconcile() repairs that by union-ing a fresh walk
+  into the manifest.
 
-Updates go through read-modify-put_atomic. Concurrent UPDATE safety
-rides the txnlog claim: only one maintainer owns a bin, and the
-single-maintainer-per-directory posture (txnlog.py docstring) is
-already the engine's compaction model. Readers only ever GET.
+Updates are COMPARE-AND-SWAP (VERDICT r8 #2): read the current
+manifest text, apply the mutation, publish with put_if_match on the
+exact snapshot read -- two concurrent updaters (two ingest jobs
+appending sstables, an add racing a remove) both keep their entries
+because the loser re-reads and retries. Every written body embeds a
+`rev` uuid so it is caller-unique (the S3 backend's lost-response
+disambiguation contract). Readers only ever GET.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
+import uuid
 
 from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
     get_commit_backend)
 
 MANIFEST_NAME = "_sstables-manifest.json"
 _VERSION = 1
+_CAS_MAX_TRIES = 64
 
 
 def manifest_path(input_dir: str) -> str:
@@ -68,10 +85,46 @@ def read_entries(input_dir: str) -> list[str] | None:
         return None
 
 
+def _body(entries: set[str]) -> str:
+    # `rev` makes every written body caller-unique -- required by the
+    # backends' lost-response CAS disambiguation, and incidentally an
+    # ABA guard (two different writers producing the same entry set
+    # still write different bytes)
+    return json.dumps({"version": _VERSION, "rev": uuid.uuid4().hex,
+                       "entries": sorted(entries)})
+
+
 def _write(input_dir: str, entries: set[str]) -> None:
-    get_commit_backend().put_atomic(
-        manifest_path(input_dir),
-        json.dumps({"version": _VERSION, "entries": sorted(entries)}))
+    get_commit_backend().put_atomic(manifest_path(input_dir),
+                                    _body(entries))
+
+
+def _cas_update(input_dir: str, mutate) -> None:
+    """Apply `mutate(entries: set) -> set` under optimistic CAS: no-op
+    without a (well-formed) manifest; on a lost race, re-read and
+    retry -- concurrent updaters never lose each other's entries."""
+    backend = get_commit_backend()
+    path = manifest_path(input_dir)
+    for attempt in range(_CAS_MAX_TRIES):
+        try:
+            cur = backend.read_text(path)
+        except FileNotFoundError:
+            return
+        try:
+            rec = json.loads(cur)
+        except ValueError:
+            return
+        if rec.get("version") != _VERSION \
+                or not isinstance(rec.get("entries"), list) \
+                or not all(isinstance(e, str) for e in rec["entries"]):
+            return
+        new = mutate(set(rec["entries"]))
+        if backend.put_if_match(path, _body(new), cur):
+            return
+        time.sleep(min(0.001 * (1 << min(attempt, 6)), 0.1))
+    raise RuntimeError(
+        f"manifest update for {input_dir} lost {_CAS_MAX_TRIES} CAS "
+        f"races; a writer is livelocking the manifest")
 
 
 def exists(input_dir: str) -> bool:
@@ -94,34 +147,50 @@ def init(input_dir: str) -> list[str]:
 
 
 def add(input_dir: str, data_paths: list[str]) -> None:
-    """Record new sstables (no-op without a manifest). Idempotent."""
-    entries = read_entries(input_dir)
-    if entries is None:
-        return
+    """Record new sstables (no-op without a manifest). Idempotent;
+    CAS-safe against any concurrent add/remove."""
     rel = {os.path.relpath(p, input_dir) for p in data_paths}
-    _write(input_dir, set(entries) | rel)
+    _cas_update(input_dir, lambda entries: entries | rel)
 
 
 def remove(input_dir: str, data_paths: list[str]) -> None:
     """Drop sstables from the manifest (no-op without one; call BEFORE
     unlinking the files so the manifest never points at ghosts).
-    Idempotent."""
-    entries = read_entries(input_dir)
-    if entries is None:
-        return
+    Idempotent; CAS-safe against any concurrent add/remove."""
     rel = {os.path.relpath(p, input_dir) for p in data_paths}
-    _write(input_dir, set(entries) - rel)
+    _cas_update(input_dir, lambda entries: entries - rel)
 
 
 def remove_by_basename_prefix(input_dir: str, prefix: str) -> None:
     """Drop every entry whose basename starts with `prefix` -- the
     rollback sweep's manifest mirror (a BEGIN-state transaction log
-    knows its outputs only by name prefix)."""
-    entries = read_entries(input_dir)
-    if entries is None:
-        return
-    _write(input_dir, {e for e in entries
-                       if not os.path.basename(e).startswith(prefix)})
+    knows its outputs only by name prefix). CAS-safe."""
+    _cas_update(input_dir, lambda entries: {
+        e for e in entries
+        if not os.path.basename(e).startswith(prefix)})
+
+
+def reconcile(input_dir: str) -> list[str]:
+    """Operational repair for out-of-band additions (raw file copies
+    that bypassed every publish API): union a fresh recursive walk into
+    the manifest (no-op without one). Returns the entries that were
+    missing. Removals need no repair -- discovery's existence probe
+    already falls back on them."""
+    import glob
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX)
+
+    walked = {os.path.relpath(p, input_dir)
+              for p in glob.glob(os.path.join(
+                  input_dir, "**", f"*{DATA_SUFFIX}"), recursive=True)}
+    before = read_entries(input_dir)
+    if before is None:
+        return []
+    missing = sorted(walked - set(before))
+    if missing:
+        _cas_update(input_dir, lambda entries: entries | walked)
+    return missing
 
 
 def data_files(input_dir: str,
@@ -129,11 +198,15 @@ def data_files(input_dir: str,
     """Manifest-driven discovery: absolute Data.db paths, or None when
     the directory has no manifest OR the manifest references a missing
     file (external tampering: fall back to the walk -- degraded cost,
-    never wrong results)."""
+    never wrong results). The probe goes through the CommitBackend's
+    data_exists seam: the filesystem by default (how read tasks open
+    components), overridable by a deployment whose data lives in the
+    same object store as the protocol plane."""
     entries = read_entries(input_dir)
     if entries is None:
         return None
+    backend = get_commit_backend()
     paths = [os.path.join(input_dir, e) for e in entries]
-    if verify_exists and not all(os.path.exists(p) for p in paths):
+    if verify_exists and not all(backend.data_exists(p) for p in paths):
         return None
     return paths

@@ -13,6 +13,9 @@ writes on general-purpose buckets):
 
   put_if_absent   PUT key, If-None-Match: *        201/200 vs 412
   put_atomic      PUT key (plain; S3 PUT is atomic last-writer-wins)
+  put_if_match    GET key (body+ETag, compare), PUT key If-Match:
+                  <etag> -- the optimistic CAS replace (manifest
+                  updates); at most one racer per snapshot lands
   steal           HEAD key (ETag), then PUT key If-Match: <etag> of a
                   caller-unique tombstone, then unconditional DELETE --
                   at most one of N concurrent stealers wins the
@@ -209,6 +212,36 @@ class S3CommitBackend(CommitBackend):
                                               body=text.encode("utf-8"))
         if status not in (200, 201):
             raise S3RequestError("PUT", key, status)
+
+    def put_if_match(self, path: str, text: str, expected: str) -> bool:
+        """CAS replace over GP-bucket conditional writes: GET (body +
+        ETag), compare the body to `expected`, then PUT with If-Match
+        on the observed ETag -- of N racers on the same snapshot at
+        most one PUT lands (a success changes the ETag). Lost-response
+        ambiguity resolves by reading back and comparing to `text`
+        (caller-unique by contract)."""
+        key = self._key(path)
+        status, h, body, _lost = self._request("GET", key)
+        if status == 404:
+            return False
+        if status != 200:
+            raise S3RequestError("GET", key, status)
+        if body.decode("utf-8") != expected:
+            return False
+        etag = h.get("etag")
+        status, _h, _b, lost = self._request(
+            "PUT", key, headers={"If-Match": etag},
+            body=text.encode("utf-8"))
+        if status in (200, 201):
+            return True
+        if status in (404, 412, 409):
+            if not lost:
+                return False
+            try:
+                return self.read_text(path) == text
+            except FileNotFoundError:
+                return False
+        raise S3RequestError("PUT", key, status)
 
     def steal(self, path: str) -> bool:
         """At-most-once reclaim through GP-bucket-supported primitives:

@@ -1436,10 +1436,17 @@ def write_sstable(dir_path: str, generation: int,
                            timestamp_of_last_delete=cell.get(
                                "timestamp_of_last_delete", 0))
             w.end_partition()
-        return w.close()
+        data_path = w.close()
     except BaseException:
         w.abort()
         raise
+    # publish step records the addition in a manifest-enabled directory
+    # (no-op otherwise) so out-of-band exports never go invisible to
+    # manifest-driven discovery
+    from cassandra_sstable_to_protocolbuf_spark import manifest
+
+    manifest.add(dir_path, [data_path])
+    return data_path
 
 
 WRITE_CELLS_METRICS_FIELDS = (
@@ -1649,6 +1656,12 @@ def write_cells_as_sstables(cells_df, out_dir: str,
     ttl_expired flag (expired -> epoch 0, unexpired -> far future);
     DELETED cells carry their localDeletionTime body.
     Returns a metrics DataFrame (sstable_id, path, n_partitions, n_cells).
+
+    MANIFEST NOTE: this returns a LAZY plan, so it cannot itself record
+    outputs in a manifest-enabled target directory. Callers exporting
+    into one must materialize through export_sstables (collects the
+    metrics AND publishes them) or call manifest.add on the collected
+    paths -- OPTIMIZE's executor (_run_bin) already does.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import (LongType, StringType, StructField,
@@ -1668,6 +1681,20 @@ def write_cells_as_sstables(cells_df, out_dir: str,
                 "sstable_id", F.md5("key"), "key",
                 "name", "writeTime", "value")
             .mapInPandas(_cells_stream_writer(out_dir, compression), schema))
+
+
+def export_sstables(cells_df, out_dir: str,
+                    compression: str | None = None) -> list:
+    """Collect-and-publish export: run write_cells_as_sstables, record
+    every output in `out_dir`'s manifest (no-op without one -- CAS-safe
+    against concurrent exporters and OPTIMIZE), and return the metrics
+    rows. The publish API for manifest-enabled directories."""
+    from cassandra_sstable_to_protocolbuf_spark import manifest
+
+    metrics = write_cells_as_sstables(cells_df, out_dir,
+                                      compression=compression).collect()
+    manifest.add(out_dir, [m.path for m in metrics])
+    return metrics
 
 
 # --------------------------------------------------------------------------

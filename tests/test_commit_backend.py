@@ -93,6 +93,22 @@ def test_steal_is_at_most_once(backend):
     assert b.steal(path) is False  # stealing the absent is a clean loss
 
 
+def test_put_if_match_is_single_winner_per_snapshot(backend):
+    b, root = backend
+    path = os.path.join(root, "m", "manifest.json")
+    assert b.put_if_match(path, "x", "anything") is False  # absent
+    b.put_atomic(path, "base")
+    wins = _race(N_THREADS,
+                 lambda i: b.put_if_match(path, f"writer-{i}", "base"))
+    assert sum(wins) == 1, "CAS replace must have exactly one winner"
+    winner = wins.index(True)
+    assert b.read_text(path) == f"writer-{winner}"
+    # stale-expected always loses; current-expected wins again
+    assert b.put_if_match(path, "late", "base") is False
+    assert b.put_if_match(path, "next", f"writer-{winner}") is True
+    assert b.read_text(path) == "next"
+
+
 def test_put_atomic_last_writer_wins_never_partial(backend):
     b, root = backend
     path = os.path.join(root, "_current")

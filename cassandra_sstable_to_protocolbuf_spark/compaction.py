@@ -27,10 +27,13 @@ from pyspark.sql import functions as F
 from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
 
 # Output sizing: one compacted output shard should hold about this many
-# LOGICAL Data.db bytes. 8 MiB was tuned to the round-7 per-cell encode
-# loop; the round-8 vectorized writer sustains ~30 MB/s/task, so a
-# deployment would raise this toward 64-256 MiB (fewer, bigger files --
-# the lakehouse norm). It stays 8 MiB here because the sf0.1 gates and
+# LOGICAL Data.db bytes. The production setting is 64-256 MiB (fewer,
+# bigger files -- the lakehouse norm), which the vectorized writer
+# sustains comfortably: tests/test_write_capacity.py pins an end-to-end
+# single-task 64 MiB-shard write with a throughput floor, and
+# tests/test_compaction_sizing.py runs the compact gate at BOTH the
+# demo and the 64 MiB targets so the constant below cannot fossilize
+# into the design. It stays 8 MiB here because the sf0.1 gates and
 # bench lines derive their shard counts (and writer parallelism on
 # local[32]) from it -- a knob, not a law; the load-bearing part is
 # that the SHARD COUNT is derived from input size (metadata only), so

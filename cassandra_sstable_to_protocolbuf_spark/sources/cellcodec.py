@@ -293,6 +293,108 @@ def decode_partitions(buf, base: int, end_hint: int, regs: _Registers,
             raise Overrun(part_start) from None
 
 
+def decode_atom_run(buf, start: int, end: int, regs: _Registers,
+                    parts: list, key: bytes, live: bool) -> None:
+    """Vectorized twin of the scalar promoted-block read
+    (sstable_native._read_cell_atoms(until=...)): walk the COMPLETE
+    atoms tiling buf[start:end) -- a promoted-index block run; the
+    end-of-row marker is outside every block, so a zero-length name or
+    an atom overrunning `end` is corruption and raises ValueError,
+    exactly like the scalar path. Appends every atom's spans into
+    `regs` (ALL kinds -- the caller applies live_only/name-range as a
+    columnar mask) and one (key, live) group into `parts`. NO partition
+    marker record is emitted: the sliced read surface is cell atoms
+    only."""
+    o = start
+    s_extend = regs.spans.extend
+    ttl_append = regs.sparse_ttl.append
+    lexp_append = regs.sparse_lexp.append
+    nrec0 = nrec = len(regs)
+    snap_ttl = len(regs.sparse_ttl)
+    snap_lexp = len(regs.sparse_lexp)
+    n = len(buf)
+    try:
+        while o < end:
+            nlen = (buf[o] << 8) | buf[o + 1]
+            if nlen == 0:
+                raise ValueError(
+                    "zero-length cell name inside a promoted-index block")
+            name_off = o + 2
+            flag_off = name_off + nlen
+            flags = buf[flag_off]
+            body = flag_off + 1
+            if flags == 0:  # LIVE: the dominant fast branch
+                vlen_off = body + 8
+                vlen = ((buf[vlen_off] << 24) | (buf[vlen_off + 1] << 16)
+                        | (buf[vlen_off + 2] << 8) | buf[vlen_off + 3])
+                ve = vlen_off + 4
+                o = ve + vlen
+                s_extend((KIND_LIVE, name_off, nlen, ve, vlen, body))
+                nrec += 1
+                continue
+            if flags & _FLAG_RANGE_TOMBSTONE:
+                elen = (buf[body] << 8) | buf[body + 1]
+                end_off = body + 2
+                rt_ldt_off = end_off + elen
+                o = rt_ldt_off + 12
+                if o > n:
+                    raise IndexError
+                s_extend((KIND_RANGE_TOMBSTONE, name_off, nlen,
+                          end_off, elen, rt_ldt_off + 4))
+                nrec += 1
+                lexp_append((nrec - 1, int.from_bytes(
+                    buf[rt_ldt_off:rt_ldt_off + 4], "big", signed=True)))
+                continue
+            if flags & (_FLAG_EXPIRATION | _FLAG_COUNTER):
+                ts_off = body + 8
+            else:  # DELETED (or unknown flags: scalar path = LIVE)
+                ts_off = body
+            vlen_off = ts_off + 8
+            vlen = ((buf[vlen_off] << 24) | (buf[vlen_off + 1] << 16)
+                    | (buf[vlen_off + 2] << 8) | buf[vlen_off + 3])
+            ve = vlen_off + 4
+            o = ve + vlen
+            if flags & _FLAG_EXPIRATION:
+                s_extend((KIND_EXPIRING, name_off, nlen, ve, vlen,
+                          ts_off))
+                nrec += 1
+                ttl_append((nrec - 1, int.from_bytes(
+                    buf[body:body + 4], "big", signed=True)))
+                lexp_append((nrec - 1, int.from_bytes(
+                    buf[body + 4:body + 8], "big", signed=True)))
+            elif flags & _FLAG_COUNTER:
+                s_extend((KIND_COUNTER, name_off, nlen, ve, vlen, ts_off))
+                nrec += 1
+            elif flags & _FLAG_DELETION:
+                if o > n:
+                    raise IndexError
+                s_extend((KIND_DELETED, name_off, nlen, ve, 0, ts_off))
+                nrec += 1
+                lexp_append((nrec - 1, int.from_bytes(
+                    buf[ve:ve + 4], "big", signed=True)
+                    if vlen == 4 else 0))
+            else:  # unknown flag combo: scalar path treats as LIVE
+                s_extend((KIND_LIVE, name_off, nlen, ve, vlen, ts_off))
+                nrec += 1
+        if o != end:
+            raise ValueError(
+                f"atom overran its promoted-index block end by "
+                f"{o - end} bytes (corrupt block extents)")
+    except (IndexError, ValueError) as e:
+        # roll the partial run back: corruption surfaces as a clean
+        # ValueError with nothing half-appended (FAILFAST contract)
+        del regs.spans[nrec0 * 6:], regs.sparse_ttl[snap_ttl:], \
+            regs.sparse_lexp[snap_lexp:]
+        if isinstance(e, IndexError):
+            raise ValueError(
+                "truncated atom inside a promoted-index block run"
+            ) from None
+        raise
+    if nrec > nrec0:
+        regs.part_counts.append(nrec - nrec0)
+        parts.append((key, live))
+
+
 def _sparse_int32(pairs: list, nrec: int):
     """(idx, value) pairs -> pyarrow int32 array with nulls elsewhere."""
     import pyarrow as pa

@@ -2867,8 +2867,7 @@ class SSTableNativeReader(DataSourceReader):
                 yield (split.sstable_id, b"", b"",
                        str(e)[:500].encode(), 0, "ERROR", None, None, False)
 
-        if (self.name_range is None and not self.permissive
-                and split is not None
+        if (not self.permissive and split is not None
                 and not getattr(split, "error", None)
                 and self._fast_scan_eligible(split)):
             # vectorized batch decode (cellcodec): same rows, same
@@ -2877,8 +2876,15 @@ class SSTableNativeReader(DataSourceReader):
             # contract is PER-CELL (rows parsed before the corrupt
             # byte stand), which a block decoder cannot reproduce --
             # and a corruption sweep is not the throughput path.
-            yield from self._read_fast(split, batch)
-            return
+            if self.name_range is None:
+                yield from self._read_fast(split, batch)
+                return
+            if not getattr(split, "verify", False):
+                # clustering slices ride the same codec (VERDICT r8
+                # #3); verify+slice stays scalar -- an integrity sweep
+                # is not the throughput path either
+                yield from self._read_fast_sliced(split, batch)
+                return
 
         rows: list[tuple] = []
         append = rows.append
@@ -3004,6 +3010,207 @@ class SSTableNativeReader(DataSourceReader):
                     buf = buf[o:]
                     base += o
                     o = 0
+
+    # a vectorized sliced batch flushes once this many selected-run
+    # bytes have accumulated across index entries (memory bound per task)
+    SLICE_FAST_BATCH_BYTES = 8 << 20
+
+    def _slice_batch_filter(self, b):
+        """Columnar residual for the vectorized sliced paths: name in
+        [lo, hi), never PARTITION marker rows (sliced reads emit cell
+        atoms only), and live_only's kind filter -- exactly the
+        per-atom checks of the scalar sliced walk, applied as ONE mask
+        per batch. Returns None when nothing survives."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lo, hi = self.name_range
+        names = b.column(2)
+        kinds = b.column(5)
+        mask = pc.not_equal(kinds, pa.scalar("PARTITION"))
+        if self.live_only:
+            mask = pc.and_(mask, pc.equal(kinds, pa.scalar("LIVE")))
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater_equal(
+                names, pa.scalar(lo, type=pa.binary())))
+        if hi is not None:
+            mask = pc.and_(mask, pc.less(
+                names, pa.scalar(hi, type=pa.binary())))
+        b = b.filter(mask)
+        return b if b.num_rows else None
+
+    def _scalar_run_rows(self, f, abs_start: int, abs_end: int,
+                         key: bytes, live: bool, sid: str):
+        """Scalar residual-filtered atom walk over one selected run --
+        the over-cap fallback of the vectorized sliced read (and its
+        semantic reference, same as _iter_rows_sliced's inner loop)."""
+        f.seek(abs_start)
+        for c in _read_cell_atoms(f, until=abs_end):
+            if self.live_only and c["kind"] != "LIVE":
+                continue
+            if self._cell_in_range(c["name"]):
+                yield (sid, key, c["name"], c["value"], c["timestamp"],
+                       c["kind"], c["ttl"], c["local_expiration"], live)
+
+    def _read_fast_sliced(self, split, batch) -> Iterator:
+        """Vectorized clustering-slice read (VERDICT r8 #3): the
+        selected promoted-index block runs are contiguous byte regions,
+        so they decode through the same numpy/Arrow codec as plain
+        scans (cellcodec.decode_atom_run), with the per-atom residual
+        applied as one columnar mask per batch (_slice_batch_filter).
+        Three shapes:
+
+        * _SliceRunSplit (plan-chunked runs inside one wide partition):
+          read the runs (<= SLICE_SPLIT_BYTES by plan), decode, mask.
+        * coarse split, wide entry: selected runs accumulate across
+          index entries into SLICE_FAST_BATCH_BYTES decode batches --
+          bytes outside selected blocks are still NEVER read.
+        * coarse split, narrow window: contiguous unpromoted partitions
+          stream through _read_fast (whole-partition decode; block
+          pruning has nothing to prune on narrow rows) + the same mask.
+
+        A single run larger than FAST_SCAN_PARTITION_CAP falls back to
+        the scalar atom walk for that run, mirroring _read_fast's
+        giant-partition discipline. Row MULTISET matches
+        _iter_rows_sliced exactly (pinned in tests/test_promoted_index
+        and the sliced Spark row-identity test); intra-split order may
+        differ (runs batch before narrow windows flush), which Spark's
+        source contract permits."""
+        from cassandra_sstable_to_protocolbuf_spark.sources import (
+            cellcodec as _cc)
+
+        lo, hi = self.name_range
+        sid = split.sstable_id
+
+        def decode_pending(runs: list) -> Iterator:
+            """(key, live, abs_start, abs_end) runs -> one masked batch."""
+            f, _sz = open_data_file(split.data_path)
+            chunks = []
+            with f:
+                for _key, _live, s, e in runs:
+                    f.seek(s)
+                    data = f.read(e - s)
+                    if len(data) != e - s:
+                        raise ValueError(
+                            f"truncated promoted-index block run at "
+                            f"logical offset {s} in {split.data_path}")
+                    chunks.append(data)
+            buf = b"".join(chunks)
+            regs = _cc._Registers()
+            parts: list = []
+            off = 0
+            for (key, live, _s, _e), data in zip(runs, chunks):
+                _cc.decode_atom_run(buf, off, off + len(data), regs,
+                                    parts, key, live)
+                off += len(data)
+            if len(regs):
+                out = self._slice_batch_filter(_cc.registers_to_arrow(
+                    buf, regs, parts, sid, self.live_only))
+                if out is not None:
+                    yield out
+
+        def scalar_giant_runs(runs: list) -> Iterator:
+            f, _sz = open_data_file(split.data_path)
+            rows: list = []
+            with f:
+                for key, live, s, e in runs:
+                    for row in self._scalar_run_rows(f, s, e, key, live,
+                                                     sid):
+                        rows.append(row)
+                        if len(rows) >= self.ARROW_BATCH_ROWS:
+                            yield batch(rows)
+                            rows = []
+            if rows:
+                yield batch(rows)
+
+        if isinstance(split, _SliceRunSplit):
+            # same plan-time-skip belt as the scalar branch: tokenRange
+            # is source-only, a slipped split would duplicate rows
+            if self.token_range is not None \
+                    and not self._in_token_range(split.key):
+                return
+            vec, giant = [], []
+            for run_start, run_end in split.runs:
+                target = (giant if run_end - run_start
+                          > self.FAST_SCAN_PARTITION_CAP else vec)
+                target.append((split.key, split.live,
+                               split.position + run_start,
+                               split.position + run_end))
+            if vec:
+                yield from decode_pending(vec)
+            if giant:
+                yield from scalar_giant_runs(giant)
+            return
+
+        index_path = split.data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
+        if not os.path.exists(index_path):
+            # indexless fixture: the scalar path's
+            # emit-filter-over-plain-scan, vectorized (no index means
+            # nothing to prune)
+            for b in self._read_fast(split, batch):
+                out = self._slice_batch_filter(b)
+                if out is not None:
+                    yield out
+            return
+
+        def narrow_window(win_start: int, win_end: int) -> Iterator:
+            # contiguous unpromoted partitions: whole-partition decode
+            # (pushed keys / token range ride _read_fast's emit filter)
+            syn = _SSTableSplit(sid, split.data_path, win_start, win_end)
+            for b in self._read_fast(syn, batch):
+                out = self._slice_batch_filter(b)
+                if out is not None:
+                    yield out
+
+        pending: list = []
+        pending_bytes = 0
+        giant: list = []
+        narrow_start: int | None = None
+        for key, position, _ipos, blob in iter_index_promoted(
+                index_path, start_pos=split.index_start):
+            if position >= split.end:
+                break
+            if position < split.start:
+                continue
+            pi = parse_promoted_index(blob)
+            if pi is None:
+                # narrow row: open/extend the window; its end is the
+                # next wide entry's position (or the split end)
+                if narrow_start is None:
+                    narrow_start = position
+                continue
+            if narrow_start is not None:
+                yield from narrow_window(narrow_start, position)
+                narrow_start = None
+            if self.pushed_keys is not None \
+                    and key not in self.pushed_keys:
+                continue
+            if self.token_range is not None \
+                    and not self._in_token_range(key):
+                continue
+            live = (pi["ldt"] == LIVE_LOCAL_DELETION
+                    and pi["marked_at"] == LIVE_MARKED_AT)
+            if self.live_only and not live:
+                continue  # decided from the blob: zero data IO
+            for run_start, run_end in _select_block_runs(
+                    pi["blocks"], lo, hi):
+                ln = run_end - run_start
+                if ln > self.FAST_SCAN_PARTITION_CAP:
+                    giant.append((key, live, position + run_start,
+                                  position + run_end))
+                    continue
+                pending.append((key, live, position + run_start,
+                                position + run_end))
+                pending_bytes += ln
+                if pending_bytes >= self.SLICE_FAST_BATCH_BYTES:
+                    yield from decode_pending(pending)
+                    pending, pending_bytes = [], 0
+        if narrow_start is not None:
+            yield from narrow_window(narrow_start, split.end)
+        if pending:
+            yield from decode_pending(pending)
+        if giant:
+            yield from scalar_giant_runs(giant)
 
     def _read_fast_fallback(self, split, from_offset: int,
                             batch) -> Iterator:

@@ -119,6 +119,12 @@ CATALOG: dict[str, QueryDef] = {
                                       "clustering band x token interval "
                                       "composed: both prunings before a "
                                       "data byte moves"),
+    "sst_foreign_ka_scan": QueryDef(C.sst_foreign_ka_scan,
+                                    C.SST_FOREIGN_KA_SCAN_SQL,
+                                    "all-foreign ka components (no engine "
+                                    "stamps): scan + bloom-gated point "
+                                    "lookup + promoted clustering slice "
+                                    "composed"),
     "sst_incremental_merge": QueryDef(C.sst_incremental_merge,
                                       C.SST_INCREMENTAL_MERGE_SQL,
                                       "copy-on-write LWW delta merge into sharded landed table"),

@@ -708,6 +708,125 @@ WHERE name >= '0000000400|' AND name < '0000001200|'
 """
 
 
+def _foreign_ka_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once ALL-FOREIGN fixture (VERDICT r8 #4): the wide-partition
+    sstables with every engine stamp stripped -- each file's
+    Statistics.db is rewritten as a GENUINE Cassandra 2.0 ka
+    StatsMetadata (write_real_ka_statistics: real layout, real
+    min/maxColumnNames carried over from the exact engine bounds, NO
+    bloom provenance mark, NO private name-bounds component). Data.db,
+    Index.db (promoted blobs), Filter.db, Summary.db and
+    CompressionInfo.db are already the standard on-disk layouts the
+    format tests pin byte-for-byte, so the result is what a file this
+    engine never wrote looks like: blooms must EARN trust via probe
+    validation, name bounds come only from the ka stats (and prune only
+    under the comparator opt-in)."""
+    import hashlib
+    import os
+    import pathlib
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as sn)
+
+    pristine = _wide_fixture_dir(spark, sf_dir)
+    digest = hashlib.md5(
+        pathlib.Path(sn.__file__).read_bytes()
+        + f"foreignka-v1:{pristine}".encode()).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build(tmp: str) -> None:
+        import glob
+
+        for comp in glob.glob(os.path.join(pristine, "ks-*")):
+            shutil.copyfile(comp,
+                            os.path.join(tmp, os.path.basename(comp)))
+        for data in glob.glob(os.path.join(tmp, "*-Data.db")):
+            stats = data[:-len(sn.DATA_SUFFIX)] + sn.STATS_SUFFIX
+            bounds = sn.read_name_bounds(stats)  # engine-exact [min,max]
+            part = sn.read_statistics(stats)
+            sn.write_real_ka_statistics(
+                stats, bounds[0], bounds[1],
+                partitioner=part["partitioner"],
+                bloom_fp_chance=part["bloom_fp_chance"])
+            # prove the strip: nothing engine-stamped survives
+            assert not sn.has_bloom_provenance_mark(stats)
+            assert sn.read_name_bounds(stats) is None
+            assert sn.read_stats_column_names(stats) == bounds
+
+    return build_once(f"sstforeignka_fix_{tag}", digest, build)
+
+
+def sst_foreign_ka_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed foreign-`ka` interop gate (VERDICT r8 #4): full scan +
+    bloom-gated point lookup + promoted-block clustering slice, all
+    against sstables carrying ONLY genuine Cassandra 2.0 components
+    (no engine stamps anywhere -- _foreign_ka_fixture_dir). Each access
+    path aggregates to a per-(mode, file, key) certificate (cell count,
+    writeTime sum, name extremes) so one hash match certifies that
+    unmarked-bloom trust earning, Index.db seeks, promoted-block
+    selection, and ka-stats name bounds (under the comparator opt-in)
+    COMPOSE correctly on files this engine never wrote. The per-path
+    IO behavior (zero-IO bloom skips, byte-exact block reads,
+    whole-file elimination) is pinned separately in
+    tests/test_promoted_index.py and tests/test_bloom_filter.py."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    out = _foreign_ka_fixture_dir(spark, sf_dir)
+
+    def leg(df: DataFrame, mode: str) -> DataFrame:
+        return (df.filter(F.col("cell_kind") != "PARTITION")
+                .groupBy(
+                    F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+                    .alias("sstable_id"),
+                    F.decode("key", "UTF-8").alias("key"))
+                .agg(F.count(F.lit(1)).alias("n_cells"),
+                     F.sum("writeTime").alias("sum_wt"),
+                     F.min(F.decode("name", "UTF-8")).alias("min_name"),
+                     F.max(F.decode("name", "UTF-8")).alias("max_name"))
+                .select(F.lit(mode).alias("mode"), "sstable_id", "key",
+                        "n_cells", "sum_wt", "min_name", "max_name"))
+
+    scan = leg(read_native_cells(spark, out), "scan")
+    point = leg(read_native_cells(spark, out)
+                .filter(F.col("key") == F.lit(b"w3")), "point")
+    sliced = leg(read_native_cells(
+        spark, out, name_range=(b"0000000400|", b"0000000800|"),
+        trust_foreign_name_bounds=True), "slice")
+    return scan.unionAll(point).unionAll(sliced)
+
+
+SST_FOREIGN_KA_SCAN_SQL = f"""
+WITH wide_cells AS (
+{_wide_cells_sql()}
+),
+scan AS (
+  SELECT 'scan' AS mode, sstable_id, key,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(writeTime) AS BIGINT) AS sum_wt,
+         MIN(name) AS min_name, MAX(name) AS max_name
+  FROM wide_cells GROUP BY 2, 3),
+point AS (
+  SELECT 'point' AS mode, sstable_id, key,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(writeTime) AS BIGINT) AS sum_wt,
+         MIN(name) AS min_name, MAX(name) AS max_name
+  FROM wide_cells WHERE key = 'w3' GROUP BY 2, 3),
+sliced AS (
+  SELECT 'slice' AS mode, sstable_id, key,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(writeTime) AS BIGINT) AS sum_wt,
+         MIN(name) AS min_name, MAX(name) AS max_name
+  FROM wide_cells
+  WHERE name >= '0000000400|' AND name < '0000000800|'
+  GROUP BY 2, 3)
+SELECT * FROM scan UNION ALL SELECT * FROM point
+UNION ALL SELECT * FROM sliced
+"""
+
+
 def _optimize_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Pristine (cached) fixture for the OPTIMIZE loop: the standard
     five-file cell split, except partition '1|3' is remapped into a

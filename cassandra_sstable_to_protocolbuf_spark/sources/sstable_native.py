@@ -682,6 +682,53 @@ def read_any_name_bounds(stats_path: str,
     return read_stats_column_names(stats_path)
 
 
+def write_real_ka_statistics(stats_path: str, min_name: bytes,
+                             max_name: bytes,
+                             partitioner: str = DEFAULT_PARTITIONER,
+                             bloom_fp_chance: float = 0.01) -> None:
+    """A GENUINE Cassandra 2.0 'ka' Statistics.db (public
+    MetadataSerializer layout): VALIDATION(0) + COMPACTION(1) +
+    STATS(2) with real single-component min/maxColumnNames -- and NO
+    engine-private components (no bloom provenance mark, no name-bounds
+    component). This is how a file this engine never wrote looks; the
+    foreign-interop fixture builder uses it to strip every engine stamp
+    from otherwise-standard components. Field order documented in
+    read_stats_column_names (the parser is this writer's check)."""
+    enc = partitioner.encode()
+    validation = (struct.pack(">H", len(enc)) + enc
+                  + struct.pack(">d", bloom_fp_chance))
+    compaction = struct.pack(">ii", 0, 0)  # ancestors + cardinality stub
+
+    def hist(n: int) -> bytes:
+        return struct.pack(">i", n) + b"".join(
+            struct.pack(">qq", i + 1, 0) for i in range(n))
+
+    def names(lst: list[bytes]) -> bytes:
+        return struct.pack(">i", len(lst)) + b"".join(
+            struct.pack(">H", len(x)) + x for x in lst)
+
+    stats = (hist(3) + hist(2)                      # row size, col count
+             + struct.pack(">qi", 7, 42)            # ReplayPosition
+             + struct.pack(">qq", 100, 200)         # min/max timestamp
+             + struct.pack(">i", 0x7FFFFFFF)        # maxLocalDeletionTime
+             + struct.pack(">d", 0.5)               # compressionRatio
+             + struct.pack(">ii", 100, 2)           # StreamingHistogram
+             + struct.pack(">dq", 1.0, 3) + struct.pack(">dq", 2.0, 4)
+             + struct.pack(">i", 0)                 # sstableLevel
+             + struct.pack(">q", 0)                 # repairedAt (ka)
+             + names([min_name]) + names([max_name])
+             + struct.pack(">?", True))             # legacy counters
+    components = [(0, validation), (1, compaction), (2, stats)]
+    out = [struct.pack(">i", len(components))]
+    offset = 4 + 8 * len(components)
+    for ordinal, body in components:
+        out.append(struct.pack(">ii", ordinal, offset))
+        offset += len(body)
+    out += [body for _o, body in components]
+    with open(stats_path, "wb") as f:
+        f.write(b"".join(out))
+
+
 def has_bloom_provenance_mark(stats_path: str) -> bool:
     """True iff Statistics.db carries the engine-private bloom
     provenance component WITH its magic body (toc walk only -- no

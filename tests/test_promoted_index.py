@@ -666,3 +666,45 @@ def test_slice_permissive_error_row(tmp_path, spark):
     with pytest.raises(Exception):
         N.read_native_cells(spark, str(tmp_path),
                             name_range=(b"n0000", b"n0050")).collect()
+
+
+def test_foreign_ka_fixture_is_stamp_free_and_gate_composes(spark):
+    """VERDICT r8 #4: the composed-interop fixture carries ONLY genuine
+    Cassandra 2.0 components -- no bloom provenance mark, no private
+    name-bounds component, real ka StatsMetadata bounds -- and the
+    catalog gate's three access paths return consistent certificates
+    over it (the driver hash-gates the values against DuckDB)."""
+    import glob as _glob
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
+        _foreign_ka_fixture_dir, sst_foreign_ka_scan)
+    from tests.conftest import SF_SMOKE
+
+    out = _foreign_ka_fixture_dir(spark, SF_SMOKE)
+    datas = _glob.glob(os.path.join(out, "*-Data.db"))
+    assert len(datas) == 2
+    for data in datas:
+        stats = data[:-len(N.DATA_SUFFIX)] + N.STATS_SUFFIX
+        assert not N.has_bloom_provenance_mark(stats)
+        assert N.read_name_bounds(stats) is None
+        assert N.read_stats_column_names(stats) is not None
+        assert N.load_bloom(data) is not None  # standard bloom layout
+        # the ka stats still open through the normal VALIDATION path
+        assert N.read_statistics(stats)["partitioner"] \
+            == N.DEFAULT_PARTITIONER
+
+    rows = sst_foreign_ka_scan(spark, SF_SMOKE).collect()
+    by_mode: dict = {}
+    for r in rows:
+        by_mode.setdefault(r["mode"], []).append(r)
+    assert len(by_mode["scan"]) == 8  # each key lives in ONE file
+    # (orderkey % 8 fixes orderkey % 2, the file-sharding key)
+    assert {r["key"] for r in by_mode["point"]} == {"w3"}
+    assert by_mode["slice"]
+    # the point certificate equals the scan certificate of the same
+    # (file, key): the bloom-gated seek read exactly the partition
+    scan_w3 = {(r.sstable_id, r.key): (r.n_cells, r.sum_wt)
+               for r in by_mode["scan"] if r.key == "w3"}
+    point_w3 = {(r.sstable_id, r.key): (r.n_cells, r.sum_wt)
+                for r in by_mode["point"]}
+    assert point_w3 == scan_w3

@@ -843,7 +843,25 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("month", "n_name", "n_items", "rev_e4"))
 
 
-def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _restartable_dirs(scratch_dir, tag: str, prefix: str,
+                      checkpoint: str | None, names: list[str]):
+    """State/output directories for a foreachBatch recurrence: fresh
+    per invocation by default (the gate path -- each run recomputes),
+    but keyed DETERMINISTICALLY off an injected checkpoint so a resume
+    on the same checkpoint finds the previous run's committed state --
+    the restart drill's surface (VERDICT r8 #6)."""
+    if checkpoint is None:
+        return [scratch_dir(f"{prefix}_{n}", tag, fresh=True)
+                for n in names]
+    import hashlib as _hashlib
+
+    h = _hashlib.sha1(checkpoint.encode()).hexdigest()[:12]
+    return [scratch_dir(f"{prefix}_{n}", f"{tag}_{h}") for n in names]
+
+
+def stream_ewma(spark: SparkSession, sf_dir: str,
+                _checkpoint: str | None = None,
+                _kill_after: int | None = None) -> DataFrame:
     """The order-SENSITIVE EWMA recurrence maintained THROUGH streaming
     -- the Kappa-style ordered backfill: unlike every commutative merge
     above, s_t = (3*s_{t-1} + v_t) div 4 depends on delivery order, so
@@ -899,10 +917,12 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
             shutil.rmtree(tmp)
 
-    state_root = scratch_dir("ewma_state", tag, fresh=True)
-    out_root = scratch_dir("ewma_out", tag, fresh=True)
+    state_root, out_root = _restartable_dirs(
+        scratch_dir, tag, "ewma", _checkpoint, ["state", "out"])
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        if _kill_after is not None and batch_id >= _kill_after:
+            raise RuntimeError("injected mid-stream crash")
         seed_dir = os.path.join(state_root, f"b{batch_id - 1}")
         rows = batch.select("event_id", "user_id", "ts_us", "v_fp")
         if os.path.isdir(seed_dir):
@@ -932,7 +952,8 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(state_root, f"b{batch_id}"))
 
     schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
-    ckpt = scratch_dir("ewma_ckpt", tag, fresh=True)
+    ckpt = _checkpoint if _checkpoint is not None \
+        else scratch_dir("ewma_ckpt", tag, fresh=True)
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", "1")
          .option("pathGlobFilter", "slice-*.parquet")
@@ -946,7 +967,9 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       (F.col("ewma_fp").cast("double") / 1e6).alias("ewma"))
 
 
-def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_cusum(spark: SparkSession, sf_dir: str,
+                 _checkpoint: str | None = None,
+                 _kill_after: int | None = None) -> DataFrame:
     """The CUSUM change detector maintained THROUGH streaming, with a
     CALIBRATION WARMUP that spans micro-batches: the reference level is
     the mean of each type's first seven days, so early days cannot be
@@ -995,7 +1018,8 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
             shutil.rmtree(tmp)
 
-    state_root = scratch_dir("cusum_state", tag, fresh=True)
+    (state_root,) = _restartable_dirs(
+        scratch_dir, tag, "cusum", _checkpoint, ["state"])
 
     # Bounded-state checkpointing: state is (ref, s) per TYPE plus <= 7
     # pending day rows -- kilobytes at any corpus size -- so it commits
@@ -1005,12 +1029,17 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after). Contrast stream_ewma, whose per-USER state is
     # data-proportional and rightly stays in parquet. Replay stays
     # idempotent: a redelivered batch reloads state[batch_id-1] from
-    # its file and overwrites its own output slot.
-    outputs: dict[int, list] = {}
+    # its file and overwrites its own file. The batch's OUTPUT rows
+    # (bounded: day grain) ride the same JSON commit, so a RESTART
+    # reassembles committed batches' rows from disk -- the in-memory
+    # dict the first cut kept would have silently dropped them
+    # (VERDICT r8 #6).
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         import json
 
+        if _kill_after is not None and batch_id >= _kill_after:
+            raise RuntimeError("injected mid-stream crash")
         daily = (batch.groupBy("event_type", "day")
                  .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
         prev = os.path.join(state_root, f"b{batch_id - 1}.json")
@@ -1056,14 +1085,15 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         for et, tup in st["state"].items():  # silent types carry forward
             new_state.setdefault(et, tuple(tup))
 
-        outputs[batch_id] = out
         tmp = os.path.join(state_root, f"b{batch_id}.json.tmp")
         with open(tmp, "w") as f:
-            json.dump({"state": new_state, "pending": new_pending}, f)
+            json.dump({"state": new_state, "pending": new_pending,
+                       "out": out}, f)
         os.replace(tmp, os.path.join(state_root, f"b{batch_id}.json"))
 
     schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
-    ckpt = scratch_dir("cusum_ckpt", tag, fresh=True)
+    ckpt = _checkpoint if _checkpoint is not None \
+        else scratch_dir("cusum_ckpt", tag, fresh=True)
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", "1")
          .option("pathGlobFilter", "slice-*.parquet")
@@ -1072,14 +1102,38 @@ def stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = [r for b in sorted(outputs) for r in outputs[b]]
+    rows = [tuple(r) for b in _committed_batch_jsons(state_root)
+            for r in b["out"]]
     res = spark.createDataFrame(
         rows, "event_type string, day string, y long, "
               "ref_fp long, cusum_fp long")
     return res.withColumn("alarm", F.col("cusum_fp") > 3 * F.col("ref_fp"))
 
 
-def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _committed_batch_jsons(state_root: str) -> list[dict]:
+    """Every committed per-batch JSON under a recurrence's state root,
+    batch-id order -- the restart-safe output assembly (committed
+    batches never replay, so their rows must come from disk)."""
+    import json
+    import os
+    import re
+
+    pat = re.compile(r"^b(\d+)\.json$")
+    found = []
+    for name in os.listdir(state_root):
+        m = pat.match(name)
+        if m:
+            found.append((int(m.group(1)), name))
+    out = []
+    for _bid, name in sorted(found):
+        with open(os.path.join(state_root, name)) as f:
+            out.append(json.load(f))
+    return out
+
+
+def stream_holt_trend(spark: SparkSession, sf_dir: str,
+                      _checkpoint: str | None = None,
+                      _kill_after: int | None = None) -> DataFrame:
     """The Holt level+trend recurrence maintained THROUGH streaming --
     the forecasting twin of stream_cusum's detector, completing the
     batch+stream pairing for all three sequential recurrences (EWMA,
@@ -1124,19 +1178,21 @@ def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             import shutil
             shutil.rmtree(tmp)
 
-    state_root = scratch_dir("holt_state", tag, fresh=True)
-    outputs: dict[int, list] = {}
+    (state_root,) = _restartable_dirs(
+        scratch_dir, tag, "holt", _checkpoint, ["state"])
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         import json
 
+        if _kill_after is not None and batch_id >= _kill_after:
+            raise RuntimeError("injected mid-stream crash")
         daily = (batch.groupBy("event_type", "day")
                  .agg((F.count(F.lit(1)) * 1_000_000).alias("y_fp")))
         prev = os.path.join(state_root, f"b{batch_id - 1}.json")
         st = {}
         if os.path.exists(prev):
             with open(prev) as f:
-                st = json.load(f)
+                st = json.load(f)["state"]
         rows = sorted([r["event_type"], r["day"], r["y_fp"]]
                       for r in daily.collect())
         out, new_state = [], dict(st)
@@ -1150,14 +1206,16 @@ def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tr = _tdiv((lv - plv) + 3 * ptr, 4)
             new_state[et] = (lv, tr)
             out.append((et, day, y // 1_000_000, lv, tr))
-        outputs[batch_id] = out
         tmp = os.path.join(state_root, f"b{batch_id}.json.tmp")
         with open(tmp, "w") as f:
-            json.dump(new_state, f)
+            # output rows ride the state commit: a RESTART reassembles
+            # committed batches' rows from disk (VERDICT r8 #6)
+            json.dump({"state": new_state, "out": out}, f)
         os.replace(tmp, os.path.join(state_root, f"b{batch_id}.json"))
 
     schema = spark.read.parquet(os.path.join(spool, "slice-0.parquet")).schema
-    ckpt = scratch_dir("holt_ckpt", tag, fresh=True)
+    ckpt = _checkpoint if _checkpoint is not None \
+        else scratch_dir("holt_ckpt", tag, fresh=True)
     q = (spark.readStream.schema(schema)
          .option("maxFilesPerTrigger", "1")
          .option("pathGlobFilter", "slice-*.parquet")
@@ -1166,7 +1224,8 @@ def stream_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    rows = [r for b in sorted(outputs) for r in outputs[b]]
+    rows = [tuple(r) for b in _committed_batch_jsons(state_root)
+            for r in b["out"]]
     res = spark.createDataFrame(
         rows, "event_type string, day string, y long, "
               "level_fp long, trend_fp long")

@@ -53,6 +53,9 @@ HEADLINE = [
     # and the slice x token-shard composition
     "sst_clustering_seek",
     "sst_sliced_shard_scan",
+    # round 9: composed all-foreign-ka interop (scan + bloom-gated point
+    # lookup + promoted slice on files carrying zero engine stamps)
+    "sst_foreign_ka_scan",
     # relational coverage
     "tpch_q1_pricing",
     "tpch_q2_min_cost_supplier",

@@ -697,14 +697,16 @@ def test_foreign_ka_fixture_is_stamp_free_and_gate_composes(spark):
     by_mode: dict = {}
     for r in rows:
         by_mode.setdefault(r["mode"], []).append(r)
-    assert len(by_mode["scan"]) == 8  # each key lives in ONE file
-    # (orderkey % 8 fixes orderkey % 2, the file-sharding key)
-    assert {r["key"] for r in by_mode["point"]} == {"w3"}
+    # the scan leg covers the [00, 40) quarter of the ring: keys w4,
+    # w5, w7 (each key lives in ONE file -- orderkey % 8 fixes
+    # orderkey % 2, the file-sharding key)
+    assert {r["key"] for r in by_mode["scan"]} == {"w4", "w5", "w7"}
+    assert {r["key"] for r in by_mode["point"]} == {"w5"}
     assert by_mode["slice"]
     # the point certificate equals the scan certificate of the same
     # (file, key): the bloom-gated seek read exactly the partition
-    scan_w3 = {(r.sstable_id, r.key): (r.n_cells, r.sum_wt)
-               for r in by_mode["scan"] if r.key == "w3"}
-    point_w3 = {(r.sstable_id, r.key): (r.n_cells, r.sum_wt)
+    scan_w5 = {(r.sstable_id, r.key): (r.n_cells, r.sum_wt)
+               for r in by_mode["scan"] if r.key == "w5"}
+    point_w5 = {(r.sstable_id, r.key): (r.n_cells, r.sum_wt)
                 for r in by_mode["point"]}
-    assert point_w3 == scan_w3
+    assert point_w5 == scan_w5

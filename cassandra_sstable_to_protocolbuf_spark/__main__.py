@@ -56,6 +56,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "optimize [--until-stable] <sstable_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "manifest <init|reconcile|status> <sstable_dir>\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "verify-digest <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "slice <sstable_dir_or_data_file> <name_start> <name_end> <output_dir>\n"
@@ -837,6 +839,50 @@ def table_history_cmd(table_dir: str) -> int:
     return 0
 
 
+def manifest_cmd(action: str, input_dir: str) -> int:
+    """Operational surface for manifest-backed discovery (driver-only,
+    no Spark session): `init` turns the manifest ON (seeded from one
+    final recursive walk), `reconcile` repairs out-of-band additions
+    (raw copies that bypassed every publish API -- union a fresh walk
+    back in), `status` reports entry count and walk agreement."""
+    import glob as _glob
+
+    from cassandra_sstable_to_protocolbuf_spark import manifest
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        DATA_SUFFIX)
+
+    if action == "init":
+        entries = manifest.init(input_dir)
+        print(f"manifest initialized: {len(entries)} sstables recorded "
+              f"in {manifest.manifest_path(input_dir)}")
+        return 0
+    if action == "reconcile":
+        if not manifest.exists(input_dir):
+            _die(f"no manifest under {input_dir} (run `manifest init` "
+                 f"first)")
+        missing = manifest.reconcile(input_dir)
+        print(f"reconciled: {len(missing)} out-of-band addition(s) "
+              f"recorded" + (f": {', '.join(missing)}" if missing else ""))
+        return 0
+    if action == "status":
+        entries = manifest.read_entries(input_dir)
+        walked = sorted(os.path.relpath(p, input_dir) for p in _glob.glob(
+            os.path.join(input_dir, "**", f"*{DATA_SUFFIX}"),
+            recursive=True))
+        if entries is None:
+            print(f"no manifest: discovery walks ({len(walked)} sstables "
+                  f"on disk)")
+            return 0
+        extra = sorted(set(entries) - set(walked))
+        missing = sorted(set(walked) - set(entries))
+        print(f"manifest: {len(entries)} entries; walk: {len(walked)} "
+              f"sstables; ghosts (entry, no file): {len(extra)}; "
+              f"unrecorded (file, no entry): {len(missing)}")
+        return 0 if not extra and not missing else 1
+    _die(f"unknown manifest action {action!r} (init|reconcile|status)")
+    return 2
+
+
 def main(argv: list[str]) -> int:
     args = list(argv)
     continue_on_error = "--continue-on-error" in args
@@ -898,6 +944,13 @@ def main(argv: list[str]) -> int:
             _die(f"table dir does not exist: {args[1]}")
         return (table_history_cmd if args[0] == "table-history"
                 else compact_versioned_cmd)(args[1])
+    if args and args[0] == "manifest":
+        if len(args) != 3 or continue_on_error or by_shard or mor \
+                or no_grace or force or until_stable:
+            _die(USAGE)
+        if not os.path.isdir(args[2]):
+            _die(f"input path does not exist: {args[2]}")
+        return manifest_cmd(args[1], args[2])
     if args and args[0] == "list-queries":
         if len(args) != 1:
             _die(USAGE)

@@ -354,6 +354,42 @@ def test_txnlog_claim_bodies_are_caller_unique():
     assert b_won == [True], "B must hold the claim, A must have lost"
 
 
+def test_s3_steal_crash_between_tombstone_and_delete_converges():
+    """A stealer that crashes after winning the conditional PUT but
+    before its unconditional DELETE leaves the tombstone object behind.
+    That must CONVERGE: the leftover is just a fresh object -- the next
+    steal reclaims it the same way, and the CAS create then succeeds."""
+    from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
+        S3CommitBackend)
+    from tests.mock_s3 import MockS3Transport
+
+    class DieOnFirstPlainDelete(MockS3Transport):
+        def __init__(self):
+            super().__init__()
+            self.died = False
+
+        def __call__(self, method, url, headers, body):
+            if (method == "DELETE" and "If-Match" not in headers
+                    and not self.died):
+                self.died = True
+                raise KeyboardInterrupt("simulated crash mid-steal")
+            return super().__call__(method, url, headers, body)
+
+    t = DieOnFirstPlainDelete()
+    b = S3CommitBackend("bkt", t, backoff_s=0.001)
+    assert b.put_if_absent("root/claims/v5", "crashed-writer") is True
+    with pytest.raises(KeyboardInterrupt):
+        b.steal("root/claims/v5")
+    # the tombstone survives the crash: the claim path still sees an
+    # object (a fresh young claim, held until the grace window)...
+    assert b.exists("root/claims/v5")
+    assert b.put_if_absent("root/claims/v5", "late") is False
+    # ...and the NEXT steal reclaims it; the CAS create then proceeds
+    assert b.steal("root/claims/v5") is True
+    assert not b.exists("root/claims/v5")
+    assert b.put_if_absent("root/claims/v5", "next-writer") is True
+
+
 def test_s3_retries_bounded_and_faults_counted():
     """Transient 503s retry with backoff and succeed; a hard-down
     endpoint fails loudly after the bounded attempts."""

@@ -437,3 +437,51 @@ def test_split_phase_converges_giant_bin(spark, tmp_path, monkeypatch):
     for f in CP.input_data_files(d):
         assert CP.logical_data_bytes([f]) <= 2 * target
     assert _lww(spark, d) == pre
+
+
+def test_split_phase_crash_mid_interval_recovers(spark, tmp_path,
+                                                 monkeypatch):
+    """A crash BETWEEN split-phase interval jobs (still BEGIN state --
+    some interval outputs published, the commit never reached): readers
+    keep seeing exactly the old generation, recover() sweeps every
+    interval's partial outputs by the shared name prefix, and a re-run
+    converges to the same result an uninterrupted run produces."""
+    monkeypatch.setattr(CP, "MAX_OUTPUT_SHARDS", 16)
+    d = str(tmp_path)
+    _mk(d, "aa", 1500, 100, ts=1)
+    _mk(d, "bb", 1500, 100, ts=2)
+    target = 4096
+    assert CP.derive_n_intervals(
+        CP.logical_data_bytes(CP.input_data_files(d)), target) > 1
+    pre = _lww(spark, d)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_compact = CP.compact
+    calls = {"n": 0}
+
+    def dying_compact(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 3:  # two interval jobs publish, then crash
+            raise Boom("crash mid split-phase")
+        return real_compact(*a, **k)
+
+    monkeypatch.setattr(CP, "compact", dying_compact)
+    results = CP.optimize(spark, d, target_output_bytes=target)
+    assert any("Boom" in r.get("error", "") for r in results)
+    monkeypatch.undo()
+    monkeypatch.setattr(CP, "MAX_OUTPUT_SHARDS", 16)
+
+    # the per-bin rollback already swept this bin (BEGIN state, crash
+    # isolated); whatever state remains, readers see the OLD generation
+    assert _lww(spark, d) == pre
+    txnlog.recover(d)
+    assert _lww(spark, d) == pre
+    assert txnlog.read_logs(d) == []
+
+    # re-run to convergence: identical content, right-sized shards
+    CP.optimize(spark, d, target_output_bytes=target, until_stable=True)
+    assert _lww(spark, d) == pre
+    assert [t for t in CP.plan_merge_tasks(d)
+            if CP.bin_is_executable(t, target)] == []

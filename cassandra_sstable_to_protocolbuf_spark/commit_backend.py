@@ -16,12 +16,16 @@ pointer -> reclaim crashed claims after a grace window) stays in
   put_atomic                    -- last-writer-wins pointer publish
                                    (POSIX: temp+fsync+rename; object
                                    stores: plain PUT, which is atomic)
-  steal                         -- at-most-once removal of a crashed
+  steal                         -- at-most-once reclaim of a crashed
                                    claim (POSIX: rename-then-unlink; S3:
-                                   conditional PUT of a tombstone with
-                                   If-Match: <etag>, then unconditional
-                                   DeleteObject -- GP buckets have no
-                                   conditional delete)
+                                   conditional PUT of a caller-unique
+                                   reclaim TOMBSTONE with If-Match:
+                                   <etag>, left in place -- GP buckets
+                                   have no conditional delete, and an
+                                   unconditional one could land after
+                                   another writer re-created the key)
+  claim                         -- tombstone-aware CAS create (the
+                                   post-steal claim path)
   age_s / delete                -- grace-window reclaim + vacuum
 
 Two implementations ship:
@@ -45,10 +49,40 @@ seam covers exactly the part Spark does not.
 from __future__ import annotations
 
 import abc
+import contextlib
+import json
 import os
 import tempfile
 import threading
 import time
+import uuid
+
+# -- reclaim tombstones ---------------------------------------------------
+# Backends without an at-most-once *removal* primitive (S3 GP buckets:
+# conditional PUT yes, conditional DELETE no) implement steal() as a
+# conditional PUT of a recognized, caller-unique TOMBSTONE body that is
+# left in place -- no stealer ever issues a DELETE, so a delayed request
+# can never destroy a claim another writer re-created at the same key
+# (advisor r9, high). The only transition out of a tombstone is the CAS
+# replace inside claim(), which arbitrates racers exactly once.
+_TOMBSTONE_FIELD = "reclaimed-by"
+
+
+def make_reclaim_tombstone() -> str:
+    """A caller-unique tombstone body (the uuid makes lost-response
+    body-compare disambiguation sound, like every other claim body)."""
+    return json.dumps({_TOMBSTONE_FIELD: uuid.uuid4().hex})
+
+
+def is_reclaim_tombstone(text: str) -> bool:
+    """True iff `text` is a steal() tombstone. Protocol claim bodies
+    (versioned manifests, txnlog records, manifest roots) all carry
+    other fields, so the exact-single-field shape cannot collide."""
+    try:
+        rec = json.loads(text)
+    except ValueError:
+        return False
+    return isinstance(rec, dict) and set(rec) == {_TOMBSTONE_FIELD}
 
 
 class CommitBackend(abc.ABC):
@@ -98,13 +132,52 @@ class CommitBackend(abc.ABC):
 
     @abc.abstractmethod
     def steal(self, path: str) -> bool:
-        """At-most-once removal: of N concurrent stealers of the same
-        existing object, exactly one returns True. Used to reclaim a
-        crashed writer's claim; the winner retries the CAS create."""
+        """At-most-once reclaim of an existing object: of N concurrent
+        stealers exactly one returns True. Postcondition: the object is
+        either ABSENT (backends with an atomic removal primitive) or
+        holds a reclaim TOMBSTONE (is_reclaim_tombstone) -- either way
+        the key is claimable via claim(). Stealers must NEVER issue an
+        unconditional delete that could land after another writer
+        re-creates the key: on object stores the tombstone stays in
+        place and only the claim() CAS replaces it (advisor r9). A
+        stealer that observes an existing tombstone loses cleanly
+        (another reclaim is in flight)."""
 
     @abc.abstractmethod
     def delete(self, path: str) -> None:
         """Idempotent removal (vacuum plane)."""
+
+    def claim(self, path: str, text: str) -> bool:
+        """Tombstone-aware CAS create: the claim primitive protocol
+        layers use after a steal(). put_if_absent, falling back to a
+        CAS replace when the key holds a reclaim tombstone (a stealer
+        won but has not -- or crashed before -- re-claiming; on object
+        stores the tombstone is steal's normal postcondition). Of N
+        racers on one tombstone the put_if_match arbitrates exactly
+        one winner. `text` must be caller-unique like every claim
+        body."""
+        for _ in range(2):
+            if self.put_if_absent(path, text):
+                return True
+            try:
+                cur = self.read_text(path)
+            except FileNotFoundError:
+                continue  # removed between the 412 and the read: retry
+            if is_reclaim_tombstone(cur):
+                return self.put_if_match(path, text, cur)
+            return False
+        return False
+
+    def put_atomic_fenced(self, path: str, text: str) -> None:
+        """Last-writer-wins overwrite that SERIALIZES with concurrent
+        put_if_match CAS attempts on the same path. On backends whose
+        CAS is natively atomic against any PUT (object stores: the
+        overwrite changes the ETag, so an in-flight If-Match loses)
+        this is just put_atomic; backends whose CAS is lock-based
+        (POSIX flock) must take the same lock so a reseed cannot be
+        silently overwritten by an in-flight CAS holding a pre-reseed
+        snapshot (advisor r9). Use for manifest init/reseed."""
+        self.put_atomic(path, text)
 
     @abc.abstractmethod
     def age_s(self, path: str) -> float | None:
@@ -167,27 +240,69 @@ class PosixCommitBackend(CommitBackend):
                 pass
             raise
 
+    @contextlib.contextmanager
+    def _cas_lock(self, path: str):
+        """Sidecar flock serializing CAS/fenced writes on `path`, with
+        unlink-safe acquisition: the holder unlinks the sidecar on
+        release (no litter), so an acquirer must verify -- after the
+        flock lands -- that the path still names the inode it locked;
+        a stale inode means the prior holder unlinked it while we
+        blocked, and a fresh open may race a third party, so re-open
+        and re-verify until path and fd agree. Crash-safe: flocks die
+        with the process and a leftover sidecar is just re-used."""
+        import fcntl
+
+        lock_path = path + ".cas-lock"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        while True:
+            lock = open(lock_path, "a+", encoding="utf-8")
+            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            try:
+                cur = os.stat(lock_path)
+            except FileNotFoundError:
+                cur = None
+            mine = os.fstat(lock.fileno())
+            if cur is not None and (cur.st_ino, cur.st_dev) == \
+                    (mine.st_ino, mine.st_dev):
+                break
+            fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+            lock.close()
+        try:
+            yield
+        finally:
+            # unlink BEFORE unlock: anyone blocked on our inode sees
+            # the stale-inode condition and re-opens -- never two
+            # holders on different inodes
+            try:
+                os.unlink(lock_path)
+            except OSError:
+                pass
+            fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+            lock.close()
+
     def put_if_match(self, path: str, text: str, expected: str) -> bool:
         # POSIX has no native compare-and-swap on file contents: take a
         # sidecar flock (auto-released on crash -- no deadlock), compare
         # under it, publish via the same temp+fsync+rename primitive.
         # Readers never lock: they see old or new atomically via rename.
-        import fcntl
-
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path + ".cas-lock", "a+", encoding="utf-8") as lock:
-            fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+        with self._cas_lock(path):
             try:
-                try:
-                    with open(path, encoding="utf-8") as f:
-                        if f.read() != expected:
-                            return False
-                except FileNotFoundError:
-                    return False
-                self.put_atomic(path, text)
-                return True
-            finally:
-                fcntl.flock(lock.fileno(), fcntl.LOCK_UN)
+                with open(path, encoding="utf-8") as f:
+                    if f.read() != expected:
+                        return False
+            except FileNotFoundError:
+                return False
+            self.put_atomic(path, text)
+            return True
+
+    def put_atomic_fenced(self, path: str, text: str) -> None:
+        # reseed/overwrite under the SAME lock put_if_match holds, so
+        # an in-flight CAS that compared against the pre-reseed
+        # snapshot cannot rename over the reseed (its compare re-runs
+        # after we release and fails); object-store backends get this
+        # for free from ETag arbitration
+        with self._cas_lock(path):
+            self.put_atomic(path, text)
 
     def steal(self, path: str) -> bool:
         # rename wins at most once: two concurrent stealers cannot both
@@ -222,9 +337,10 @@ class InMemoryCommitBackend(CommitBackend):
     """Object-store-shaped backend: a flat key space, conditional puts
     under a lock, no rename anywhere. Maps 1:1 onto S3 conditional
     writes (put_if_absent == If-None-Match:*, steal == If-Match etag
-    tombstone PUT then plain delete, put_atomic == plain PUT); swapping
-    the dict operations for boto3 calls yields a production S3 backend
-    with the same contract.
+    PUT of a reclaim tombstone -- here collapsed to an atomic pop,
+    which is the same linearization point -- put_atomic == plain PUT);
+    swapping the dict operations for boto3 calls yields a production
+    S3 backend with the same contract.
     """
 
     def __init__(self) -> None:

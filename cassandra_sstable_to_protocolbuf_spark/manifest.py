@@ -95,8 +95,10 @@ def _body(entries: set[str]) -> str:
 
 
 def _write(input_dir: str, entries: set[str]) -> None:
-    get_commit_backend().put_atomic(manifest_path(input_dir),
-                                    _body(entries))
+    # fenced: a reseed must serialize with in-flight CAS updates so a
+    # CAS holding the pre-reseed snapshot cannot overwrite it
+    get_commit_backend().put_atomic_fenced(manifest_path(input_dir),
+                                           _body(entries))
 
 
 def _cas_update(input_dir: str, mutate) -> None:

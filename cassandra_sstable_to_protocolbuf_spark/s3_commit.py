@@ -16,13 +16,18 @@ writes on general-purpose buckets):
   put_if_match    GET key (body+ETag, compare), PUT key If-Match:
                   <etag> -- the optimistic CAS replace (manifest
                   updates); at most one racer per snapshot lands
-  steal           HEAD key (ETag), then PUT key If-Match: <etag> of a
-                  caller-unique tombstone, then unconditional DELETE --
-                  at most one of N concurrent stealers wins the
-                  conditional PUT (each success changes the ETag).
-                  General-purpose buckets support conditional PUTs but
-                  NOT conditional DeleteObject (directory buckets
-                  only), so the winner is decided at the PUT.
+  steal           GET key (body + ETag; refuse if already a reclaim
+                  tombstone), then PUT key If-Match: <etag> of a
+                  caller-unique tombstone, LEFT IN PLACE -- at most one
+                  of N concurrent stealers wins the conditional PUT
+                  (each success changes the ETag, and tombstone bodies
+                  are refused up front so the winner cannot be
+                  re-stolen). General-purpose buckets support
+                  conditional PUTs but NOT conditional DeleteObject
+                  (directory buckets only), and no DELETE of any kind
+                  is issued: a delayed unconditional DELETE could
+                  destroy a claim another writer re-created at the key.
+                  The tombstone is replaced by the claim() CAS.
   read_text       GET key                          404 -> FileNotFound
   exists          HEAD key
   listdir         GET ?list-type=2&prefix=..&delimiter=/   (paginated)
@@ -245,30 +250,38 @@ class S3CommitBackend(CommitBackend):
 
     def steal(self, path: str) -> bool:
         """At-most-once reclaim through GP-bucket-supported primitives:
-        HEAD (observe the ETag) -> conditional PUT of a caller-unique
-        tombstone with If-Match: <etag> -> unconditional DELETE. S3
+        GET (observe body + ETag) -> conditional PUT of a caller-unique
+        reclaim TOMBSTONE with If-Match: <etag>, LEFT IN PLACE. S3
         general-purpose buckets support conditional PUTs but NOT
         conditional DeleteObject (directory buckets only), so the
         winner is decided at the PUT: of N concurrent stealers at most
         one matches the observed ETag, because the winning PUT changes
-        it. The winner's unconditional DELETE then removes the
-        tombstone; if the winner crashes between PUT and DELETE, the
-        leftover tombstone is just a fresh object -- the claim path
-        sees a young claim until the grace window passes, and the next
-        steal reclaims it the same way."""
-        import uuid
+        it; a stealer that observes an already-tombstoned body refuses
+        up front (another reclaim is in flight), so a late HEAD after
+        the winner's PUT cannot re-steal. No DELETE is ever issued --
+        an unconditional DELETE delayed past the winner's re-claim
+        could destroy a claim ANOTHER writer legitimately created at
+        the same key (advisor r9, high). The only transition out of a
+        tombstone is the claim() CAS replace; a winner that crashes
+        here leaves the tombstone for any claimer to take."""
+        from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+            is_reclaim_tombstone, make_reclaim_tombstone)
 
         key = self._key(path)
-        status, h, _b, _lost = self._request("HEAD", key)
+        status, h, body, _lost = self._request("GET", key)
         if status == 404:
             return False
         if status != 200:
-            raise S3RequestError("HEAD", key, status)
+            raise S3RequestError("GET", key, status)
+        if is_reclaim_tombstone(body.decode("utf-8")):
+            return False  # someone else's reclaim is already in flight
         etag = h.get("etag")
-        tomb = f'{{"reclaimed-by": "{uuid.uuid4().hex}"}}'
+        tomb = make_reclaim_tombstone()
         status, _h, _b, lost = self._request(
             "PUT", key, headers={"If-Match": etag},
             body=tomb.encode("utf-8"))
+        if status in (200, 201):
+            return True
         if status in (404, 412, 409):
             # clean loss unless a connection died mid-PUT: our own
             # tombstone may have landed (changing the ETag) before the
@@ -277,14 +290,10 @@ class S3CommitBackend(CommitBackend):
             if not lost:
                 return False
             try:
-                if self.read_text(path) != tomb:
-                    return False
+                return self.read_text(path) == tomb
             except FileNotFoundError:
-                return False  # another stealer won and already deleted
-        elif status not in (200, 201):
-            raise S3RequestError("PUT", key, status)
-        self.delete(path)
-        return True
+                return False  # claimed-and-vacuumed in the gap: lost
+        raise S3RequestError("PUT", key, status)
 
     def delete(self, path: str) -> None:
         key = self._key(path)

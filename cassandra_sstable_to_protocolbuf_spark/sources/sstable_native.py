@@ -2950,9 +2950,12 @@ class SSTableNativeReader(DataSourceReader):
     FAST_SCAN_GROW = 4 << 20
 
     def _fast_scan_eligible(self, split) -> bool:
-        """Current-format plain byte-range splits only: pre-'ja' row
-        framing (explicit row size / column count) keeps the scalar
-        walk, as do slice reads (handled before this check)."""
+        """Current-format reads only: pre-'ja' row framing (explicit
+        row size / column count) keeps the scalar walk, as does
+        verify+slice. Plain byte-range splits that pass this check
+        vectorize through _read_fast; name_range (clustering slice)
+        splits pass through it too and dispatch to _read_fast_sliced
+        (VERDICT r8 #3)."""
         try:
             return not Descriptor.from_filename(
                 split.data_path).has_row_size_and_column_count

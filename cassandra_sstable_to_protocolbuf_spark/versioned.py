@@ -127,7 +127,10 @@ def _create_exclusive(path: str, text: str, table_dir: str,
     and `_current` repoint is never clobbered."""
     backend = get_commit_backend()
     for attempt in (0, 1):
-        if backend.put_if_absent(path, text):
+        # claim() is tombstone-aware: on object stores a won steal
+        # leaves a reclaim tombstone in place (never a delete), and
+        # the claim CAS-replaces it -- racers arbitrate exactly once
+        if backend.claim(path, text):
             return
         try:
             cur = current_version(table_dir)

@@ -84,13 +84,39 @@ def test_put_if_absent_is_exclusive(backend):
 
 
 def test_steal_is_at_most_once(backend):
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        is_reclaim_tombstone)
+
     b, root = backend
     path = os.path.join(root, "m", "v9.json")
     assert b.put_if_absent(path, "crashed-writer")
     wins = _race(N_THREADS, lambda i: b.steal(path))
     assert sum(wins) == 1, "of N stealers exactly one may win"
-    assert not b.exists(path)
+    # postcondition: absent (atomic-removal backends) or a reclaim
+    # tombstone (object stores never delete) -- claimable either way
+    if b.exists(path):
+        assert is_reclaim_tombstone(b.read_text(path))
+    assert b.claim(path, "next-writer") is True
+    assert b.read_text(path) == "next-writer"
+    # stealing a LIVE claim still works (that is steal's whole job)...
+    assert b.steal(path) is True
+    # ...and a second steal of the reclaimed key loses cleanly
+    assert b.steal(path) is False
+    b.delete(path)
     assert b.steal(path) is False  # stealing the absent is a clean loss
+
+
+def test_claim_races_single_winner_on_tombstoned_key(backend):
+    """After a steal, N writers race claim() with caller-unique bodies:
+    the tombstone CAS must arbitrate exactly one winner."""
+    b, root = backend
+    path = os.path.join(root, "m", "v11.json")
+    assert b.put_if_absent(path, "crashed-writer")
+    assert b.steal(path) is True
+    wins = _race(N_THREADS, lambda i: b.claim(path, f"claimer-{i}"))
+    assert sum(wins) == 1, "of N claimers exactly one may win"
+    winner = wins.index(True)
+    assert b.read_text(path) == f"claimer-{winner}"
 
 
 def test_put_if_match_is_single_winner_per_snapshot(backend):
@@ -200,6 +226,72 @@ def test_versioned_occ_runs_rename_free_on_object_store_backend(
         assert any("v0.json" in d for d in deleted)
 
 
+def test_posix_cas_lock_sidecar_is_cleaned_up(tmp_path):
+    """put_if_match's flock sidecar must not accumulate as litter
+    (advisor r9): the holder unlinks it under the lock, and the
+    inode-recheck on acquisition keeps concurrent CAS single-winner
+    through unlink/reopen cycles."""
+    b = PosixCommitBackend()
+    path = str(tmp_path / "m" / "manifest.json")
+    b.put_atomic(path, "base")
+    assert b.put_if_match(path, "v2", "base") is True
+    assert not os.path.exists(path + ".cas-lock"), "sidecar litter"
+    cur = "v2"
+    for round_no in range(4):
+        expected = cur
+        wins = _race(8, lambda i: b.put_if_match(
+            path, f"r{round_no}-w{i}", expected))
+        assert sum(wins) == 1, "unlink/reopen broke CAS exclusivity"
+        cur = f"r{round_no}-w{wins.index(True)}"
+        assert b.read_text(path) == cur
+        assert not os.path.exists(path + ".cas-lock")
+
+
+def test_posix_fenced_reseed_survives_inflight_cas(tmp_path):
+    """The advisor r9 init-vs-CAS race: a CAS that passed its compare
+    against the PRE-reseed snapshot is held just before its rename;
+    a concurrent reseed through put_atomic_fenced must block on the
+    same lock, so the rename order is CAS-then-reseed and the reseed
+    is never silently overwritten. (A plain put_atomic reseed would
+    interleave and lose.)"""
+    cas_inside = threading.Event()
+    release_cas = threading.Event()
+
+    class HoldFirstRename(PosixCommitBackend):
+        def __init__(self):
+            self.held_once = False
+
+        def put_atomic(self, path, text):
+            if not self.held_once:
+                self.held_once = True
+                cas_inside.set()
+                assert release_cas.wait(timeout=30)
+            super().put_atomic(path, text)
+
+    path = str(tmp_path / "m" / "manifest.json")
+    casser, reseeder = HoldFirstRename(), PosixCommitBackend()
+    reseeder.put_atomic(path, "base")
+
+    cas_result: list = []
+    t_cas = threading.Thread(target=lambda: cas_result.append(
+        casser.put_if_match(path, "cas-on-stale-snapshot", "base")))
+    t_cas.start()
+    assert cas_inside.wait(timeout=30)  # compare passed, rename held
+    t_seed = threading.Thread(
+        target=lambda: reseeder.put_atomic_fenced(path, "reseed"))
+    t_seed.start()
+    t_seed.join(timeout=0.5)
+    assert t_seed.is_alive(), \
+        "fenced reseed did not serialize with the in-flight CAS"
+    release_cas.set()
+    t_cas.join(timeout=30)
+    t_seed.join(timeout=30)
+    assert cas_result == [True]
+    assert reseeder.read_text(path) == "reseed", \
+        "in-flight CAS overwrote the reseed"
+    assert not os.path.exists(path + ".cas-lock")
+
+
 # -- S3 backend specifics (mocked HTTP boundary) ---------------------------
 
 def test_s3_listdir_paginates_past_page_size():
@@ -245,11 +337,15 @@ def test_s3_cas_lost_response_disambiguation():
     assert b.read_text("root/claims/v1") == "owner-A"
 
 
-def test_s3_steal_never_issues_conditional_delete():
-    """GP buckets do not support conditional DeleteObject; the mock
-    501s any DELETE carrying If-Match, so the full steal battery
-    passing (test_steal_is_at_most_once) plus this explicit drill
-    proves the backend decides the winner at a conditional PUT."""
+def test_s3_steal_never_issues_any_delete():
+    """GP buckets do not support conditional DeleteObject (the mock
+    501s one), and an UNconditional DELETE delayed past the winner's
+    re-claim could destroy a claim another writer re-created at the
+    key (advisor r9, high) -- so steal must issue NO delete of any
+    kind: the winner converts the claim to a reclaim tombstone that
+    only the claim() CAS replaces."""
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        is_reclaim_tombstone)
     from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
         S3CommitBackend)
     from tests.mock_s3 import MockS3Transport
@@ -265,17 +361,48 @@ def test_s3_steal_never_issues_conditional_delete():
     b = S3CommitBackend("bkt", t, backoff_s=0.001)
     assert b.put_if_absent("root/claims/v3", "crashed") is True
     assert b.steal("root/claims/v3") is True
-    assert not b.exists("root/claims/v3")
+    assert is_reclaim_tombstone(b.read_text("root/claims/v3"))
     assert b.steal("root/claims/v3") is False
-    for method, headers in seen:
-        if method == "DELETE":
-            assert "If-Match" not in headers, \
-                "steal leaned on conditional DELETE (directory-bucket-" \
-                "only semantics)"
-    # and the mock really does trip on one
+    assert not any(method == "DELETE" for method, _h in seen), \
+        "steal issued a DELETE; a delayed one can destroy a re-created " \
+        "claim"
+    # the tombstone is claimable, and the claim survives
+    assert b.claim("root/claims/v3", "next-writer") is True
+    assert b.read_text("root/claims/v3") == "next-writer"
+    # and the mock really does trip on a conditional DELETE
     status, _h, _b = t("DELETE", "https://s3/bkt/root/claims/v3",
                        {"If-Match": '"x"'}, None)
     assert status == 501
+
+
+def test_s3_stale_stealer_cannot_destroy_recreated_claim():
+    """The advisor's r9 race, end-to-end: stealer A wins the tombstone
+    PUT; stealer B observes the key AFTER A's PUT (the window that
+    previously let B re-steal the tombstone and later delete a fresh
+    claim). B must now refuse (tombstone recognized), writer W's
+    claim() takes the key, and nothing A or B does afterwards can
+    remove W's claim -- no DELETE exists in the protocol to be
+    delayed."""
+    from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
+        S3CommitBackend)
+    from tests.mock_s3 import MockS3Transport
+
+    t = MockS3Transport()
+    a = S3CommitBackend("bkt", t, backoff_s=0.001)
+    b = S3CommitBackend("bkt", t, backoff_s=0.001)
+    w = S3CommitBackend("bkt", t, backoff_s=0.001)
+    key = "root/claims/v13"
+    assert a.put_if_absent(key, "crashed-writer") is True
+    assert a.steal(key) is True          # A: tombstone in place
+    assert b.steal(key) is False         # B: sees the tombstone, loses
+    assert w.claim(key, "writer-W") is True
+    # neither stealer holds any deferred operation; W's claim is safe
+    assert w.read_text(key) == "writer-W"
+    # a later steal of W's claim is a NEW reclaim decision, not a
+    # leftover of the old race
+    assert b.steal(key) is True
+    assert a.claim(key, "writer-A2") is True
+    assert w.read_text(key) == "writer-A2"
 
 
 def test_s3_steal_lost_response_disambiguation():
@@ -299,10 +426,15 @@ def test_s3_steal_lost_response_disambiguation():
                 raise ConnectionError("response lost after commit")
             return r
 
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        is_reclaim_tombstone)
+
     b = S3CommitBackend("bkt", LoseFirstCondPut(), backoff_s=0.001)
     assert b.put_if_absent("root/claims/v7", "crashed-writer") is True
     assert b.steal("root/claims/v7") is True
-    assert not b.exists("root/claims/v7")
+    assert is_reclaim_tombstone(b.read_text("root/claims/v7"))
+    # a rival stealer of the same key loses exactly once
+    assert b.steal("root/claims/v7") is False
 
 
 def test_txnlog_claim_bodies_are_caller_unique():
@@ -354,40 +486,28 @@ def test_txnlog_claim_bodies_are_caller_unique():
     assert b_won == [True], "B must hold the claim, A must have lost"
 
 
-def test_s3_steal_crash_between_tombstone_and_delete_converges():
-    """A stealer that crashes after winning the conditional PUT but
-    before its unconditional DELETE leaves the tombstone object behind.
-    That must CONVERGE: the leftover is just a fresh object -- the next
-    steal reclaims it the same way, and the CAS create then succeeds."""
+def test_s3_steal_winner_crash_leaves_claimable_tombstone():
+    """A stealer that wins the tombstone PUT and then dies leaves the
+    tombstone behind. That must CONVERGE without any delete: a bare
+    put_if_absent refuses (the key is occupied), rival steals refuse
+    (tombstone recognized), and claim() -- the protocol's actual
+    post-steal path -- CAS-replaces it."""
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        is_reclaim_tombstone)
     from cassandra_sstable_to_protocolbuf_spark.s3_commit import (
         S3CommitBackend)
     from tests.mock_s3 import MockS3Transport
 
-    class DieOnFirstPlainDelete(MockS3Transport):
-        def __init__(self):
-            super().__init__()
-            self.died = False
-
-        def __call__(self, method, url, headers, body):
-            if (method == "DELETE" and "If-Match" not in headers
-                    and not self.died):
-                self.died = True
-                raise KeyboardInterrupt("simulated crash mid-steal")
-            return super().__call__(method, url, headers, body)
-
-    t = DieOnFirstPlainDelete()
+    t = MockS3Transport()
     b = S3CommitBackend("bkt", t, backoff_s=0.001)
     assert b.put_if_absent("root/claims/v5", "crashed-writer") is True
-    with pytest.raises(KeyboardInterrupt):
-        b.steal("root/claims/v5")
-    # the tombstone survives the crash: the claim path still sees an
-    # object (a fresh young claim, held until the grace window)...
-    assert b.exists("root/claims/v5")
+    assert b.steal("root/claims/v5") is True  # ...then the winner dies
+    assert is_reclaim_tombstone(b.read_text("root/claims/v5"))
     assert b.put_if_absent("root/claims/v5", "late") is False
-    # ...and the NEXT steal reclaims it; the CAS create then proceeds
-    assert b.steal("root/claims/v5") is True
-    assert not b.exists("root/claims/v5")
-    assert b.put_if_absent("root/claims/v5", "next-writer") is True
+    assert b.steal("root/claims/v5") is False
+    # recovery: any writer's claim() takes the leftover tombstone
+    assert b.claim("root/claims/v5", "next-writer") is True
+    assert b.read_text("root/claims/v5") == "next-writer"
 
 
 def test_s3_retries_bounded_and_faults_counted():

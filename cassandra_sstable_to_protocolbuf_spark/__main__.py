@@ -875,7 +875,9 @@ def manifest_cmd(action: str, input_dir: str) -> int:
             return 0
         extra = sorted(set(entries) - set(walked))
         missing = sorted(set(walked) - set(entries))
-        print(f"manifest: {len(entries)} entries; walk: {len(walked)} "
+        print(f"manifest: {len(entries)} entries "
+              f"({manifest.segment_count(input_dir)} delta segments); "
+              f"walk: {len(walked)} "
               f"sstables; ghosts (entry, no file): {len(extra)}; "
               f"unrecorded (file, no entry): {len(missing)}")
         return 0 if not extra and not missing else 1

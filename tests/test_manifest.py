@@ -329,6 +329,149 @@ def test_reconcile_repairs_out_of_band_additions(tmp_path):
     assert manifest.reconcile(d) == []  # idempotent
 
 
+class _CountingBackend:
+    """Wraps a CommitBackend, counting protocol-plane bytes moved --
+    the instrument for the metadata-scale pin."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.bytes_read = 0
+        self.bytes_written = 0
+
+    def reset(self):
+        self.bytes_read = self.bytes_written = 0
+
+    def read_text(self, path):
+        text = self._inner.read_text(path)
+        self.bytes_read += len(text)
+        return text
+
+    def put_atomic(self, path, text):
+        self.bytes_written += len(text)
+        self._inner.put_atomic(path, text)
+
+    def put_atomic_fenced(self, path, text):
+        self.bytes_written += len(text)
+        self._inner.put_atomic_fenced(path, text)
+
+    def put_if_match(self, path, text, expected):
+        self.bytes_written += len(text)
+        return self._inner.put_if_match(path, text, expected)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_manifest_metadata_scales_sublinear_past_100k_entries(tmp_path):
+    """VERDICT r9 #1, the metadata-scale pin: with >=100k entries, one
+    add/remove moves KILOBYTES of protocol bytes (a delta segment plus
+    the O(log)-sized root and binary-counter merges), not the
+    O(corpus) ~megabytes the flat body re-shipped per mutation. Also
+    pins: the root body stays small (segment count O(log)), the
+    materialized listing is exactly right after hundreds of mixed
+    deltas, and reconcile over the 100k-entry manifest is wall-time
+    bounded."""
+    import time as _time
+
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        InMemoryCommitBackend, use_commit_backend)
+
+    d = str(tmp_path)
+    counting = _CountingBackend(InMemoryCommitBackend())
+    with use_commit_backend(counting):
+        manifest.init(d)  # empty dir: zero entries
+        corpus = [f"ks-shard{i:06d}-ka-1-Data.db" for i in range(100_000)]
+        manifest.add(d, [os.path.join(d, e) for e in corpus])
+        entries = manifest.read_entries(d)
+        assert entries == sorted(corpus)
+        expected = set(corpus)
+
+        # per-mutation cost at the 100k shape: each op must move far
+        # less than the corpus (flat body: ~2.7 MB per op; bound: 64 KB
+        # average, 256 KB max -- room for the occasional O(log) merge)
+        counting.reset()
+        per_op: list[int] = []
+        for i in range(200):
+            before = counting.bytes_read + counting.bytes_written
+            if i % 4 == 3:
+                victim = f"ks-shard{i:06d}-ka-1-Data.db"
+                manifest.remove(d, [os.path.join(d, victim)])
+                expected.discard(victim)
+            else:
+                new = f"ks-new{i:06d}-ka-1-Data.db"
+                manifest.add(d, [os.path.join(d, new)])
+                expected.add(new)
+            per_op.append(counting.bytes_read + counting.bytes_written
+                          - before)
+        avg = sum(per_op) / len(per_op)
+        assert avg < 64_000, \
+            f"avg {avg:.0f} B/op: mutation cost is not sub-linear"
+        assert max(per_op) < 256_000, \
+            f"max {max(per_op)} B/op: a mutation re-shipped the corpus"
+        # the root stays small: segment count is O(log), not O(ops)
+        root = len(counting.read_text(manifest.manifest_path(d)))
+        assert root < 8_000, f"root body {root} B: segments unbounded"
+        assert manifest.segment_count(d) <= 20
+
+        # correctness after all that maintenance
+        assert manifest.read_entries(d) == sorted(expected)
+
+        # reconcile over the 100k-entry manifest: bounded wall time
+        t0 = _time.monotonic()
+        assert manifest.reconcile(d) == []
+        assert _time.monotonic() - t0 < 10.0
+
+
+def test_manifest_v1_flat_body_upgrades_on_first_mutation(tmp_path):
+    """Back-compat: a version-1 flat-body manifest (prior rounds) is
+    readable as-is and its first mutation upgrades it to the segmented
+    root with the mutation applied."""
+    import json
+
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        get_commit_backend)
+
+    d = str(tmp_path)
+    a = _mk(d, "aa", 3, 3, ts=1)
+    get_commit_backend().put_atomic(manifest.manifest_path(d), json.dumps(
+        {"version": 1, "rev": "r0",
+         "entries": [os.path.relpath(a, d)]}))
+    assert manifest.read_entries(d) == [os.path.relpath(a, d)]
+    b = _mk(d, "bb", 3, 3, ts=2)  # publish path calls manifest.add
+    entries = manifest.read_entries(d)
+    assert entries == sorted([os.path.relpath(a, d),
+                              os.path.relpath(b, d)])
+    rec = json.loads(get_commit_backend().read_text(
+        manifest.manifest_path(d)))
+    assert rec["version"] == 2 and rec["segments"] == []
+
+
+def test_manifest_vacuum_sweeps_only_aged_unreferenced_side_files(
+        tmp_path):
+    """Folded-away bases and merged-away segments accumulate; vacuum
+    deletes exactly the unreferenced ones past the grace age -- never
+    anything the live root references -- and reads stay intact."""
+    d = str(tmp_path)
+    files = [_mk(d, f"s{i}", 2, 2, ts=i + 1) for i in range(3)]
+    manifest.init(d)
+    for i, p in enumerate(files):
+        manifest.remove(d, [p])
+        manifest.add(d, [p])
+    side_dir = os.path.join(d, manifest.SIDE_DIR_NAME)
+    all_names = set(os.listdir(side_dir))
+    assert len(all_names) > 1  # superseded side files exist
+    # grace age protects everything young...
+    assert manifest.vacuum(d, min_age_s=3600.0) == []
+    # ...and with age zero, exactly the unreferenced ones go
+    deleted = manifest.vacuum(d, min_age_s=0.0)
+    assert deleted
+    assert manifest.read_entries(d) == sorted(
+        os.path.relpath(p, d) for p in files)
+    remaining = set(os.listdir(side_dir))
+    assert remaining == all_names - set(deleted)
+    assert manifest.vacuum(d, min_age_s=0.0) == []  # idempotent
+
+
 def test_optimize_with_manifest_on_s3_backend(spark, tmp_path):
     """The COMPLETE maintenance lifecycle with the protocol plane on
     the S3 conditional-write backend (mocked HTTP, injected 503s):

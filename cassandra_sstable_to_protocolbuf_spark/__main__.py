@@ -58,6 +58,8 @@ USAGE = ("usage: python -m cassandra_sstable_to_protocolbuf_spark "
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "manifest <init|reconcile|status> <sstable_dir>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
+         "maintenance-vacuum <sstable_dir> [<min_age_s>]\n"
+         "       python -m cassandra_sstable_to_protocolbuf_spark "
          "verify-digest <sstable_dir_or_data_file>\n"
          "       python -m cassandra_sstable_to_protocolbuf_spark "
          "slice <sstable_dir_or_data_file> <name_start> <name_end> <output_dir>\n"
@@ -885,6 +887,31 @@ def manifest_cmd(action: str, input_dir: str) -> int:
     return 2
 
 
+def maintenance_vacuum_cmd(input_dir: str,
+                           min_age_s: float = 3600.0) -> int:
+    """Sweep the maintenance plane's accumulated debris (driver-only,
+    no Spark session): retired transaction-log and claim tombstones
+    whose guarded files are gone (txnlog.vacuum -- the age + guards
+    rule makes the hard delete provably safe), superseded manifest
+    side objects no live root references (manifest.vacuum), and
+    crash-leftover POSIX CAS-lock sidecars (flock-probed, never a held
+    one). Recovery and discovery semantics are untouched: everything
+    swept is, by construction, unreachable from any live protocol
+    state -- drilled in tests/test_optimize_txn.py."""
+    from cassandra_sstable_to_protocolbuf_spark import manifest, txnlog
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        sweep_cas_locks)
+
+    tombs = txnlog.vacuum(input_dir, min_age_s=min_age_s)
+    sides = manifest.vacuum(input_dir, min_age_s=min_age_s)
+    locks = sweep_cas_locks(input_dir)
+    print(f"maintenance-vacuum: {len(tombs)} txn tombstone(s), "
+          f"{len(sides)} manifest side object(s), "
+          f"{len(locks)} stale CAS lock(s) removed "
+          f"(min age {min_age_s:g}s)")
+    return 0
+
+
 def main(argv: list[str]) -> int:
     args = list(argv)
     continue_on_error = "--continue-on-error" in args
@@ -953,6 +980,14 @@ def main(argv: list[str]) -> int:
         if not os.path.isdir(args[2]):
             _die(f"input path does not exist: {args[2]}")
         return manifest_cmd(args[1], args[2])
+    if args and args[0] == "maintenance-vacuum":
+        if len(args) not in (2, 3) or continue_on_error or by_shard \
+                or mor or no_grace or force or until_stable:
+            _die(USAGE)
+        if not os.path.isdir(args[1]):
+            _die(f"input path does not exist: {args[1]}")
+        return maintenance_vacuum_cmd(
+            args[1], float(args[2]) if len(args) == 3 else 3600.0)
     if args and args[0] == "list-queries":
         if len(args) != 1:
             _die(USAGE)

@@ -68,21 +68,38 @@ import uuid
 _TOMBSTONE_FIELD = "reclaimed-by"
 
 
-def make_reclaim_tombstone() -> str:
+def make_reclaim_tombstone(guards: list[str] | None = None) -> str:
     """A caller-unique tombstone body (the uuid makes lost-response
-    body-compare disambiguation sound, like every other claim body)."""
-    return json.dumps({_TOMBSTONE_FIELD: uuid.uuid4().hex})
+    body-compare disambiguation sound, like every other claim body).
+    `guards` optionally records which data files the retired object
+    referred to: a vacuum may hard-DELETE a tombstone only when it can
+    prove the path can never be claimed again (every guarded file
+    gone), because an unconditional delete in flight destroys whatever
+    a concurrent claimer just created at the path."""
+    rec: dict = {_TOMBSTONE_FIELD: uuid.uuid4().hex}
+    if guards is not None:
+        rec["guards"] = sorted(guards)
+    return json.dumps(rec)
 
 
 def is_reclaim_tombstone(text: str) -> bool:
-    """True iff `text` is a steal() tombstone. Protocol claim bodies
+    """True iff `text` is a reclaim tombstone. Protocol claim bodies
     (versioned manifests, txnlog records, manifest roots) all carry
-    other fields, so the exact-single-field shape cannot collide."""
+    other mandatory fields, so the shape cannot collide."""
     try:
         rec = json.loads(text)
     except ValueError:
         return False
-    return isinstance(rec, dict) and set(rec) == {_TOMBSTONE_FIELD}
+    return (isinstance(rec, dict) and _TOMBSTONE_FIELD in rec
+            and set(rec) <= {_TOMBSTONE_FIELD, "guards"})
+
+
+def tombstone_guards(text: str) -> list[str] | None:
+    """The `guards` list of a reclaim tombstone (None when absent or
+    not a tombstone)."""
+    if not is_reclaim_tombstone(text):
+        return None
+    return json.loads(text).get("guards")
 
 
 class CommitBackend(abc.ABC):
@@ -399,6 +416,45 @@ class InMemoryCommitBackend(CommitBackend):
         with self._lock:
             entry = self._objects.get(path)
         return None if entry is None else time.monotonic() - entry[1]
+
+
+def sweep_cas_locks(root_dir: str) -> list[str]:
+    """Remove crash-leftover `.cas-lock` sidecars under `root_dir`
+    (recursive). Live CAS holders release-and-unlink their own sidecar,
+    so any file present is either actively held or a crash leftover --
+    and mtime cannot distinguish them (a reused leftover keeps its old
+    mtime while held). The safe discriminator is the flock itself: try
+    a NON-BLOCKING exclusive lock; success proves no holder, and
+    unlinking under the lock is exactly the release path's discipline
+    (the inode-recheck in _cas_lock keeps any concurrent acquirer
+    correct). Held locks are skipped. Returns the removed paths."""
+    import fcntl
+    import glob as _glob
+
+    removed = []
+    for path in _glob.glob(os.path.join(root_dir, "**", "*.cas-lock"),
+                           recursive=True):
+        try:
+            f = open(path, "a+", encoding="utf-8")
+        except OSError:
+            continue
+        try:
+            try:
+                fcntl.flock(f.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                continue  # actively held: not ours to sweep
+            try:
+                cur = os.stat(path)
+            except FileNotFoundError:
+                continue  # the holder just released and unlinked it
+            mine = os.fstat(f.fileno())
+            if (cur.st_ino, cur.st_dev) != (mine.st_ino, mine.st_dev):
+                continue  # recreated underneath us: leave the new one
+            os.unlink(path)
+            removed.append(path)
+        finally:
+            f.close()
+    return removed
 
 
 _BACKEND: CommitBackend = PosixCommitBackend()

@@ -381,7 +381,7 @@ def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
     from cassandra_sstable_to_protocolbuf_spark import manifest, txnlog
 
     name = f"opt-{gen}-{task['tier']}-{task['bin']}"
-    txnlog.begin(input_dir, name, name, list(task["files"]))
+    key = txnlog.begin(input_dir, name, name, list(task["files"]))
     try:
         # SPLIT-PHASE for bins past one job's MAX_OUTPUT_SHARDS writer
         # fan-out (VERDICT r8 #1): partition the bin by token interval
@@ -428,7 +428,7 @@ def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
                     os.unlink(p)
                 except FileNotFoundError:
                     pass
-            txnlog.finish(input_dir, name)
+            txnlog.finish(input_dir, name, key=key)
         except Exception:  # noqa: BLE001 -- recovery sweep will redo it
             pass
         raise
@@ -438,13 +438,13 @@ def _run_bin(spark: SparkSession, input_dir: str, task: dict, gen: int,
     # never points at ghosts); both crash windows repaired by
     # recover() from the log record. No-ops without a manifest.
     manifest.add(input_dir, [m.path for m in metrics])
-    txnlog.commit(input_dir, name, [m.path for m in metrics])
+    txnlog.commit(input_dir, name, [m.path for m in metrics], key=key)
     # committed: from here failures must NOT roll back -- the swap
     # happened; input removal is roll-forward work recover() can redo
     manifest.remove(input_dir, list(task["files"]))
     for data_path in task["files"]:
         txnlog.unlink_components(data_path)
-    txnlog.finish(input_dir, name)
+    txnlog.finish(input_dir, name, key=key)
     return metrics
 
 
@@ -454,7 +454,8 @@ def optimize(spark: SparkSession, input_dir: str,
              max_concurrent_bins: int = 4,
              continue_on_error: bool = True,
              until_stable: bool = False,
-             max_rounds: int = 16) -> list[dict]:
+             max_rounds: int = 16,
+             stale_claim_grace_s: float | None = None) -> list[dict]:
     """PLAN -> EXECUTE: the lakehouse OPTIMIZE / LSM maintenance loop,
     transactional and concurrent.
 
@@ -487,19 +488,42 @@ def optimize(spark: SparkSession, input_dir: str,
     count, so convergence is bounded by the initial file count; max_rounds
     is the hard stop). Returns per-task dicts {"generation", "tier",
     "bin", "n_inputs", "input_bytes", "outputs": [writer metrics rows]};
-    driver memory is O(files), never O(data)."""
+    driver memory is O(files), never O(data).
+
+    CONCURRENT MAINTAINERS (VERDICT r9 #4) are safe: planning excludes
+    every file a live transaction claims (the racing loops partition
+    the work), a bin both plan anyway loses its claim CAS and is
+    recorded as {"skipped": ...} -- never an error -- and startup
+    recovery only reclaims transactions older than
+    `stale_claim_grace_s` (default txnlog.TXN_STALE_GRACE_S), so a
+    live maintainer mid-publish is never rolled back. The price of
+    that safety is that a rerun right after a hard crash waits out the
+    grace before reclaiming the crashed claim; pass
+    stale_claim_grace_s=0.0 only when provably the sole maintainer."""
+    import time as _time
     from concurrent.futures import ThreadPoolExecutor
 
     from cassandra_sstable_to_protocolbuf_spark import txnlog
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         register)
 
+    if stale_claim_grace_s is None:
+        stale_claim_grace_s = txnlog.TXN_STALE_GRACE_S
+
+    def plan() -> list[dict]:
+        files = input_data_files(input_dir)
+        claimed = txnlog.claimed_input_relpaths(input_dir)
+        if claimed:
+            files = [f for f in files
+                     if os.path.relpath(f, input_dir) not in claimed]
+        return [t for t in plan_merge_tasks(files)
+                if bin_is_executable(t, target_output_bytes)]
+
     register(spark)  # once, before threads race the datasource setup
     results: list[dict] = []
     for _round in range(max_rounds):
-        txnlog.recover(input_dir)
-        tasks = [t for t in plan_merge_tasks(input_dir)
-                 if bin_is_executable(t, target_output_bytes)]
+        txnlog.recover(input_dir, stale_grace_s=stale_claim_grace_s)
+        tasks = plan()
         if not tasks:
             break
         gen = next_generation(input_dir)
@@ -520,6 +544,11 @@ def optimize(spark: SparkSession, input_dir: str,
                     metrics = fut.result()
                     entry["outputs"] = sorted(metrics,
                                               key=lambda m: m.sstable_id)
+                except txnlog.AlreadyClaimed as e:
+                    # a concurrent maintainer owns the bin (planned
+                    # before it claimed): their work, not our failure
+                    entry["outputs"] = []
+                    entry["skipped"] = str(e)
                 except Exception as e:  # noqa: BLE001 -- per-bin isolation
                     entry["outputs"] = []
                     entry["error"] = f"{type(e).__name__}: {e}"
@@ -531,9 +560,12 @@ def optimize(spark: SparkSession, input_dir: str,
             raise first_error
         if not until_stable or any("error" in r for r in round_results):
             break
+        if all("skipped" in r for r in round_results):
+            # no progress of our own this round: give the concurrent
+            # claim holders a beat before replanning
+            _time.sleep(0.25)
     else:
-        still = [t for t in plan_merge_tasks(input_dir)
-                 if bin_is_executable(t, target_output_bytes)]
+        still = plan()
         if until_stable and still:
             raise RuntimeError(
                 f"optimize(until_stable=True) did not converge within "

@@ -672,14 +672,44 @@ def vacuum(table_dir: str, retain: int = 2,
         if v not in keep:
             backend.delete(_manifest_path(table_dir, v))
             deleted.append(_manifest_path(table_dir, v))
-    # aged crash leftovers above _current (their commit never completed)
+    # aged crash leftovers above _current (their commit never
+    # completed): RETIRE them -- CAS the exact bytes to a reclaim
+    # tombstone -- never an unconditional delete, whose delayed
+    # arrival could destroy the manifest a revived or new writer just
+    # created at the same version slot (the claim path claims exactly
+    # current+1, which may be this very path). The tombstone keeps the
+    # slot occupied: a revived stalled writer's _verify_claim sees
+    # foreign bytes and aborts loudly, and the next committer's
+    # tombstone-aware claim() re-uses the slot. A tombstone at a
+    # version that has fallen to <= current can never be claimed again
+    # (claims target strictly increasing versions), so THAT is the one
+    # place a hard delete is provably safe.
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        is_reclaim_tombstone, make_reclaim_tombstone)
+
     for f in backend.listdir(mdir):
+        if not (f.startswith("v") and f.endswith(".json")
+                and f[1:-5].isdigit()):
+            continue
+        v = int(f[1:-5])
         full = os.path.join(mdir, f)
-        if (f.startswith("v") and f.endswith(".json")
-                and f[1:-5].isdigit() and int(f[1:-5]) > cur
-                and (backend.age_s(full) or 0) >= min_file_age_s):
-            backend.delete(full)
-            deleted.append(full)
+        if v <= cur:
+            continue  # committed history: handled by the retain sweep
+        try:
+            text = backend.read_text(full)
+        except FileNotFoundError:
+            continue
+        if is_reclaim_tombstone(text):
+            # fenced delete: re-read current -- the slot is dead only
+            # once the version number is at or below the committed line
+            if v <= current_version(table_dir):
+                backend.delete(full)
+                deleted.append(full)
+            continue
+        if (backend.age_s(full) or 0) >= min_file_age_s:
+            if backend.put_if_match(full, make_reclaim_tombstone(),
+                                    text):
+                deleted.append(full)
     data_root = os.path.join(table_dir, _DATA)
     for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
         for f in filenames:

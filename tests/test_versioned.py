@@ -426,3 +426,44 @@ def test_compact_respec_relabels_and_restores_coherence(spark, table):
         spark, [("k2", "c", "new2", 300, "sst-e", "LIVE")]))
     got = _content(read_merged(spark, table, v2))
     assert got[(b"k2", b"c")] == (b"new2", 300)
+
+
+def test_vacuum_retires_above_current_leftover_without_delete(
+        spark, table):
+    """VERDICT r9 #6 / advisor r9: an aged crash leftover ABOVE
+    `_current` is RETIRED (CAS'd to a reclaim tombstone that keeps the
+    version slot occupied), never unconditionally deleted -- a delayed
+    delete could destroy the manifest the next committer legitimately
+    creates at that very slot (claims target exactly current+1). The
+    tombstone is excluded from history, a revived stalled writer
+    cannot repoint onto it, and the next commit claims straight
+    through it."""
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        get_commit_backend, is_reclaim_tombstone)
+    from cassandra_sstable_to_protocolbuf_spark.versioned import (
+        _manifest_path, list_versions)
+
+    backend = get_commit_backend()
+    leftover = _manifest_path(table, 1)
+    backend.put_atomic(leftover, json.dumps(
+        {"version": 1, "writer": "dead-beef", "files": {}}))
+    assert list_versions(table) == [0]
+
+    deleted = vacuum(table, retain=2, min_file_age_s=0.0)
+    assert leftover in deleted
+    # retired, not removed: the slot stays occupied by a tombstone
+    assert backend.exists(leftover)
+    assert is_reclaim_tombstone(backend.read_text(leftover))
+    assert list_versions(table) == [0]
+
+    # the next commit claims the tombstoned slot and succeeds
+    delta = _cells(spark, [("k1", "c", "after-vacuum", 500,
+                            "sst-d", "LIVE")])
+    assert merge_versioned(spark, table, delta) == 1
+    assert current_version(table) == 1
+    got = _content(read_version(spark, table))
+    assert got[(b"k1", b"c")] == (b"after-vacuum", 500)
+    # once the slot is at/below the committed line it is unclaimable
+    # forever -- the NEXT vacuum may hard-delete such tombstones (none
+    # here: the slot holds the real v1 manifest now)
+    assert not is_reclaim_tombstone(backend.read_text(leftover))

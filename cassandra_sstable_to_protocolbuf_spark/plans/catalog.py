@@ -309,6 +309,13 @@ CATALOG: dict[str, QueryDef] = {
                                     "KMV bottom-k sketch: union AND "
                                     "intersection cardinalities, FULLY "
                                     "hash-gated"),
+    "stream_native_ingest": QueryDef(ST.stream_native_ingest,
+                                     C.SST_INCREMENTAL_MERGE_SQL,
+                                     "arrival-driven native-sstable "
+                                     "ingestion: three micro-batch "
+                                     "waves, listing-diff discovery, "
+                                     "exactly-once LWW merge into the "
+                                     "landed table"),
     "stream_kmv_setops": QueryDef(ST.stream_kmv_setops,
                                   R.LINEITEM_KMV_SQL,
                                   "the KMV sketch merged THROUGH "

@@ -1514,3 +1514,130 @@ def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select(
         "user_id", "true_count", "cm_count",
         (F.col("cm_count") >= F.col("true_count")).alias("never_under"))
+
+
+# --- streaming native-sstable ingestion (VERDICT r9 #2) ------------------
+
+def native_ingest_trigger(spark: SparkSession, watch_dir: str,
+                          landed_dir: str, *,
+                          _kill_between: bool = False) -> list[str]:
+    """ONE micro-batch of arrival-driven native ingestion: the
+    operational shape the reference's world produces -- Cassandra keeps
+    flushing new sstables into a directory -- fed into the landed LWW
+    table without any parquet spool in between.
+
+    Discovery is the engine's own planner discovery
+    (compaction.input_data_files: segmented-manifest read when the
+    directory has one, recursive walk otherwise, txnlog.filter_live
+    either way -- so an arriving directory that is ALSO under OPTIMIZE
+    maintenance never shows a torn generation). The trigger diffs that
+    against the durable processed-set and merges only the new
+    sstables' live cells: first batch lands the sharded layout
+    (landed.land_by_shard), every later batch is the copy-on-write
+    shard-local merge (landed.merge_delta_lww) -- O(delta), never
+    O(table).
+
+    EXACTLY-ONCE EFFECT: the processed-set (one JSON object through
+    the CommitBackend, `_ingest-state.json` inside the landed table,
+    invisible to Spark's parquet reader) commits AFTER the merge
+    publishes, with the batch_id recorded. A crash between publish and
+    commit replays the same files into the LWW merge, which is
+    idempotent -- the winners of identical cells are identical -- so
+    the table state is exactly-once even though the batch ran twice
+    (the same at-least-once-into-idempotent discipline every
+    foreachBatch op here uses). Drilled by
+    tests/test_streaming.py::test_native_ingest_kill_and_resume_matches
+    via the _kill_between hook.
+
+    At 100 TB: discovery is one manifest GET, the delta read is
+    O(arrived bytes), the merge touches only the delta's key shards,
+    and the state object is O(files seen) -- compact it by pointing
+    ingestion at a directory whose OPTIMIZE retires old inputs.
+    Returns the absolute paths ingested this trigger ([] when idle)."""
+    import json
+    import os
+
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        get_commit_backend)
+    from cassandra_sstable_to_protocolbuf_spark.compaction import (
+        input_data_files)
+    from cassandra_sstable_to_protocolbuf_spark.landed import (
+        land_by_shard, merge_delta_lww)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+
+    backend = get_commit_backend()
+    os.makedirs(landed_dir, exist_ok=True)
+    state_key = os.path.join(landed_dir, "_ingest-state.json")
+    try:
+        state = json.loads(backend.read_text(state_key))
+    except (FileNotFoundError, ValueError):
+        state = {"batch_id": -1, "processed": []}
+    processed = set(state["processed"])
+    new = sorted(p for p in input_data_files(watch_dir)
+                 if os.path.relpath(p, watch_dir) not in processed)
+    if not new:
+        return []
+    delta: DataFrame | None = None
+    for p in new:
+        cells = read_native_cells(spark, p, live_only=True)
+        delta = cells if delta is None else delta.unionByName(cells)
+    if any(e.startswith("shard=") for e in os.listdir(landed_dir)):
+        merge_delta_lww(spark, landed_dir, delta)
+    else:
+        land_by_shard(delta, landed_dir)
+    if _kill_between:
+        raise RuntimeError(
+            "injected crash between merge publish and ingest-state "
+            "commit (drill)")
+    processed.update(os.path.relpath(p, watch_dir) for p in new)
+    backend.put_atomic(state_key, json.dumps(
+        {"batch_id": state["batch_id"] + 1,
+         "processed": sorted(processed)}, sort_keys=True))
+    return new
+
+
+def stream_native_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog gate for arrival-driven native ingestion: the fixture
+    corpus's sstables (replica included) arrive in THREE waves into a
+    fresh watch directory; each wave is ingested by one
+    native_ingest_trigger micro-batch (listing-diff discovery, LWW
+    merge, durable processed-set). The final landed table must
+    hash-match the batch oracle that recomputes last-write-wins from
+    scratch over ALL cells (SST_INCREMENTAL_MERGE_SQL) -- the proof
+    that incremental arrival-driven merging converges to the same
+    state one offline pass produces."""
+    import glob
+    import os
+    import shutil
+
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_queries import (
+        _native_fixture_dir, project_landed)
+    from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        ALL_SUFFIXES, DATA_SUFFIX)
+
+    fixture = _native_fixture_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    watch = scratch_dir("native_ingest_watch", tag, fresh=True)
+    landed = scratch_dir("native_ingest_landed", tag, fresh=True)
+    data_files = sorted(glob.glob(
+        os.path.join(fixture, f"*{DATA_SUFFIX}")))
+    assert len(data_files) >= 3, "fixture too small for 3 waves"
+    waves = [data_files[i::3] for i in range(3)]
+    n_batches = 0
+    for wave in waves:
+        for src in wave:
+            base = src[:-len(DATA_SUFFIX)]
+            for sfx in ALL_SUFFIXES:
+                if os.path.exists(base + sfx):
+                    shutil.copyfile(
+                        base + sfx,
+                        os.path.join(watch,
+                                     os.path.basename(base) + sfx))
+        ingested = native_ingest_trigger(spark, watch, landed)
+        assert ingested, "a wave arrived but the trigger saw nothing"
+        n_batches += 1
+    assert n_batches == 3
+    assert native_ingest_trigger(spark, watch, landed) == []  # idle
+    return project_landed(spark.read.parquet(landed))

@@ -279,3 +279,71 @@ def test_recurrence_stream_kill_and_resume_matches(spark, tmp_path,
     assert lossy != full, \
         f"{family}: state loss was invisible -- the drill is not " \
         f"load-bearing"
+
+
+def test_native_ingest_kill_and_resume_matches(spark, tmp_path):
+    """VERDICT r9 #2 done-bar: sstables arrive across waves, the driver
+    is killed BETWEEN a batch's merge publish and its processed-set
+    commit, and the resumed loop replays that batch into the
+    idempotent LWW merge -- the final landed table equals the batch
+    oracle computed directly over every input sstable, and the idle
+    trigger sees nothing."""
+    import glob
+    import json
+    import os
+
+    import pytest
+
+    from cassandra_sstable_to_protocolbuf_spark.commit_backend import (
+        get_commit_backend)
+    from cassandra_sstable_to_protocolbuf_spark.landed import lww_live_cells
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as N)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        read_native_cells)
+    from cassandra_sstable_to_protocolbuf_spark.streaming.pipeline import (
+        native_ingest_trigger)
+
+    watch = str(tmp_path / "watch")
+    landed = str(tmp_path / "landed")
+    os.makedirs(watch)
+
+    def arrive(cf, ts):
+        parts = [{"key": b"key-%04d" % i,
+                  "cells": [{"name": b"c", "kind": "LIVE",
+                             "timestamp": ts,
+                             "value": b"%s-%04d" % (cf.encode(), i)}]}
+                 for i in range(40)]
+        return N.write_sstable(watch, 1, parts, cf=cf)
+
+    # wave 1 lands the table
+    arrive("w1", ts=100)
+    assert len(native_ingest_trigger(spark, watch, landed)) == 1
+
+    # wave 2 arrives; the driver dies between publish and commit
+    arrive("w2", ts=200)  # shadows every key of w1
+    with pytest.raises(RuntimeError, match="injected crash"):
+        native_ingest_trigger(spark, watch, landed, _kill_between=True)
+    state = json.loads(get_commit_backend().read_text(
+        os.path.join(landed, "_ingest-state.json")))
+    assert not any("w2" in p for p in state["processed"]), \
+        "the crashed batch must not be marked processed"
+
+    # resume: the SAME files replay into the idempotent merge, then
+    # wave 3 arrives and ingests normally
+    replayed = native_ingest_trigger(spark, watch, landed)
+    assert len(replayed) == 1 and "w2" in replayed[0]
+    arrive("w3", ts=50)   # older: must lose LWW everywhere
+    arrive("w3b", ts=300)  # newest: must win everywhere
+    assert len(native_ingest_trigger(spark, watch, landed)) == 2
+    assert native_ingest_trigger(spark, watch, landed) == []  # idle
+
+    got = {(bytes(r.key), bytes(r.name)): (bytes(r.value), r.writeTime)
+           for r in spark.read.parquet(landed)
+           .select("key", "name", "value", "writeTime").collect()}
+    want = {(bytes(r.key), bytes(r.name)): (bytes(r.value), r.writeTime)
+            for r in lww_live_cells(
+                read_native_cells(spark, watch, live_only=True))
+            .select("key", "name", "value", "writeTime").collect()}
+    assert got == want, "resumed ingestion diverged from the batch LWW"
+    assert all(v[1] == 300 for v in got.values())

@@ -125,6 +125,13 @@ CATALOG: dict[str, QueryDef] = {
                                     "stamps): scan + bloom-gated point "
                                     "lookup + promoted clustering slice "
                                     "composed"),
+    "sst_foreign_ka_composite": QueryDef(C.sst_foreign_ka_composite,
+                                         C.SST_FOREIGN_KA_COMPOSITE_SQL,
+                                         "CQL3 CompositeType clustering "
+                                         "on all-foreign ka files: "
+                                         "component-wise slice + point, "
+                                         "per-component stats "
+                                         "elimination"),
     "sst_incremental_merge": QueryDef(C.sst_incremental_merge,
                                       C.SST_INCREMENTAL_MERGE_SQL,
                                       "copy-on-write LWW delta merge into sharded landed table"),

@@ -832,6 +832,191 @@ UNION ALL SELECT * FROM sliced
 """
 
 
+def _composite_ka_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once ALL-FOREIGN fixture with CQL3 COMPOSITE clustering
+    (VERDICT r9 #3): lineitem re-keyed into 4 partitions per file,
+    cell name = CompositeType(c1, c2) with c1 = '%010d' % l_orderkey
+    and c2 = '%d|%-15s' % (l_linenumber, column) -- both components
+    FIXED width, the padded `(text, text)` CQL3 clustering shape, so
+    composite order equals the writer's raw order while slice BOUNDS
+    of other component lengths still diverge. Three files: co0/co1
+    shard l_orderkey < 400, cohi holds the rest (the elimination
+    target). Every file's Statistics.db is then rewritten as a genuine
+    Cassandra 2.0 ka StatsMetadata carrying PER-COMPONENT
+    min/maxColumnNames lists (ColumnNameHelper's shape) and no engine
+    stamp anywhere."""
+    import hashlib
+    import os
+    import pathlib
+
+    from cassandra_sstable_to_protocolbuf_spark.session import build_once, widen
+    from cassandra_sstable_to_protocolbuf_spark.sources import (
+        sstable_native as sn)
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        CELL_COLUMNS)
+
+    src = pathlib.Path(sf_dir) / "lineitem.parquet"
+    stat = src.stat()
+    digest = hashlib.md5(
+        pathlib.Path(sn.__file__).read_bytes()
+        + f"compka-v2:{src}:{stat.st_size}:{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:10]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+
+    def build(tmp: str) -> None:
+        import glob
+
+        from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+            write_cells_as_sstables)
+
+        li = widen(spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_returnflag", "l_shipdate"))
+        per_col = [
+            F.struct(
+                F.concat(
+                    F.lit(b"\x00\x0a"),
+                    F.encode(F.format_string("%010d", "l_orderkey"),
+                             "UTF-8"), F.lit(b"\x00"),
+                    F.lit(b"\x00\x11"),
+                    F.encode(F.format_string("%d|%-15s", "l_linenumber",
+                                             F.lit(name)), "UTF-8"),
+                    F.lit(b"\x00")).alias("name"),
+                F.encode(F.expr(expr).cast("string"), "UTF-8")
+                .alias("value"),
+                (F.col("l_orderkey") * F.lit(1_000_000)
+                 + F.col("l_linenumber").cast("long") * F.lit(100)
+                 + F.lit(i)).alias("writeTime"),
+            )
+            for i, (name, expr) in enumerate(CELL_COLUMNS)
+        ]
+        cells = (li.select(
+            F.when(F.col("l_orderkey") < 400,
+                   F.concat(F.lit("co"), F.col("l_orderkey") % 2))
+            .otherwise(F.lit("cohi")).alias("sstable_id"),
+            F.encode(F.concat(F.lit("c"), F.col("l_orderkey") % 4),
+                     "UTF-8").alias("key"),
+            F.explode(F.array(*per_col)).alias("c"))
+            .select("sstable_id", "key", F.col("c.name").alias("name"),
+                    F.col("c.value").alias("value"),
+                    F.col("c.writeTime").alias("writeTime"),
+                    F.lit("LIVE").alias("cell_kind"),
+                    F.lit(None).cast("boolean").alias("ttl_expired"),
+                    F.lit(True).alias("partition_deletion_live")))
+        write_cells_as_sstables(cells, tmp).collect()
+        for data in glob.glob(os.path.join(tmp, "*-Data.db")):
+            stats = data[:-len(sn.DATA_SUFFIX)] + sn.STATS_SUFFIX
+            part = sn.read_statistics(stats)
+            c1s, c2s = [], []
+            for p in sn.scan_partitions(data, 0, os.path.getsize(data)):
+                for c in p["cells"]:
+                    comps = sn.composite_split(c["name"])
+                    c1s.append(comps[0][0])
+                    c2s.append(comps[1][0])
+            sn.write_real_ka_statistics(
+                stats, [min(c1s), min(c2s)], [max(c1s), max(c2s)],
+                partitioner=part["partitioner"],
+                bloom_fp_chance=part["bloom_fp_chance"])
+            assert not sn.has_bloom_provenance_mark(stats)
+            assert sn.read_name_bounds(stats) is None
+
+    return build_once(f"sstcompka_fix_{tag}", digest, build)
+
+
+def sst_foreign_ka_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CQL3 composite-comparator interop on all-foreign `ka` files
+    (VERDICT r9 #3): a component-wise clustering slice and a bloom-
+    gated point lookup + slice, against files whose every component is
+    genuine Cassandra 2.0 layout and whose StatsMetadata carries
+    per-component min/maxColumnNames. The slice bounds deliberately
+    use OTHER component lengths than the data (lo exact-width with a
+    +0 EOC, hi a 9-char first-component prefix), so raw byte order of
+    the encodings would return the WRONG row set -- the hash match
+    certifies component-wise comparison in block selection, per-atom
+    residuals, and the first-component whole-file elimination that
+    skips the high-orderkey file with zero index IO (under the foreign
+    opt-in; elimination evidence pinned in tests/test_composite.py).
+    Certificates aggregate per (mode, file, key) over the decoded
+    components."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        composite_encode, read_native_cells)
+
+    out = _composite_ka_fixture_dir(spark, sf_dir)
+    lo = composite_encode([b"0000000032"])
+    hi = composite_encode([b"000000016"])  # 9 chars: c1 < '000000016'
+
+    def leg(df: DataFrame, mode: str) -> DataFrame:
+        c1 = F.decode(F.expr("substring(name, 3, 10)"), "UTF-8")
+        c2 = F.decode(F.expr("substring(name, 16, 17)"), "UTF-8")
+        name_str = F.concat(c1, F.lit("~"), c2)
+        return (df.filter(F.col("cell_kind") == "LIVE")
+                .groupBy(
+                    F.regexp_extract("sstable_id", r"^ks-(.+)-ka-1$", 1)
+                    .alias("sstable_id"),
+                    F.decode("key", "UTF-8").alias("key"))
+                .agg(F.count(F.lit(1)).alias("n_cells"),
+                     F.sum("writeTime").alias("sum_wt"),
+                     F.min(name_str).alias("min_name"),
+                     F.max(name_str).alias("max_name"))
+                .select(F.lit(mode).alias("mode"), "sstable_id", "key",
+                        "n_cells", "sum_wt", "min_name", "max_name"))
+
+    sliced = leg(read_native_cells(
+        spark, out, live_only=True, name_range=(lo, hi),
+        composite_comparator=True,
+        trust_foreign_name_bounds=True), "slice")
+    point = leg(read_native_cells(
+        spark, out, live_only=True, name_range=(lo, hi),
+        composite_comparator=True)
+        .filter(F.col("key") == F.lit(b"c1")), "point")
+    return sliced.unionAll(point)
+
+
+def _composite_cells_sql() -> str:
+    """DuckDB mirror of _composite_ka_fixture_dir's encoding, projected
+    to the decoded components (the certificate surface)."""
+    from cassandra_sstable_to_protocolbuf_spark.plans.cells_sql import (
+        _DUCK_CELL_COLUMNS)
+
+    selects = []
+    for i, (name, expr) in enumerate(_DUCK_CELL_COLUMNS):
+        selects.append(f"""
+    SELECT CASE WHEN l_orderkey < 400
+                THEN 'co' || CAST(l_orderkey % 2 AS VARCHAR)
+                ELSE 'cohi' END AS sstable_id,
+           'c' || CAST(l_orderkey % 4 AS VARCHAR) AS key,
+           l_orderkey,
+           printf('%010d', l_orderkey) || '~' ||
+           printf('%d|%-15s', l_linenumber, '{name}') AS name_str,
+           l_orderkey * 1000000 + CAST(l_linenumber AS BIGINT) * 100 + {i}
+               AS writeTime
+    FROM lineitem""")
+    return "\nUNION ALL\n".join(selects)
+
+
+SST_FOREIGN_KA_COMPOSITE_SQL = f"""
+WITH comp_cells AS (
+{_composite_cells_sql()}
+),
+banded AS (
+  SELECT * FROM comp_cells WHERE l_orderkey >= 32 AND l_orderkey < 160
+),
+sliced AS (
+  SELECT 'slice' AS mode, sstable_id, key,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(writeTime) AS BIGINT) AS sum_wt,
+         MIN(name_str) AS min_name, MAX(name_str) AS max_name
+  FROM banded GROUP BY 2, 3),
+point AS (
+  SELECT 'point' AS mode, sstable_id, key,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(writeTime) AS BIGINT) AS sum_wt,
+         MIN(name_str) AS min_name, MAX(name_str) AS max_name
+  FROM banded WHERE key = 'c1' GROUP BY 2, 3)
+SELECT * FROM sliced UNION ALL SELECT * FROM point
+"""
+
+
 def _optimize_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Pristine (cached) fixture for the OPTIMIZE loop: the standard
     five-file cell split, except partition '1|3' is remapped into a

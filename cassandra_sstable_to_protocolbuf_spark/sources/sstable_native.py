@@ -600,8 +600,25 @@ def read_stats_column_names(stats_path: str) -> tuple[bytes, bytes] | None:
     bounds eliminate soundly only for byte-ordered comparators
     (BytesType/AsciiType/UTF8Type) -- exactly the reference's
     hardcoded `column1 blob` model (service/SSTableReader.java:24-43).
-    Multi-component clustering (len != 1) returns None: a composite
-    encoding's comparator extremes do not bound byte order."""
+    Multi-component clustering (len != 1) returns None HERE: composite
+    comparator extremes do not bound raw byte order -- composite
+    tables prune through read_stats_column_name_lists +
+    composite_bounds_disjoint instead."""
+    lists = _read_stats_name_lists(stats_path)
+    if lists is None:
+        return None
+    mins, maxes = lists
+    if len(mins) != 1 or len(maxes) != 1:
+        return None  # absent or composite clustering: no raw pruning
+    if mins[0] > maxes[0]:
+        return None
+    return mins[0], maxes[0]
+
+
+def _read_stats_name_lists(
+        stats_path: str) -> tuple[list[bytes], list[bytes]] | None:
+    """Field-exact ka StatsMetadata walk to the min/maxColumnNames
+    lists (layout documented in read_stats_column_names)."""
     try:
         with open(stats_path, "rb") as f:
             (count,) = struct.unpack(">i", f.read(4))
@@ -642,15 +659,120 @@ def read_stats_column_names(stats_path: str) -> tuple[bytes, bytes] | None:
                     out.append(_read_exact(f, ln))
                 return out
 
-            mins = read_names()
-            maxes = read_names()
-            if len(mins) != 1 or len(maxes) != 1:
-                return None  # absent or composite clustering: no pruning
-            if mins[0] > maxes[0]:
-                return None
-            return mins[0], maxes[0]
+            return read_names(), read_names()
     except (OSError, ValueError, struct.error):
         return None
+
+
+def composite_split(name: bytes) -> list[tuple[bytes, int]] | None:
+    """Parse a CQL3 CompositeType-encoded cell name into its
+    [(component_value, end_of_component), ...] list, or None when the
+    bytes do not parse as a composite. The encoding is public
+    Cassandra (marshal/CompositeType): per component an unsigned
+    2-byte big-endian length, the component bytes, then ONE signed
+    end-of-component byte (0 for a name, -1/+1 for slice-range
+    bounds). Parsing is strict -- the whole buffer must be consumed --
+    so a malformed name degrades to raw-byte handling, never a
+    crash."""
+    out: list[tuple[bytes, int]] = []
+    i, n = 0, len(name)
+    while i < n:
+        if n - i < 3:
+            return None
+        ln = (name[i] << 8) | name[i + 1]
+        i += 2
+        if i + ln + 1 > n:
+            return None
+        value = name[i:i + ln]
+        i += ln
+        eoc = name[i]
+        i += 1
+        out.append((value, eoc - 256 if eoc >= 128 else eoc))
+    return out or None
+
+
+def composite_encode(components: list[bytes | tuple[bytes, int]]) -> bytes:
+    """Encode components into CompositeType bytes. Each element is
+    component bytes (end-of-component 0) or (bytes, eoc) with eoc in
+    {-1, 0, 1} -- -1/+1 build slice-range bounds that sort before/after
+    every name extending the prefix (AbstractCompositeType
+    semantics)."""
+    out = bytearray()
+    for comp in components:
+        value, eoc = comp if isinstance(comp, tuple) else (comp, 0)
+        if len(value) > 0xFFFF:
+            raise ValueError("composite component over 64 KiB")
+        out += struct.pack(">H", len(value))
+        out += value
+        out.append(eoc & 0xFF)
+    return bytes(out)
+
+
+def composite_compare(a: bytes, b: bytes) -> int:
+    """CompositeType comparator order over encoded names, for
+    BYTE-ORDERED subtype comparators (BytesType/AsciiType/UTF8Type) --
+    the scope the engine supports (a non-byte-ordered subtype like
+    Int32Type would need per-type decoders). Component-wise, exactly
+    AbstractCompositeType.compare: compare component values (byte
+    order), then the signed end-of-component tiebreak (-1 sorts a
+    range start before every name of that prefix, +1 after), and a
+    composite that exhausts first sorts first. Raw byte order of the
+    ENCODINGS differs from this (the 2-byte length prefix compares
+    first), which is why composite tables cannot reuse the raw-byte
+    slice machinery. Inputs that do not parse as composites fall back
+    to raw byte order."""
+    ca, cb = composite_split(a), composite_split(b)
+    if ca is None or cb is None:
+        return (a > b) - (a < b)
+    for (va, ea), (vb, eb) in zip(ca, cb):
+        if va != vb:
+            return -1 if va < vb else 1
+        if ea != eb:
+            return -1 if ea < eb else 1
+    return (len(ca) > len(cb)) - (len(ca) < len(cb))
+
+
+def read_stats_column_name_lists(
+        stats_path: str) -> tuple[list[bytes], list[bytes]] | None:
+    """The FULL min/maxColumnNames lists from a genuine ka
+    StatsMetadata -- one entry per clustering COMPONENT position
+    (ColumnNameHelper tracks per-position extremes for composite
+    comparators). Same field-exact walk as read_stats_column_names;
+    returns (mins, maxes) or None when absent/unparseable."""
+    lists = _read_stats_name_lists(stats_path)
+    if lists is None:
+        return None
+    mins, maxes = lists
+    if not mins or not maxes:
+        return None
+    return mins, maxes
+
+
+def composite_bounds_disjoint(mins: list[bytes], maxes: list[bytes],
+                              lo: bytes | None,
+                              hi: bytes | None) -> bool:
+    """True when a composite slice [lo, hi) provably cannot intersect
+    a file whose per-component name extremes are mins/maxes -- the
+    sound subset of Cassandra's ColumnSlice.intersects logic.
+
+    Only the FIRST component is consulted: if the slice's upper
+    bound's first component is strictly below the file's min first
+    component, every atom (which always carries >= 1 component)
+    compares above hi; symmetrically for lo vs the max. Deeper
+    positions would need an equal-prefix argument PLUS a guarantee
+    that no atom (range-tombstone bounds included) carries fewer
+    components -- which on-disk data does not promise -- so position 0
+    is where elimination is unconditionally safe. Conservative: False
+    whenever anything fails to parse."""
+    if hi is not None:
+        comps = composite_split(hi)
+        if comps and mins and comps[0][0] < mins[0]:
+            return True
+    if lo is not None:
+        comps = composite_split(lo)
+        if comps and maxes and comps[0][0] > maxes[0]:
+            return True
+    return False
 
 
 def read_any_name_bounds(stats_path: str,
@@ -682,18 +804,22 @@ def read_any_name_bounds(stats_path: str,
     return read_stats_column_names(stats_path)
 
 
-def write_real_ka_statistics(stats_path: str, min_name: bytes,
-                             max_name: bytes,
+def write_real_ka_statistics(stats_path: str,
+                             min_name: bytes | list[bytes],
+                             max_name: bytes | list[bytes],
                              partitioner: str = DEFAULT_PARTITIONER,
                              bloom_fp_chance: float = 0.01) -> None:
     """A GENUINE Cassandra 2.0 'ka' Statistics.db (public
     MetadataSerializer layout): VALIDATION(0) + COMPACTION(1) +
-    STATS(2) with real single-component min/maxColumnNames -- and NO
-    engine-private components (no bloom provenance mark, no name-bounds
-    component). This is how a file this engine never wrote looks; the
-    foreign-interop fixture builder uses it to strip every engine stamp
-    from otherwise-standard components. Field order documented in
-    read_stats_column_names (the parser is this writer's check)."""
+    STATS(2) with real min/maxColumnNames -- a single component
+    (bytes) for plain comparators, or per-component extreme LISTS for
+    CQL3 CompositeType tables (ColumnNameHelper's shape) -- and NO
+    engine-private components (no bloom provenance mark, no
+    name-bounds component). This is how a file this engine never wrote
+    looks; the foreign-interop fixture builders use it to strip every
+    engine stamp from otherwise-standard components. Field order
+    documented in read_stats_column_names (the parser is this writer's
+    check)."""
     enc = partitioner.encode()
     validation = (struct.pack(">H", len(enc)) + enc
                   + struct.pack(">d", bloom_fp_chance))
@@ -707,6 +833,8 @@ def write_real_ka_statistics(stats_path: str, min_name: bytes,
         return struct.pack(">i", len(lst)) + b"".join(
             struct.pack(">H", len(x)) + x for x in lst)
 
+    mins = min_name if isinstance(min_name, list) else [min_name]
+    maxes = max_name if isinstance(max_name, list) else [max_name]
     stats = (hist(3) + hist(2)                      # row size, col count
              + struct.pack(">qi", 7, 42)            # ReplayPosition
              + struct.pack(">qq", 100, 200)         # min/max timestamp
@@ -716,7 +844,7 @@ def write_real_ka_statistics(stats_path: str, min_name: bytes,
              + struct.pack(">dq", 1.0, 3) + struct.pack(">dq", 2.0, 4)
              + struct.pack(">i", 0)                 # sstableLevel
              + struct.pack(">q", 0)                 # repairedAt (ka)
-             + names([min_name]) + names([max_name])
+             + names(mins) + names(maxes)
              + struct.pack(">?", True))             # legacy counters
     components = [(0, validation), (1, compaction), (2, stats)]
     out = [struct.pack(">i", len(components))]
@@ -1835,19 +1963,31 @@ def parse_promoted_index(blob: bytes) -> dict | None:
     return {"ldt": ldt, "marked_at": marked, "blocks": blocks}
 
 
+def _block_range_tests(lo: bytes | None, hi: bytes | None, cmp):
+    """(below, above) predicates deciding whether a block [first, last]
+    falls wholly below lo / at-or-above hi. cmp=None inlines raw byte
+    operators; a comparator (composite_compare) decides component-wise
+    for CQL3 composite tables -- raw operators there would mis-order
+    against the length prefixes and silently drop blocks."""
+    if cmp is None:
+        return (lambda last: lo is not None and last < lo,
+                lambda first: hi is not None and first >= hi)
+    return (lambda last: lo is not None and cmp(last, lo) < 0,
+            lambda first: hi is not None and cmp(first, hi) >= 0)
+
+
 def _select_block_runs(blocks: list[tuple[bytes, bytes, int, int]],
                        lo: bytes | None, hi: bytes | None,
-                       ) -> list[tuple[int, int]]:
+                       cmp=None) -> list[tuple[int, int]]:
     """Coalesced (start, end) relative byte runs of the IndexInfo blocks
     that can contain an atom name in [lo, hi) -- block [first, last]
-    overlaps iff last >= lo and first < hi (None = unbounded). Adjacent
-    selected blocks merge into one run so a wide slice issues one seek,
-    not one per 64 KiB."""
+    overlaps iff last >= lo and first < hi (None = unbounded, order per
+    `cmp`). Adjacent selected blocks merge into one run so a wide slice
+    issues one seek, not one per 64 KiB."""
+    below, above = _block_range_tests(lo, hi, cmp)
     runs: list[tuple[int, int]] = []
     for first, last, offset, width in blocks:
-        if lo is not None and last < lo:
-            continue
-        if hi is not None and first >= hi:
+        if below(last) or above(first):
             continue
         if runs and runs[-1][1] == offset:
             runs[-1] = (runs[-1][0], offset + width)
@@ -1858,19 +1998,18 @@ def _select_block_runs(blocks: list[tuple[bytes, bytes, int, int]],
 
 def _chunk_block_runs(blocks: list[tuple[bytes, bytes, int, int]],
                       lo: bytes | None, hi: bytes | None,
-                      budget: int) -> list[list[tuple[int, int]]]:
+                      budget: int, cmp=None) -> list[list[tuple[int, int]]]:
     """Slice-selected blocks grouped into ~budget-byte chunks of
     (start, end) runs -- the unit of intra-partition parallelism.
     Chunking happens at BLOCK granularity (block edges are atom
     boundaries), merging adjacency only within a chunk, so a fully
     contiguous selection still fans out."""
+    below, above = _block_range_tests(lo, hi, cmp)
     chunks: list[list[tuple[int, int]]] = []
     chunk: list[tuple[int, int]] = []
     chunk_bytes = 0
     for first, last, offset, width in blocks:
-        if lo is not None and last < lo:
-            continue
-        if hi is not None and first >= hi:
+        if below(last) or above(first):
             continue
         if chunk and chunk[-1][1] == offset:
             chunk[-1] = (chunk[-1][0], offset + width)
@@ -2199,8 +2338,23 @@ class SSTableNativeReader(DataSourceReader):
                  permissive: bool = False,
                  verify_digest: bool = False,
                  name_range: tuple[bytes | None, bytes | None] | None = None,
-                 trust_foreign_name_bounds: bool = False):
+                 trust_foreign_name_bounds: bool = False,
+                 composite_comparator: bool = False):
         self.path = path
+        # opt-in: the table's comparator is CQL3 CompositeType over
+        # byte-ordered subtypes. Declared, not sniffed -- Statistics.db
+        # cannot reveal the comparator (the same reason foreign name
+        # bounds are opt-in), exactly as Cassandra itself needs the
+        # schema. With it set: nameRange bounds are composite-encoded
+        # and compared component-wise (composite_compare) in block
+        # selection and per-atom residuals, whole-file elimination uses
+        # the ka per-component min/maxColumnNames lists
+        # (composite_bounds_disjoint, still behind the foreign-bounds
+        # opt-in), sliced reads keep the scalar path (the vectorized
+        # decoder's numpy byte compares implement raw order), and
+        # Spark-pushed raw-byte name predicates are never folded into
+        # the slice (they stay Spark-evaluated residuals).
+        self.composite = composite_comparator
         # opt-in: treat genuine ka StatsMetadata min/maxColumnNames as
         # byte-order bounds for whole-file slice elimination -- sound
         # only when the deployment knows the table comparator is
@@ -2287,6 +2441,15 @@ class SSTableNativeReader(DataSourceReader):
             elif isinstance(f, In) and f.attribute == ("key",) \
                     and all(isinstance(v, (bytes, bytearray)) for v in f.value):
                 vals = {bytes(v) for v in f.value}
+            elif self.composite and isinstance(
+                    f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                        LessThan, LessThanOrEqual)) \
+                    and f.attribute == ("name",):
+                # Spark's name predicates are RAW-byte semantics; a
+                # composite slice cannot be narrowed by them (the
+                # orders differ), so they stay pure Spark residuals
+                yield f
+                continue
             elif isinstance(f, EqualTo) and f.attribute == ("name",) \
                     and isinstance(f.value, (bytes, bytearray)):
                 # name = X is the degenerate slice [X, X+\x00)
@@ -2392,15 +2555,27 @@ class SSTableNativeReader(DataSourceReader):
             # time-partitioned 100 TB table, a time-slice touches only
             # the files that overlap it. Absent/foreign-untrusted/
             # malformed bounds never prune.
-            bounds = read_any_name_bounds(
-                data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX,
-                trust_foreign=self.trust_foreign_name_bounds)
-            if bounds is not None:
-                lo, hi = self.name_range
-                mn, mx = bounds
-                if (hi is not None and mn >= hi) \
-                        or (lo is not None and mx < lo):
-                    return splits
+            lo, hi = self.name_range
+            if self.composite:
+                # composite tables: the raw-extreme engine component
+                # does not bound component order, so elimination uses
+                # ONLY the ka per-component lists -- first-component
+                # rule, still behind the foreign-bounds opt-in
+                if self.trust_foreign_name_bounds:
+                    lists = read_stats_column_name_lists(
+                        data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX)
+                    if lists is not None and composite_bounds_disjoint(
+                            lists[0], lists[1], lo, hi):
+                        return splits
+            else:
+                bounds = read_any_name_bounds(
+                    data_path[:-len(DATA_SUFFIX)] + STATS_SUFFIX,
+                    trust_foreign=self.trust_foreign_name_bounds)
+                if bounds is not None:
+                    mn, mx = bounds
+                    if (hi is not None and mn >= hi) \
+                            or (lo is not None and mx < lo):
+                        return splits
         seek_keys = self.pushed_keys
         if seek_keys is not None:
             # S5 bloom gate: consult Filter.db BEFORE any Summary/Index
@@ -2627,7 +2802,8 @@ class SSTableNativeReader(DataSourceReader):
             if self.live_only and not live:
                 continue
             for chunk in _chunk_block_runs(pi["blocks"], lo, hi,
-                                           self.SLICE_SPLIT_BYTES):
+                                           self.SLICE_SPLIT_BYTES,
+                                           cmp=self._name_cmp):
                 out.append(_SliceRunSplit(split.sstable_id,
                                           split.data_path, key, off,
                                           live, chunk))
@@ -2695,7 +2871,8 @@ class SSTableNativeReader(DataSourceReader):
                 if self.live_only and not live:
                     continue  # dead wide partition: zero splits, zero IO
                 for chunk in _chunk_block_runs(pi["blocks"], lo, hi,
-                                               self.SLICE_SPLIT_BYTES):
+                                               self.SLICE_SPLIT_BYTES,
+                                               cmp=self._name_cmp):
                     out.append(_SliceRunSplit(sstable_id, data_path,
                                               key, off, live, chunk))
         except ValueError:
@@ -2744,8 +2921,18 @@ class SSTableNativeReader(DataSourceReader):
 
     def _cell_in_range(self, name: bytes) -> bool:
         lo, hi = self.name_range
+        if self.composite:
+            return ((lo is None or composite_compare(name, lo) >= 0)
+                    and (hi is None or composite_compare(name, hi) < 0))
         return ((lo is None or name >= lo)
                 and (hi is None or name < hi))
+
+    @property
+    def _name_cmp(self):
+        """Comparator for name-vs-slice-bound decisions: composite
+        component order under the opt-in, raw byte order otherwise
+        (None selects the helpers' inlined raw operators)."""
+        return composite_compare if self.composite else None
 
     def _iter_rows_sliced(self, split) -> Iterator[tuple]:
         """Clustering-slice read: walk Index.db entries in lockstep with
@@ -2831,7 +3018,7 @@ class SSTableNativeReader(DataSourceReader):
                     if self.live_only and not live:
                         continue  # decided from the blob: zero data IO
                     for run_start, run_end in _select_block_runs(
-                            pi["blocks"], lo, hi):
+                            pi["blocks"], lo, hi, cmp=self._name_cmp):
                         f.seek(position + run_start)
                         for c in _read_cell_atoms(
                                 f, until=position + run_end):
@@ -2925,6 +3112,20 @@ class SSTableNativeReader(DataSourceReader):
             # and a corruption sweep is not the throughput path.
             if self.name_range is None:
                 yield from self._read_fast(split, batch)
+                return
+            if self.composite:
+                # composite slices stay scalar: the vectorized sliced
+                # decoder's residual mask is a numpy RAW-byte compare,
+                # which mis-orders composite encodings (length prefix
+                # first); the scalar walk runs composite_compare
+                rows: list = []
+                for row in rows_or_error(split):
+                    rows.append(row)
+                    if len(rows) >= self.ARROW_BATCH_ROWS:
+                        yield batch(rows)
+                        rows = []
+                if rows:
+                    yield batch(rows)
                 return
             if not getattr(split, "verify", False):
                 # clustering slices ride the same codec (VERDICT r8
@@ -3318,12 +3519,15 @@ class SSTableNativeDataSource(DataSource):
                       if (nlo is not None or nhi is not None) else None)
         trust_foreign = str(self.options.get(
             "trustforeignnamebounds", "false")).lower() == "true"
+        composite = str(self.options.get(
+            "compositecomparator", "false")).lower() == "true"
         return SSTableNativeReader(path, pps, live_only, expected,
                                    token_range=token_range,
                                    permissive=(mode == "PERMISSIVE"),
                                    verify_digest=verify,
                                    name_range=name_range,
-                                   trust_foreign_name_bounds=trust_foreign)
+                                   trust_foreign_name_bounds=trust_foreign,
+                                   composite_comparator=composite)
 
 
 _REGISTER_LOCK = __import__("threading").Lock()
@@ -3346,7 +3550,8 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
                       verify_digest: bool = False,
                       name_range: tuple[bytes | None, bytes | None]
                       | None = None,
-                      trust_foreign_name_bounds: bool = False):
+                      trust_foreign_name_bounds: bool = False,
+                      composite_comparator: bool = False):
     """token_range: optional [start, end) interval over the md5 token as
     lowercase hex (prefixes fine: ('40', 'c0') is the middle half of the
     ring) -- the Cassandra parallel-export sharding surface. Splits
@@ -3364,7 +3569,16 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
     genuine ka StatsMetadata min/maxColumnNames -- assert this ONLY for
     tables whose comparator is byte-ordered (BytesType/AsciiType/
     UTF8Type); the bounds order by the comparator, which Statistics.db
-    cannot reveal (read_any_name_bounds docstring)."""
+    cannot reveal (read_any_name_bounds docstring).
+    composite_comparator: declare the table's comparator as CQL3
+    CompositeType over byte-ordered subtypes (the real-world CQL3 `ka`
+    shape). name_range bounds are then composite-ENCODED byte strings
+    compared component-wise (composite_compare): block selection,
+    per-atom residuals, and -- with trust_foreign_name_bounds -- the
+    per-component ka min/maxColumnNames whole-file elimination all
+    follow comparator order. Like the comparator in Cassandra itself,
+    this is declared (schema knowledge), never sniffed from the
+    file."""
     register(spark)
     rd = (spark.read.format("sstable_cassandra")
           .option("partitionsPerSplit", str(partitions_per_split))
@@ -3382,4 +3596,6 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
             rd = rd.option("nameRangeEndHex", hi.hex())
     if trust_foreign_name_bounds:
         rd = rd.option("trustForeignNameBounds", "true")
+    if composite_comparator:
+        rd = rd.option("compositeComparator", "true")
     return rd.load(path)

@@ -501,16 +501,22 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
            .select("doc_id", F.explode("dt").alias("tok")))
     h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     tok = tok.select("doc_id", h.alias("h"))
+    # SQL-text expressions: the Column-op form of these 60 vote + 60
+    # recombine expressions cost ~2.5 s of pure driver/py4j time per
+    # call (inside the bench's timed region); one JVM parse each is
+    # ~100x cheaper. Semantics identical (same CASE/shift/sum algebra).
     votes = [
-        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
-        .alias(f"v{b}")
+        F.expr(f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END)").alias(f"v{b}")
         for b in range(SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
-    sim = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sim = sim + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return agg.select("doc_id", sim.alias("simhash"))
+    sim = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS))
+    return agg.selectExpr("doc_id",
+                          f"CAST(0 AS BIGINT) + {sim} AS simhash")
 
 
 def shingle_containment_pairs(docs: DataFrame, threshold: float = 0.6,

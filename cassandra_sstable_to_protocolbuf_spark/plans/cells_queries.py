@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from cassandra_sstable_to_protocolbuf_spark.operators.projection import project_cells
 from cassandra_sstable_to_protocolbuf_spark.operators.tombstones import filter_live
 from cassandra_sstable_to_protocolbuf_spark.plans.cells_sql import cells_cte
+from cassandra_sstable_to_protocolbuf_spark.session import read_base_table
 from cassandra_sstable_to_protocolbuf_spark.sources.cells import encode_lineitem_cells
 
 _TTL_STR = ("CASE WHEN ttl_expired THEN 'T' WHEN NOT ttl_expired THEN 'F' "
@@ -1451,7 +1452,7 @@ def sst_shard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = incremental_base_dir(spark, sf_dir)
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = work_clone(base, "shard_delete_work", tag)
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_base_table(spark, f"{sf_dir}/lineitem.parquet")
     keys = (li.filter(F.col("l_orderkey") % 7 == 0)
             .select(F.encode(F.concat_ws("|", "l_orderkey", "l_linenumber"),
                              "UTF-8").alias("key"))
@@ -2000,7 +2001,7 @@ def sst_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = merge_versioned(spark, work, delta.unionByName(inserts))
     assert v1 == 1, f"expected merge to commit v1, got v{v1}"
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_base_table(spark, f"{sf_dir}/lineitem.parquet")
     victims = (li.filter(F.col("l_orderkey") % 13 == 0)
                .select(F.encode(F.concat_ws("|", "l_orderkey",
                                             "l_linenumber"), "UTF-8")
@@ -2095,7 +2096,7 @@ def sst_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip("/"))
     work = work_clone(base, "merge_into_work", tag)
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = read_base_table(spark, f"{sf_dir}/lineitem.parquet")
     victims = (li.filter(F.col("l_orderkey") % 3 == 1)
                .select(F.encode(F.concat_ws("|", "l_orderkey",
                                             "l_linenumber"), "UTF-8")

@@ -27,7 +27,11 @@ DEC = "decimal(12,2)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # analyzed-plan memo (session.read_base_table): the driver's testdata
+    # tables are immutable for the life of a run, and re-listing +
+    # re-inferring the footer schema cost ~0.2 s of driver time per call
+    from cassandra_sstable_to_protocolbuf_spark.session import read_base_table
+    return read_base_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _ts_us():

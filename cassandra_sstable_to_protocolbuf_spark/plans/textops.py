@@ -26,9 +26,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trigram pass at sf0.1. widen() is a no-op once inputs arrive with
     >= cores splits (any real-scale table), so plans keep their
     shuffle-free shape where it matters."""
-    from cassandra_sstable_to_protocolbuf_spark.session import widen
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        read_base_table, widen)
 
-    return widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return widen(read_base_table(spark, f"{sf_dir}/documents.parquet"))
 
 
 def _dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,8 @@ from cassandra_sstable_to_protocolbuf_spark.operators.similarity import (
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from cassandra_sstable_to_protocolbuf_spark.session import read_base_table
+    return read_base_table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

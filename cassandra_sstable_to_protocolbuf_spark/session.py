@@ -33,6 +33,15 @@ def get_spark(app_name: str = "cassandra-sstable-to-protocolbuf-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame debugging decorates EVERY Column/DataFrame
+        # op with a Python stack walk + a JVM origin call + a (failing,
+        # therefore uncached) IPython import probe -- measured 4-9x
+        # overhead on expression construction (F.lit 5.5 -> 0.7 ms,
+        # Column arith 10.3 -> 1.1 ms), which lands inside every timed
+        # query since plans are built per run. The cost buys enriched
+        # error call sites only; plans, results, and error *classes* are
+        # unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -138,6 +147,17 @@ def ensure_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(id(spark))
 
 
+# split-count probe memo for widen(): keyed by (app, file set, floor).
+# The probe (df.rdd.getNumPartitions()) forces full physical planning +
+# RDD conversion -- measured 0.3-1.1 s cold / ~50 ms warm of pure driver
+# time, paid on EVERY call while the answer is a function of the scanned
+# file set and session confs alone. Caching the split COUNT is a
+# planning-metadata memo, not a result memo: every query still computes
+# from the parquet inputs. Keyed by applicationId so a restarted JVM
+# never sees a stale entry.
+_WIDEN_PROBED: dict = {}
+
+
 def widen(df, min_partitions: int | None = None):
     """Repartition a narrow input only when it under-parallelizes.
 
@@ -151,7 +171,20 @@ def widen(df, min_partitions: int | None = None):
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    key = None
+    try:
+        files = df.inputFiles()
+        if files:
+            key = (spark.sparkContext.applicationId,
+                   tuple(sorted(files)), min_partitions)
+    except Exception:
+        pass  # non-file source: fall through to the direct probe
+    n = _WIDEN_PROBED.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _WIDEN_PROBED[key] = n
+    if n < min_partitions:
         return df.repartition(min_partitions)
     return df
 
@@ -198,10 +231,32 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# analyzed-DataFrame memo for the IMMUTABLE testdata inputs: every
+# spark.read.parquet re-lists the path and re-reads the footer schema
+# (~0.15-0.3 s of driver time warm), and catalog queries re-load the
+# same base tables on every invocation -- hundreds of times per bench
+# run. A DataFrame is an immutable lazy plan, so handing back the same
+# analyzed plan is metadata reuse, NOT result caching: every action
+# still scans the parquet bytes. Only for driver-owned sf_dir tables
+# (static for the life of a run); scratch/mutated directories must keep
+# calling spark.read directly. Keyed by applicationId so a restarted
+# JVM never sees a stale plan.
+_BASE_TABLES: dict = {}
+
+
+def read_base_table(spark: SparkSession, path: str) -> "DataFrame":
+    key = (spark.sparkContext.applicationId, path)
+    df = _BASE_TABLES.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _BASE_TABLES[key] = df
+    return df
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver testdata parquet tables as DataFrames."""
-    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in TABLES}
+    return {t: read_base_table(spark, f"{sf_dir}/{t}.parquet")
+            for t in TABLES}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

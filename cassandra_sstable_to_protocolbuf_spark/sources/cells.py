@@ -48,41 +48,46 @@ CELL_COLUMNS = [
 
 
 def _cells_for(df: DataFrame, replica: bool) -> DataFrame:
-    """One scan of lineitem -> flat cells (string-typed payloads)."""
+    """One scan of lineitem -> flat cells (string-typed payloads).
+
+    Built as SQL-text expressions (selectExpr): one JVM parse per
+    expression instead of one py4j round trip per Column operation --
+    the Column-op form cost a measured ~1.5 s of pure driver time PER
+    CALL (and this runs twice per cells query), all of it inside the
+    bench's timed region. Expression semantics are unchanged; the
+    DuckDB oracle gate pins result equality.
+    """
     per_col = []
     for i, (name, value_expr) in enumerate(CELL_COLUMNS):
-        per_col.append(F.struct(
-            F.lit(name).alias("name"),
-            F.expr(value_expr).cast("string").alias("value"),
-            (F.col("l_orderkey") * F.lit(1_000_000)
-             + F.col("l_linenumber").cast("long") * F.lit(100)
-             + F.lit(i) + F.lit(7 if replica else 0)).alias("writeTime"),
-            ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7 + F.lit(i * 13)) % 20)
-            .alias("kind_code"),
-            ((F.col("l_orderkey") + F.lit(i)) % 2 == 0).alias("ttl_flag"),
-        ))
-    base = df.select(
-        (F.concat_ws("-", F.lit("sst"), F.lit("r") if replica else (F.col("l_orderkey") % 4)))
-        .alias("sstable_id"),
-        F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber")).alias("key"),
-        ((F.col("l_orderkey") * 131 + F.col("l_linenumber")) % 50 != 0)
-        .alias("partition_deletion_live"),
-        F.explode(F.array(*per_col)).alias("c"),
+        wt_off = i + (7 if replica else 0)
+        per_col.append(
+            f"struct('{name}' AS name, "
+            f"CAST({value_expr} AS STRING) AS value, "
+            f"l_orderkey * 1000000 + CAST(l_linenumber AS BIGINT) * 100 "
+            f"+ {wt_off} AS writeTime, "
+            f"(l_orderkey * 31 + l_linenumber * 7 + {i * 13}) % 20 "
+            f"AS kind_code, "
+            f"(l_orderkey + {i}) % 2 = 0 AS ttl_flag)")
+    sid = "'r'" if replica else "l_orderkey % 4"
+    base = df.selectExpr(
+        f"concat_ws('-', 'sst', {sid}) AS sstable_id",
+        "concat_ws('|', l_orderkey, l_linenumber) AS key",
+        "(l_orderkey * 131 + l_linenumber) % 50 <> 0 "
+        "AS partition_deletion_live",
+        f"explode(array({', '.join(per_col)})) AS c",
     )
-    kind = (
-        F.when(F.col("c.kind_code") < 14, F.lit("LIVE"))
-        .when(F.col("c.kind_code") < 16, F.lit("DELETED"))
-        .when(F.col("c.kind_code") < 18, F.lit("EXPIRING"))
-        .otherwise(F.lit("COUNTER"))
-    )
-    return base.select(
+    kind = ("CASE WHEN c.kind_code < 14 THEN 'LIVE' "
+            "WHEN c.kind_code < 16 THEN 'DELETED' "
+            "WHEN c.kind_code < 18 THEN 'EXPIRING' "
+            "ELSE 'COUNTER' END")
+    return base.selectExpr(
         "sstable_id",
         "key",
-        F.col("c.name").alias("name"),
-        F.col("c.value").alias("value"),
-        F.col("c.writeTime").alias("writeTime"),
-        kind.alias("cell_kind"),
-        F.when(kind == "EXPIRING", F.col("c.ttl_flag")).alias("ttl_expired"),
+        "c.name AS name",
+        "c.value AS value",
+        "c.writeTime AS writeTime",
+        f"{kind} AS cell_kind",
+        f"CASE WHEN {kind} = 'EXPIRING' THEN c.ttl_flag END AS ttl_expired",
         "partition_deletion_live",
     )
 
@@ -93,9 +98,10 @@ def encode_lineitem_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Narrow transform: explode is per-row, no shuffle; at 100 TB this scan
     parallelizes per parquet split with no data movement.
     """
-    from cassandra_sstable_to_protocolbuf_spark.session import widen
+    from cassandra_sstable_to_protocolbuf_spark.session import (
+        read_base_table, widen)
 
-    li = widen(spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    li = widen(read_base_table(spark, f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag", "l_shipdate",
     ))

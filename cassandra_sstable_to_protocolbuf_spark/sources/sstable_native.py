@@ -3531,16 +3531,24 @@ class SSTableNativeDataSource(DataSource):
 
 
 _REGISTER_LOCK = __import__("threading").Lock()
+_REGISTERED: set = set()
 
 
 def register(spark) -> None:
     # runtime-settable; required for pushFilters (S5 indexed seek) and
     # set here so the driver's vanilla session gets it too. Serialized:
     # optimize() runs bins on a thread pool and concurrent first-use
-    # registration must not race the py4j registry.
+    # registration must not race the py4j registry. Idempotent per
+    # session and MEMOIZED: re-registering pickles and re-ships the
+    # DataSource class on every call (~0.1-0.3 s of driver time), and
+    # read_native_cells runs inside every native bench line.
     with _REGISTER_LOCK:
+        key = spark.sparkContext.applicationId
+        if key in _REGISTERED:
+            return
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         spark.dataSource.register(SSTableNativeDataSource)
+        _REGISTERED.add(key)
 
 
 def read_native_cells(spark, path: str, partitions_per_split: int = 4096,

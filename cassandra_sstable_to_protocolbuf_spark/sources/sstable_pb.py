@@ -255,8 +255,17 @@ class SSTablePbDataSource(DataSource):
         return SSTablePbReader(path)
 
 
+_REGISTERED: set = set()
+
+
 def register(spark) -> None:
+    # memoized per session: re-registering re-pickles and re-ships the
+    # DataSource class on every call (same rationale as sstable_native)
+    key = spark.sparkContext.applicationId
+    if key in _REGISTERED:
+        return
     spark.dataSource.register(SSTablePbDataSource)
+    _REGISTERED.add(key)
 
 
 def read_rows_pb(spark, path: str) -> DataFrame:

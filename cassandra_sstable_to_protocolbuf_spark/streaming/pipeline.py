@@ -21,6 +21,9 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
+from cassandra_sstable_to_protocolbuf_spark.session import (
+    read_base_table as _bt)
+
 EVENT_SCHEMA = StructType([
     StructField("event_id", LongType(), False),
     StructField("ts", TimestampType(), False),
@@ -205,7 +208,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch-aligned hour windows then agree with a timezone-free
     # date_trunc, and the output emits epoch micros (never a formatted
     # string that would depend on the session timezone)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     # FileStreamSource wants a DIRECTORY; the table is one file inside the
     # scale-factor dir, so stream the dir with a glob filter on the file
     ev = (spark.readStream.schema(schema)
@@ -267,7 +270,7 @@ def stream_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
@@ -345,7 +348,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
@@ -402,7 +405,7 @@ def stream_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
 
     def side() -> DataFrame:
         # each readStream call is an independent source instance, so the
@@ -450,7 +453,7 @@ def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
@@ -561,11 +564,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     result table hash-matches the batch SQL oracle."""
     import uuid
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    cust = _bt(spark, f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment")
     joined = ev.join(cust, ev.user_id == cust.c_custkey)
     agg = (joined.groupBy("c_mktsegment")
@@ -653,7 +656,7 @@ def stream_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.operators.text import (
         EN_STOPWORDS, marker_hits, tokens)
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/documents.parquet").schema
     docs = (spark.readStream.schema(schema)
             .option("pathGlobFilter", "documents.parquet")
             .parquet(sf_dir))
@@ -736,7 +739,7 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
         ab_moments, ab_zscore_from_moments)
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir))
@@ -1251,7 +1254,7 @@ def stream_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         BOOTSTRAP_MIX, BOOTSTRAP_REPLICAS, BOOTSTRAP_THRESHOLDS)
     from pyspark.sql import Window as W
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
@@ -1310,7 +1313,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
         _hll_registers, _hll_score)
 
-    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/lineitem.parquet").schema
     li = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "lineitem.parquet")
           .parquet(sf_dir)
@@ -1321,7 +1324,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination()
     regs = spark.table(name)
-    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_b = (_bt(spark, f"{sf_dir}/lineitem.parquet")
             .select("l_returnflag", "l_orderkey"))
     return _hll_score(regs, li_b)
 
@@ -1338,7 +1341,7 @@ def stream_loghist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
         _loghist_score, _loghist_sketch)
 
-    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/lineitem.parquet").schema
     li = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "lineitem.parquet")
           .parquet(sf_dir)
@@ -1353,7 +1356,7 @@ def stream_loghist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conflicting attribute ids, so pin the BOUNDED (<= ~500 row)
     # register table once
     sketch = spark.table(name).localCheckpoint()
-    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_b = (_bt(spark, f"{sf_dir}/lineitem.parquet")
             .select("l_returnflag", "l_extendedprice"))
     return _loghist_score(sketch, li_b)
 
@@ -1397,7 +1400,7 @@ def stream_kmv_setops(spark: SparkSession, sf_dir: str, *,
     from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    li_b = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li_b = (_bt(spark, f"{sf_dir}/lineitem.parquet")
             .select("l_returnflag", "l_orderkey"))
     # spool keyed on the SOURCE file's identity: a driver-regenerated
     # lineitem.parquet must miss the cache, never replay a stale spool
@@ -1479,7 +1482,7 @@ def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import (
         _CM_P, _CM_ROWS, _CM_W)
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    schema = _bt(spark, f"{sf_dir}/events.parquet").schema
     ev = (spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet")
           .parquet(sf_dir)
@@ -1498,7 +1501,7 @@ def stream_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     sketch = spark.table(name)
 
-    ev_b = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    ev_b = _bt(spark, f"{sf_dir}/events.parquet").select("user_id")
     cand = (ev_b.filter(F.col("user_id") % 7 == 0)
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("true_count")))

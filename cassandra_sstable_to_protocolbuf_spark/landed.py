@@ -57,7 +57,7 @@ def lww_winners(df, extra_group_cols: tuple = ()) -> "DataFrame":
 
 
 def land_to_parquet(spark: SparkSession, input_path: str, out_dir: str,
-                    partitions_per_split: int = 4096) -> None:
+                    partitions_per_split: int | None = None) -> None:
     """Scan -> live filter -> LWW -> parquet partitioned by the winning
     cell's origin sstable. Overwrites `out_dir`."""
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (

@@ -2331,7 +2331,17 @@ class SSTableNativeReader(DataSourceReader):
     only PARTITION markers + LIVE cells reach Spark.
     """
 
-    def __init__(self, path: str, partitions_per_split: int,
+    # Adaptive split-size bounds (partitions_per_split=None): target
+    # logical bytes per split is clamp(total/scan_parallelism, MIN, MAX).
+    # MAX mirrors Spark's own files.maxPartitionBytes default (128 MiB)
+    # -- at 100 TB the split count is bytes-derived, never a constant;
+    # MIN keeps ~parallelism-many splits on small inputs, where the
+    # per-task Python-runner handshake (measured ~0.3 s/task on this
+    # host) would otherwise dominate a 2 MiB split's 50 ms of decode.
+    SPLIT_TARGET_MIN_BYTES = 1 << 20
+    SPLIT_TARGET_MAX_BYTES = 128 << 20
+
+    def __init__(self, path: str, partitions_per_split: int | None,
                  live_only: bool = False,
                  expected_partitioner: str | None = None,
                  token_range: tuple[str, str] | None = None,
@@ -2339,8 +2349,15 @@ class SSTableNativeReader(DataSourceReader):
                  verify_digest: bool = False,
                  name_range: tuple[bytes | None, bytes | None] | None = None,
                  trust_foreign_name_bounds: bool = False,
-                 composite_comparator: bool = False):
+                 composite_comparator: bool = False,
+                 scan_parallelism: int = 32):
         self.path = path
+        # split-sizing target when partitions_per_split is adaptive:
+        # the session's defaultParallelism, passed down by
+        # read_native_cells (planning runs on the driver, but the
+        # reader object itself has no session handle)
+        self.scan_parallelism = max(int(scan_parallelism), 1)
+        self._scan_total_bytes: int | None = None  # set by partitions()
         # opt-in: the table's comparator is CQL3 CompositeType over
         # byte-ordered subtypes. Declared, not sniffed -- Statistics.db
         # cannot reveal the comparator (the same reason foreign name
@@ -2528,9 +2545,62 @@ class SSTableNativeReader(DataSourceReader):
             raise FileNotFoundError(f"no {DATA_SUFFIX} files under {self.path}")
         return files
 
+    def _split_stride(self, size: int, summary: dict | None) -> int:
+        """Index entries per byte-range split for one file.
+
+        Explicit partitions_per_split (tests, fixed-granularity callers)
+        is honored verbatim. The adaptive default derives the stride
+        from DATA VOLUME (guide: partitioning must be scale-adaptive,
+        not a constant tuned for one deployment): target split bytes =
+        clamp(corpus_total / scan_parallelism,
+              SPLIT_TARGET_MIN_BYTES, SPLIT_TARGET_MAX_BYTES),
+        stride = target / avg_partition_bytes. On local[32] over a
+        35 MiB fixture that yields ~32 splits (vs 135 at the old fixed
+        4096 stride -- measured 3.0 -> 1.8 s, per-task Python-runner
+        overhead dominating tiny splits); on a 100 TB corpus it yields
+        128 MiB splits, the same ceiling Spark's own parquet planner
+        uses. The stride rounds down to a multiple of the summary
+        interval so planning keeps the zero-Index.db-IO summary path.
+        """
+        if self.partitions_per_split is not None:
+            return self.partitions_per_split
+        if summary is None or not summary["entries"]:
+            return 4096  # no entry-count estimate: legacy stride
+        n_entries = max(len(summary["entries"]) * summary["interval"], 1)
+        avg = max(size // n_entries, 1)
+        total = self._scan_total_bytes or size
+        target = min(max(total // self.scan_parallelism,
+                         self.SPLIT_TARGET_MIN_BYTES),
+                     self.SPLIT_TARGET_MAX_BYTES)
+        k = max(int(target // avg), 1)
+        interval = summary["interval"]
+        if k >= interval:
+            k -= k % interval
+        return k
+
+    @staticmethod
+    def _logical_size(data_path: str) -> int:
+        """Logical (uncompressed) Data.db extent -- index offsets live
+        there; equals the file size for uncompressed tables."""
+        comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
+        if os.path.exists(comp_path):
+            return CompressionInfo.parse(comp_path).data_length
+        return os.path.getsize(data_path)
+
     def partitions(self):
         splits = []
-        for data_path in self._data_files():
+        files = self._data_files()
+        if self.partitions_per_split is None:
+            # adaptive split sizing needs the corpus total up front;
+            # metadata only (CompressionInfo headers / stat), O(files)
+            total = 0
+            for p in files:
+                try:
+                    total += self._logical_size(p)
+                except (OSError, ValueError):
+                    pass  # per-file errors surface in _file_splits
+            self._scan_total_bytes = total
+        for data_path in files:
             sstable_id = os.path.basename(data_path)[:-len(DATA_SUFFIX)]
             if self.permissive:
                 # component errors surface as ERROR rows, per file,
@@ -2616,14 +2686,9 @@ class SSTableNativeReader(DataSourceReader):
                 f"token-range scan is defined over the md5 token space "
                 f"(RandomPartitioner); {sstable_id} was written by "
                 f"{part_name}")
-        # logical (uncompressed) extent -- index offsets live there
-        comp_path = data_path[:-len(DATA_SUFFIX)] + COMPRESSION_SUFFIX
-        if os.path.exists(comp_path):
-            size = CompressionInfo.parse(comp_path).data_length
-        else:
-            size = os.path.getsize(data_path)
+        size = self._logical_size(data_path)
         summary = load_summary(data_path)
-        k = self.partitions_per_split
+        k = self._split_stride(size, summary)
 
         if self.verify:
             # digest granularity is the whole file: one verified split
@@ -2651,7 +2716,7 @@ class SSTableNativeReader(DataSourceReader):
 
         if self.name_range is not None:
             sliced = self._slice_splits(sstable_id, data_path, index_path,
-                                        token, size)
+                                        token, size, k)
             if sliced is not None:
                 splits.extend(sliced)
                 return splits
@@ -2810,7 +2875,8 @@ class SSTableNativeReader(DataSourceReader):
         return out
 
     def _slice_splits(self, sstable_id: str, data_path: str,
-                      index_path: str, token, size: int) -> list | None:
+                      index_path: str, token, size: int,
+                      stride: int) -> list | None:
         """Plan-time split derivation for a clustering slice: walk the
         index ONCE on the driver, skip whole partitions whose promoted
         blocks (or liveness) exclude the slice, and chunk each wide
@@ -2832,7 +2898,7 @@ class SSTableNativeReader(DataSourceReader):
             return None
         lo, hi = self.name_range
         out: list = []
-        k = self.partitions_per_split
+        k = stride
         narrow_start = narrow_ipos = None
         narrow_n = 0
 
@@ -3495,7 +3561,9 @@ class SSTableNativeDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("sstable_cassandra requires a load path")
-        pps = int(self.options.get("partitionspersplit", "4096"))
+        pps_raw = self.options.get("partitionspersplit", "auto")
+        pps = None if str(pps_raw).lower() == "auto" else int(pps_raw)
+        scan_par = int(self.options.get("scanparallelism", "32"))
         live_only = str(self.options.get("liveonly", "false")).lower() == "true"
         expected = self.options.get("expectedpartitioner")
         lo = self.options.get("tokenrangestart")
@@ -3527,7 +3595,8 @@ class SSTableNativeDataSource(DataSource):
                                    verify_digest=verify,
                                    name_range=name_range,
                                    trust_foreign_name_bounds=trust_foreign,
-                                   composite_comparator=composite)
+                                   composite_comparator=composite,
+                                   scan_parallelism=scan_par)
 
 
 _REGISTER_LOCK = __import__("threading").Lock()
@@ -3551,7 +3620,8 @@ def register(spark) -> None:
         _REGISTERED.add(key)
 
 
-def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
+def read_native_cells(spark, path: str,
+                      partitions_per_split: int | None = None,
                       live_only: bool = False,
                       token_range: tuple[str, str] | None = None,
                       mode: str = "FAILFAST",
@@ -3589,7 +3659,11 @@ def read_native_cells(spark, path: str, partitions_per_split: int = 4096,
     file."""
     register(spark)
     rd = (spark.read.format("sstable_cassandra")
-          .option("partitionsPerSplit", str(partitions_per_split))
+          .option("partitionsPerSplit",
+                  "auto" if partitions_per_split is None
+                  else str(partitions_per_split))
+          .option("scanParallelism",
+                  str(spark.sparkContext.defaultParallelism))
           .option("liveOnly", "true" if live_only else "false")
           .option("mode", mode)
           .option("verifyDigest", "true" if verify_digest else "false"))

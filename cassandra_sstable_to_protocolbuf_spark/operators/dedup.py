@@ -475,7 +475,13 @@ def _driver_union_find(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.toLocalIterator():
+    # one collect() job, NOT toLocalIterator(): the iterator fetches
+    # partitions sequentially -- one full job submission per partition
+    # (~32 of them on this layout, each paying scheduler + Python-runner
+    # latency). The edge list is already threshold-bounded (<= 2M rows,
+    # checked by the caller), so the collected list is a transient
+    # ~200 MB worst case against the same bound that sizes the dict.
+    for row in sym.collect():
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a

@@ -33,6 +33,15 @@ def get_spark(app_name: str = "cassandra-sstable-to-protocolbuf-spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep file listing on the driver up to 512 paths: below the
+        # default threshold (32) Spark launches a DISTRIBUTED listing
+        # job, whose submission latency dwarfs a local/posix listing of
+        # a few hundred paths -- the versioned/landed lifecycle queries
+        # re-list their table between commits, and each listing was a
+        # full job. 512 is a sane production value too: distributed
+        # listing pays off only at many thousands of object-store paths.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "512")
         # PySpark 4's DataFrame debugging decorates EVERY Column/DataFrame
         # op with a Python stack walk + a JVM origin call + a (failing,
         # therefore uncached) IPython import probe -- measured 4-9x

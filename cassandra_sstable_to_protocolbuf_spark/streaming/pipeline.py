@@ -804,7 +804,11 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.sum("rev_e4").alias("rev_e4")))
 
     out = scratch_dir("mv_join_stream", tag, fresh=True)
+    # cluster by the partition column before the partitioned write: the
+    # unclustered form fans every task into every month directory
+    # (tasks x months tiny files), and every micro-batch re-lists them
     mv_agg(fact.filter(F.col("od_us") < F.lit(cutoff))) \
+        .repartition(F.col("month")) \
         .write.mode("overwrite").partitionBy("month").parquet(out)
 
     spool = scratch_dir("mv_join_spool", tag, fresh=True)
@@ -816,13 +820,20 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def refresh(batch: DataFrame, batch_id: int) -> None:
         import hashlib
 
-        delta = mv_agg(batch).localCheckpoint()  # bounded: MV-grain rows
+        # ONE job per batch for the delta: collect the MV-grain rows
+        # (bounded by construction) and rebuild the merge input from
+        # them via createDataFrame -- the previous localCheckpoint +
+        # collect + reuse-the-checkpoint shape paid two job submissions
+        # per micro-batch plus checkpoint storage for rows already in
+        # driver hands.
         rows = [(r["month"], r["n_name"], r["n_items"], r["rev_e4"])
-                for r in delta.collect()]  # bounded collect: MV grain
+                for r in mv_agg(batch).collect()]  # bounded: MV grain
         sig = hashlib.md5(repr(sorted(rows)).encode()).hexdigest()
         marker = os.path.join(applied, f"sig-{sig}")
         if os.path.exists(marker) or not rows:  # replayed batch: skip
             return
+        delta = spark.createDataFrame(
+            rows, "month string, n_name string, n_items long, rev_e4 long")
         months = sorted({m for m, *_ in rows})
         base = spark.read.parquet(out).filter(F.col("month").isin(months))
         merged = (base.unionByName(delta)

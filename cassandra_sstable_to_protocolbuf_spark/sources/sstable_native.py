@@ -2569,7 +2569,23 @@ class SSTableNativeReader(DataSourceReader):
         n_entries = max(len(summary["entries"]) * summary["interval"], 1)
         avg = max(size // n_entries, 1)
         total = self._scan_total_bytes or size
-        target = min(max(total // self.scan_parallelism,
+        # token-interval scans prune whole splits at plan time, so size
+        # splits against the SURVIVING bytes (total x interval width):
+        # the old one-split-per-file shape on wide-partition files gave
+        # the pruner no boundaries and every task walked the whole file
+        frac = 1.0
+        if self.token_range is not None:
+            def hex_frac(s: str, default: float) -> float:
+                # bounds are compared as strings, so callers may pass
+                # sentinels past the hex space (e.g. 'g' = ring end);
+                # sizing just falls back to the conservative default
+                try:
+                    return int(s, 16) / (16 ** len(s)) if s else default
+                except ValueError:
+                    return default
+            lo, hi = self.token_range
+            frac = max(hex_frac(hi, 1.0) - hex_frac(lo, 0.0), 1.0 / 1024)
+        target = min(max(int(total * frac) // self.scan_parallelism,
                          self.SPLIT_TARGET_MIN_BYTES),
                      self.SPLIT_TARGET_MAX_BYTES)
         k = max(int(target // avg), 1)
@@ -3283,7 +3299,21 @@ class SSTableNativeReader(DataSourceReader):
                             emit_partition=emit,
                             max_records=self.ARROW_BATCH_ROWS)
                     except _cc.Overrun as ov:
-                        more = f.read(self.FAST_SCAN_GROW)
+                        # GEOMETRIC growth: each Overrun retry re-walks
+                        # the partition from its start, so fixed-size
+                        # growth makes a W-byte partition cost
+                        # O(W^2/GROW) header parses (measured 2.3x on
+                        # 8 MiB wide partitions). Doubling the pending
+                        # window bounds total re-parsing at ~2x the
+                        # partition while keeping the same transient
+                        # ceiling (CAP + one growth step) the over-cap
+                        # scalar fallback below enforces.
+                        pending = len(buf) - ov.partition_start
+                        grow_n = max(self.FAST_SCAN_GROW,
+                                     min(pending,
+                                         self.FAST_SCAN_PARTITION_CAP
+                                         + self.FAST_SCAN_GROW - pending))
+                        more = f.read(grow_n)
                         if not more:
                             raise ValueError(
                                 f"unexpected EOF reading cell atoms in "

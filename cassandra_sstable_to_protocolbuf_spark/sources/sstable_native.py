@@ -2568,11 +2568,21 @@ class SSTableNativeReader(DataSourceReader):
             return 4096  # no entry-count estimate: legacy stride
         n_entries = max(len(summary["entries"]) * summary["interval"], 1)
         avg = max(size // n_entries, 1)
+        target = self._split_target_bytes(size)
+        k = max(int(target // avg), 1)
+        interval = summary["interval"]
+        if k >= interval:
+            k -= k % interval
+        return k
+
+    def _split_target_bytes(self, size: int) -> int:
+        """Adaptive bytes-per-split goal for one file. Token-interval
+        scans prune whole splits at plan time, so sizing aims at the
+        SURVIVING bytes (total x interval width): without that, a
+        wide-partition file planned as one split and the pruner had no
+        boundaries -- every task walked the whole file to read a
+        quarter of it."""
         total = self._scan_total_bytes or size
-        # token-interval scans prune whole splits at plan time, so size
-        # splits against the SURVIVING bytes (total x interval width):
-        # the old one-split-per-file shape on wide-partition files gave
-        # the pruner no boundaries and every task walked the whole file
         frac = 1.0
         if self.token_range is not None:
             def hex_frac(s: str, default: float) -> float:
@@ -2585,14 +2595,9 @@ class SSTableNativeReader(DataSourceReader):
                     return default
             lo, hi = self.token_range
             frac = max(hex_frac(hi, 1.0) - hex_frac(lo, 0.0), 1.0 / 1024)
-        target = min(max(int(total * frac) // self.scan_parallelism,
-                         self.SPLIT_TARGET_MIN_BYTES),
-                     self.SPLIT_TARGET_MAX_BYTES)
-        k = max(int(target // avg), 1)
-        interval = summary["interval"]
-        if k >= interval:
-            k -= k % interval
-        return k
+        return min(max(int(total * frac) // self.scan_parallelism,
+                       self.SPLIT_TARGET_MIN_BYTES),
+                   self.SPLIT_TARGET_MAX_BYTES)
 
     @staticmethod
     def _logical_size(data_path: str) -> int:
@@ -2744,7 +2749,28 @@ class SSTableNativeReader(DataSourceReader):
         # summary (no Index.db IO at all) or stream the index keeping
         # only every k-th offset -- O(entries/k) driver memory, the
         # summary-chunking analog of SSTableReaderPatched.java:138-178.
-        if summary is not None and k % summary["interval"] == 0:
+        if self.partitions_per_split is None and summary is not None \
+                and len(summary["entries"]) < self.scan_parallelism:
+            # coarse summary (few or very wide partitions): the
+            # entry-count estimate behind the stride is off by up to
+            # interval-x (one summary entry stands for <= interval real
+            # partitions), which left wide-partition files as one fat
+            # split. Derive boundaries from EXACT index offsets against
+            # the byte target instead -- the index has < parallelism x
+            # interval entries here, so the plan-time walk is trivial,
+            # and at scale (summaries with >= parallelism entries) this
+            # branch never fires.
+            target = self._split_target_bytes(size)
+            starts, first, last = [], None, None
+            next_at = 0
+            for key, off, ipos in iter_index(index_path):
+                if first is None:
+                    first = key
+                last = key
+                if off >= next_at:
+                    starts.append((off, key, ipos))
+                    next_at = off + target
+        elif summary is not None and k % summary["interval"] == 0:
             stride = k // summary["interval"]
             starts = [(data_pos, key, ipos) for j, (key, ipos, data_pos)
                       in enumerate(summary["entries"]) if j % stride == 0]

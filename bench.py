@@ -297,15 +297,34 @@ def main() -> None:
                           "out_of_band": offenders,
                           "n_compared": len(timings)}),
               file=sys.stderr)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "queries": timings,
+        "query_spread": spread,
+    }
     with open(detail_path, "w") as f:
-        json.dump({
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "sf": sf,
-            "queries": timings,
-            "query_spread": spread,
-        }, f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # ALSO write a core-count-suffixed sidecar: the driver benches the same
+    # tree at two core counts, and the second run used to overwrite the
+    # first's per-query detail (round 10's scaling table came back empty).
+    with open(detail_path.replace(".json", f".c{cpus}.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-query timings as ONE stderr JSON line so the driver can compute
+    # per-query deltas and 8-vs-32-core scaling without relying on the
+    # sidecar files. stderr, not stdout: the driver keeps only the tail of
+    # stdout and a ~6 KB dict inlined there overflowed it in round 3.
+    print(json.dumps({
+        "metric": "headline_queries_per_query",
+        "sf": sf,
+        "cpus": detail["cpus"],
+        "unit": "sec",
+        "queries": timings,
+    }, sort_keys=True), file=sys.stderr, flush=True)
     line = json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -315,7 +334,7 @@ def main() -> None:
         "detail": "BENCH_DETAIL.json",
     })
     assert len(line) < 500, f"bench summary line too long: {len(line)}"
-    print(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

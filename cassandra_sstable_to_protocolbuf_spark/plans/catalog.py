@@ -125,13 +125,6 @@ CATALOG: dict[str, QueryDef] = {
                                     "stamps): scan + bloom-gated point "
                                     "lookup + promoted clustering slice "
                                     "composed"),
-    "sst_foreign_ka_composite": QueryDef(C.sst_foreign_ka_composite,
-                                         C.SST_FOREIGN_KA_COMPOSITE_SQL,
-                                         "CQL3 CompositeType clustering "
-                                         "on all-foreign ka files: "
-                                         "component-wise slice + point, "
-                                         "per-component stats "
-                                         "elimination"),
     "sst_incremental_merge": QueryDef(C.sst_incremental_merge,
                                       C.SST_INCREMENTAL_MERGE_SQL,
                                       "copy-on-write LWW delta merge into sharded landed table"),
@@ -316,13 +309,6 @@ CATALOG: dict[str, QueryDef] = {
                                     "KMV bottom-k sketch: union AND "
                                     "intersection cardinalities, FULLY "
                                     "hash-gated"),
-    "stream_native_ingest": QueryDef(ST.stream_native_ingest,
-                                     C.SST_INCREMENTAL_MERGE_SQL,
-                                     "arrival-driven native-sstable "
-                                     "ingestion: three micro-batch "
-                                     "waves, listing-diff discovery, "
-                                     "exactly-once LWW merge into the "
-                                     "landed table"),
     "stream_kmv_setops": QueryDef(ST.stream_kmv_setops,
                                   R.LINEITEM_KMV_SQL,
                                   "the KMV sketch merged THROUGH "
@@ -798,6 +784,25 @@ CATALOG: dict[str, QueryDef] = {
                                      V.EMB_MATRYOSHKA_SQL,
                                      "truncated-embedding retrieval audit "
                                      "(full vs 16-dim prefix overlap@5)"),
+    # --- tail appends ONLY below this line ---------------------------------
+    # The driver's oracle gate verifies the FIRST 50 CATALOG entries by
+    # dict order; an insertion above displaces a verified query out of the
+    # window (round 10's regression). New queries are APPENDED here, never
+    # inserted mid-dict.
+    "sst_foreign_ka_composite": QueryDef(C.sst_foreign_ka_composite,
+                                         C.SST_FOREIGN_KA_COMPOSITE_SQL,
+                                         "CQL3 CompositeType clustering "
+                                         "on all-foreign ka files: "
+                                         "component-wise slice + point, "
+                                         "per-component stats "
+                                         "elimination"),
+    "stream_native_ingest": QueryDef(ST.stream_native_ingest,
+                                     C.SST_INCREMENTAL_MERGE_SQL,
+                                     "arrival-driven native-sstable "
+                                     "ingestion: three micro-batch "
+                                     "waves, listing-diff discovery, "
+                                     "exactly-once LWW merge into the "
+                                     "landed table"),
 }
 
 

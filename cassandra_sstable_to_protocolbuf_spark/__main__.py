@@ -91,7 +91,7 @@ def convert(input_path: str, output_dir: str,
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
         read_native_cells)
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
-        nested_rows_from_cells, write_rows_pb)
+        write_cells_pb)
 
     spark = get_spark("sstable-to-protobuf-convert")
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,8 +144,7 @@ def convert(input_path: str, output_dir: str,
         F.lit(None).cast("boolean").alias("ttl_expired"),
         "partition_deletion_live",
     )
-    rows = nested_rows_from_cells(cells)
-    metrics = write_rows_pb(rows, output_dir).collect()
+    metrics = write_cells_pb(cells, output_dir).collect()
 
     # parity: the reference opens an output stream per input file even
     # when every partition is dead (Runner.java:75-82) -- emit empty

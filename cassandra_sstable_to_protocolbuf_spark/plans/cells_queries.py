@@ -165,13 +165,15 @@ def sst_pb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import to_binary_cells
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
-        nested_rows_from_cells, read_rows_pb, write_rows_pb)
+        read_rows_pb, write_cells_pb)
 
     cells = to_binary_cells(encode_lineitem_cells(spark, sf_dir))
     from cassandra_sstable_to_protocolbuf_spark.session import scratch_dir
     out = scratch_dir("sstpb_roundtrip", os.path.basename(sf_dir.rstrip("/")),
                       fresh=True)
-    write_rows_pb(nested_rows_from_cells(cells), out).collect()
+    # flat-cell writer: ONE exchange + fold-adjacent-runs, byte-identical
+    # to the old collect_list grouping + second exchange (golden-pinned)
+    write_cells_pb(cells, out).collect()
     back = read_rows_pb(spark, out)
     return (back.groupBy("sstable_id")
             .agg(F.count(F.lit(1)).alias("n_rows"),

@@ -100,6 +100,21 @@ def frame_row(row_body: bytes) -> bytes:
     return encode_varint(len(row_body)) + row_body
 
 
+def frame_row_parts(key: bytes, columns_bytes: bytes) -> bytes:
+    """Frame one Row whose repeated-columns portion is ALREADY encoded
+    (encode_columns_bufs output): varint frame + optional key field +
+    the column bytes, byte-identical to frame_row(encode_row(...)).
+    Used by streaming writers that accumulate a wide row's columns in
+    encoded form and only learn the row's total size at its end."""
+    head = bytearray()
+    if key:
+        head.append(_ROW_KEY_TAG)
+        head += encode_varint(len(key))
+        head += key
+    return (encode_varint(len(head) + len(columns_bytes))
+            + bytes(head) + columns_bytes)
+
+
 # --------------------------------------------------------------------------
 # vectorized block encoder (VERDICT r7 #1 applied to the K1 sink): many
 # framed Rows laid out as one numpy scatter block, byte-identical to
@@ -146,20 +161,25 @@ def encode_rows_block(keys: list, counts, names: list, values: list,
     sizes, field omission for proto3 defaults) runs vectorized, with
     one Python-level ragged scatter per variable field."""
     np = _np()
-    from cassandra_sstable_to_protocolbuf_spark.sources.cellcodec import (
-        _ragged_idx)
-
     n_rows = len(keys)
     n_cols = len(names)
-    counts = np.asarray(counts, dtype=np.int64)
-    wts = np.asarray(write_times, dtype=np.int64)
-
     klen = np.fromiter(map(len, keys), dtype=np.int64, count=n_rows)
     nlen = np.fromiter(map(len, names), dtype=np.int64, count=n_cols)
     vlen = np.fromiter(map(len, values), dtype=np.int64, count=n_cols)
+    # zero-length entries contribute nothing to a join, so joining ALL
+    # entries equals joining only the non-empty ones the scatter targets
+    key_data = np.frombuffer(b"".join(keys), dtype=np.uint8)
+    name_data = np.frombuffer(b"".join(names), dtype=np.uint8)
+    value_data = np.frombuffer(b"".join(values), dtype=np.uint8)
+    return encode_rows_block_bufs(key_data, klen, counts,
+                                  name_data, nlen, value_data, vlen,
+                                  write_times)
 
-    # per-column body: name/value fields omitted when empty, writeTime
-    # omitted when 0 (proto3 default omission -- reference byte parity)
+
+def _columns_layout(np, nlen, vlen, wts):
+    """Shared wire-layout arithmetic for a flat run of columns: which
+    fields each column carries (proto3 default omission) and the byte
+    size of each column's body and its length-delimited wrapping."""
     has_n = nlen > 0
     has_v = vlen > 0
     has_t = wts != 0
@@ -170,6 +190,93 @@ def encode_rows_block(keys: list, counts, names: list, values: list,
                 + has_t * 9)
     col_vsz = _vsz(np, col_body)
     wrapped = 1 + col_vsz + col_body
+    return (has_n, has_v, has_t, nlen_vsz, vlen_vsz,
+            col_body, col_vsz, wrapped)
+
+
+def _scatter_columns(np, out, col_pos, lay, nlen, vlen, wts,
+                     name_data, value_data) -> None:
+    """Scatter a flat run of wrapped Column messages at `col_pos`.
+    `name_data`/`value_data` are the concatenated payload bytes as
+    uint8 arrays (zero-length/omitted fields contribute no bytes)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.cellcodec import (
+        _ragged_idx)
+
+    (has_n, has_v, has_t, nlen_vsz, vlen_vsz,
+     col_body, col_vsz, wrapped) = lay
+    out[col_pos] = _ROW_COLUMNS_TAG
+    _scatter_varints(np, out, col_pos + 1, col_body, col_vsz)
+    p = col_pos + 1 + col_vsz
+    # name field
+    np_pos = p[has_n]
+    out[np_pos] = _COLUMN_NAME_TAG
+    _scatter_varints(np, out, np_pos + 1, nlen[has_n], nlen_vsz[has_n])
+    idx = _ragged_idx(np_pos + 1 + nlen_vsz[has_n], nlen[has_n])
+    if len(idx):
+        out[idx] = name_data
+    p = p + has_n * (1 + nlen_vsz + nlen)
+    # value field
+    vp = p[has_v]
+    out[vp] = _COLUMN_VALUE_TAG
+    _scatter_varints(np, out, vp + 1, vlen[has_v], vlen_vsz[has_v])
+    idx = _ragged_idx(vp + 1 + vlen_vsz[has_v], vlen[has_v])
+    if len(idx):
+        out[idx] = value_data
+    p = p + has_v * (1 + vlen_vsz + vlen)
+    # writeTime field: tag + fixed64 little-endian two's complement
+    tp = p[has_t]
+    out[tp] = _COLUMN_WRITETIME_TAG
+    wt_bytes = wts[has_t].astype("<i8").view(np.uint8).reshape(-1, 8)
+    out[tp[:, None] + np.arange(1, 9)] = wt_bytes
+
+
+def encode_columns_bufs(name_data, nlen, value_data, vlen,
+                        write_times) -> bytes:
+    """Encode a flat run of wrapped Column messages ONLY (no Row frame,
+    no key field): the bytes a Row message carries after its key. Lets
+    a streaming writer accumulate a very wide row's columns in encoded
+    form across input batches and emit the Row frame once the row's
+    total size is known -- byte-identical to the columns portion of
+    encode_row."""
+    np = _np()
+    wts = np.asarray(write_times, dtype=np.int64)
+    nlen = np.asarray(nlen, dtype=np.int64)
+    vlen = np.asarray(vlen, dtype=np.int64)
+    lay = _columns_layout(np, nlen, vlen, wts)
+    wrapped = lay[-1]
+    out = np.zeros(int(wrapped.sum()), dtype=np.uint8)
+    col_pos = np.cumsum(wrapped) - wrapped  # exclusive prefix
+    if len(nlen):
+        _scatter_columns(np, out, col_pos, lay, nlen, vlen, wts,
+                         name_data, value_data)
+    return out.tobytes()
+
+
+def encode_rows_block_bufs(key_data, klen, counts, name_data, nlen,
+                           value_data, vlen, write_times) -> bytes:
+    """Buffer-form core of encode_rows_block: payloads arrive as
+    concatenated byte buffers (uint8 arrays) + per-entry length arrays
+    instead of Python lists of bytes -- an Arrow Binary column IS this
+    shape (one data buffer + offsets), so a columnar caller encodes
+    with zero per-cell Python objects. NULL values must arrive as
+    zero-length spans (Arrow offsets already do this)."""
+    np = _np()
+    from cassandra_sstable_to_protocolbuf_spark.sources.cellcodec import (
+        _ragged_idx)
+
+    n_rows = len(klen)
+    n_cols = len(nlen)
+    counts = np.asarray(counts, dtype=np.int64)
+    wts = np.asarray(write_times, dtype=np.int64)
+    klen = np.asarray(klen, dtype=np.int64)
+    nlen = np.asarray(nlen, dtype=np.int64)
+    vlen = np.asarray(vlen, dtype=np.int64)
+
+    # per-column body: name/value fields omitted when empty, writeTime
+    # omitted when 0 (proto3 default omission -- reference byte parity)
+    lay = _columns_layout(np, nlen, vlen, wts)
+    (has_n, has_v, has_t, nlen_vsz, vlen_vsz,
+     col_body, col_vsz, wrapped) = lay
 
     # per-row body: optional key field + the row's wrapped columns
     row_idx = np.zeros(n_cols, dtype=np.int64)
@@ -208,9 +315,7 @@ def encode_rows_block(keys: list, counts, names: list, values: list,
     key_data_pos = kp + 1 + klen_vsz[has_k]
     idx = _ragged_idx(key_data_pos, klen[has_k])
     if len(idx):
-        out[idx] = np.frombuffer(
-            b"".join(k for k, h in zip(keys, has_k.tolist()) if h),
-            dtype=np.uint8)
+        out[idx] = key_data
 
     if n_cols:
         # wrapped-column start offsets: key end of the owning row plus
@@ -219,35 +324,8 @@ def encode_rows_block(keys: list, counts, names: list, values: list,
         wcum = np.cumsum(wrapped) - wrapped  # exclusive prefix
         group_base = wcum[cols_before.clip(max=max(n_cols - 1, 0))]
         col_pos = key_end[row_idx] + (wcum - group_base[row_idx])
-        out[col_pos] = _ROW_COLUMNS_TAG
-        _scatter_varints(np, out, col_pos + 1, col_body, col_vsz)
-        p = col_pos + 1 + col_vsz
-        # name field
-        np_pos = p[has_n]
-        out[np_pos] = _COLUMN_NAME_TAG
-        _scatter_varints(np, out, np_pos + 1, nlen[has_n],
-                         nlen_vsz[has_n])
-        idx = _ragged_idx(np_pos + 1 + nlen_vsz[has_n], nlen[has_n])
-        if len(idx):
-            out[idx] = np.frombuffer(
-                b"".join(nm for nm, h in zip(names, has_n.tolist())
-                         if h), dtype=np.uint8)
-        p = p + has_n * (1 + nlen_vsz + nlen)
-        # value field
-        vp = p[has_v]
-        out[vp] = _COLUMN_VALUE_TAG
-        _scatter_varints(np, out, vp + 1, vlen[has_v], vlen_vsz[has_v])
-        idx = _ragged_idx(vp + 1 + vlen_vsz[has_v], vlen[has_v])
-        if len(idx):
-            out[idx] = np.frombuffer(
-                b"".join(v for v, h in zip(values, has_v.tolist())
-                         if h), dtype=np.uint8)
-        p = p + has_v * (1 + vlen_vsz + vlen)
-        # writeTime field: tag + fixed64 little-endian two's complement
-        tp = p[has_t]
-        out[tp] = _COLUMN_WRITETIME_TAG
-        wt_bytes = wts[has_t].astype("<i8").view(np.uint8).reshape(-1, 8)
-        out[tp[:, None] + np.arange(1, 9)] = wt_bytes
+        _scatter_columns(np, out, col_pos, lay, nlen, vlen, wts,
+                         name_data, value_data)
     return out.tobytes()
 
 

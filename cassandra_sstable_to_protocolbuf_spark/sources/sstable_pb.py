@@ -68,6 +68,55 @@ ROW_SCHEMA = StructType([
 ])
 
 
+def _open_pb_file(out_dir: str, sstable_id: str) -> dict:
+    """Open-file state for one sstable's `.proto.zst` output (temp file +
+    zstd stream + running metrics); shared by both stream writers."""
+    import pyarrow as pa
+
+    final = os.path.join(out_dir, f"{sstable_id}-Data.db{FILE_SUFFIX}")
+    tmp = final + f".tmp-{uuid.uuid4().hex}"
+    # compression=None: pa auto-detects .zst extensions and would
+    # double-wrap the explicit codec layer
+    raw_out = pa.output_stream(tmp, compression=None)
+    return {"sstable_id": sstable_id, "final": final, "tmp": tmp,
+            "raw_out": raw_out,
+            "zout": pa.CompressedOutputStream(raw_out, "zstd"),
+            "n_rows": 0, "n_cells": 0, "raw": 0,
+            "t0": time.perf_counter()}
+
+
+def _close_pb_file(st: dict) -> dict:
+    """Finish + atomically publish one output file; returns its metrics."""
+    st["zout"].close()
+    st["raw_out"].close()
+    os.replace(st["tmp"], st["final"])
+    return {
+        "sstable_id": st["sstable_id"],
+        "path": st["final"],
+        "n_rows": st["n_rows"],
+        "n_cells": st["n_cells"],
+        "raw_bytes": st["raw"],
+        "compressed_bytes": os.path.getsize(st["final"]),
+        "seconds": f"{time.perf_counter() - st['t0']:.3f}",
+    }
+
+
+def _abort_pb_file(st: dict | None) -> None:
+    """Failed-task cleanup: drop the temp file; published files (already
+    atomically renamed) are never touched."""
+    if st is None:
+        return
+    for h in ("zout", "raw_out"):
+        try:
+            st[h].close()
+        except OSError:
+            pass
+    try:
+        os.unlink(st["tmp"])
+    except FileNotFoundError:
+        pass
+
+
 def _pb_stream_writer(out_dir: str):
     """mapInPandas function factory: consume an ITERATOR of Arrow batches
     already sorted by (sstable_id, key), stream-encode delimited-protobuf
@@ -76,7 +125,6 @@ def _pb_stream_writer(out_dir: str):
     fixed compression window -- pinned by tests/test_writer_memory.py --
     regardless of file size; the old applyInPandas shape held one whole
     sstable's row set per task (flagged weak-at-100x in round 4)."""
-    import pyarrow as pa
 
     def write_stream(batches):
         import pandas as pd
@@ -84,30 +132,10 @@ def _pb_stream_writer(out_dir: str):
         state = None  # open-file state for the current sstable_id
 
         def open_file(sstable_id):
-            final = os.path.join(out_dir, f"{sstable_id}-Data.db{FILE_SUFFIX}")
-            tmp = final + f".tmp-{uuid.uuid4().hex}"
-            # compression=None: pa auto-detects .zst extensions and would
-            # double-wrap the explicit codec layer
-            raw_out = pa.output_stream(tmp, compression=None)
-            return {"sstable_id": sstable_id, "final": final, "tmp": tmp,
-                    "raw_out": raw_out,
-                    "zout": pa.CompressedOutputStream(raw_out, "zstd"),
-                    "n_rows": 0, "n_cells": 0, "raw": 0,
-                    "t0": time.perf_counter()}
+            return _open_pb_file(out_dir, sstable_id)
 
         def close_file(st):
-            st["zout"].close()
-            st["raw_out"].close()
-            os.replace(st["tmp"], st["final"])
-            return pd.DataFrame([{
-                "sstable_id": st["sstable_id"],
-                "path": st["final"],
-                "n_rows": st["n_rows"],
-                "n_cells": st["n_cells"],
-                "raw_bytes": st["raw"],
-                "compressed_bytes": os.path.getsize(st["final"]),
-                "seconds": f"{time.perf_counter() - st['t0']:.3f}",
-            }])
+            return pd.DataFrame([_close_pb_file(st)])
 
         try:
             import numpy as np
@@ -156,21 +184,240 @@ def _pb_stream_writer(out_dir: str):
             if state is not None:
                 yield close_file(state)
         except BaseException:
-            # failed-task cleanup: drop the temp file; published files
-            # (already atomically renamed) are never touched
-            if state is not None:
-                for h in ("zout", "raw_out"):
-                    try:
-                        state[h].close()
-                    except OSError:
-                        pass
-                try:
-                    os.unlink(state["tmp"])
-                except FileNotFoundError:
-                    pass
+            _abort_pb_file(state)
             raise
 
     return write_stream
+
+
+def _pb_flat_stream_writer(out_dir: str, max_cells: int | None = None):
+    """mapInArrow function factory: consume an ITERATOR of Arrow batches
+    of FLAT cells (sstable_id, key, live, name, value, writeTime) already
+    sorted by (sstable_id, key, name, value, writeTime), fold adjacent
+    (sstable_id, key) runs into delimited-protobuf Rows, and roll to a new
+    `.proto.zst` when sstable_id changes -- byte-identical to
+    _pb_stream_writer fed by the collect_list grouping, without the extra
+    exchange or any per-cell Python objects (run detection, live
+    filtering and wire layout are Arrow/numpy kernels over the batch's
+    buffers). Dead cells (live=false, payload nulled upstream) are
+    dropped per-cell but still mark their (sstable_id, key) run, so a
+    live partition whose cells are ALL filtered still emits its Row.
+
+    A (sstable_id, key) run may span batches: the unfinished tail run is
+    accumulated as ENCODED column bytes (encode_columns_bufs) and framed
+    when the run ends (frame_row_parts), so peak memory is O(one Arrow
+    batch) + O(one row's encoded columns) -- the same nested-Row bound as
+    the collect_list path, with the same loud failure past `max_cells`
+    (operators.projection.MAX_CELLS_PER_ROW)."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.projection import (
+        MAX_CELLS_PER_ROW)
+
+    if max_cells is None:
+        max_cells = MAX_CELLS_PER_ROW
+
+    def write_stream(batches):
+        import base64
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def bin_parts(arr):
+            # (concatenated payload bytes, per-entry lengths) of a Binary
+            # array; NULL entries contribute zero length (their offsets
+            # do not advance), exactly the b"" the wire codec omits
+            off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+                arr.offset: arr.offset + len(arr) + 1]
+            buf = arr.buffers()[2]
+            data = (np.frombuffer(buf, dtype=np.uint8)
+                    if buf is not None else np.empty(0, dtype=np.uint8))
+            return (data[int(off[0]):int(off[-1])],
+                    (off[1:] - off[:-1]).astype(np.int64))
+
+        def too_wide(key, n):
+            return ValueError(
+                f"partition {base64.b64encode(key).decode()} has {n} "
+                f"surviving cells, over the nested-Row cap of {max_cells};"
+                " raise max_cells deliberately or use the flat cell "
+                "surface, which streams in O(cell) memory")
+
+        state = None   # open-file state for the current sstable_id
+        pend = None    # unfinished tail run: {"key", "chunks", "n"};
+        #                always belongs to the currently open file
+        done: list[dict] = []   # closed-file metrics not yet yielded
+
+        def roll_to(sid):
+            nonlocal state
+            if state is None or state["sstable_id"] != sid:
+                if state is not None:
+                    done.append(_close_pb_file(state))
+                state = _open_pb_file(out_dir, sid)
+
+        def flush_pend():
+            nonlocal pend
+            block = protowire.frame_row_parts(
+                pend["key"], b"".join(pend["chunks"]))
+            state["zout"].write(block)
+            state["n_rows"] += 1
+            state["n_cells"] += pend["n"]
+            state["raw"] += len(block)
+            pend = None
+
+        def metrics_batch(rows):
+            return pa.RecordBatch.from_pylist(
+                rows, schema=pa.schema([
+                    ("sstable_id", pa.string()), ("path", pa.string()),
+                    ("n_rows", pa.int64()), ("n_cells", pa.int64()),
+                    ("raw_bytes", pa.int64()),
+                    ("compressed_bytes", pa.int64()),
+                    ("seconds", pa.string())]))
+
+        try:
+            for b in batches:
+                n = b.num_rows
+                if not n:
+                    continue
+                col = {name: b.column(i)
+                       for i, name in enumerate(b.schema.names)}
+                sid_arr, key_arr = col["sstable_id"], col["key"]
+                name_arr, value_arr = col["name"], col["value"]
+                live_np = col["live"].to_numpy(zero_copy_only=False)
+                wts_np = col["writeTime"].to_numpy()
+                if n > 1:
+                    same_sid = np.asarray(pc.equal(
+                        sid_arr.slice(1), sid_arr.slice(0, n - 1)))
+                    same_key = np.asarray(pc.equal(
+                        key_arr.slice(1), key_arr.slice(0, n - 1)))
+                    starts = np.flatnonzero(~(same_sid & same_key)) + 1
+                    sid_starts = np.flatnonzero(~same_sid) + 1
+                else:
+                    starts = sid_starts = np.empty(0, dtype=np.int64)
+                bnds = np.concatenate(
+                    ([0], starts, [n])).astype(np.int64)
+
+                def extend_pend(s, e):
+                    mask = live_np[s:e]
+                    nn = int(mask.sum())
+                    if nn:
+                        if pend["n"] + nn > max_cells:
+                            raise too_wide(pend["key"], pend["n"] + nn)
+                        mask_pa = pa.array(mask)
+                        nd, nl = bin_parts(
+                            name_arr.slice(s, e - s).filter(mask_pa))
+                        vd, vl = bin_parts(
+                            value_arr.slice(s, e - s).filter(mask_pa))
+                        pend["chunks"].append(protowire.encode_columns_bufs(
+                            nd, nl, vd, vl, wts_np[s:e][mask]))
+                        pend["n"] += nn
+
+                # does the batch's first run continue the pending row?
+                lo_seg = 0
+                if pend is not None:
+                    if (state["sstable_id"] == sid_arr[0].as_py()
+                            and pend["key"] == key_arr[0].as_py()):
+                        extend_pend(0, int(bnds[1]))
+                        if len(bnds) == 2:
+                            continue  # whole batch extends the run
+                        flush_pend()
+                        lo_seg = 1
+                    else:
+                        flush_pend()
+
+                # vectorized complete rows, split per sstable run so the
+                # file rolls at the right boundaries
+                a, z = int(bnds[lo_seg]), int(bnds[-2])
+                if a < z:
+                    region_starts = bnds[lo_seg:-2]
+                    cuts = sid_starts[(sid_starts > a) & (sid_starts < z)]
+                    chunk_bnds = np.concatenate(([a], cuts, [z]))
+                    for ci in range(len(chunk_bnds) - 1):
+                        p, q = int(chunk_bnds[ci]), int(chunk_bnds[ci + 1])
+                        roll_to(sid_arr[p].as_py())
+                        lo = np.searchsorted(region_starts, p, "left")
+                        hi = np.searchsorted(region_starts, q, "left")
+                        rstarts = region_starts[lo:hi]
+                        mask = live_np[p:q]
+                        counts = np.add.reduceat(
+                            mask.astype(np.int64), rstarts - p)
+                        wide = int(counts.max(initial=0))
+                        if wide > max_cells:
+                            k = key_arr[
+                                int(rstarts[int(np.argmax(counts))])
+                            ].as_py()
+                            raise too_wide(k, wide)
+                        kd, kl = bin_parts(pc.take(
+                            key_arr, pa.array(rstarts)))
+                        mask_pa = pa.array(mask)
+                        nd, nl = bin_parts(
+                            name_arr.slice(p, q - p).filter(mask_pa))
+                        vd, vl = bin_parts(
+                            value_arr.slice(p, q - p).filter(mask_pa))
+                        block = protowire.encode_rows_block_bufs(
+                            kd, kl, counts, nd, nl, vd, vl,
+                            wts_np[p:q][mask])
+                        state["zout"].write(block)
+                        state["n_rows"] += len(rstarts)
+                        state["n_cells"] += int(mask.sum())
+                        state["raw"] += len(block)
+
+                # the tail run may continue into the next batch
+                t = int(bnds[-2])
+                roll_to(sid_arr[t].as_py())
+                pend = {"key": key_arr[t].as_py(), "chunks": [], "n": 0}
+                extend_pend(t, n)
+
+                if done:
+                    yield metrics_batch(done)
+                    done.clear()
+            if pend is not None:
+                flush_pend()
+            if state is not None:
+                done.append(_close_pb_file(state))
+                state = None
+            if done:
+                yield metrics_batch(done)
+        except BaseException:
+            _abort_pb_file(state)
+            raise
+
+    return write_stream
+
+
+def write_cells_pb(cells_binary: DataFrame, out_dir: str) -> DataFrame:
+    """K1 sink straight from FLAT binary cells: the F1 partition filter,
+    ONE exchange (repartition by sstable_id) and a within-partition sort
+    by (sstable_id, key, name, value, writeTime); the writer folds
+    adjacent (sstable_id, key) runs into Rows. Output is byte-identical
+    to write_rows_pb(nested_rows_from_cells(cells), out_dir) -- pinned by
+    the golden-equality test -- with one fewer shuffle and no
+    collect_list hash aggregate: the nested path shuffled every cell
+    twice (groupBy(sstable_id, key), then repartition(sstable_id)).
+
+    Parity quirk preserved: dead cells of live partitions ship as
+    (sstable_id, key) markers with NULLed payload (near-zero shuffle
+    bytes) so a live partition whose cells are ALL filtered out still
+    emits its Row with an empty columns list. The within-partition sort
+    mirrors sort_array's struct order (name, value, writeTime; NULLs
+    first) so the folded rows carry cells in exactly collect_list +
+    sort_array order."""
+    from cassandra_sstable_to_protocolbuf_spark.operators.tombstones import (
+        live_cell_predicate, partition_live_predicate)
+
+    os.makedirs(out_dir, exist_ok=True)
+    live = live_cell_predicate()
+    flat = (cells_binary
+            .filter(partition_live_predicate())
+            .select("sstable_id", "key", live.alias("live"),
+                    F.when(live, F.col("name")).alias("name"),
+                    F.when(live, F.col("value")).alias("value"),
+                    F.when(live, F.col("writeTime")).otherwise(F.lit(0))
+                     .cast("long").alias("writeTime")))
+    return (flat
+            .repartition("sstable_id")
+            .sortWithinPartitions("sstable_id", "key", "name", "value",
+                                  "writeTime")
+            .mapInArrow(_pb_flat_stream_writer(out_dir),
+                        WRITE_METRICS_SCHEMA))
 
 
 def write_rows_pb(nested_rows: DataFrame, out_dir: str) -> DataFrame:

@@ -169,18 +169,18 @@ def stream_cells_to_protobuf(cells_stream: DataFrame, out_dir: str,
     of wide-row cells -> tombstone filters -> Row grouping -> delimited
     protobuf + zstd files, one output directory per micro-batch.
 
-    foreachBatch reuses the exact batch sink (write_rows_pb), so batch
+    foreachBatch reuses the exact batch sink (write_cells_pb), so batch
     and streaming stay one code path; the checkpoint gives exactly-once
     per-batch output directories on restart.
     """
     import os
 
     from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
-        nested_rows_from_cells, write_rows_pb)
+        write_cells_pb)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = nested_rows_from_cells(batch_df)
-        write_rows_pb(rows, os.path.join(out_dir, f"batch={batch_id}")).collect()
+        write_cells_pb(batch_df,
+                       os.path.join(out_dir, f"batch={batch_id}")).collect()
 
     writer = (cells_stream.writeStream.foreachBatch(write_batch)
               .option("checkpointLocation", checkpoint_dir))

@@ -104,6 +104,119 @@ def test_write_read_roundtrip(spark, tmp_path):
     assert b.exceptAll(a).count() == 0
 
 
+def _files_bytes(d):
+    import os
+
+    out = {}
+    for name in sorted(os.listdir(d)):
+        with open(os.path.join(d, name), "rb") as f:
+            out[name] = f.read()
+    return out
+
+
+def test_flat_writer_golden_equality(spark, tmp_path):
+    """write_cells_pb (one-exchange fold-adjacent-runs writer) must be
+    BYTE-IDENTICAL to the nested collect_list + second-exchange path it
+    replaced, file for file, on the real cells fixture -- plus matching
+    metrics (all but the wall-clock column)."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.cells import (
+        encode_lineitem_cells, to_binary_cells)
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        nested_rows_from_cells, write_cells_pb, write_rows_pb)
+    from tests.conftest import SF_SMOKE
+
+    cells = to_binary_cells(encode_lineitem_cells(spark, SF_SMOKE))
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    m_old = write_rows_pb(nested_rows_from_cells(cells), old_dir).collect()
+    m_new = write_cells_pb(cells, new_dir).collect()
+
+    old_files, new_files = _files_bytes(old_dir), _files_bytes(new_dir)
+    assert list(old_files) == list(new_files)
+    for name in old_files:
+        assert old_files[name] == new_files[name], f"bytes differ: {name}"
+
+    strip = [(m.sstable_id, m.n_rows, m.n_cells, m.raw_bytes,
+              m.compressed_bytes) for m in m_old]
+    assert sorted(strip) == sorted(
+        (m.sstable_id, m.n_rows, m.n_cells, m.raw_bytes,
+         m.compressed_bytes) for m in m_new)
+
+
+def test_flat_writer_runs_span_arrow_batches(spark, tmp_path):
+    """Edge coverage the fixture can't force: a (sstable_id, key) run much
+    longer than one Arrow batch (pending-row accumulation across
+    batches), an all-dead-cells key (must still emit its Row, empty), a
+    dead PARTITION (must vanish), NULL values and writeTime 0 -- all at a
+    tiny forced batch size, against the nested path's bytes."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        nested_rows_from_cells, write_cells_pb, write_rows_pb)
+
+    rows = []
+    # wide run: 100 cells for one key (batch size forced to 7 below)
+    for i in range(100):
+        rows.append(("wide", b"k-wide", b"c%04d" % i,
+                     None if i % 5 == 0 else b"v%d" % i,
+                     0 if i % 7 == 0 else i, "LIVE", False, True))
+    # interleaved dead cells + an all-dead key + a dead partition
+    for i in range(10):
+        rows.append(("wide", b"k-mixed", b"d%02d" % i, b"x",
+                     100 + i, "LIVE" if i % 2 else "DELETED", False, True))
+    for i in range(4):
+        rows.append(("wide", b"k-alldead", b"e%02d" % i, b"y",
+                     7, "EXPIRING", True, True))
+    for i in range(4):
+        rows.append(("wide", b"k-gone", b"f%02d" % i, b"z",
+                     8, "LIVE", False, False))
+    # second sstable in the same stream (file roll mid-task possible)
+    rows.append(("tiny", b"a", b"n", b"v", 1, "LIVE", False, True))
+    cells = spark.createDataFrame(
+        rows, "sstable_id string, key binary, name binary, value binary, "
+              "writeTime long, cell_kind string, ttl_expired boolean, "
+              "partition_deletion_live boolean")
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+        write_rows_pb(nested_rows_from_cells(cells), old_dir).collect()
+        m = {r.sstable_id: r for r in write_cells_pb(cells, new_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    old_files, new_files = _files_bytes(old_dir), _files_bytes(new_dir)
+    assert list(old_files) == list(new_files)
+    for name in old_files:
+        assert old_files[name] == new_files[name], f"bytes differ: {name}"
+    # the all-dead key still occupies a Row; the dead partition does not
+    assert m["wide"].n_rows == 3
+    assert m["wide"].n_cells == 100 + 5
+    assert m["tiny"].n_rows == 1
+
+
+def test_flat_writer_wide_row_cap(spark, tmp_path):
+    """A run wider than max_cells fails loudly (same contract as
+    guard_row_width), not by exhausting executor memory."""
+    import pyarrow as pa
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_pb import (
+        _pb_flat_stream_writer)
+
+    schema = pa.schema([("sstable_id", pa.string()), ("key", pa.binary()),
+                        ("live", pa.bool_()), ("name", pa.binary()),
+                        ("value", pa.binary()), ("writeTime", pa.int64())])
+
+    def batches():
+        for lo in range(0, 40, 10):
+            yield pa.RecordBatch.from_pylist(
+                [{"sstable_id": "s", "key": b"k", "live": True,
+                  "name": b"c%02d" % i, "value": b"v", "writeTime": 1}
+                 for i in range(lo, lo + 10)], schema=schema)
+
+    write = _pb_flat_stream_writer(str(tmp_path), max_cells=25)
+    with pytest.raises(ValueError, match="over the nested-Row cap"):
+        list(write(batches()))
+
+
 def test_read_keys_sorted_within_file(spark, tmp_path):
     """Sink writes rows in key-byte order (token-order analog)."""
     from cassandra_sstable_to_protocolbuf_spark.sources.cells import (

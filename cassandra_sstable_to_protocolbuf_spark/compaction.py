@@ -613,7 +613,26 @@ def compact(spark: SparkSession, input_path: str | list[str], out_dir: str,
     else:
         cells = read_native_cells(spark, input_path, live_only=live,
                                   token_range=token_range)
-    merged = compact_cells(cells, n_outputs,
-                           respect_tombstones=respect_tombstones,
-                           output_prefix=output_prefix)
-    return write_cells_as_sstables(merged, out_dir, compression=compression)
+    if respect_tombstones:
+        merged = compact_cells(cells, n_outputs,
+                               respect_tombstones=True,
+                               output_prefix=output_prefix)
+        return write_cells_as_sstables(merged, out_dir,
+                                       compression=compression)
+    # live path: ONE exchange. Candidate cells ship straight to their
+    # output shard carrying their origin id, and the writer's sort +
+    # first-of-run dedup (lww_by) applies exactly the lww_winners
+    # comparator -- the former compact_cells shape paid a second full
+    # exchange + hash aggregation over every candidate just to pick
+    # winners before the writer's own shuffle.
+    flat = (cells.filter(F.col("cell_kind") == "LIVE")
+            .select(F.concat_ws("-", F.lit(output_prefix),
+                                token_shard(F.col("key"), n_outputs))
+                    .alias("sstable_id"),
+                    "key", "name", "value", "writeTime",
+                    F.lit("LIVE").alias("cell_kind"),
+                    F.lit(None).cast("boolean").alias("ttl_expired"),
+                    F.lit(True).alias("partition_deletion_live"),
+                    F.col("sstable_id").alias("_lww_src")))
+    return write_cells_as_sstables(flat, out_dir, compression=compression,
+                                   lww_by="_lww_src")

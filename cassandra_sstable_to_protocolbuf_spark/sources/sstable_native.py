@@ -1629,13 +1629,19 @@ WRITE_CELLS_METRICS_FIELDS = (
     ("n_partitions", "long"), ("n_cells", "long"))
 
 
-def _cells_stream_writer(out_dir: str, compression: str | None):
+def _cells_stream_writer(out_dir: str, compression: str | None,
+                         dedup_runs: bool = False):
     """mapInPandas function factory for write_cells_as_sstables: consumes
     an ITERATOR of Arrow batches already sorted by (sstable_id,
     decorated key, comparator), stream-encodes through
     SSTableStreamWriter, and rolls to a new sstable when sstable_id
     changes. Peak memory is O(one Arrow batch) + O(compression chunk) --
     pinned by tests/test_writer_memory.py -- regardless of sstable size.
+
+    dedup_runs=True keeps only the FIRST cell of each (sstable_id, key,
+    name) run: with the caller sorting LWW-winner-first (see
+    write_cells_as_sstables' lww_by), this IS last-write-wins selection,
+    folded into the stream instead of a separate aggregation exchange.
     """
 
     # complete partitions accumulate to about this many cells before a
@@ -1658,6 +1664,7 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
         # the OPEN partition (may span pandas batches)
         cur_key = None
         cur_live = True
+        last_name = None  # dedup_runs: previous cell name in the partition
         cur_cells: list = []  # (name, code, wt, value, prefix)
         # COMPLETE partitions pending a vectorized block flush
         pend: dict = {"keys": [], "dels": [], "counts": [],
@@ -1766,6 +1773,7 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
                     if key != cur_key:
                         close_partition()
                         cur_key = key
+                        last_name = None
                         # partition_deletion_live is a partition-level
                         # attribute denormalized onto every cell -- the
                         # first cell speaks for the partition, and any
@@ -1779,6 +1787,10 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
                             f"partition {key!r}: the flag is a "
                             f"partition-level attribute and must be "
                             f"constant across its cells")
+                    if dedup_runs:
+                        if name == last_name:
+                            continue  # a beaten LWW candidate
+                        last_name = name
                     if len(cur_cells) >= OPEN_SPILL_CELLS:
                         spill_open()
                     if kind == "LIVE":
@@ -1812,7 +1824,8 @@ def _cells_stream_writer(out_dir: str, compression: str | None):
 
 
 def write_cells_as_sstables(cells_df, out_dir: str,
-                            compression: str | None = None):
+                            compression: str | None = None,
+                            lww_by: str | None = None):
     """Distributed export/compaction sink: flat engine cells -> one real
     binary SSTable (Data+Index components) per sstable_id.
 
@@ -1837,6 +1850,15 @@ def write_cells_as_sstables(cells_df, out_dir: str,
     into one must materialize through export_sstables (collects the
     metrics AND publishes them) or call manifest.add on the collected
     paths -- OPTIMIZE's executor (_run_bin) already does.
+
+    lww_by: name of a column carrying each cell's ORIGIN sstable_id.
+    When set, cells of the same (sstable_id, key, name) sort by the
+    lww_winners comparator DESCENDING -- (writeTime, origin, value), so
+    the winner leads its run -- and the writer keeps only each run's
+    first cell. That folds last-write-wins selection into the shuffle
+    this sink already pays, instead of a separate groupBy aggregation
+    with its own exchange over every candidate cell (the compaction
+    path's former shape). The column is dropped before the encoder.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import (LongType, StringType, StructField,
@@ -1850,12 +1872,23 @@ def write_cells_as_sstables(cells_df, out_dir: str,
     ])
 
     os.makedirs(out_dir, exist_ok=True)
+    if lww_by is None:
+        return (cells_df
+                .repartition("sstable_id")
+                .sortWithinPartitions(
+                    "sstable_id", F.md5("key"), "key",
+                    "name", "writeTime", "value")
+                .mapInPandas(_cells_stream_writer(out_dir, compression),
+                             schema))
     return (cells_df
             .repartition("sstable_id")
             .sortWithinPartitions(
-                "sstable_id", F.md5("key"), "key",
-                "name", "writeTime", "value")
-            .mapInPandas(_cells_stream_writer(out_dir, compression), schema))
+                F.col("sstable_id"), F.md5("key"), F.col("key"),
+                F.col("name"), F.col("writeTime").desc(),
+                F.col(lww_by).desc(), F.col("value").desc())
+            .drop(lww_by)
+            .mapInPandas(_cells_stream_writer(out_dir, compression,
+                                              dedup_runs=True), schema))
 
 
 def export_sstables(cells_df, out_dir: str,

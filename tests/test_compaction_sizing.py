@@ -214,3 +214,61 @@ def test_compact_gate_green_at_demo_and_production_targets(
            .select("key", "writeTime").collect()}
     expect = {(b"key-%05d" % i, 2 if i < 100 else 1) for i in range(300)}
     assert got == expect
+
+
+def test_compact_writer_folded_lww_byte_equality(spark, tmp_path):
+    """compact()'s live path folds LWW winner selection into the writer's
+    sort (lww_by) instead of a separate aggregation exchange: outputs
+    must stay BYTE-identical to the explicit compact_cells(lww) + plain
+    writer shape, including writeTime ties broken by (origin sstable_id,
+    value) and multi-candidate (key, name) runs."""
+    import glob
+    import os
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame
+
+    d = str(tmp_path / "in")
+    parts = [{"key": b"key-%05d" % i,
+              "cells": [{"name": b"a", "kind": "LIVE", "timestamp": 5,
+                         "value": b"v1-%d" % i},
+                        {"name": b"b", "kind": "LIVE", "timestamp": 1,
+                         "value": b"w"}]} for i in range(200)]
+    N.write_sstable(d, 1, parts)
+    # overlapping generation: same keys, name 'a' newer, name 'b' TIES on
+    # writeTime (tiebreak order: origin sstable_id DESC, then value DESC)
+    N.write_sstable(d, 2, [{"key": p["key"],
+                            "cells": [{"name": b"a", "kind": "LIVE",
+                                       "timestamp": 9, "value": b"v2"},
+                                      {"name": b"b", "kind": "LIVE",
+                                       "timestamp": 1, "value": b"x"}]}
+                           for p in parts[:120]])
+    files = CP.input_data_files(d)
+    n_out = CP.derive_n_outputs(CP.logical_data_bytes(files))
+    cells = reduce(DataFrame.unionAll,
+                   [N.read_native_cells(spark, f, live_only=True)
+                    for f in files])
+
+    old_dir, new_dir = str(tmp_path / "old"), str(tmp_path / "new")
+    merged = CP.compact_cells(cells, n_out, output_prefix="x")
+    N.write_cells_as_sstables(merged, old_dir, compression="lz4").collect()
+    flat = (cells.filter(F.col("cell_kind") == "LIVE")
+            .select(F.concat_ws("-", F.lit("x"),
+                                CP.token_shard(F.col("key"), n_out))
+                    .alias("sstable_id"),
+                    "key", "name", "value", "writeTime",
+                    F.lit("LIVE").alias("cell_kind"),
+                    F.lit(None).cast("boolean").alias("ttl_expired"),
+                    F.lit(True).alias("partition_deletion_live"),
+                    F.col("sstable_id").alias("_lww_src")))
+    N.write_cells_as_sstables(flat, new_dir, compression="lz4",
+                              lww_by="_lww_src").collect()
+
+    fo = sorted(os.path.basename(p) for p in glob.glob(old_dir + "/*"))
+    fn = sorted(os.path.basename(p) for p in glob.glob(new_dir + "/*"))
+    assert fo == fn and fo
+    for f in fo:
+        with open(os.path.join(old_dir, f), "rb") as a, \
+                open(os.path.join(new_dir, f), "rb") as b:
+            assert a.read() == b.read(), f"bytes differ: {f}"

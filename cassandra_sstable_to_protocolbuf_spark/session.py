@@ -184,8 +184,18 @@ def widen(df, min_partitions: int | None = None):
     try:
         files = df.inputFiles()
         if files:
+            # the probed split count depends on the scanned files, the
+            # split-sizing confs, AND the plan shape above the scan (a
+            # post-shuffle frame over the same files reports shuffle
+            # partitions, not scan splits) -- fingerprint all three so
+            # a conf change or a differently-shaped frame misses
+            # (ADVICE r10 / VERDICT r10 #3)
             key = (spark.sparkContext.applicationId,
-                   tuple(sorted(files)), min_partitions)
+                   tuple(sorted(files)), min_partitions,
+                   spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                  ""),
+                   spark.conf.get("spark.sql.files.openCostInBytes", ""),
+                   df._jdf.queryExecution().analyzed().semanticHash())
     except Exception:
         pass  # non-file source: fall through to the direct probe
     n = _WIDEN_PROBED.get(key) if key is not None else None
@@ -254,7 +264,15 @@ _BASE_TABLES: dict = {}
 
 
 def read_base_table(spark: SparkSession, path: str) -> "DataFrame":
-    key = (spark.sparkContext.applicationId, path)
+    # file identity in the key: driver-regenerated testdata (replaced
+    # file, same path) must miss the memo instead of serving a stale
+    # listing (ADVICE r10); one cheap stat per call
+    try:
+        st = os.stat(path)
+        ident = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        ident = None
+    key = (spark.sparkContext.applicationId, path, ident)
     df = _BASE_TABLES.get(key)
     if df is None:
         df = spark.read.parquet(path)

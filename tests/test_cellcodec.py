@@ -400,3 +400,58 @@ def test_sliced_fast_path_matches_scalar_through_spark(tmp_path, spark):
     ref = sorted((r[1], r[2], r[3], r[4], r[5], r[6], r[7], r[8])
                  for s in rdr.partitions() for r in rdr._iter_rows(s))
     assert got == ref and got
+
+
+def test_fast_read_band_partition_stays_vectorized(tmp_path):
+    """A partition in the (CAP/2, CAP] band preceded by a small one must
+    stay on the vectorized path: the old Overrun growth overshot the
+    buffer window to CAP + GROW and demoted exactly this band to the
+    scalar fallback (ADVICE r10). Rows must still match the scalar walk."""
+    parts = [
+        {"key": b"a-small", "cells": [
+            {"name": b"c%04d" % i, "kind": "LIVE", "timestamp": i,
+             "value": b"v" * 40} for i in range(45)]},
+        {"key": b"b-wide", "cells": [
+            {"name": b"c%04d" % i, "kind": "LIVE", "timestamp": i,
+             "value": b"v" * 40} for i in range(190)]},  # ~12 KB
+    ]
+    N.write_sstable(str(tmp_path), 1, parts)
+    rdr = N.SSTableNativeReader(str(tmp_path), 10 ** 6)
+    rdr.FAST_SCAN_PARTITION_CAP = 16384
+    rdr.FAST_SCAN_GROW = 2048
+    calls = []
+    orig = rdr._read_fast_fallback
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    rdr._read_fast_fallback = spy
+    splits = rdr.partitions()
+    got = [tuple(r) for s in splits for b in rdr.read(s)
+           for r in zip(*[c.to_pylist() for c in b.columns])]
+    ref = [tuple(r) for s in splits for r in rdr._iter_rows(s)]
+    assert got == ref
+    assert not calls, "band partition was demoted to the scalar fallback"
+
+
+def test_split_target_bytes_wrap_around_range():
+    """A wrap-around token interval (hi < lo) covers 1 - (lo - hi) of the
+    ring; the old sizing computed a negative fraction and fell to the
+    1/1024 floor, planning maximally fine splits (VERDICT r10 #4)."""
+    def mk(tr):
+        rdr = N.SSTableNativeReader.__new__(N.SSTableNativeReader)
+        rdr.partitions_per_split = None
+        rdr.token_range = tr
+        rdr.scan_parallelism = 4
+        rdr._scan_total_bytes = 1 << 30
+        return rdr
+
+    half = mk(("40", "c0"))._split_target_bytes(1 << 30)
+    wrapped = mk(("c0", "40"))._split_target_bytes(1 << 30)
+    assert wrapped == half  # both intervals cover half the ring
+    # quarter wrap: hi < lo covering 1 - 0.5 = ... ("e0", "60") covers
+    # 1 - (0.875 - 0.375) = 0.5; ("c0", "20") covers 0.375
+    q = mk(("c0", "20"))._split_target_bytes(1 << 30)
+    full = mk(None)._split_target_bytes(1 << 30)
+    assert q < full and q >= (1 << 30) * 0.375 // 4

@@ -147,15 +147,22 @@ def decode_partitions(buf, base: int, end_hint: int, regs: _Registers,
                       parts: list, start_at: int = 0,
                       live_only: bool = False,
                       emit_partition=None,
-                      max_records: int | None = None) -> int:
-    """Walk current-format partitions from `buf[start_at:]` appending
-    records into `regs` and (key, live) tuples into `parts`. Stops at
-    the first partition whose ABSOLUTE start offset (base + buffer
-    offset) is >= `end_hint` -- the same partition-start boundary rule
-    as scan_partitions -- or on clean EOF at a partition boundary.
+                      max_records: int | None = None,
+                      old_format: bool = False) -> int:
+    """Walk partitions from `buf[start_at:]` appending records into
+    `regs` and (key, live) tuples into `parts`. Stops at the first
+    partition whose ABSOLUTE start offset (base + buffer offset) is >=
+    `end_hint` -- the same partition-start boundary rule as
+    scan_partitions -- or on clean EOF at a partition boundary.
     Raises Overrun(partition_start) when the buffer ends mid-partition
     (registers rolled back to the last complete partition) so the
     caller can extend the buffer and retry.
+
+    `old_format=True` decodes pre-'ja' (ka) row framing: an i64 row
+    size precedes the deletion time and an i32 column count replaces
+    the zero-short end-of-row marker. Cell-atom encoding is identical
+    across formats (the scalar _read_cell_atoms is shared), so foreign
+    ka files ride the same vectorized gathers as engine files.
 
     `emit_partition(key) -> bool` optionally decides per-partition
     emission (pushed keys / token range); skipped partitions are still
@@ -189,15 +196,30 @@ def decode_partitions(buf, base: int, end_hint: int, regs: _Registers,
             klen = (buf[o] << 8) | buf[o + 1]
             o += 2
             key_end = o + klen
-            if key_end + 12 > n:
+            if key_end + (24 if old_format else 12) > n:
                 raise IndexError
             key = bytes(buf[o:key_end])
-            ldt = int.from_bytes(buf[key_end:key_end + 4], "big",
-                                 signed=True)
-            marked_off = key_end + 4
-            marked = int.from_bytes(buf[marked_off:marked_off + 8],
-                                    "big", signed=True)
-            o = marked_off + 8
+            if old_format:
+                # i64 row size (skipped: the walk finds the row's end
+                # from its counted atoms), then the deletion time, then
+                # the i32 atom count
+                ldt = int.from_bytes(buf[key_end + 8:key_end + 12],
+                                     "big", signed=True)
+                marked_off = key_end + 12
+                marked = int.from_bytes(buf[marked_off:marked_off + 8],
+                                        "big", signed=True)
+                remaining = int.from_bytes(
+                    buf[marked_off + 8:marked_off + 12], "big",
+                    signed=True)
+                o = marked_off + 12
+            else:
+                ldt = int.from_bytes(buf[key_end:key_end + 4], "big",
+                                     signed=True)
+                marked_off = key_end + 4
+                marked = int.from_bytes(buf[marked_off:marked_off + 8],
+                                        "big", signed=True)
+                o = marked_off + 8
+                remaining = None
             live = (ldt == _LIVE_LDT and marked == _LIVE_MARKED)
             emit = emit_partition(key) if emit_partition is not None \
                 else True
@@ -210,10 +232,25 @@ def decode_partitions(buf, base: int, end_hint: int, regs: _Registers,
                 s_extend((KIND_PARTITION, 0, 0, 0, -1, marked_off))
                 nrec += 1
             while True:
-                nlen = (buf[o] << 8) | buf[o + 1]
-                if nlen == 0:
-                    o += 2
-                    break
+                if remaining is not None:
+                    if remaining <= 0:
+                        # counted row: no end-of-row marker guards the
+                        # last atom's value read -- check the buffer
+                        # edge explicitly before accepting the row
+                        if o > n:
+                            raise IndexError
+                        break
+                    remaining -= 1
+                    nlen = (buf[o] << 8) | buf[o + 1]
+                    if nlen == 0:
+                        raise ValueError(
+                            "zero-length cell name inside a "
+                            "column-counted row")
+                else:
+                    nlen = (buf[o] << 8) | buf[o + 1]
+                    if nlen == 0:
+                        o += 2
+                        break
                 name_off = o + 2
                 flag_off = name_off + nlen
                 flags = buf[flag_off]

@@ -3299,17 +3299,25 @@ class SSTableNativeReader(DataSourceReader):
     FAST_SCAN_GROW = 4 << 20
 
     def _fast_scan_eligible(self, split) -> bool:
-        """Current-format reads only: pre-'ja' row framing (explicit
-        row size / column count) keeps the scalar walk, as does
-        verify+slice. Plain byte-range splits that pass this check
-        vectorize through _read_fast; name_range (clustering slice)
-        splits pass through it too and dispatch to _read_fast_sliced
-        (VERDICT r8 #3)."""
+        """Plain byte-range splits that pass this check vectorize
+        through _read_fast; name_range (clustering slice) splits pass
+        through it too and dispatch to _read_fast_sliced (VERDICT r8
+        #3). Both row framings qualify: decode_partitions handles the
+        pre-'ja' (ka) framing via old_format -- the foreign-ka point
+        and scan legs used to run the scalar tuple walk at roughly
+        half the vectorized throughput."""
+        return True
+
+    @staticmethod
+    def _old_format(data_path: str) -> bool:
+        """Pre-'ja' (ka) row framing: i64 row size + i32 column count.
+        Cell atoms encode identically across formats; only the partition
+        walker needs to know (decode_partitions old_format)."""
         try:
-            return not Descriptor.from_filename(
-                split.data_path).has_row_size_and_column_count
+            return Descriptor.from_filename(
+                data_path).has_row_size_and_column_count
         except ValueError:
-            return True  # unnamed fixture paths: current layout
+            return False  # unnamed fixture paths: current layout
 
     def _read_fast(self, split, batch) -> Iterator:
         """Arrow batches straight from the vectorized region decoder
@@ -3342,6 +3350,7 @@ class SSTableNativeReader(DataSourceReader):
                 return ((pk is None or key in pk)
                         and (tr is None or in_tr(key)))
 
+        old_format = self._old_format(split.data_path)
         f, _logical_size = open_data_file(split.data_path)
         with f:
             f.seek(split.start)
@@ -3363,7 +3372,8 @@ class SSTableNativeReader(DataSourceReader):
                             buf, base, split.end, regs, parts,
                             start_at=o, live_only=self.live_only,
                             emit_partition=emit,
-                            max_records=self.ARROW_BATCH_ROWS)
+                            max_records=self.ARROW_BATCH_ROWS,
+                            old_format=old_format)
                     except _cc.Overrun as ov:
                         # GEOMETRIC growth: each Overrun retry re-walks
                         # the partition from its start, so fixed-size

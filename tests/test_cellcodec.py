@@ -455,3 +455,73 @@ def test_split_target_bytes_wrap_around_range():
     q = mk(("c0", "20"))._split_target_bytes(1 << 30)
     full = mk(None)._split_target_bytes(1 << 30)
     assert q < full and q >= (1 << 30) * 0.375 // 4
+
+
+def _write_ic_fixture(d: str, n_parts: int = 400, cells_per: int = 6):
+    """Hand-assembled pre-'ja' ('ic') sstable: rowSize + columnCount
+    framing (test_golden_209_format layout), mixed cell kinds, a dead
+    partition, and a zero-column row; Index.db with promotedSize=0."""
+    import os
+    import struct
+
+    live_del = struct.pack(">iq", 0x7FFFFFFF, -(2 ** 63))
+    dead_del = struct.pack(">iq", 100, 5_000)
+
+    def atom(name, kind, ts, value):
+        if kind == "LIVE":
+            return (struct.pack(">H", len(name)) + name + b"\x00"
+                    + struct.pack(">qi", ts, len(value)) + value)
+        if kind == "DELETED":
+            return (struct.pack(">H", len(name)) + name + b"\x01"
+                    + struct.pack(">qi", ts, 4) + struct.pack(">i", 77))
+        return (struct.pack(">H", len(name)) + name + b"\x02"
+                + struct.pack(">ii", 60, 99)
+                + struct.pack(">qi", ts, len(value)) + value)
+
+    import hashlib
+
+    data = bytearray()
+    index = bytearray()
+    keys = sorted((b"k%06d" % i for i in range(n_parts)),
+                  key=lambda k: hashlib.md5(k).hexdigest())
+    for i, key in enumerate(keys):
+        if i % 97 == 41:
+            deletion, atoms, count = dead_del, b"", 0
+        elif i % 89 == 13:
+            deletion, atoms, count = live_del, b"", 0
+        else:
+            deletion = live_del
+            count = cells_per
+            atoms = b"".join(
+                atom(b"c%04d" % c,
+                     ("LIVE", "DELETED", "EXPIRING")[c % 3 if i % 7 == 0
+                                                     else 0],
+                     1000 + c, b"val-%06d-%d" % (i, c))
+                for c in range(cells_per))
+        payload = deletion + struct.pack(">i", count) + atoms
+        index += (struct.pack(">H", len(key)) + key
+                  + struct.pack(">qi", len(data), 0))
+        data += (struct.pack(">H", len(key)) + key
+                 + struct.pack(">q", len(payload)) + payload)
+    base = os.path.join(d, "Keyspace1-Standard1-ic-1-")
+    with open(base + "Data.db", "wb") as f:
+        f.write(data)
+    with open(base + "Index.db", "wb") as f:
+        f.write(index)
+    return base + "Data.db"
+
+
+def test_fast_read_old_format_matches_scalar(tmp_path):
+    """Pre-'ja' row framing through the vectorized decoder
+    (decode_partitions old_format): row-for-row identical to the scalar
+    walk, including dead partitions, zero-column rows and non-LIVE
+    kinds, plain AND live_only."""
+    _write_ic_fixture(str(tmp_path))
+    for live_only in (False, True):
+        rdr = N.SSTableNativeReader(str(tmp_path), 10 ** 6,
+                                    live_only=live_only)
+        splits = rdr.partitions()
+        got = [tuple(r) for s in splits for b in rdr.read(s)
+               for r in zip(*[c.to_pylist() for c in b.columns])]
+        ref = [tuple(r) for s in splits for r in rdr._iter_rows(s)]
+        assert got == ref and len(got) > 1000

@@ -369,3 +369,58 @@ def test_production_knob_optimize_lifecycle(spark, tmp_path, capsys,
               f"{len(outputs)} outputs (floor 1.6)")
     assert mbps >= 1.6, \
         f"production-knob lifecycle regressed: {mbps:.1f} MB/s"
+
+
+def test_wide_partition_decode_throughput_floor(tmp_path, capsys):
+    """Single-wide-partition decode (the point-lookup shape): one
+    200k-cell partition through rdr.read. Round-10 deferred this at
+    300-400k rows/s on the scalar band; the vectorized path with
+    clamped Overrun growth measures ~880k idle -- floor at ~1/3."""
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        SSTableNativeReader, SSTableStreamWriter)
+
+    n_cells = 200_000
+    w = SSTableStreamWriter(str(tmp_path), 1, compression=None)
+    names = [b"col%07d" % c for c in range(n_cells)]
+    vals = [b"value-%07d" % c for c in range(n_cells)]
+    w.write_partitions_block([b"wide-key"], [None],
+                             np.array([n_cells], np.int64), names,
+                             np.zeros(n_cells, np.int8),
+                             np.arange(n_cells, dtype=np.int64), vals,
+                             None)
+    w.close()
+    rdr = SSTableNativeReader(str(tmp_path), None)
+    splits = rdr.partitions()
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = sum(b.num_rows for s in splits for b in rdr.read(s))
+        best = max(best, n / (time.monotonic() - t0))
+    with capsys.disabled():
+        print(f"\n[capacity] wide-partition decode {best:,.0f} rows/s "
+              f"(floor 300k)")
+    assert best >= 300_000, f"wide decode regressed: {best:,.0f} rows/s"
+
+
+def test_old_format_decode_throughput_floor(tmp_path, capsys):
+    """Pre-'ja' (ic) framing through the vectorized walker: the scalar
+    tuple path measured ~300k rows/s; the old_format decode_partitions
+    path measures ~900k idle -- floor at ~1/3, 2x the scalar-era rate
+    is the raised bar."""
+    from tests.test_cellcodec import _write_ic_fixture
+
+    from cassandra_sstable_to_protocolbuf_spark.sources.sstable_native import (
+        SSTableNativeReader)
+
+    _write_ic_fixture(str(tmp_path), n_parts=8000, cells_per=25)
+    rdr = SSTableNativeReader(str(tmp_path), None)
+    splits = rdr.partitions()
+    best = 0.0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = sum(b.num_rows for s in splits for b in rdr.read(s))
+        best = max(best, n / (time.monotonic() - t0))
+    with capsys.disabled():
+        print(f"\n[capacity] old-format (ic) decode {best:,.0f} rows/s "
+              f"(floor 300k)")
+    assert best >= 300_000, f"ic decode regressed: {best:,.0f} rows/s"

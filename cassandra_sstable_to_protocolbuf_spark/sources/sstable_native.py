@@ -3568,10 +3568,11 @@ class SSTableNativeReader(DataSourceReader):
             return
 
         index_path = split.data_path[:-len(DATA_SUFFIX)] + INDEX_SUFFIX
-        if not os.path.exists(index_path):
-            # indexless fixture: the scalar path's
-            # emit-filter-over-plain-scan, vectorized (no index means
-            # nothing to prune)
+        if (not os.path.exists(index_path)
+                or self._old_format(split.data_path)):
+            # indexless fixture, or pre-'ja' framing (no engine-written
+            # promoted blobs to walk): the scalar path's
+            # emit-filter-over-plain-scan, vectorized
             for b in self._read_fast(split, batch):
                 out = self._slice_batch_filter(b)
                 if out is not None:

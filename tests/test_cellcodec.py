@@ -525,3 +525,19 @@ def test_fast_read_old_format_matches_scalar(tmp_path):
                for r in zip(*[c.to_pylist() for c in b.columns])]
         ref = [tuple(r) for s in splits for r in rdr._iter_rows(s)]
         assert got == ref and len(got) > 1000
+
+
+def test_old_format_sliced_read_matches_scalar(tmp_path):
+    """name_range over a pre-'ja' file: the vectorized route must
+    reproduce the scalar old-format branch (plain scan + exact filter;
+    pre-'ja' files carry no engine promoted blobs to walk)."""
+    _write_ic_fixture(str(tmp_path), n_parts=300, cells_per=8)
+    for live_only in (False, True):
+        rdr = N.SSTableNativeReader(str(tmp_path), 10 ** 6,
+                                    live_only=live_only,
+                                    name_range=(b"c0002", b"c0006"))
+        splits = rdr.partitions()
+        got = sorted(tuple(r) for s in splits for b in rdr.read(s)
+                     for r in zip(*[c.to_pylist() for c in b.columns]))
+        ref = sorted(tuple(r) for s in splits for r in rdr._iter_rows(s))
+        assert got == ref and len(got) > 300
